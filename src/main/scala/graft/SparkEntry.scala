@@ -1,13 +1,289 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, with matching DuckDB `oracleSql` where the semantics are
+  * ANSI-SQL-expressible. Column names/aliases are kept identical on both
+  * sides (the driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001: the reference's headline report rollup
+    * (daily activity trend, report.py:62). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.dailyCounts(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §A core relational engine -----------------------------------
+    "q1_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q2_top_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+        .limit(3)
+    }),
+    "q3_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      // orders⋈lineitem shuffle on orderkey; customer side broadcast at
+      // dim scale (AQE handles it when the stats say so).
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct("o_orderkey").as("n_orders"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+    "q4_multi_join" -> ((s, d) => {
+      // Star join: fact orders against broadcast dims — no shuffle on the
+      // dim side at any scale.
+      val r = broadcast(Tables.region(s, d))
+      val n = broadcast(Tables.nation(s, d))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+    }),
+    "q5_window_rank" -> ((s, d) =>
+      Analytics.topPerGroup(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", "o_totalprice", "o_orderkey")),
+    "q6_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // ---- §B ACLED-pipeline analytics ---------------------------------
+    "daily_counts" -> ((s, d) => Analytics.dailyCounts(Tables.events(s, d))),
+    "event_type_dist" -> ((s, d) =>
+      Analytics.distributionWithPct(Tables.events(s, d), "event_type")),
+    "regional_agg" -> ((s, d) =>
+      Analytics.groupedStats(Tables.events(s, d), pmod(col("user_id"), lit(10L)), "cohort", "value")),
+    "weekly_agg" -> ((s, d) =>
+      Analytics.timeBucketStats(Tables.events(s, d), "week")),
+    "monthly_trends" -> ((s, d) =>
+      Analytics.timeBucketStats(Tables.events(s, d), "month")),
+    "rolling_7d" -> ((s, d) => Analytics.rolling7d(Tables.events(s, d))),
+    "top_high_value" -> ((s, d) =>
+      Analytics.topNByValue(Tables.events(s, d), 20, 30.0)),
+    "value_buckets" -> ((s, d) => Analytics.valueBuckets(Tables.events(s, d))),
+    "completeness_profile" -> ((s, d) =>
+      Quality.completenessProfile(Tables.documents(s, d), Seq("text", "lang", "source"))),
+    "range_validation" -> ((s, d) =>
+      Quality.rangeValidation(Tables.events(s, d), "value", 0.0, 50.0)),
+    "domain_validation" -> ((s, d) =>
+      Quality.domainValidation(Tables.events(s, d), "event_type",
+        Seq("click", "view", "purchase", "signup"))),
+    "dup_check" -> ((s, d) =>
+      Quality.duplicateGroups(
+        Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "event_type", "day"))),
+    "upsert_latest" -> ((s, d) =>
+      Dedup.latestWins(Tables.events(s, d), Seq("user_id", "event_type"), "ts", "event_id")
+        .select("user_id", "event_type", "event_id", "value")),
+    "typed_ingest" -> ((s, d) => Ingest.typedEvents(Tables.events(s, d))),
+    "actor_presence" -> ((s, d) =>
+      Quality.presenceCounts(Tables.events(s, d), Seq("event_type", "props"))),
+    "value_validation" -> ((s, d) =>
+      Quality.valueValidation(Tables.events(s, d), "value")),
+
+    // ---- §D LLM-data pipeline ----------------------------------------
+    "exact_dedup" -> ((s, d) =>
+      Dedup.exactByHash(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")),
+    "minhash_dedup" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)),
+    "simhash_dedup" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)),
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", "lang"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_base_price,
+         sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+         avg(l_quantity) AS avg_qty,
+         avg(l_extendedprice) AS avg_price,
+         avg(l_discount) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q2_top_events" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""",
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+         count(DISTINCT o_orderkey) AS n_orders,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q4_multi_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+         sum(o_totalprice) AS total_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q5_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn = 1""",
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "daily_counts" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS event_count,
+         sum(value) AS total_value
+         FROM events GROUP BY 1""",
+    "event_type_dist" ->
+      """SELECT event_type, count(*) AS cnt,
+         round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
+         FROM events WHERE event_type IS NOT NULL AND event_type != ''
+         GROUP BY event_type""",
+    "regional_agg" ->
+      """SELECT user_id % 10 AS cohort, count(*) AS event_count,
+         sum(value) AS total_value, avg(value) AS avg_value
+         FROM events GROUP BY 1""",
+    "weekly_agg" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(*) AS event_count, sum(value) AS total_value,
+         avg(value) AS avg_value, count(DISTINCT user_id) AS unique_ids
+         FROM events GROUP BY 1""",
+    "monthly_trends" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         count(*) AS event_count, sum(value) AS total_value,
+         avg(value) AS avg_value, count(DISTINCT user_id) AS unique_ids
+         FROM events GROUP BY 1""",
+    "rolling_7d" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS event_count
+           FROM events GROUP BY 1)
+         SELECT day, event_count,
+           avg(event_count) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_avg
+         FROM daily""",
+    "top_high_value" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE value >= 30 ORDER BY value DESC, event_id ASC LIMIT 20""",
+    "value_buckets" ->
+      """SELECT CASE WHEN value <= 0 THEN '0'
+                     WHEN value <= 10 THEN '1-10'
+                     WHEN value <= 25 THEN '11-25'
+                     WHEN value <= 50 THEN '26-50'
+                     ELSE '50+' END AS bucket,
+         count(*) AS cnt
+         FROM events GROUP BY 1""",
+    "completeness_profile" ->
+      """SELECT col AS column_name, null_count, empty_count,
+           null_count + empty_count AS total_missing,
+           round((null_count + empty_count) * 100.0 / total, 1) AS missing_pct
+         FROM (
+           SELECT 'text' AS col,
+             count(CASE WHEN text IS NULL THEN 1 END) AS null_count,
+             count(CASE WHEN text = '' THEN 1 END) AS empty_count,
+             count(*) AS total FROM documents
+           UNION ALL
+           SELECT 'lang',
+             count(CASE WHEN lang IS NULL THEN 1 END),
+             count(CASE WHEN lang = '' THEN 1 END),
+             count(*) FROM documents
+           UNION ALL
+           SELECT 'source',
+             count(CASE WHEN source IS NULL THEN 1 END),
+             count(CASE WHEN source = '' THEN 1 END),
+             count(*) FROM documents) t""",
+    "range_validation" ->
+      """SELECT count(*) AS total_records,
+         count(CASE WHEN value < 0 THEN 1 END) AS below_range,
+         count(CASE WHEN value > 50 THEN 1 END) AS above_range,
+         count(value) AS non_null_records,
+         min(value) AS min_value, max(value) AS max_value
+         FROM events""",
+    "domain_validation" ->
+      """SELECT event_type, count(*) AS cnt,
+         CASE WHEN event_type IN ('click','view','purchase','signup')
+              THEN 1 ELSE 0 END AS is_expected
+         FROM events WHERE event_type IS NOT NULL AND event_type != ''
+         GROUP BY event_type""",
+    "dup_check" ->
+      """SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+         count(*) AS dup_count
+         FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""",
+    "upsert_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1""",
+    "typed_ingest" ->
+      """SELECT event_id, CAST(ts AS DATE) AS event_date,
+         CAST(year(ts) AS INTEGER) AS year,
+         CAST(month(ts) AS INTEGER) AS month,
+         CAST(floor(value) AS INTEGER) AS value_int,
+         CAST(props->>'$.k' AS INTEGER) AS prop_k,
+         event_type
+         FROM events""",
+    "actor_presence" ->
+      """SELECT
+         count(CASE WHEN event_type IS NOT NULL AND event_type != '' THEN 1 END) AS event_type_present,
+         count(CASE WHEN props IS NOT NULL AND props != '' THEN 1 END) AS props_present,
+         count(*) AS total_records
+         FROM events""",
+    "value_validation" ->
+      """SELECT count(*) AS total_records,
+         count(value) AS records_with_value,
+         count(CASE WHEN value < 0 THEN 1 END) AS negative_count,
+         count(CASE WHEN value > 1000 THEN 1 END) AS extreme_count,
+         count(CASE WHEN value = 0 THEN 1 END) AS zero_count,
+         count(CASE WHEN value >= 1 AND value <= 10 THEN 1 END) AS low_count,
+         count(CASE WHEN value > 10 AND value <= 50 THEN 1 END) AS moderate_count,
+         count(CASE WHEN value > 50 THEN 1 END) AS high_count,
+         min(value) AS min_value, max(value) AS max_value,
+         avg(value) AS avg_value, sum(value) AS total_value
+         FROM events""",
+    "exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn = 1"""
+  )
 }

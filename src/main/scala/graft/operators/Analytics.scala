@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / reporting aggregations re-expressing the reference
+  * pipeline's report + ML-metadata queries (reference:
+  * dagster_pipeline/dagster_acled/assets/report.py:51-110,
+  * assets/ml.py:235-246,861-888) as declarative Spark plans.
+  *
+  * All operators are single-pass groupBy aggregations: Catalyst plans them
+  * as partial (map-side) + final aggregate, so each is one shuffle of the
+  * already-reduced groups — the shape that survives a 100 TB scan. Window
+  * operators partition by group key first so state never concentrates on
+  * one executor (except the explicitly-global daily rollup, whose
+  * cardinality is bounded by days-of-history, not data size).
+  */
+object Analytics {
+
+  /** Per-day event count + value sum (report.py:62 daily_counts_query). */
+  def dailyCounts(events: DataFrame, tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("event_count"), sum(valueCol).as("total_value"))
+
+  /** Category distribution with global percentage (acled_checks.py:850
+    * event_types_query — `COUNT(*) * 100.0 / SUM(COUNT(*)) OVER()`).
+    * The window over the aggregated (tiny) frame, never the raw rows. */
+  def distributionWithPct(df: DataFrame, key: String): DataFrame = {
+    val counts = df
+      .filter(col(key).isNotNull && col(key) =!= "")
+      .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    counts.withColumn(
+      "pct",
+      round(col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()), 2))
+  }
+
+  /** Grouped count/sum/avg rollup (report.py:99 ukraine_region_query). */
+  def groupedStats(df: DataFrame, groupExpr: Column, groupName: String, valueCol: String): DataFrame =
+    df.groupBy(groupExpr.as(groupName))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(valueCol).as("total_value"),
+        avg(valueCol).as("avg_value"))
+
+  /** DATE_TRUNC-bucketed aggregation (ml.py:861 weekly, ml.py:239 monthly). */
+  def timeBucketStats(events: DataFrame, unit: String, tsCol: String = "ts",
+                      valueCol: String = "value", idCol: String = "user_id"): DataFrame =
+    events
+      .groupBy(date_trunc(unit, col(tsCol)).cast("date").as(unit))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(valueCol).as("total_value"),
+        avg(valueCol).as("avg_value"),
+        countDistinct(col(idCol)).as("unique_ids"))
+
+  /** 7-row rolling mean over the daily series (report.py:283
+    * `rolling(window=7, min_periods=1)`). Two-level: distributed daily
+    * rollup first, then the window runs over one row per day — bounded
+    * state regardless of raw data volume. */
+  def rolling7d(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("event_count"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.withColumn("rolling_avg", avg("event_count").over(w))
+  }
+
+  /** Deterministic top-N by value with total-order tie-break
+    * (ml.py:873 high_fatality_events_query ORDER BY fatalities DESC LIMIT 20).
+    * TakeOrdered physical op: per-partition heap + driver merge, no shuffle. */
+  def topNByValue(events: DataFrame, n: Int, minValue: Double): DataFrame =
+    events
+      .filter(col("value") >= minValue)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(n)
+
+  /** Range bucketing (ml.py:235 fatality_buckets / acled_checks.py:961). */
+  def valueBuckets(events: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    val bucket = when(v <= 0, "0")
+      .when(v <= 10, "1-10")
+      .when(v <= 25, "11-25")
+      .when(v <= 50, "26-50")
+      .otherwise("50+")
+    events.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group deterministic rank-1 rows (window row_number pattern used for
+    * "hottest region" style queries in report.py:918-927). */
+  def topPerGroup(df: DataFrame, partitionCol: String, orderCol: String,
+                  tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(partitionCol)
+      .orderBy(col(orderCol).desc, col(tieBreak).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

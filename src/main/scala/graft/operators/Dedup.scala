@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: the reference pipeline's keyed upsert
+  * (base_assets.py:207 `ON CONFLICT (event_id_cnty) DO UPDATE` — latest
+  * write wins) plus the large-scale training-data dedup family (exact,
+  * MinHash-LSH, SimHash) built for 100 TB corpora.
+  *
+  * Scale shape: every variant reduces to hash-partitioned groupBy/window on
+  * a derived key — no cross joins. Near-dup candidate generation goes
+  * through LSH band buckets so the pair space is |bucket|², not |corpus|².
+  */
+object Dedup {
+
+  /** Latest-wins upsert semantics as a batch operator: one row per key,
+    * ordered by recency with a total-order tie-break (deterministic under
+    * ties, unlike bare dropDuplicates). Single hash shuffle on the key. */
+  def latestWins(df: DataFrame, keys: Seq[String], orderCol: String,
+                 tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact content dedup by hash: keep the lowest-id row per distinct
+    * content hash. groupBy on the 128-bit hash, not the payload, so the
+    * shuffle carries 16-byte keys instead of documents. */
+  def exactByHash(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(contentCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH near-duplicate detection (shingle → minhash signature →
+  // band buckets → in-bucket candidate pairs → exact Jaccard verify).
+  // All built-in higher-order functions — fully codegen-friendly, no UDFs.
+  // ---------------------------------------------------------------------
+
+  /** 31-bit Mersenne prime hash domain: with h, a, b < 2^31 the affine
+    * step a*h + b stays under 2^62 — no long overflow under ANSI mode. */
+  private val P31 = 2147483647L
+
+  /** Deterministic per-permutation coefficients (seeded LCG — avoids any
+    * runtime randomness so signatures are reproducible across runs). */
+  private def perm(seed: Long, n: Int): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x & Long.MaxValue }
+    Seq.fill(n)((next() % (P31 - 1) + 1, next() % P31))
+  }
+
+  /** Word-level w-shingles as a deduped array column. */
+  def shingles(textCol: Column, w: Int): Column = {
+    val tokens = split(trim(textCol), "\\s+")
+    val ngrams = transform(
+      sequence(lit(0), greatest(size(tokens) - w, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(w))))
+    array_distinct(ngrams)
+  }
+
+  /** k-permutation MinHash signature over the shingle array.
+    * One xxhash64 per shingle, then k affine permutations folded with
+    * array_min — linear in k·|shingles|, no shuffle. */
+  def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column = {
+    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P31)))
+    val sig = perm(seed, k).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P31))))
+    }
+    array(sig: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding: signature split into
+    * `bands` bands of `rows` hashes; docs sharing any band hash become
+    * candidates. The self-join is on (band_index, band_hash) — a hash
+    * shuffle join whose key cardinality grows with the corpus, never a
+    * cross join. Pairs are then verified with exact Jaccard over shingles.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
+                      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rows
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), shingleWidth))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val bandHashes = (0 until bands).map(b =>
+      xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
+    * Expressed with aggregate() over the token-hash array per bit-plane —
+    * codegen'd, no UDF, no shuffle beyond the final dedup. */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(split(trim(textCol), "\\s+"), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(
+        hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L).cast("long") * (1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidate pairs: block on 16-bit bands of the 64-bit
+    * fingerprint (two near-identical docs share at least one exact band for
+    * hamming distance <= 3 in expectation), then verify with bit_count(xor).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val bandVals = (0 until 4).map(b =>
+      shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = withSim.select(
+      col("id"), col("sim"),
+      posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs blocked by a caller-
+    * supplied key (at corpus scale the block key bounds the pair space;
+    * pass an LSH band or a metadata bucket). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 3): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"), col(blockCol).as("block"),
+      shingles(col(textCol), n).as("sh"))
+    val a = base.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .select("block", "id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling operators, re-expressing the reference's asset
+  * checks (dagster_pipeline/dagster_acled/asset_checks/acled_checks.py,
+  * base_checks.py; assets/base_assets.py:242-263 missing-data breakdown)
+  * as single-pass Spark aggregations.
+  *
+  * Every profile here is ONE full-scan aggregate with conditional counters
+  * — at 100 TB that is one map-side-combined pass, never N per-column
+  * passes. Long-format outputs are produced by unpivoting the single
+  * aggregated row (driver-side-tiny), not by re-scanning per column.
+  */
+object Quality {
+
+  /** Per-column null + empty-string completeness profile
+    * (base_assets.py:246-259, acled_checks.py:645 critical_fields_query).
+    * One scan; output = one row per profiled column. */
+  def completenessProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"${c}__null"),
+        count(when(col(c).cast("string") === "", lit(1))).as(s"${c}__empty"))
+    } :+ count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // Unpivot the 1-row aggregate into (column_name, null_count, empty_count,
+    // total_missing, missing_pct) via stack — no extra scan.
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__null`, `${c}__empty`")
+      .mkString(", ")
+    row.selectExpr(
+        s"stack(${cols.size}, $stackArgs) as (column_name, null_count, empty_count)",
+        "__total")
+      .withColumn("total_missing", col("null_count") + col("empty_count"))
+      .withColumn("missing_pct",
+        round(col("total_missing") * lit(100.0) / col("__total"), 1))
+      .drop("__total")
+  }
+
+  /** Numeric range validation with out-of-range counts + observed min/max
+    * (acled_checks.py:747 coordinates_query). */
+  def rangeValidation(df: DataFrame, valueCol: String, lo: Double, hi: Double): DataFrame = {
+    val v = col(valueCol)
+    df.agg(
+      count(lit(1)).as("total_records"),
+      count(when(v < lo, lit(1))).as("below_range"),
+      count(when(v > hi, lit(1))).as("above_range"),
+      count(when(v.isNotNull, lit(1))).as("non_null_records"),
+      min(v).as("min_value"),
+      max(v).as("max_value"))
+  }
+
+  /** Categorical domain validation: per-category counts flagged against an
+    * expected set (acled_checks.py:824 event-type domain check). The
+    * expected set rides along as a literal — no join needed. */
+  def domainValidation(df: DataFrame, key: String, expected: Seq[String]): DataFrame =
+    df.filter(col(key).isNotNull && col(key) =!= "")
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("is_expected",
+        when(col(key).isin(expected: _*), lit(1)).otherwise(lit(0)))
+
+  /** Duplicate-group detection by key fields (acled_checks.py:480
+    * duplicate_records_check, polars `is_duplicated`). Returns the
+    * duplicated key groups with their multiplicities. */
+  def duplicateGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Conditional presence counts (report.py:89 actor_query). */
+  def presenceCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map { c =>
+      count(when(col(c).isNotNull && col(c).cast("string") =!= "", lit(1)))
+        .as(s"${c}_present")
+    } :+ count(lit(1)).as("total_records")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Value-distribution sanity stats in one pass (acled_checks.py:961
+    * fatalities_query: range buckets + negative/extreme counters + min/max/
+    * avg/sum). */
+  def valueValidation(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.agg(
+      count(lit(1)).as("total_records"),
+      count(when(v.isNotNull, lit(1))).as("records_with_value"),
+      count(when(v < 0, lit(1))).as("negative_count"),
+      count(when(v > 1000, lit(1))).as("extreme_count"),
+      count(when(v === 0, lit(1))).as("zero_count"),
+      count(when(v >= 1 && v <= 10, lit(1))).as("low_count"),
+      count(when(v > 10 && v <= 50, lit(1))).as("moderate_count"),
+      count(when(v > 50, lit(1))).as("high_count"),
+      min(v).as("min_value"),
+      max(v).as("max_value"),
+      avg(v).as("avg_value"),
+      sum(v).as("total_value"))
+  }
+}

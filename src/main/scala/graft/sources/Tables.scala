@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver testdata layout
+  * (`<sfDir>/<table>.parquet`).
+  *
+  * Plain `spark.read.parquet` so Catalyst column pruning and predicate
+  * pushdown reach the scan — callers select/filter and the parquet reader
+  * only materializes what the plan needs (verify with
+  * `.explain("formatted")`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** The events feed carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's vectorized reader rejects. Read them as raw nanos longs and
+    * truncate to microsecond timestamps — exactly what engines with µs
+    * timestamps (DuckDB, Spark itself) store, so downstream date math is
+    * bit-identical with the oracle. Projection happens in the scan's
+    * codegen stage; no extra pass. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
