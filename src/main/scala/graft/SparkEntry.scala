@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ml.FatalityModel
 import graft.operators._
 import graft.sources.Tables
+import graft.streaming.EventStream
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, with matching DuckDB `oracleSql` where the semantics are
@@ -122,7 +124,51 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d).filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", "lang"))
+        "doc_id", "text", "lang")),
+    "embedding_dedup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nPlanes = 12, threshold = 0.8)),
+    "cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    }),
+    "lsh_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 6)
+    }),
+    "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
+    "quality_score" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "token_count" -> ((s, d) =>
+      TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "multimodal_meta" -> ((s, d) => {
+      val mm = Multimodal.asMultimodal(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractFeatures(mm, dim = 16).toDF()
+    }),
+
+    // ---- §C ML pipeline ------------------------------------------------
+    "target_encode" -> ((s, d) =>
+      FatalityModel.targetEncode(
+          Tables.events(s, d).select("event_type", "value"), "event_type", "value")
+        .select(col("event_type"), col("event_type_target_encoded"))
+        .distinct()),
+    "feature_prep" -> ((s, d) =>
+      FatalityModel.prepareFeatures(Tables.events(s, d))),
+    "fatality_model" -> ((s, d) =>
+      FatalityModel.trainAndEvaluate(Tables.events(s, d)).metrics),
+    "risk_categorize" -> ((s, d) =>
+      FatalityModel.riskCategorize(Tables.events(s, d), "value")
+        .groupBy("risk_level").agg(count(lit(1)).as("cnt"))),
+    "prediction_perf" -> ((s, d) =>
+      FatalityModel.predictionPerformance(
+        FatalityModel.trainAndEvaluate(Tables.events(s, d)).predictions, "event_type")),
+
+    // ---- §E streaming (batch-equivalent plan for the gate) -------------
+    "stream_windowed_counts" -> ((s, d) =>
+      EventStream.windowedCounts(Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -284,6 +330,39 @@ object SparkEntry {
            SELECT doc_id, lang, source, n_chars,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents) t
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+    "quality_score" ->
+      """SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to' OR t = 'in')) AS n_stopwords,
+           round(n_stopwords * 1.0 / n_words, 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / n_words, 4) AS avg_word_len,
+           round(least(n_words / 100.0, 1.0) * (1.0 - round(n_stopwords * 1.0 / n_words, 4)), 4) AS quality_score
+         FROM documents""",
+    "token_count" ->
+      """SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS word_tokens,
+           length(text) AS n_chars_calc
+         FROM documents""",
+    "target_encode" ->
+      """WITH g AS (SELECT avg(value) AS gm FROM events),
+            s AS (SELECT event_type, count(*) AS n, avg(value) AS m
+                  FROM events GROUP BY event_type)
+         SELECT s.event_type,
+           (s.n * s.m + 10 * g.gm) / (s.n + 10) AS event_type_target_encoded
+         FROM s CROSS JOIN g""",
+    "risk_categorize" ->
+      """SELECT CASE WHEN value >= 20 THEN 'Critical'
+                     WHEN value >= 10 THEN 'High'
+                     WHEN value >= 5 THEN 'Medium'
+                     ELSE 'Low' END AS risk_level,
+           count(*) AS cnt
+         FROM events GROUP BY 1""",
+    "stream_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS event_count, sum(value) AS total_value
+         FROM events GROUP BY 1, 2"""
   )
 }

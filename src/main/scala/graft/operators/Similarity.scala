@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two tiers, per the 100 TB design rule:
+  *  - `cosineTopK`: exact brute force with the QUERY side broadcast — the
+  *    corpus streams through one pass, no shuffle of the corpus, so it
+  *    scales with corpus size as a map-only job + per-query top-k heap.
+  *  - `lshTopK` / `nearDupPairs`: random-hyperplane LSH buckets the corpus
+  *    once, then joins on bucket id — the pair space is |bucket|², the
+  *    scale path when the query set itself is large.
+  *
+  * All vector math is built-in higher-order functions (zip_with +
+  * aggregate) over doubles — codegen'd, no UDF, no MLlib Vector boxing.
+  */
+object Similarity {
+
+  /** dot(a, b) with double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (it is broadcast); the corpus is
+    * never shuffled — only the (|queries| × k) result heap is. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("norm", l2norm(col("vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", l2norm(col("qvec")))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** Deterministic random hyperplanes (seeded LCG), as a literal matrix. */
+  private def planes(seed: Long, nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      // top 53 bits → uniform in [-1, 1)
+      (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-of-dot-product LSH bucket id over `nPlanes` hyperplanes. */
+  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column =
+    planes(seed, nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate near-duplicate pairs: corpus bucketed by hyperplane
+    * signature, pairs generated within buckets only, cosine-verified. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   nPlanes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), nPlanes, dim))
+      .withColumn("norm", l2norm(col("vec")))
+    val a = base.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = base.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Bucketed approximate top-k: queries and corpus meet only inside their
+    * LSH bucket (plus optional multi-probe via fewer planes → bigger
+    * buckets). Recall trades against bucket size via `nPlanes`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), nPlanes, dim))
+      .withColumn("norm", l2norm(col("vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), nPlanes, dim))
+      .withColumn("qnorm", l2norm(col("qvec")))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+}

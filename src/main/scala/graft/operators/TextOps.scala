@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language identification, and content fingerprinting.
+  *
+  * Everything is per-row projection over built-in string/array functions —
+  * codegen'd, shuffle-free, scales linearly with the corpus.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace + regex ("BPE-ish": letter runs / digit runs / single
+    * punctuation) token counts. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // longs, not ints: BIGINT is what count-like columns are everywhere
+    // else in the engine (and in ANSI engines' len()/count()).
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)")).cast("long").as("word_tokens"),
+      length(col(textCol)).cast("long").as("n_chars_calc"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Heuristic document quality: length, token count, stopword ratio,
+    * mean word length, composite score. Mirrors the length/punct/stopword
+    * scoring families used for LLM corpus filtering. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    val isStop = (t: Column) => Stopwords.map(t === _).reduce(_ || _)
+    df.select(col(idCol), col(textCol).as("__text"))
+      .withColumn("n_words", size(tokens(col("__text"))).cast("long"))
+      .withColumn("n_stopwords", size(filter(tokens(col("__text")), isStop)).cast("long"))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords") * lit(1.0) / col("n_words"), 4))
+      .withColumn("avg_word_len",
+        round(length(regexp_replace(col("__text"), "\\s+", "")) * lit(1.0) / col("n_words"), 4))
+      .withColumn("quality_score",
+        round(least(col("n_words") / lit(100.0), lit(1.0)) * (lit(1.0) - col("stopword_ratio")), 4))
+      .drop("__text")
+  }
+
+  /** Language-ID stopword profiles (public-knowledge function-word lists). */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "que", "en"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这"))
+
+  /** N-gram/stopword-profile language identification: score = fraction of
+    * tokens hitting each language's function-word list, argmax wins
+    * (deterministic tie-break on language code). For ideographic scripts
+    * the character profile fires through `contains`. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(lower(col(textCol)))
+    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hit = (t: Column) => words.map(t === _).reduce(_ || _)
+      val tokenScore = size(filter(ts, hit)) * lit(1.0) / greatest(size(ts), lit(1))
+      val charScore =
+        if (lang == "zh")
+          least(length(regexp_replace(col(textCol), "[\\x00-\\x7F]", "")) * lit(1.0)
+            / greatest(length(col(textCol)), lit(1)), lit(1.0))
+        else lit(0.0)
+      struct((tokenScore + charScore).as("score"), lit(lang).as("lang"))
+    }
+    // greatest() on structs compares (score, lang) lexicographically —
+    // a deterministic argmax without exploding rows.
+    df.select(
+      col(idCol),
+      greatest(scores: _*).getField("lang").as("detected_lang"),
+      round(greatest(scores: _*).getField("score"), 4).as("lang_score"))
+  }
+
+  /** 31-bit domain keeps the rolling-hash multiply overflow-safe (ANSI). */
+  private val P31 = 2147483647L
+
+  /** Content fingerprints: order-sensitive rolling polynomial hash plus an
+    * order-insensitive content min-hash — together they distinguish
+    * reorderings from true duplicates. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = transform(tokens(col(textCol)), t => pmod(xxhash64(t), lit(P31)))
+    df.select(
+      col(idCol),
+      aggregate(hs, lit(0L), (acc, h) => pmod(acc * 31 + h, lit(P31))).as("rolling_hash"),
+      array_min(hs).as("content_minhash"),
+      size(hs).as("n_tokens"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's sensor-driven
+  * ingestion (dagster_pipeline/dagster_acled/sensors.py: poll → new
+  * partition → validate → load). In Spark the sensor loop IS the engine:
+  * `readStream` on the landing directory, event-time watermark, windowed
+  * aggregation, and keyed state for sessionization.
+  *
+  * Each transform below takes a DataFrame so the SAME plan runs in batch
+  * (the correctness gate) and as a stream (readStream/MemoryStream) — the
+  * unified-API property that makes Structured Streaming the scale path.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a landing directory (the S3 prefix in the
+    * reference). maxFilesPerTrigger bounds per-batch work at scale. */
+  def fromDirectory(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts + value sums with a watermark. On a stream the
+    * watermark bounds state; in batch it is a no-op and the plan degrades
+    * to a plain window aggregate — one shuffle on (window, event_type). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("event_count"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("event_count"), col("total_value"))
+
+  /** Streaming dedup by key within the watermark horizon — the streaming
+    * form of the reference's keyed upsert. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionUpdate(user_id: Long, n_events: Int, total_value: Double,
+                           session_start: java.sql.Timestamp, closed: Boolean)
+  private case class SessionState(n: Int, total: Double, startMs: Long, lastMs: Long)
+
+  /** Keyed session aggregation with explicit state + processing-time
+    * timeout (mapGroupsWithState): emits a running session summary per
+    * user, closing sessions after `gapMs` of silence. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L)
+      : org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(uid, s.n, s.total, new java.sql.Timestamp(s.startMs), closed = true)
+          } else {
+            val evs = rows.toSeq
+            val tsMs = evs.map(_._2.getTime)
+            val prev = state.getOption.getOrElse(
+              SessionState(0, 0.0, tsMs.min, tsMs.min))
+            val next = SessionState(
+              prev.n + evs.size,
+              prev.total + evs.map(_._3).sum,
+              prev.startMs,
+              math.max(prev.lastMs, tsMs.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            SessionUpdate(uid, next.n, next.total, new java.sql.Timestamp(next.startMs), closed = false)
+          }
+      }
+  }
+
+  /** Start a windowed-count stream into an in-memory sink (tests / local
+    * smoke). Caller stops the query. */
+  def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+}
