@@ -22,6 +22,7 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Apply graft runtime tuning to an externally-created session (the driver
@@ -33,6 +34,10 @@ object GraftSession {
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Session-build-time home for the nanos-timestamp reader mapping
+    // (Tables.events re-asserts the same constant for externally-built
+    // sessions, e.g. the driver's smoke-check session).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

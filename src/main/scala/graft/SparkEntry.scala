@@ -20,6 +20,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.dailyCounts(Tables.events(spark, "/root/testdata/sf0.001"))
 
+  /** One GBT training per (session, dir): `fatality_model` and
+    * `prediction_perf` share a single fit instead of each paying a full
+    * training pass (the predictions frame is cached inside the result). */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), FatalityModel.ModelResult]
+  private def trainedModel(s: SparkSession, d: String): FatalityModel.ModelResult =
+    modelCache.getOrElseUpdate((s, d), {
+      val r = FatalityModel.trainAndEvaluate(Tables.events(s, d))
+      r.copy(predictions = r.predictions.cache())
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §A core relational engine -----------------------------------
     "q1_pricing_summary" -> ((s, d) => {
@@ -53,7 +64,9 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(
           countDistinct("o_orderkey").as("n_orders"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          // round: double sums are accumulation-order-dependent; rounding to
+          // cents makes the result engine-portable (Spark vs DuckDB oracle).
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
     "q4_multi_join" -> ((s, d) => {
       // Star join: fact orders against broadcast dims — no shuffle on the
@@ -125,9 +138,20 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d).filter(col("doc_id") % 50 === 0),
         "doc_id", "text", "lang")),
-    "embedding_dedup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, nPlanes = 12, threshold = 0.8)),
+    "embedding_dedup" -> ((s, d) => {
+      // Random vectors have no organic cos>0.8 pairs at this SF, so the query
+      // plants deterministic jittered copies of the first 20 vectors — the
+      // operator must recover exactly those near-dup pairs (verifiable, not
+      // vacuous; a test compares against brute-force cosine).
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float")
+            - lit(500.0f)) / lit(100000.0f))).as("embedding"))
+      Similarity.nearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+        dim = 64, nPlanes = 12, threshold = 0.8)
+    }),
     "cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -146,7 +170,12 @@ object SparkEntry {
       TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "multimodal_meta" -> ((s, d) => {
       val mm = Multimodal.asMultimodal(Tables.documents(s, d), "doc_id", "text")
+      // Gate output is scalars only (the driver's pandas compare can't hash
+      // array cells): the feature vector is summarized by a stable hash.
       Multimodal.extractFeatures(mm, dim = 16).toDF()
+        .select(
+          col("asset_id"), col("n_bytes"),
+          xxhash64(col("features").cast("string")).as("feature_hash"))
     }),
 
     // ---- §C ML pipeline ------------------------------------------------
@@ -155,16 +184,29 @@ object SparkEntry {
           Tables.events(s, d).select("event_type", "value"), "event_type", "value")
         .select(col("event_type"), col("event_type_target_encoded"))
         .distinct()),
+    "target_encode_cv" -> ((s, d) =>
+      // Fold tag is `event_id % 5` (portable to the DuckDB oracle, unlike
+      // xxhash64); encoding rounded to 4dp for engine-portable hashing.
+      FatalityModel.targetEncodeCV(
+          Tables.events(s, d).select("event_id", "event_type", "value"),
+          "event_type", "value", pmod(col("event_id"), lit(5L)))
+        .select(col("event_type"), col("__fold").as("fold"),
+          round(col("event_type_target_encoded_cv"), 4).as("encoded_cv"))
+        .distinct()),
     "feature_prep" -> ((s, d) =>
       FatalityModel.prepareFeatures(Tables.events(s, d))),
-    "fatality_model" -> ((s, d) =>
-      FatalityModel.trainAndEvaluate(Tables.events(s, d)).metrics),
+    "fatality_model" -> ((s, d) => trainedModel(s, d).metrics),
     "risk_categorize" -> ((s, d) =>
       FatalityModel.riskCategorize(Tables.events(s, d), "value")
         .groupBy("risk_level").agg(count(lit(1)).as("cnt"))),
     "prediction_perf" -> ((s, d) =>
-      FatalityModel.predictionPerformance(
-        FatalityModel.trainAndEvaluate(Tables.events(s, d)).predictions, "event_type")),
+      FatalityModel.predictionPerformance(trainedModel(s, d).predictions, "event_type")),
+    "risk_crosstab" -> ((s, d) => {
+      // Actual-vs-predicted risk-level confusion rollup (ml.py:693-694):
+      // categorize both sides of the shared test-fold predictions.
+      val pred = trainedModel(s, d).predictions
+      FatalityModel.riskCrosstab(pred, "value", "predicted_value")
+    }),
 
     // ---- §E streaming (batch-equivalent plan for the gate) -------------
     "stream_windowed_counts" -> ((s, d) =>
@@ -191,7 +233,7 @@ object SparkEntry {
     "q3_join_agg" ->
       """SELECT c_mktsegment,
          count(DISTINCT o_orderkey) AS n_orders,
-         sum(l_extendedprice * (1 - l_discount)) AS revenue
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -285,7 +327,10 @@ object SparkEntry {
     "domain_validation" ->
       """SELECT event_type, count(*) AS cnt,
          CASE WHEN event_type IN ('click','view','purchase','signup')
-              THEN 1 ELSE 0 END AS is_expected
+              THEN 1 ELSE 0 END AS is_expected,
+         round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct,
+         CASE WHEN round(count(*) * 100.0 / sum(count(*)) OVER (), 2) > 80.0
+              THEN 1 ELSE 0 END AS is_dominant
          FROM events WHERE event_type IS NOT NULL AND event_type != ''
          GROUP BY event_type""",
     "dup_check" ->
@@ -353,6 +398,17 @@ object SparkEntry {
          SELECT s.event_type,
            (s.n * s.m + 10 * g.gm) / (s.n + 10) AS event_type_target_encoded
          FROM s CROSS JOIN g""",
+    "target_encode_cv" ->
+      """WITH fc AS (
+           SELECT event_type, event_id % 5 AS fold,
+             count(*) AS n_fc, sum(value) AS s_fc
+           FROM events GROUP BY 1, 2)
+         SELECT DISTINCT event_type, fold,
+           round((sum(s_fc) OVER (PARTITION BY event_type) - s_fc
+                  + 10 * ((sum(s_fc) OVER () - sum(s_fc) OVER (PARTITION BY fold))
+                          / (sum(n_fc) OVER () - sum(n_fc) OVER (PARTITION BY fold))))
+                 / (sum(n_fc) OVER (PARTITION BY event_type) - n_fc + 10), 4) AS encoded_cv
+         FROM fc""",
     "risk_categorize" ->
       """SELECT CASE WHEN value >= 20 THEN 'Critical'
                      WHEN value >= 10 THEN 'High'

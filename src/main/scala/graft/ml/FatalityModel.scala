@@ -3,20 +3,25 @@ package graft.ml
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
-import org.apache.spark.ml.regression.GBTRegressor
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MLlib re-expression of the reference's fatality-forecasting pipeline
   * (dagster_pipeline/dagster_acled/assets/ml.py): feature preparation with
-  * smoothed target encoding + one-hot + label encoding + geo-derived
-  * features, gradient-boosted-tree regression, evaluation metrics, error
-  * buckets, and risk categorization.
+  * smoothed target encoding (global + leakage-safe K-fold CV forms),
+  * one-hot + label encoding, geo distance-from-median-center feature,
+  * gradient-boosted-tree regression with a hyperparameter sweep,
+  * evaluation metrics, error buckets, and risk categorization.
   *
   * Scale notes: target encoding is a groupBy-aggregate + broadcast join of
   * the (tiny) category-stats table — never a per-row lookup structure on
-  * the driver. Training uses distributed MLlib GBT; prediction is a
-  * map-only transform.
+  * the driver. The hyperparameter sweep runs on a deterministic hash
+  * sample (the only sane shape at 100 TB — sweep on a sample, train the
+  * final model at full scale with the winning params). Training uses
+  * distributed MLlib GBT; prediction is a map-only transform.
   */
 object FatalityModel {
 
@@ -30,15 +35,69 @@ object FatalityModel {
       .agg(count(lit(1)).as("__n"), avg(targetCol).as("__m"))
       .crossJoin(broadcast(global))
       .select(
-        col(catCol),
+        col(catCol).as("__cat"),
         ((col("__n") * col("__m") + lit(smoothing) * col("__gm")) / (col("__n") + lit(smoothing)))
           .as(s"${catCol}_target_encoded"))
-    df.join(broadcast(stats), Seq(catCol), "left")
+    // Null-safe join key: a NULL category is a legitimate group (the oracle's
+    // GROUP BY keeps it) and must still receive its encoding.
+    df.join(broadcast(stats), df(catCol) <=> stats("__cat"), "left")
+      .drop("__cat")
+  }
+
+  /** Leakage-safe K-fold CV target encoding (ml.py:47-70 target_encode_cv):
+    * each row's encoding uses only statistics from the OTHER folds —
+    * enc = (sum_oof + s·gm_oof) / (n_oof + s), with the global mean also
+    * out-of-fold. One groupBy to (cat, fold) granularity, then windows over
+    * that tiny aggregate (|cats|×|folds| rows) derive the complements —
+    * never a second scan of the fact table. `foldExpr` must be a
+    * deterministic row→[0,folds) expression (hash or modulus).
+    */
+  def targetEncodeCV(df: DataFrame, catCol: String, targetCol: String,
+                     foldExpr: Column, folds: Int = 5,
+                     smoothing: Int = 10): DataFrame = {
+    val tagged = df.withColumn("__fold", foldExpr)
+    val perFoldCat = tagged
+      .groupBy(col(catCol).as("__cat"), col("__fold"))
+      .agg(count(lit(1)).as("__n_fc"), sum(targetCol).as("__s_fc"))
+    val wCat = Window.partitionBy("__cat")
+    val wFold = Window.partitionBy("__fold")
+    val wAll = Window.partitionBy()
+    val stats = perFoldCat
+      .withColumn("__n_oof", sum("__n_fc").over(wCat) - col("__n_fc"))
+      .withColumn("__s_oof", sum("__s_fc").over(wCat) - col("__s_fc"))
+      .withColumn("__gm_oof",
+        (sum("__s_fc").over(wAll) - sum("__s_fc").over(wFold)) /
+          (sum("__n_fc").over(wAll) - sum("__n_fc").over(wFold)))
+      .select(
+        col("__cat"), col("__fold"),
+        ((col("__s_oof") + lit(smoothing) * col("__gm_oof")) /
+          (col("__n_oof") + lit(smoothing))).as(s"${catCol}_target_encoded_cv"))
+    tagged
+      .join(broadcast(stats),
+        tagged(catCol) <=> stats("__cat") && tagged("__fold") === stats("__fold"),
+        "left")
+      .drop(stats("__fold")).drop("__cat")
+  }
+
+  /** Euclidean distance from the (approx) median center of two numeric
+    * columns (ml.py:142-153 distance-from-median-center geo feature,
+    * generalized). percentile_approx gives a single-pass distributed
+    * median; the 1-row center is broadcast back. */
+  def distanceFromCenter(df: DataFrame, xCol: String, yCol: String,
+                         out: String = "dist_from_center"): DataFrame = {
+    val center = df.agg(
+      percentile_approx(col(xCol), lit(0.5), lit(10000)).as("__cx"),
+      percentile_approx(col(yCol), lit(0.5), lit(10000)).as("__cy"))
+    df.crossJoin(broadcast(center))
+      .withColumn(out,
+        sqrt(pow(col(xCol) - col("__cx"), lit(2)) + pow(col(yCol) - col("__cy"), lit(2))))
+      .drop("__cx", "__cy")
   }
 
   /** Feature table from the events feed: categorical one-hot, label
-    * encoding, cyclical/derived time features, target encoding
-    * (ml.py:72 prepare_features_for_model re-based onto `events`). */
+    * encoding, cyclical/derived time features, target encoding, geo-style
+    * distance feature (ml.py:72 prepare_features_for_model re-based onto
+    * `events`). */
   def prepareFeatures(events: DataFrame): DataFrame = {
     val base = events.select(
       col("event_id"),
@@ -49,46 +108,66 @@ object FatalityModel {
       month(col("ts")).cast("double").as("month"),
       get_json_object(col("props"), "$.k").cast("double").as("prop_k"),
       col("value"))
-    targetEncode(base, "event_type", "value")
+    val withDist = distanceFromCenter(base, "cohort", "hour_of_day")
+    targetEncode(withDist, "event_type", "value")
   }
 
   case class ModelResult(predictions: DataFrame, metrics: DataFrame)
 
-  /** Train GBT on a deterministic split, predict on the test fold, and
+  private val FeatureCols = Array("event_type_oh", "event_type_target_encoded",
+    "cohort", "hour_of_day", "day_of_week", "month", "prop_k", "dist_from_center")
+
+  /** Train GBT on a deterministic split — hyperparameter sweep
+    * (TrainValidationSplit over a 4-point grid, ml.py:402-413
+    * RandomizedSearchCV) on a 10% hash sample, final fit at full training
+    * scale with the winning params — then predict on the held-out fold and
     * compute the reference's evaluation surface (ml.py:424-441): RMSE,
-    * MAE, R², error-tolerance buckets. */
+    * MAE, R², error-tolerance buckets, plus the chosen hyperparameters. */
   def trainAndEvaluate(events: DataFrame, seed: Long = 42L): ModelResult = {
     val feats = prepareFeatures(events).na.fill(0.0)
     val indexer = new StringIndexer()
       .setInputCol("event_type").setOutputCol("event_type_idx")
       .setStringOrderType("alphabetAsc")
+      .setHandleInvalid("keep") // null/unseen categories -> reserved index
     val onehot = new OneHotEncoder()
       .setInputCol("event_type_idx").setOutputCol("event_type_oh")
     val assembler = new VectorAssembler()
-      .setInputCols(Array("event_type_oh", "event_type_target_encoded",
-        "cohort", "hour_of_day", "day_of_week", "month", "prop_k"))
-      .setOutputCol("features")
-    val gbt = new GBTRegressor()
-      .setLabelCol("value").setFeaturesCol("features")
-      .setMaxDepth(4).setMaxIter(20).setSeed(seed)
-    val pipeline = new Pipeline().setStages(Array(indexer, onehot, assembler, gbt))
+      .setInputCols(FeatureCols).setOutputCol("features")
+    val featPipeline = new Pipeline().setStages(Array(indexer, onehot, assembler))
 
     // Deterministic hash split (not randomSplit: stable across runs/partitionings).
     val tagged = feats.withColumn("__fold", pmod(xxhash64(col("event_id")), lit(5L)))
-    val train = tagged.filter(col("__fold") =!= 0)
-    val test = tagged.filter(col("__fold") === 0)
+    val prep = featPipeline.fit(tagged)
+    val train = prep.transform(tagged.filter(col("__fold") =!= 0)).cache()
+    val test = prep.transform(tagged.filter(col("__fold") === 0))
 
-    val model = pipeline.fit(train)
+    val gbt = new GBTRegressor()
+      .setLabelCol("value").setFeaturesCol("features").setSeed(seed)
+    val evalRmse = new RegressionEvaluator().setLabelCol("value")
+      .setPredictionCol("prediction").setMetricName("rmse")
+    // Sweep on a deterministic ~10% sample of the training fold: at corpus
+    // scale the grid search runs on a sample, never 4 full-data trainings.
+    val sweepSample = train.filter(pmod(xxhash64(col("event_id"), lit(1)), lit(10L)) === 0)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, Array(3, 4))
+      .addGrid(gbt.maxIter, Array(10, 20))
+      .build()
+    val tvs = new TrainValidationSplit()
+      .setEstimator(gbt).setEvaluator(evalRmse)
+      .setEstimatorParamMaps(grid).setTrainRatio(0.8).setSeed(seed)
+    val best = tvs.fit(sweepSample).bestModel.asInstanceOf[GBTRegressionModel]
+    val (bestDepth, bestIter) = (best.getMaxDepth, best.getMaxIter)
+
+    val model = gbt.setMaxDepth(bestDepth).setMaxIter(bestIter).fit(train)
+    train.unpersist()
     val pred = model.transform(test)
       .select(col("event_id"), col("event_type"), col("value"),
         col("prediction").as("predicted_value"))
       .withColumn("error", col("value") - col("predicted_value"))
       .withColumn("abs_error", abs(col("value") - col("predicted_value")))
 
-    val evalRmse = new RegressionEvaluator().setLabelCol("value")
-      .setPredictionCol("predicted_value").setMetricName("rmse")
-    val evalMae = evalRmse.copy(evalRmse.extractParamMap()).setMetricName("mae")
-    val evalR2 = evalRmse.copy(evalRmse.extractParamMap()).setMetricName("r2")
+    val evalOn = (m: String) => new RegressionEvaluator().setLabelCol("value")
+      .setPredictionCol("predicted_value").setMetricName(m).evaluate(pred)
     val spark = events.sparkSession
     import spark.implicits._
     val metrics = pred.agg(
@@ -97,20 +176,29 @@ object FatalityModel {
       count(when(col("abs_error") <= 5, lit(1))).as("within_5"),
       count(when(col("abs_error") <= 10, lit(1))).as("within_10"),
       avg("abs_error").as("mae_check"))
-      .crossJoin(Seq((evalRmse.evaluate(pred), evalMae.evaluate(pred), evalR2.evaluate(pred)))
-        .toDF("rmse", "mae", "r2"))
+      .crossJoin(Seq((evalOn("rmse"), evalOn("mae"), evalOn("r2"), bestDepth, bestIter))
+        .toDF("rmse", "mae", "r2", "best_max_depth", "best_max_iter"))
     ModelResult(pred, metrics)
   }
 
+  /** Risk-level thresholds on a (predicted) value column (ml.py:687-694). */
+  def riskLevel(v: Column): Column =
+    when(v >= 20, "Critical")
+      .when(v >= 10, "High")
+      .when(v >= 5, "Medium")
+      .otherwise("Low")
+
   /** Risk-level categorization of (predicted) values (ml.py:687-694). */
-  def riskCategorize(df: DataFrame, valueCol: String): DataFrame = {
-    val v = col(valueCol)
-    df.withColumn("risk_level",
-      when(v >= 20, "Critical")
-        .when(v >= 10, "High")
-        .when(v >= 5, "Medium")
-        .otherwise("Low"))
-  }
+  def riskCategorize(df: DataFrame, valueCol: String): DataFrame =
+    df.withColumn("risk_level", riskLevel(col(valueCol)))
+
+  /** Actual-vs-predicted risk-level confusion rollup (ml.py:693-694
+    * computes predicted_risk_level AND actual_risk_level side by side). */
+  def riskCrosstab(pred: DataFrame, actualCol: String, predictedCol: String): DataFrame =
+    pred.groupBy(
+      riskLevel(col(actualCol)).as("actual_risk_level"),
+      riskLevel(col(predictedCol)).as("predicted_risk_level"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** Per-group prediction-performance rollup (ml.py:673-685). */
   def predictionPerformance(pred: DataFrame, groupCol: String): DataFrame =

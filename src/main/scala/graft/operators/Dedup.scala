@@ -64,15 +64,25 @@ object Dedup {
     array_distinct(ngrams)
   }
 
-  /** k-permutation MinHash signature over the shingle array.
-    * One xxhash64 per shingle, then k affine permutations folded with
-    * array_min — linear in k·|shingles|, no shuffle. */
+  /** k-permutation MinHash signature over the shingle array, computed in
+    * ONE aggregate pass: each shingle is hashed exactly once and folded
+    * into a k-element running-minimum accumulator (zip_with + least over
+    * literal coefficient arrays). The naive form — k independent
+    * array_min(transform(...)) expressions — re-hashes every shingle k
+    * times unless subexpression elimination happens to fire; this shape
+    * doesn't rely on it. Linear in k·|shingles|, no shuffle. */
   def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column = {
-    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P31)))
-    val sig = perm(seed, k).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P31))))
-    }
-    array(sig: _*)
+    val coeffs = perm(seed, k)
+    val aLit = typedLit(coeffs.map(_._1))
+    val bLit = typedLit(coeffs.map(_._2))
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => {
+        val h = pmod(xxhash64(s), lit(P31))
+        zip_with(acc, sequence(lit(0), lit(k - 1)),
+          (m, i) => least(m, pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(P31))))
+      })
   }
 
   /** Candidate near-dup pairs via LSH banding: signature split into
@@ -87,24 +97,31 @@ object Dedup {
                       shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
                       threshold: Double = 0.7): DataFrame = {
     val k = bands * rows
-    val withSig = df
+    val base = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), shingleWidth))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select("id", "sh")
+    // The band join shuffles (band, band_hash, id) ONLY — never the shingle
+    // arrays; at corpus scale that is ~16 bytes/row/band through the
+    // exchange instead of the full token content on both sides.
+    val withSig = base.withColumn("sig", minhashSignature(col("sh"), k)).select("id", "sig")
     val bandHashes = (0 until bands).map(b =>
       xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
     val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(array(bandHashes: _*)))
+      col("id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    pairs
+    // Shingles re-join for the surviving candidate pairs only (a tiny
+    // fraction of the corpus) to compute the exact Jaccard verify.
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -113,17 +130,24 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
-    * Expressed with aggregate() over the token-hash array per bit-plane —
-    * codegen'd, no UDF, no shuffle beyond the final dedup. */
+    * SINGLE aggregate pass: each token is tokenized+hashed exactly once and
+    * its 64 bit-votes folded into a 64-long accumulator via zip_with (the
+    * per-bit-plane form re-evaluates the tokenization 64×). shiftright with
+    * a column shift amount goes through call_function (the typed API only
+    * takes literal shifts). Codegen'd, no UDF, no shuffle. */
   def simhash(textCol: Column): Column = {
     val hashes = transform(split(trim(textCol), "\\s+"), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(
-        hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L).cast("long") * (1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (v, i) => v + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, bitIdx,
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup candidate pairs: block on 16-bit bands of the 64-bit

@@ -53,14 +53,23 @@ object Quality {
   }
 
   /** Categorical domain validation: per-category counts flagged against an
-    * expected set (acled_checks.py:824 event-type domain check). The
-    * expected set rides along as a literal — no join needed. */
-  def domainValidation(df: DataFrame, key: String, expected: Seq[String]): DataFrame =
+    * expected set (acled_checks.py:824 event-type domain check), plus the
+    * distribution-dominance alert (acled_checks.py:886-897: flag any
+    * category holding more than `dominancePct` of the rows). The expected
+    * set rides along as a literal — no join needed; the pct window runs
+    * over the already-aggregated (tiny) frame. */
+  def domainValidation(df: DataFrame, key: String, expected: Seq[String],
+                       dominancePct: Double = 80.0): DataFrame =
     df.filter(col(key).isNotNull && col(key) =!= "")
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("is_expected",
         when(col(key).isin(expected: _*), lit(1)).otherwise(lit(0)))
+      .withColumn("pct",
+        round(col("cnt") * lit(100.0) /
+          sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy()), 2))
+      .withColumn("is_dominant",
+        when(col("pct") > dominancePct, lit(1)).otherwise(lit(0)))
 
   /** Duplicate-group detection by key fields (acled_checks.py:480
     * duplicate_records_check, polars `is_duplicated`). Returns the
