@@ -135,9 +135,13 @@ object SparkEntry {
     "simhash_dedup" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)),
     "ngram_jaccard" -> ((s, d) =>
+      // Block on a 16-bit SimHash band, not a metadata column: bucket count
+      // grows with the corpus (|block|² stays bounded), while near-identical
+      // docs still collide — the scale-safe blocking key.
       Dedup.ngramJaccardPairs(
-        Tables.documents(s, d).filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", "lang")),
+        Tables.documents(s, d)
+          .withColumn("simband", shiftrightunsigned(Dedup.simhash(col("text")), 48)),
+        "doc_id", "text", "simband")),
     "embedding_dedup" -> ((s, d) => {
       // Random vectors have no organic cos>0.8 pairs at this SF, so the query
       // plants deterministic jittered copies of the first 20 vectors — the

@@ -54,19 +54,27 @@ object EventStream {
 
   case class SessionUpdate(user_id: Long, n_events: Int, total_value: Double,
                            session_start: java.sql.Timestamp, closed: Boolean)
-  private case class SessionState(n: Int, total: Double, startMs: Long, lastMs: Long)
+  // public: the state encoder's generated code must see the constructor
+  case class SessionState(n: Int, total: Double, startMs: Long, lastMs: Long)
 
-  /** Keyed session aggregation with explicit state + processing-time
-    * timeout (mapGroupsWithState): emits a running session summary per
-    * user, closing sessions after `gapMs` of silence. */
-  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L)
+  /** Keyed session aggregation with explicit state + EVENT-TIME timeout
+    * (mapGroupsWithState): emits a running session summary per user,
+    * closing a session once the watermark passes `gapMs` past its last
+    * event. Event-time (not processing-time) timeouts are the scale-safe
+    * choice: batches trigger only on data/watermark movement — a
+    * processing-time timeout keeps the engine spinning empty micro-batches
+    * — and replays are deterministic. Streaming-only (batch runs have no
+    * watermark to arm the timeout against). */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes")
       : org.apache.spark.sql.Dataset[SessionUpdate] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .selectExpr("user_id", "ts", "value")
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -83,7 +91,10 @@ object EventStream {
               prev.startMs,
               math.max(prev.lastMs, tsMs.max))
             state.update(next)
-            state.setTimeoutDuration(gapMs)
+            // arm the close timer at last-event + gap (kept ahead of the
+            // watermark — Spark rejects timeouts at/behind it)
+            state.setTimeoutTimestamp(
+              math.max(next.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             SessionUpdate(uid, next.n, next.total, new java.sql.Timestamp(next.startMs), closed = false)
           }
       }

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L, "click", 5.0),
+    (2L, ts("2024-01-01 11:30:00"), 100L, "view", 10.0),
+    (3L, ts("2024-01-02 09:00:00"), 200L, "click", 20.0),
+    (4L, ts("2024-01-02 23:59:59"), 300L, "purchase", 40.0),
+    (5L, ts("2024-01-08 00:00:00"), 200L, "click", 2.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("dailyCounts: per-day count and sum") {
+    val got = Analytics.dailyCounts(events).orderBy("day")
+      .as[(java.sql.Date, Long, Double)].collect()
+    assert(got === Array(
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 15.0),
+      (java.sql.Date.valueOf("2024-01-02"), 2L, 60.0),
+      (java.sql.Date.valueOf("2024-01-08"), 1L, 2.0)))
+  }
+
+  test("distributionWithPct: counts and global percentages") {
+    val got = Analytics.distributionWithPct(events, "event_type")
+      .orderBy("event_type").as[(String, Long, Double)].collect()
+    assert(got === Array(("click", 3L, 60.0), ("purchase", 1L, 20.0), ("view", 1L, 20.0)))
+  }
+
+  test("distributionWithPct: drops null and empty keys") {
+    val df = Seq(Some("a"), Some("a"), None, Some("")).toDF("k")
+    val got = Analytics.distributionWithPct(df, "k").as[(String, Long, Double)].collect()
+    assert(got === Array(("a", 2L, 100.0)))
+  }
+
+  test("groupedStats: count/sum/avg per derived key") {
+    val got = Analytics.groupedStats(events, pmod(col("user_id"), lit(100L)), "g", "value")
+      .orderBy("g").as[(Long, Long, Double, Double)].collect()
+    assert(got === Array((0L, 5L, 77.0, 15.4)))
+  }
+
+  test("timeBucketStats: weekly buckets with distinct ids") {
+    val got = Analytics.timeBucketStats(events, "week")
+      .orderBy("week").as[(java.sql.Date, Long, Double, Double, Long)].collect()
+    // 2024-01-01 is a Monday: first four rows in week of Jan 1, last in week of Jan 8.
+    assert(got === Array(
+      (java.sql.Date.valueOf("2024-01-01"), 4L, 75.0, 18.75, 3L),
+      (java.sql.Date.valueOf("2024-01-08"), 1L, 2.0, 2.0, 1L)))
+  }
+
+  test("rolling7d: rolling mean over the daily series") {
+    val got = Analytics.rolling7d(events).orderBy("day")
+      .as[(java.sql.Date, Long, Double)].collect()
+    assert(got.map(_._2).toSeq === Seq(2L, 2L, 1L))
+    // 7-ROW window over the 3-day series: [2], [2,2], [2,2,1]
+    assert(got.map(_._3).toSeq === Seq(2.0, 2.0, 5.0 / 3))
+  }
+
+  test("topNByValue: deterministic top-N with threshold") {
+    val got = Analytics.topNByValue(events, 2, 5.0)
+      .as[(Long, Long, String, Double)].collect()
+    assert(got === Array((4L, 300L, "purchase", 40.0), (3L, 200L, "click", 20.0)))
+  }
+
+  test("valueBuckets: CASE bucketing") {
+    val got = Analytics.valueBuckets(events).orderBy("bucket")
+      .as[(String, Long)].collect()
+    assert(got === Array(("1-10", 3L), ("11-25", 1L), ("26-50", 1L)))
+  }
+
+  test("topPerGroup: rank-1 row per group with tie-break") {
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 12L, 1.0))
+      .toDF("g", "id", "v")
+    val got = Analytics.topPerGroup(df, "g", "v", "id")
+      .orderBy("g").as[(Long, Long, Double)].collect()
+    // equal v=5.0: lower id wins (asc tie-break)
+    assert(got === Array((1L, 10L, 5.0), (2L, 12L, 1.0)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.Dedup
+
+/** ScalaCheck properties for the dedup family (run by sbt's native
+  * ScalaCheck framework alongside the ScalaTest suites). Spark jobs per
+  * case are small; minSuccessfulTests is trimmed accordingly. */
+object DedupProps extends Properties("Dedup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+
+  private val wordPool: Seq[String] = (1 to 60).map(i => s"w$i")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(8, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(wordPool)).map(_.mkString(" ")))
+
+  property("exactByHash keeps exactly one row per distinct text, idempotently") =
+    forAll(Gen.listOfN(12, docGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exactByHash(df, "text", "doc_id").cache()
+      val n1 = once.count()
+      val n2 = Dedup.exactByHash(once, "text", "doc_id").count()
+      once.unpersist()
+      n1 == texts.distinct.size.toLong && n2 == n1
+    }
+
+  property("latestWins emits one row per key: the max-order row") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 100L)))) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex.map { case ((k, ord), i) => (i.toLong, k, ord) }
+        .toDF("event_id", "key", "ord")
+      val got = Dedup.latestWins(df, Seq("key"), "ord", "event_id")
+        .select("key", "ord").as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      got == expected
+    }
+
+  property("minhash signature agreement estimates shingle Jaccard (k=64)") =
+    forAll(docGen, docGen) { (ta, tb) =>
+      import spark.implicits._
+      val df = Seq((1L, ta), (2L, tb)).toDF("id", "text")
+        .select(col("id"),
+          Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("id"), col("sh"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
+      val rows = df.orderBy("id").as[(Long, Seq[String], Seq[Long])].collect()
+      val (shA, sigA) = (rows(0)._2.toSet, rows(0)._3)
+      val (shB, sigB) = (rows(1)._2.toSet, rows(1)._3)
+      val trueJ =
+        if (shA.isEmpty && shB.isEmpty) 1.0
+        else shA.intersect(shB).size.toDouble / shA.union(shB).size
+      val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 64
+      // k=64 → sd <= 0.0625; 0.35 is a >5-sigma band (deterministic per seed)
+      math.abs(est - trueJ) <= 0.35
+    }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latestWins: newest row per key, deterministic under ties") {
+    val df = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00"), "old"),
+      (2L, "k1", ts("2024-01-01 12:00:00"), "new"),
+      (3L, "k2", ts("2024-01-01 10:00:00"), "tie-lo"),
+      (4L, "k2", ts("2024-01-01 10:00:00"), "tie-hi")
+    ).toDF("event_id", "key", "ts", "payload")
+    val got = Dedup.latestWins(df, Seq("key"), "ts", "event_id")
+      .orderBy("key").select("payload").as[String].collect()
+    // k1: newest wins; k2: timestamp tie broken by higher event_id
+    assert(got === Array("new", "tie-hi"))
+  }
+
+  test("exactByHash: keeps lowest id per identical content, is idempotent") {
+    val df = Seq(
+      (10L, "same text"), (3L, "same text"), (7L, "unique text")
+    ).toDF("doc_id", "text")
+    val once = Dedup.exactByHash(df, "text", "doc_id")
+    assert(once.select("doc_id").as[Long].collect().sorted === Array(3L, 7L))
+    val twice = Dedup.exactByHash(once, "text", "doc_id")
+    assert(twice.select("doc_id").as[Long].collect().sorted === Array(3L, 7L))
+  }
+
+  test("shingles: deduplicated word n-grams") {
+    val df = Seq(Tuple1("a b c d a b c d")).toDF("text")
+    val got = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()(0)
+    assert(got.toSet === Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("minhash signature estimates Jaccard similarity") {
+    // docs with known true Jaccard of shingle sets; k=64 → sd ≈ 0.06
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mostlySame = (1 to 36).map(i => s"tok$i").mkString(" ") + " x1 x2 x3 x4"
+    val disjoint = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, mostlySame), (3L, disjoint)).toDF("id", "text")
+      .withColumn("sig", Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64))
+    val sigs = df.orderBy("id").select("sig").as[Seq[Long]].collect()
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    val simAB = est(sigs(0), sigs(1))
+    val simAC = est(sigs(0), sigs(2))
+    // true Jaccard(1,2) over 3-shingles ≈ 0.70; (1,3) = 0
+    assert(simAB > 0.45 && simAB < 0.95, s"estimate $simAB out of range")
+    assert(simAC < 0.1, s"disjoint docs estimated $simAC")
+  }
+
+  test("minhashNearDups: finds planted near-dups, skips distinct docs") {
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" "))
+    }
+    // plant: doc 101 = copy of doc 1 with one token changed
+    val nearDup = (101L, "w1_1 " + (2 to 30).map(j => s"w1_$j").mkString(" ")
+      .replace("w1_15", "CHANGED"))
+    val df = (docs :+ nearDup).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 1)
+    assert((got(0)._1, got(0)._2) === (1L, 101L))
+    assert(got(0)._3 > 0.8)
+  }
+
+  test("simhash: identical text → identical bits; small edit → small hamming") {
+    val t1 = (1 to 60).map(i => s"word$i").mkString(" ")
+    val t2 = t1.replace("word30", "EDITED")
+    val t3 = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t3)).toDF("id", "text")
+      .select(col("id"), Dedup.simhash(col("text")).as("sim"))
+    val sims = df.orderBy("id").select("sim").as[Long].collect()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sims(0) === sims(1))
+    assert(hamming(sims(0), sims(2)) <= 12,
+      s"one-token edit moved ${hamming(sims(0), sims(2))} bits")
+    assert(hamming(sims(0), sims(3)) > 12,
+      s"unrelated docs only ${hamming(sims(0), sims(3))} bits apart")
+  }
+
+  test("simhashNearDups: banded candidates respect the hamming cap") {
+    val t1 = (1 to 60).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, t1), (2L, t1.replace("word30", "EDITED")),
+      (3L, (1 to 60).map(i => s"zzz$i").mkString(" "))
+    ).toDF("id", "text")
+    val got = Dedup.simhashNearDups(df, "id", "text", maxHamming = 12)
+      .as[(Long, Long, Int)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs: exact Jaccard within blocks only") {
+    val df = Seq(
+      (1L, "a b c d e", "blk1"),
+      (2L, "a b c d e", "blk1"),
+      (3L, "a b c d e", "blk2") // same text, different block → no pair
+    ).toDF("id", "text", "blk")
+    val got = Dedup.ngramJaccardPairs(df, "id", "text", "blk")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got === Array(("blk1", 1L, 2L, 1.0)))
+  }
+}

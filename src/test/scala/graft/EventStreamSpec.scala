@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Drives the streaming operators through MemoryStream — the reference's
+  * sensor loop (sensors.py: poll → validate → load) as real micro-batches,
+  * not just the batch-equivalent plans the gate checks. */
+class EventStreamSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, uid: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) = Ev(id, ts(t), uid, typ, v, "{}")
+
+  test("windowedCounts streams: window finalizes once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.startMemorySink(
+      EventStream.windowedCounts(input.toDF()), "wc_stream")
+    try {
+      // batch 1: three events inside [10:00, 11:00)
+      input.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00", v = 2.0),
+        ev(3, "2024-01-01 10:40:00"))
+      q.processAllAvailable()
+      assert(spark.table("wc_stream").count() === 0, "window must not emit early")
+      // batch 2: advance event time; watermark still trails by one batch
+      input.addData(ev(4, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      // batch 3: watermark is now 12:00 (14:00 - 2h) → [10:00,11:00) finalizes
+      input.addData(ev(5, "2024-01-01 14:30:00"))
+      q.processAllAvailable()
+      val rows = spark.table("wc_stream")
+        .as[(Timestamp, String, Long, Double)].collect()
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 3L, 4.0)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("dedupStream: duplicate event ids dropped within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 3L), "event 1 must appear exactly once")
+    } finally q.stop()
+  }
+
+  test("sessionize: keyed state accumulates per-user session summaries") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionize(spark, input.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_stream").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", uid = 7, v = 2.0),
+        ev(2, "2024-01-01 10:05:00", uid = 7, v = 3.0),
+        ev(3, "2024-01-01 10:06:00", uid = 9, v = 1.0))
+      q.processAllAvailable()
+      val sess = spark.table("sess_stream")
+        .as[EventStream.SessionUpdate].collect().map(s => s.user_id -> s).toMap
+      assert(sess(7L).n_events === 2 && sess(7L).total_value === 5.0)
+      assert(sess(7L).session_start === ts("2024-01-01 10:00:00"))
+      assert(sess(9L).n_events === 1)
+      assert(!sess(7L).closed)
+      // a second batch folds into the same open session
+      input.addData(ev(4, "2024-01-01 10:10:00", uid = 7, v = 10.0))
+      q.processAllAvailable()
+      val s7 = spark.table("sess_stream").as[EventStream.SessionUpdate]
+        .collect().filter(_.user_id == 7L).maxBy(_.n_events)
+      assert(s7.n_events === 3 && s7.total_value === 15.0)
+      // advance the watermark beyond last-event + gap (30 min): batch 3
+      // moves the watermark to 11:20, batch 4 fires the event-time timeout
+      input.addData(ev(5, "2024-01-01 11:30:00", uid = 1))
+      q.processAllAvailable()
+      input.addData(ev(6, "2024-01-01 11:31:00", uid = 1))
+      q.processAllAvailable()
+      val closed = spark.table("sess_stream").as[EventStream.SessionUpdate]
+        .collect().filter(_.closed).map(s => s.user_id -> s).toMap
+      assert(closed.contains(7L) && closed.contains(9L), s"closed=$closed")
+      assert(closed(7L).n_events === 3 && closed(7L).total_value === 15.0)
+      assert(closed(7L).session_start === ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("windowedCounts batch plan matches a hand-rolled aggregate") {
+    val batch = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:59:59", v = 4.0),
+      ev(3, "2024-01-01 11:00:00", v = 2.0)).toDF()
+    val got = EventStream.windowedCounts(batch)
+      .orderBy("window_start").as[(Timestamp, String, Long, Double)].collect()
+    assert(got === Array(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 5.0),
+      (ts("2024-01-01 11:00:00"), "click", 1L, 2.0)))
+  }
+}

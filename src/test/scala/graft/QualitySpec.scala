@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quality
+
+class QualitySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "hello world", "en"),
+    (2L, "", "en"),
+    (3L, null.asInstanceOf[String], ""),
+    (4L, "bonjour", null.asInstanceOf[String])
+  ).toDF("id", "text", "lang")
+
+  test("completenessProfile: null/empty per column in one pass") {
+    val got = Quality.completenessProfile(docs, Seq("text", "lang"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      ("lang", 1L, 1L, 2L, 50.0),
+      ("text", 1L, 1L, 2L, 50.0)))
+  }
+
+  test("rangeValidation: bounds, nulls, min/max") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(10.0), Some(99.0), None).toDF("v")
+    val got = Quality.rangeValidation(df, "v", 0.0, 50.0)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(got === Array((5L, 1L, 1L, 4L, -5.0, 99.0)))
+  }
+
+  test("domainValidation: expected-set flag + dominance alert") {
+    val df = (Seq.fill(9)("a") ++ Seq("weird")).toDF("k")
+    val got = Quality.domainValidation(df, "k", Seq("a", "b"))
+      .orderBy("k").as[(String, Long, Int, Double, Int)].collect()
+    assert(got === Array(
+      ("a", 9L, 1, 90.0, 1),      // 90% > 80% → dominant
+      ("weird", 1L, 0, 10.0, 0))) // unexpected category flagged 0
+  }
+
+  test("duplicateGroups: only multiplicity>1 groups survive") {
+    val df = Seq(("u1", "click"), ("u1", "click"), ("u2", "view")).toDF("u", "t")
+    val got = Quality.duplicateGroups(df, Seq("u", "t"))
+      .as[(String, String, Long)].collect()
+    assert(got === Array(("u1", "click", 2L)))
+  }
+
+  test("presenceCounts: conditional non-null-non-empty counters") {
+    val got = Quality.presenceCounts(docs, Seq("text", "lang"))
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((2L, 2L, 4L)))
+  }
+
+  test("valueValidation: single-pass distribution sanity stats") {
+    val df = Seq(-1.0, 0.0, 5.0, 20.0, 60.0, 2000.0).toDF("v")
+    val r = Quality.valueValidation(df, "v").collect()(0)
+    assert(r.getAs[Long]("total_records") === 6L)
+    assert(r.getAs[Long]("negative_count") === 1L)
+    assert(r.getAs[Long]("extreme_count") === 1L)
+    assert(r.getAs[Long]("zero_count") === 1L)
+    assert(r.getAs[Long]("low_count") === 1L)
+    assert(r.getAs[Long]("moderate_count") === 1L)
+    assert(r.getAs[Long]("high_count") === 2L)
+    assert(r.getAs[Double]("min_value") === -1.0)
+    assert(r.getAs[Double]("max_value") === 2000.0)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("dot and l2norm over float arrays") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.l2norm(col("a")).as("n"))
+      .as[(Double, Double)].collect()(0)
+    assert(got._1 === 4.0)
+    assert(got._2 === 3.0)
+  }
+
+  test("cosineTopK: exact brute-force neighbors with deterministic ranks") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest to 0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Seq(-1.0f, 0.0f))   // opposite to 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSeq === Seq(1L, 2L))
+    assert(got(0)._3 > 0.99 && math.abs(got(1)._3) < 1e-9)
+  }
+
+  test("nearDupPairs matches brute-force cosine on jittered duplicates") {
+    // 40 deterministic pseudo-random 8-dim vectors + jittered copies of the
+    // first 5; LSH-bucketed pairs must contain exactly the planted pairs
+    // that brute force finds at the same threshold.
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 1
+      Seq.fill(8) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val jittered = (0 until 5).map(i =>
+      (100L + i, vec(i).zipWithIndex.map { case (v, j) => v + 0.001f * ((i + j) % 3) }))
+    val all = (base ++ jittered).toDF("id", "emb")
+
+    val lsh = Similarity.nearDupPairs(all, "id", "emb", dim = 8, nPlanes = 8, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // driver-side brute force oracle
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val allSeq = base ++ jittered
+    val brute = (for {
+      (ia, va) <- allSeq; (ib, vb) <- allSeq
+      if ia < ib && cos(va, vb) >= 0.98
+    } yield (ia, ib)).toSet
+
+    assert(brute.nonEmpty, "test needs at least one true near-dup pair")
+    // LSH may miss pairs split across buckets but must never invent pairs
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh.diff(brute)}")
+    // planted pairs are near-identical → same bucket with overwhelming odds
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.intersect(lsh).size >= 4,
+      s"LSH recalled only ${planted.intersect(lsh).size}/5 planted pairs")
+  }
+
+  test("lshTopK: bucketed ANN returns ranked in-bucket neighbors") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f)), (1L, Seq(1.0f, 0.02f)), (2L, Seq(0.99f, 0.0f)),
+      (3L, Seq(-1.0f, -0.01f))
+    ).toDF("id", "emb")
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("id") === 0), "id", "emb",
+      dim = 2, k = 3, nPlanes = 4)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    // 1 and 2 share 0's half-space; 3 is opposite and lands in another bucket
+    assert(got.map(_._2).toSet.subsetOf(Set(1L, 2L)))
+    assert(got.forall(_._3 > 0.99))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("tokenCounts: whitespace and regex token counters") {
+    val df = Seq((1L, "Hello world 42 foo-bar")).toDF("doc_id", "text")
+    val got = TextOps.tokenCounts(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    // ws: 4 tokens; regex [a-z]+|[0-9]+: ello, world, 42, foo, bar = 5
+    assert(got === ((1L, 4L, 5L, 22L)))
+  }
+
+  test("tokenCounts matches a driver-side model on seeded random text") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 10).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(12))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      (i.toLong, words.mkString(" "))
+    }
+    val got = TextOps.tokenCounts(cases.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    cases.zip(got).foreach { case ((_, text), (_, ws, _, chars)) =>
+      assert(ws === text.trim.split("\\s+").length.toLong, s"text=<$text>")
+      assert(chars === text.length.toLong)
+    }
+  }
+
+  test("qualityScore: stopword ratio and composite score") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextOps.qualityScore(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") === 6L)
+    assert(r.getAs[Long]("n_stopwords") === 2L)
+    assert(r.getAs[Double]("stopword_ratio") === 0.3333)
+    // 17 non-space chars / 6 words
+    assert(r.getAs[Double]("avg_word_len") === 2.8333)
+    // min(6/100,1) * (1-0.3333) = 0.06 * 0.6667
+    assert(r.getAs[Double]("quality_score") === 0.04)
+  }
+
+  test("langId: detects each profiled language deterministically") {
+    val df = Seq(
+      (1L, "the cat is in the house and that is fine"),
+      (2L, "der hund ist nicht in das haus und die katze"),
+      (3L, "le chat est dans la maison et les chiens"),
+      (4L, "el gato es una maravilla y los perros en la casa"),
+      (5L, "我是他的朋友这是我的家他有一个好主意")
+    ).toDF("doc_id", "text")
+    val got = TextOps.langId(df, "doc_id", "text")
+      .orderBy("doc_id").select("detected_lang").as[String].collect()
+    assert(got === Array("en", "de", "fr", "es", "zh"))
+  }
+
+  test("fingerprint: order-sensitive rolling hash, order-insensitive minhash") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val got = TextOps.fingerprint(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect()
+    assert(got(0)._2 === got(2)._2, "identical docs must share rolling hash")
+    assert(got(0)._2 !== got(1)._2, "reordering must change rolling hash")
+    assert(got(0)._3 === got(1)._3, "reordering must keep content minhash")
+    assert(got.forall(_._4 === 3))
+  }
+}
