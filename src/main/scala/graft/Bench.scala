@@ -12,6 +12,15 @@ object Bench {
       .getOrCreate()
     GraftSession.tune(spark) // bench measures the engine's advertised tuning
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup at the smallest SF: codegen + JIT compile once so the timed
+    // run measures steady-state operator cost, not whichever query happens
+    // to pay first-touch compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output InternalRow — a plain

@@ -163,7 +163,12 @@ object SparkEntry {
     "lsh_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        dim = 64, k = 5, nPlanes = 6)
+        dim = 64, k = 5, nPlanes = 6, probeBits = 2)
+    }),
+    "ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
     }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "quality_score" -> ((s, d) =>

@@ -147,7 +147,11 @@ object FatalityModel {
       .setPredictionCol("prediction").setMetricName("rmse")
     // Sweep on a deterministic ~10% sample of the training fold: at corpus
     // scale the grid search runs on a sample, never 4 full-data trainings.
-    val sweepSample = train.filter(pmod(xxhash64(col("event_id"), lit(1)), lit(10L)) === 0)
+    // coalesce: GBT schedules ~#iters jobs, so a small sample spread over
+    // the full partition count pays pure task overhead per tree.
+    val sweepSample = train
+      .filter(pmod(xxhash64(col("event_id"), lit(1)), lit(10L)) === 0)
+      .coalesce(4)
     val grid = new ParamGridBuilder()
       .addGrid(gbt.maxDepth, Array(3, 4))
       .addGrid(gbt.maxIter, Array(10, 20))
@@ -155,16 +159,20 @@ object FatalityModel {
     val tvs = new TrainValidationSplit()
       .setEstimator(gbt).setEvaluator(evalRmse)
       .setEstimatorParamMaps(grid).setTrainRatio(0.8).setSeed(seed)
+      .setParallelism(4) // grid points train concurrently on the sample
     val best = tvs.fit(sweepSample).bestModel.asInstanceOf[GBTRegressionModel]
     val (bestDepth, bestIter) = (best.getMaxDepth, best.getMaxIter)
 
     val model = gbt.setMaxDepth(bestDepth).setMaxIter(bestIter).fit(train)
     train.unpersist()
+    // cached: the three evaluator passes + metrics agg + downstream
+    // perf/crosstab queries all reread the predictions
     val pred = model.transform(test)
       .select(col("event_id"), col("event_type"), col("value"),
         col("prediction").as("predicted_value"))
       .withColumn("error", col("value") - col("predicted_value"))
       .withColumn("abs_error", abs(col("value") - col("predicted_value")))
+      .cache()
 
     val evalOn = (m: String) => new RegressionEvaluator().setLabelCol("value")
       .setPredictionCol("predicted_value").setMetricName(m).evaluate(pred)

@@ -64,26 +64,32 @@ object Dedup {
     array_distinct(ngrams)
   }
 
-  /** k-permutation MinHash signature over the shingle array, computed in
-    * ONE aggregate pass: each shingle is hashed exactly once and folded
-    * into a k-element running-minimum accumulator (zip_with + least over
-    * literal coefficient arrays). The naive form — k independent
+  /** Hash a shingle array to its 31-bit hash array (the compact form every
+    * downstream MinHash step works on — long arrays shuffle and compare
+    * far cheaper than the shingle strings, and Jaccard over hashes equals
+    * Jaccard over shingles up to negligible collision odds). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(P31)))
+
+  /** k-permutation MinHash signature over a pre-hashed shingle array,
+    * computed in ONE aggregate pass: each hash folds into a k-element
+    * running-minimum accumulator (zip_with over a literal (a,b)
+    * coefficient-pair array). The naive form — k independent
     * array_min(transform(...)) expressions — re-hashes every shingle k
     * times unless subexpression elimination happens to fire; this shape
     * doesn't rely on it. Linear in k·|shingles|, no shuffle. */
-  def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column = {
-    val coeffs = perm(seed, k)
-    val aLit = typedLit(coeffs.map(_._1))
-    val bLit = typedLit(coeffs.map(_._2))
+  def minhashSignatureFromHashes(hashCol: Column, k: Int, seed: Long = 42L): Column = {
+    val abLit = typedLit(perm(seed, k).map { case (a, b) => (a, b) })
     aggregate(
-      shingleCol,
+      hashCol,
       array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => {
-        val h = pmod(xxhash64(s), lit(P31))
-        zip_with(acc, sequence(lit(0), lit(k - 1)),
-          (m, i) => least(m, pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(P31))))
-      })
+      (acc, h) => zip_with(acc, abLit,
+        (m, p) => least(m, pmod(h * p.getField("_1") + p.getField("_2"), lit(P31)))))
   }
+
+  /** MinHash signature straight from the shingle strings. */
+  def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(shingleHashes(shingleCol), k, seed)
 
   /** Candidate near-dup pairs via LSH banding: signature split into
     * `bands` bands of `rows` hashes; docs sharing any band hash become
@@ -97,15 +103,21 @@ object Dedup {
                       shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
                       threshold: Double = 0.7): DataFrame = {
     val k = bands * rows
+    // (id, hashed shingles): the one pass over the raw text, via the native
+    // TextHash expression. Persisted because the plan reuses it three times
+    // (signature + both verify legs) — recomputing tokenization 3× over a
+    // 100 TB corpus costs more than materializing the compact
+    // (id, array<long>) projection.
     val base = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleWidth))
-      .filter(size(col("sh")) > 0)
-      .select("id", "sh")
+      .select(col(idCol).as("id"),
+        graft.functions.TextHash.shingleHashesCol(col(textCol), shingleWidth).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The band join shuffles (band, band_hash, id) ONLY — never the shingle
     // arrays; at corpus scale that is ~16 bytes/row/band through the
     // exchange instead of the full token content on both sides.
-    val withSig = base.withColumn("sig", minhashSignature(col("sh"), k)).select("id", "sig")
+    val withSig = base
+      .select(col("id"), graft.functions.TextHash.minhashSigCol(col("shh"), k).as("sig"))
     val bandHashes = (0 until bands).map(b =>
       xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
     val banded = withSig.select(
@@ -117,25 +129,28 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // Shingles re-join for the surviving candidate pairs only (a tiny
+    // Hashed-shingle re-join for the surviving candidate pairs only (a tiny
     // fraction of the corpus) to compute the exact Jaccard verify.
     cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .join(base.select(col("id").as("id_a"), col("shh").as("shh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("shh").as("shh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("shh_a"), col("shh_b"))))
+      .withColumn("uni", size(array_union(col("shh_a"), col("shh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
-    * SINGLE aggregate pass: each token is tokenized+hashed exactly once and
-    * its 64 bit-votes folded into a 64-long accumulator via zip_with (the
-    * per-bit-plane form re-evaluates the tokenization 64×). shiftright with
-    * a column shift amount goes through call_function (the typed API only
-    * takes literal shifts). Codegen'd, no UDF, no shuffle. */
-  def simhash(textCol: Column): Column = {
+    * Native Catalyst expression (graft.functions.TextHash) — one tight JVM
+    * loop per row inside whole-stage codegen, no per-token allocation. */
+  def simhash(textCol: Column): Column = graft.functions.TextHash.simhash64Col(textCol)
+
+  /** Column-function form of [[simhash]] (single aggregate pass with a
+    * 64-long vote accumulator). Same bits as the native expression —
+    * NativeHashSpec asserts the agreement; kept as the composable
+    * reference implementation. */
+  def simhashColumnar(textCol: Column): Column = {
     val hashes = transform(split(trim(textCol), "\\s+"), t => xxhash64(t))
     val bitIdx = sequence(lit(0), lit(63))
     val votes = aggregate(
@@ -156,7 +171,10 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    // persisted: both legs of the band self-join reuse the fingerprints —
+    // without it the full tokenize+vote pass runs twice over the corpus
     val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = withSim.select(
@@ -178,15 +196,20 @@ object Dedup {
     * pass an LSH band or a metadata bucket). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3): DataFrame = {
+    // one tokenization pass, persisted: both join legs reuse it (and the
+    // caller's block key — often itself a SimHash/LSH derivation — is
+    // evaluated once instead of once per leg); hashed shingles keep the
+    // self-join exchange to arrays of longs.
     val base = df.select(
       col(idCol).as("id"), col(blockCol).as("block"),
-      shingles(col(textCol), n).as("sh"))
-    val a = base.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+      graft.functions.TextHash.shingleHashesCol(col(textCol), n).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = base.select(col("block"), col("id").as("id_a"), col("shh").as("shh_a"))
+    val b = base.select(col("block"), col("id").as("id_b"), col("shh").as("shh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("shh_a"), col("shh_b"))))
+      .withColumn("uni", size(array_union(col("shh_a"), col("shh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .select("block", "id_a", "id_b", "jaccard")
   }

@@ -80,20 +80,86 @@ object Similarity {
   }
 
   /** Bucketed approximate top-k: queries and corpus meet only inside their
-    * LSH bucket (plus optional multi-probe via fewer planes → bigger
-    * buckets). Recall trades against bucket size via `nPlanes`. */
+    * LSH bucket. Recall trades against bucket size via `nPlanes`;
+    * `probeBits > 0` enables multi-probe — each query additionally probes
+    * the buckets at Hamming distance 1 on its first `probeBits` planes
+    * (query-side fan-out only; the corpus is bucketed and shuffled once,
+    * which is what makes multi-probe the recall lever at 100 TB — more
+    * probes, not more corpus copies). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+              vecCol: String, dim: Int, k: Int, nPlanes: Int = 8,
+              probeBits: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), nPlanes, dim))
       .withColumn("norm", l2norm(col("vec")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("bucket", lshBucket(col("qvec"), nPlanes, dim))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket0", lshBucket(col("qvec"), nPlanes, dim))
       .withColumn("qnorm", l2norm(col("qvec")))
+    val probes = col("bucket0") +: (0 until probeBits).map(b =>
+      col("bucket0").bitwiseXOR(lit(1L << b)))
+    val q = q0
+      .withColumn("bucket", explode(array_distinct(array(probes: _*))))
+      .drop("bucket0")
     val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      // a (query, vec) pair can match through several probes — keep one
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** IVF-style ANN: a bounded set of `nlist` coarse centroids partitions
+    * the corpus (inverted lists); each query probes its `nprobe` nearest
+    * centroids and scores only those lists.
+    *
+    * The centroids are a deterministic hash-sample of the corpus (at
+    * production scale you would KMeans-train them with MLlib), pulled once
+    * into a *literal unit-vector matrix* — the same dimension-table-sized
+    * materialization as broadcasting a fitted KMeans model, and the reason
+    * both assignment passes are pure codegen projections: list assignment
+    * is argmax-dot over the literal matrix (no shuffle of the corpus, no
+    * window), and the probe step is a hash join on centroid_id. Nothing
+    * ever cross-joins the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = corpus
+      .select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("__r"))
+      .orderBy("__r").limit(nlist)
+      .select("cvec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / (if (n == 0.0) 1.0 else n))
+      }
+
+    // (dot with each unit centroid, centroid index) — the vector's own norm
+    // is a common positive factor and cannot change the argmax/ordering.
+    def centSims(vec: Column): Seq[Column] =
+      cents.zipWithIndex.map { case (c, i) =>
+        struct(dot(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
+      }
+    def assignList(vec: Column): Column = greatest(centSims(vec): _*).getField("cid")
+    def probeLists(vec: Column): Column =
+      transform(
+        slice(reverse(array_sort(array(centSims(vec): _*))), 1, nprobe),
+        s => s.getField("cid"))
+
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("centroid_id", assignList(col("vec")))
+      .withColumn("norm", l2norm(col("vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("centroid_id", explode(probeLists(col("qvec"))))
+      .withColumn("qnorm", l2norm(col("qvec")))
+    val scored = c.join(q, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    // no dedup needed: every corpus vector lives in exactly one list, so a
+    // (query, vector) pair can only meet once
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
