@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-audit tool: dumps the formatted physical plan for every query (or
+  * the names given as args) so scan pushdown (`PushedFilters`/`ReadSchema`),
+  * broadcast vs shuffle joins, partial aggregation, and WholeStageCodegen
+  * spans can be reviewed per operator.
+  *
+  * Usage: `sbt "runMain graft.Explain [queryName ...]"` (sf dir via
+  * SPARK_GRAFT_SF_DIR, defaults to sf0.01).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.builder("graft-explain", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n========== $name ==========")
+          try println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
+          catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+        case None => println(s"\n========== $name ========== (unknown query)")
+      }
+    }
+    spark.stop()
+  }
+}
