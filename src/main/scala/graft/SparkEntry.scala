@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ml.FatalityModel
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Sink, Tables}
 import graft.streaming.EventStream
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -217,10 +217,48 @@ object SparkEntry {
       FatalityModel.riskCrosstab(pred, "value", "predicted_value")
     }),
 
+    // ---- §F sinks (write-side roundtrips; verified against the source) --
+    "partitioned_sink" -> ((s, d) => {
+      // Daily-partitioned lake write (base_assets.py:150 S3 daily objects):
+      // write events partitioned by day, read the table back, and aggregate
+      // it — the oracle aggregates the source directly, so the gate verifies
+      // write→read fidelity end to end.
+      val path = sinkPath(d, "partitioned")
+      Sink.writePartitioned(
+        Tables.events(s, d).select(col("event_id"), to_date(col("ts")).as("day"), col("value")),
+        path, "day")
+      s.read.parquet(path)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"), sum("value").as("total_value"))
+    }),
+    "upsert_sink" -> ((s, d) => {
+      // Postgres ON CONFLICT DO UPDATE re-expressed as a partition-scoped
+      // lake merge (base_assets.py:207): load the base table, apply an
+      // update batch (every 100th event re-delivered with value+1000 at
+      // version 1), and read the merged table back. Re-running is a no-op —
+      // the same idempotence Dagster expects of a partitioned load.
+      val path = sinkPath(d, "upsert")
+      val base = Tables.events(s, d).select(
+        col("event_id"), to_date(col("ts")).as("day"), col("value"), lit(0).as("version"))
+      Sink.upsertPartitioned(s, path, base,
+        keys = Seq("event_id"), orderCol = "version", tieBreak = "event_id", partitionCol = "day")
+      val updates = base.filter(pmod(col("event_id"), lit(100L)) === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("version", lit(1))
+      Sink.upsertPartitioned(s, path, updates,
+        keys = Seq("event_id"), orderCol = "version", tieBreak = "event_id", partitionCol = "day")
+      s.read.parquet(path).select("event_id", "value")
+    }),
+
     // ---- §E streaming (batch-equivalent plan for the gate) -------------
     "stream_windowed_counts" -> ((s, d) =>
       EventStream.windowedCounts(Tables.events(s, d)))
   )
+
+  /** Deterministic per-dataset scratch location for sink roundtrips (the
+    * sink queries are self-contained: write then read back). */
+  private def sinkPath(d: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sink_${tag}_${math.abs(d.hashCode)}"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -428,6 +466,19 @@ object SparkEntry {
     "stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS event_count, sum(value) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "partitioned_sink" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+         sum(value) AS total_value
+         FROM events GROUP BY 1""",
+    "upsert_sink" ->
+      """SELECT event_id, value FROM (
+           SELECT event_id, value,
+             row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+           FROM (
+             SELECT event_id, value, 0 AS version FROM events
+             UNION ALL
+             SELECT event_id, value + 1000, 1 FROM events WHERE event_id % 100 = 0) u) t
+         WHERE rn = 1"""
   )
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Partitioned parquet sinks — the write side of the reference pipeline,
+  * re-expressed for a data lake instead of S3-objects + Postgres.
+  *
+  * The reference materializes one object per daily partition
+  * (base_assets.py:150 `acled_data_to_s3` keyed by partition date) and then
+  * upserts rows into Postgres by event key (base_assets.py:207
+  * `ON CONFLICT (event_id_cnty) DO UPDATE`). On Spark at lake scale the
+  * equivalents are:
+  *
+  *  - [[writePartitioned]]: date-partitioned parquet with *dynamic*
+  *    partition overwrite — re-materializing a day replaces exactly that
+  *    day's files and leaves every other partition untouched (Dagster's
+  *    idempotent partitioned-asset contract).
+  *  - [[upsertPartitioned]]: latest-wins merge by key that reads, merges,
+  *    and rewrites ONLY the partitions the update batch touches. At 100 TB
+  *    the update batch touches a handful of days; rewriting the whole table
+  *    (or shuffling it) per load would be the scale bug.
+  */
+object Sink {
+
+  /** Write `df` as parquet partitioned by `partitionCol`, replacing only the
+    * partitions present in `df` (dynamic overwrite). Rows are repartitioned
+    * by the partition column first so each day is written by one task —
+    * without this every task holding any row of a day emits its own file
+    * per day (tasks × days small files, the classic partitioned-write
+    * mistake at scale). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
+
+  /** Latest-wins upsert of `updates` into the partitioned parquet table at
+    * `path` — Postgres `ON CONFLICT (keys) DO UPDATE` semantics with
+    * `orderCol` (+ `tieBreak`) deciding the winner.
+    *
+    * Assumes the partition value is stable per key (true for the reference:
+    * an event's date never moves across loads), so the merge only needs the
+    * partitions present in the update batch: existing rows there are
+    * unioned with the updates, deduped by key, and exactly those partitions
+    * are rewritten via dynamic overwrite. The merged slice is staged to a
+    * side directory first — Spark (correctly) refuses a plan that reads the
+    * same files an overwrite is deleting.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        keys: Seq[String], orderCol: String, tieBreak: String,
+                        partitionCol: String): Unit = {
+    if (!new java.io.File(path.stripPrefix("file:")).exists()) {
+      writePartitioned(updates, path, partitionCol)
+      return
+    }
+    // Partition values in the batch: bounded by the table's partition count
+    // (days), so the driver-side collect is O(days), never O(rows).
+    val touched = updates.select(partitionCol).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched: _*))   // partition pruning
+      .select(updates.columns.map(col): _*)
+    val merged = Dedup.latestWins(
+      existing.unionByName(updates), keys, orderCol, tieBreak)
+    val staging = path.stripSuffix("/") + "__staging"
+    writePartitioned(merged, staging, partitionCol)
+    writePartitioned(spark.read.parquet(staging), path, partitionCol)
+    deleteRecursively(new java.io.File(
+      staging.stripPrefix("file:")))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.Sink
+
+class SinkSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toFile.getAbsolutePath + "/t"
+
+  private def table(rows: (Long, String, Double, Int)*): DataFrame =
+    rows.toDF("id", "day", "value", "version")
+
+  test("writePartitioned: roundtrip preserves rows; one file per partition") {
+    val path = tmp()
+    Sink.writePartitioned(
+      table((1, "2024-01-01", 1.0, 0), (2, "2024-01-01", 2.0, 0), (3, "2024-01-02", 3.0, 0)),
+      path, "day")
+    val back = spark.read.parquet(path)
+    assert(back.count() === 3)
+    assert(back.select("day").distinct().as[String].collect().sorted
+      === Array("2024-01-01", "2024-01-02"))
+    // repartition-by-day ⇒ exactly one part file per day directory
+    new java.io.File(path).listFiles.filter(_.getName.startsWith("day=")).foreach { d =>
+      assert(d.listFiles.count(_.getName.endsWith(".parquet")) === 1,
+        s"expected 1 file in ${d.getName}")
+    }
+  }
+
+  test("writePartitioned: dynamic overwrite replaces only the written partitions") {
+    val path = tmp()
+    Sink.writePartitioned(
+      table((1, "2024-01-01", 1.0, 0), (2, "2024-01-02", 2.0, 0), (3, "2024-01-03", 3.0, 0)),
+      path, "day")
+    // re-materialize day 2 only, with different content
+    Sink.writePartitioned(table((20, "2024-01-02", 42.0, 1)), path, "day")
+    val back = spark.read.parquet(path).select("id", "day", "value")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(back === Array(
+      (1L, "2024-01-01", 1.0), (3L, "2024-01-03", 3.0), (20L, "2024-01-02", 42.0)))
+  }
+
+  test("upsertPartitioned: latest-wins by key, untouched partitions not rewritten") {
+    val path = tmp()
+    Sink.upsertPartitioned(spark, path,
+      table((1, "2024-01-01", 1.0, 0), (2, "2024-01-02", 2.0, 0), (3, "2024-01-03", 3.0, 0)),
+      keys = Seq("id"), orderCol = "version", tieBreak = "id", partitionCol = "day")
+    val day1File = new java.io.File(path + "/day=2024-01-01").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val mtimeBefore = day1File.lastModified()
+    // update id=2 (same day), insert id=4 into a new day
+    Sink.upsertPartitioned(spark, path,
+      table((2, "2024-01-02", 99.0, 1), (4, "2024-01-04", 4.0, 1)),
+      keys = Seq("id"), orderCol = "version", tieBreak = "id", partitionCol = "day")
+    val back = spark.read.parquet(path).select("id", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(back === Array((1L, 1.0), (2L, 99.0), (3L, 3.0), (4L, 4.0)))
+    // day 1 was not in the update batch: its file must be byte-identical
+    assert(day1File.lastModified() === mtimeBefore,
+      "partition outside the update batch was rewritten")
+  }
+
+  test("upsertPartitioned: older version loses against the stored row") {
+    val path = tmp()
+    Sink.upsertPartitioned(spark, path, table((1, "2024-01-01", 10.0, 5)),
+      Seq("id"), "version", "id", "day")
+    Sink.upsertPartitioned(spark, path, table((1, "2024-01-01", 0.0, 1)),
+      Seq("id"), "version", "id", "day")
+    assert(spark.read.parquet(path).select("value").as[Double].collect() === Array(10.0))
+  }
+}
