@@ -125,6 +125,11 @@ object SparkEntry {
       Quality.presenceCounts(Tables.events(s, d), Seq("event_type", "props"))),
     "value_validation" -> ((s, d) =>
       Quality.valueValidation(Tables.events(s, d), "value")),
+    "salted_agg" -> ((s, d) =>
+      // Same stats as a direct groupBy (the oracle is the direct form) but
+      // computed via the two-phase salted plan — the skew-safe variant for
+      // hot keys (a few event types dominate ACLED-shaped feeds).
+      Skew.saltedStats(Tables.events(s, d), col("event_type"), "event_type", "value")),
 
     // ---- §D LLM-data pipeline ----------------------------------------
     "exact_dedup" -> ((s, d) =>
@@ -417,6 +422,10 @@ object SparkEntry {
          min(value) AS min_value, max(value) AS max_value,
          avg(value) AS avg_value, sum(value) AS total_value
          FROM events""",
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS event_count, sum(value) AS total_value,
+         avg(value) AS avg_value, min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY event_type""",
     "exact_dedup" ->
       """SELECT doc_id, lang, source, n_chars FROM (
            SELECT doc_id, lang, source, n_chars,

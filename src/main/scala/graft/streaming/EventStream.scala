@@ -104,4 +104,26 @@ object EventStream {
     * smoke). Caller stops the query. */
   def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+
+  /** The reference's full sensor loop as one streaming query: poll the
+    * landing directory for new files (sensors.py's cursor is the file
+    * source's checkpoint), and merge each micro-batch into the lake table
+    * by key — `ON CONFLICT DO UPDATE` per batch via foreachBatch +
+    * [[graft.sources.Sink.upsertPartitioned]]. Later batches win
+    * (batchId is the version); re-delivered keys within a batch resolve by
+    * newest `ts`. Exactly-once to the table comes from the idempotence of
+    * the merge + the checkpointed source offsets. */
+  def upsertStream(spark: SparkSession, landingDir: String, tablePath: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    fromDirectory(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.upsertPartitioned(
+          batch.sparkSession, tablePath,
+          batch.withColumn("day", to_date(col("ts")))
+            .withColumn("__version", lit(batchId)),
+          keys = Seq("event_id"), orderCol = "__version", tieBreak = "ts",
+          partitionCol = "day")
+      }
+      .start()
 }

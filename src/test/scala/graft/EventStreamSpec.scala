@@ -98,6 +98,32 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertStream: file-source micro-batches merge into the lake table by key") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    val (landing, table, ckpt) = (s"$root/landing", s"$root/table", s"$root/ckpt")
+    new java.io.File(landing).mkdirs()
+    // the landing area holds flat parquet objects (S3-style), so each wave
+    // is staged as a directory write and its part file moved in
+    def land(rows: Seq[Ev], name: String): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF().coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+    // wave 1 lands before the stream starts: two events
+    land(Seq(ev(1, "2024-01-01 10:00:00", v = 1.0), ev(2, "2024-01-02 10:00:00", v = 2.0)), "w1.parquet")
+    val q = EventStream.upsertStream(spark, landing, table, ckpt)
+    try {
+      q.processAllAvailable()
+      // wave 2: event 2 re-delivered with a newer ts + new value, event 3 new
+      land(Seq(ev(2, "2024-01-02 11:00:00", v = 22.0), ev(3, "2024-01-03 10:00:00", v = 3.0)), "w2.parquet")
+      q.processAllAvailable()
+      val state = spark.read.parquet(table).select("event_id", "value")
+        .as[(Long, Double)].collect().sortBy(_._1)
+      assert(state === Array((1L, 1.0), (2L, 22.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("windowedCounts batch plan matches a hand-rolled aggregate") {
     val batch = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:59:59", v = 4.0),
