@@ -222,7 +222,15 @@ object SparkEntry {
       FatalityModel.riskCrosstab(pred, "value", "predicted_value")
     }),
 
-    // ---- §F sinks (write-side roundtrips; verified against the source) --
+    // ---- §F sources & sinks --------------------------------------------
+    "paged_ingest" -> ((s, _) =>
+      // Paged-fetch ingestion as a DSv2 source: one input partition per
+      // page (the reference's concurrent offset/limit HTTP pages,
+      // base_assets.py), aggregated straight off the parallel read.
+      s.read.format("graft.sources.paged.PagedSource")
+        .option("pages", 16).option("pageSize", 2000).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))),
     "partitioned_sink" -> ((s, d) => {
       // Daily-partitioned lake write (base_assets.py:150 S3 daily objects):
       // write events partitioned by day, read the table back, and aggregate
