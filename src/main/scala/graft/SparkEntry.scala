@@ -131,6 +131,20 @@ object SparkEntry {
       // hot keys (a few event types dominate ACLED-shaped feeds).
       Skew.saltedStats(Tables.events(s, d), col("event_type"), "event_type", "value")),
 
+    "asof_join" -> ((s, d) => {
+      // Point-in-time lookup: each click joined to the user's most recent
+      // purchase at or before it. Purchases are pre-aggregated per
+      // (user, ts) so the as-of payload is unique; single shuffle on
+      // user_id, no range cross-join.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("asof_purchase_value"))
+    }),
+
     // ---- §D LLM-data pipeline ----------------------------------------
     "exact_dedup" -> ((s, d) =>
       Dedup.exactByHash(Tables.documents(s, d), "text", "doc_id")
@@ -430,6 +444,18 @@ object SparkEntry {
          min(value) AS min_value, max(value) AS max_value,
          avg(value) AS avg_value, sum(value) AS total_value
          FROM events""",
+    "asof_join" ->
+      // the CASTs drop the parquet nanos to Spark's microsecond timestamp
+      // domain so both engines compare the same instants
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purch AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS pv
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, r.pv AS asof_purchase_value
+         FROM clicks c ASOF LEFT JOIN purch r
+           ON c.user_id = r.user_id AND c.ts >= r.ts""",
     "salted_agg" ->
       """SELECT event_type, count(*) AS event_count, sum(value) AS total_value,
          avg(value) AS avg_value, min(value) AS min_value, max(value) AS max_value

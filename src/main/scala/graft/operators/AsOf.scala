@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the payload of the
+  * latest right row with `rightTime <= leftTime` on the same key — the
+  * "state of the world when the event happened" lookup (e.g. each event
+  * joined to the most recent prior risk score, price, or model version).
+  *
+  * Spark has no native as-of join; the naive encodings are a range
+  * cross-join (|left|×|right| per key — dead at scale) or a per-key
+  * collect. This one is a single hash shuffle on the key: both sides are
+  * tagged and unioned, one window pass ordered by (time, side) propagates
+  * the last-seen right payload onto every left row via
+  * `last(ignoreNulls)` — O(n log n) per key for the sort, no pair blowup.
+  */
+object AsOf {
+
+  /** Left as-of join. `payload` names the right-side columns to attach
+    * (prefixed `asof_`); every left column is preserved. Right rows tie
+    * with left rows at equal time as "at or before" (right wins). If the
+    * right side can hold several rows per (key, time), pre-aggregate it —
+    * otherwise which payload lands is order-dependent. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(keys.forall(lCols.contains), s"keys $keys must exist on the left side")
+    val nullOf: (DataFrame, String) => Column =
+      (df, c) => lit(null).cast(df.schema(c).dataType)
+    // side 0 = right, side 1 = left: at equal timestamps the right row sorts
+    // first, so its payload is visible to the left row (<= semantics)
+    val l = left.select(
+      (col(leftTime).as("__t") +: lit(1).as("__side") +: lCols.map(col)) ++
+        payload.map(c => nullOf(right, c).as(s"asof_$c")): _*)
+    val r = right.select(
+      (col(rightTime).as("__t") +: lit(0).as("__side") +:
+        lCols.map(c => if (keys.contains(c)) col(c) else nullOf(left, c).as(c))) ++
+        payload.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(
+        (lCols.map(col) :+ col("__side")) ++
+          payload.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}
