@@ -131,6 +131,31 @@ object SparkEntry {
       // hot keys (a few event types dominate ACLED-shaped feeds).
       Skew.saltedStats(Tables.events(s, d), col("event_type"), "event_type", "value")),
 
+    "range_join" -> ((s, d) => {
+      // Interval enrichment as a grid equi-join (RangeJoin): events.value
+      // against 20 overlapping value bands. The oracle runs the plain
+      // BETWEEN theta-join — results must agree exactly.
+      val bands = s.range(0, 20).select(
+        col("id").as("band_id"),
+        (col("id") * 2.5).as("lo"),
+        (col("id") * 2.5 + 5.0).as("hi"))
+      RangeJoin.rangeJoin(Tables.events(s, d).select("event_id", "value"),
+          "value", bands, "lo", "hi", grid = 2.5)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("band_value"))
+    }),
+    "sketch_profile" -> ((s, d) =>
+      // HLL distinct + approximate percentiles per event type — the
+      // constant-memory substitutes for nunique()/describe() at 100 TB.
+      Sketch.approxProfile(Tables.events(s, d), col("event_type"), "event_type",
+        "user_id", "value")),
+    "stratified_sample" -> ((s, d) =>
+      // Reproducible hash-keyed class rebalancing: downsample dominant
+      // types, keep rare ones whole. Deterministic (xxhash64 on the key),
+      // so the counts are stable run to run.
+      Sample.stratifiedHashSample(Tables.events(s, d), col("event_type"),
+          col("event_id"), Map("click" -> 0.1, "view" -> 0.5, "purchase" -> 1.0, "signup" -> 1.0))
+        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))),
     "asof_join" -> ((s, d) => {
       // Point-in-time lookup: each click joined to the user's most recent
       // purchase at or before it. Purchases are pre-aggregated per
@@ -444,6 +469,13 @@ object SparkEntry {
          min(value) AS min_value, max(value) AS max_value,
          avg(value) AS avg_value, sum(value) AS total_value
          FROM events""",
+    "range_join" ->
+      """SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS band_value
+         FROM events
+         JOIN (SELECT i AS band_id, i * 2.5 AS lo, i * 2.5 + 5.0 AS hi
+               FROM range(0, 20) t(i)) bands
+           ON value BETWEEN lo AND hi
+         GROUP BY band_id""",
     "asof_join" ->
       // the CASTs drop the parquet nanos to Spark's microsecond timestamp
       // domain so both engines compare the same instants

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling for training-data pipelines: carving held-out sets, per-class
+  * rebalancing, and cheap profiling reads out of a 100 TB corpus.
+  *
+  * The workhorse is the HASH sample, not `df.sample`: hashing a stable key
+  * is reproducible run-to-run and engine-to-engine, composable (the same
+  * predicate selects the same documents in every derived table, so
+  * samples of different tables stay join-consistent), and a pure
+  * filter — it pushes into the scan and costs no shuffle. `df.sample`'s
+  * per-partition RNG changes membership whenever partitioning changes.
+  */
+object Sample {
+
+  /** Deterministic keyed sample: keeps a row iff
+    * `xxhash64(key) mod 10000 < fraction * 10000`. Same key ⇒ same
+    * decision, everywhere, forever. */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(pmod(xxhash64(keyCol), lit(10000L)) < lit((fraction * 10000).toLong))
+  }
+
+  /** Stratified sample: an independent hash sample per stratum, with
+    * per-stratum fractions (class rebalancing: downsample the dominant
+    * event types, keep the rare ones whole). Strata missing from `fractions`
+    * are dropped. The salt decorrelates membership across different
+    * stratified samples of the same keys. */
+  def stratifiedHashSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+                           fractions: Map[String, Double],
+                           salt: Long = 0L): DataFrame = {
+    val frac = fractions.foldLeft(lit(-1.0)) { case (acc, (stratum, f)) =>
+      when(stratumCol === stratum, lit(f)).otherwise(acc)
+    }
+    df.withColumn("__frac", frac)
+      .filter(col("__frac") >= 0 &&
+        pmod(xxhash64(keyCol, lit(salt)), lit(10000L)) < col("__frac") * 10000)
+      .drop("__frac")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sample, Sketch}
+
+class SketchSampleSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1 to 20000).map { i =>
+    (i.toLong, if (i % 10 < 7) "common" else "rare", (i % 400).toLong, (i % 97).toDouble)
+  }.toDF("id", "cls", "uid", "v").cache()
+
+  test("approxProfile: HLL distinct within rsd, percentiles near exact") {
+    val got = Sketch.approxProfile(rows, col("cls"), "cls", "uid", "v")
+      .as[(String, Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("common")._2 === 14000L)
+    // uid ≡ id (mod 400) and 400 ≡ 0 (mod 10), so the class (id%10) pins the
+    // uid's last digit: "common" sees 280 distinct uids, "rare" 120.
+    // 2% rsd HLL must land within ~5% of those.
+    assert(math.abs(got("common")._3 - 280L) <= 14, s"hll=${got("common")._3}")
+    assert(math.abs(got("rare")._3 - 120L) <= 6, s"hll=${got("rare")._3}")
+    // v is uniform over 0..96 → p50 ≈ 48, p95 ≈ 91|92, p99 ≈ 95|96
+    assert(math.abs(got("common")._4 - 48.0) <= 2)
+    assert(math.abs(got("common")._5 - 91.0) <= 2)
+    assert(math.abs(got("common")._6 - 95.0) <= 2)
+  }
+
+  test("hashSample: deterministic, near-fraction, pure pushdown filter") {
+    val s1 = Sample.hashSample(rows, col("id"), 0.2).select("id").as[Long].collect().sorted
+    val s2 = Sample.hashSample(rows, col("id"), 0.2).select("id").as[Long].collect().sorted
+    assert(s1 === s2, "hash sample must be reproducible")
+    assert(math.abs(s1.length - 4000) < 300, s"got ${s1.length}, want ~4000")
+    // membership is per-key: a 10% sample is a subset of a 20% sample
+    val s3 = Sample.hashSample(rows, col("id"), 0.1).select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1.toSet), "smaller fraction must nest inside larger")
+  }
+
+  test("stratifiedHashSample: per-stratum fractions, unlisted strata dropped") {
+    val df = rows.withColumn("cls2", when(col("id") % 3 === 0, "drop_me").otherwise(col("cls")))
+    val got = Sample.stratifiedHashSample(df, col("cls2"), col("id"),
+      Map("common" -> 0.1, "rare" -> 1.0))
+    val byCls = got.groupBy("cls2").count().as[(String, Long)].collect().toMap
+    assert(!byCls.contains("drop_me"))
+    val commonTotal = df.filter(col("cls2") === "common").count()
+    val rareTotal = df.filter(col("cls2") === "rare").count()
+    assert(byCls("rare") === rareTotal, "fraction 1.0 keeps the stratum whole")
+    assert(math.abs(byCls("common") - commonTotal * 0.1) < commonTotal * 0.03)
+  }
+}
