@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+import graft.functions.TextHash
+
+/** SQL surface for the engine: registers graft's native expressions as SQL
+  * functions so `spark.sql("SELECT simhash64(text) …")` works — via
+  * `spark.sql.extensions=graft.GraftExtensions` (cluster config), a
+  * builder's `.withExtensions(new GraftExtensions)`, or imperatively with
+  * [[GraftExtensions.register]] on a live session. The reference exposes
+  * its data through SQL (Postgres); this is the Spark-native equivalent of
+  * that contract, with [[GraftExtensions.registerTables]] publishing the
+  * lake tables as views.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(TextHash.getClass.getCanonicalName, name, usage),
+      builder)
+
+  /** The function descriptions injected by the extension (also usable with
+    * `sessionState.functionRegistry` directly — see [[register]]). */
+  val functions = Seq(
+    fn("simhash64", "simhash64(text) — 64-bit SimHash of whitespace tokens") {
+      args => StaticInvoke(TextHash.getClass, LongType, "simhash64",
+        args, Seq(StringType), propagateNull = true, returnNullable = false)
+    },
+    fn("shingle_hashes", "shingle_hashes(text, width) — distinct hashed word shingles") {
+      args => StaticInvoke(TextHash.getClass,
+        ArrayType(LongType, containsNull = false), "shingleHashes",
+        args, Seq(StringType, IntegerType), propagateNull = true, returnNullable = false)
+    },
+    fn("minhash_sig", "minhash_sig(hashes, k, seed) — k-permutation MinHash signature") {
+      args => StaticInvoke(TextHash.getClass,
+        ArrayType(LongType, containsNull = false), "minhashSig",
+        args, Seq(ArrayType(LongType), IntegerType, LongType),
+        propagateNull = true, returnNullable = false)
+    })
+
+  /** Imperative registration on an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+  /** Publish every testdata table as a temp view so plain `spark.sql`
+    * queries run against the lake — the engine's SQL front door. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => graft.sources.Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+}

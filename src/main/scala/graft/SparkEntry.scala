@@ -131,6 +131,12 @@ object SparkEntry {
       // hot keys (a few event types dominate ACLED-shaped feeds).
       Skew.saltedStats(Tables.events(s, d), col("event_type"), "event_type", "value")),
 
+    "sql_api" -> ((s, d) => {
+      // The SQL front door: tables published as views, the query is the
+      // SAME text the DuckDB oracle runs — busiest 3 days per event type.
+      GraftExtensions.registerTables(s, d)
+      s.sql(SqlApiQuery)
+    }),
     "range_join" -> ((s, d) => {
       // Interval enrichment as a grid equi-join (RangeJoin): events.value
       // against 20 overlapping value bands. The oracle runs the plain
@@ -312,6 +318,17 @@ object SparkEntry {
   private def sinkPath(d: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_sink_${tag}_${math.abs(d.hashCode)}"
 
+  /** One SQL text, two engines (Spark via registerTables, DuckDB oracle). */
+  private val SqlApiQuery =
+    """WITH g AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, day, cnt FROM (
+         SELECT event_type, day, cnt,
+           rank() OVER (PARTITION BY event_type ORDER BY cnt DESC, day ASC) AS rnk
+         FROM g) t
+       WHERE rnk <= 3"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -469,6 +486,7 @@ object SparkEntry {
          min(value) AS min_value, max(value) AS max_value,
          avg(value) AS avg_value, sum(value) AS total_value
          FROM events""",
+    "sql_api" -> SqlApiQuery,
     "range_join" ->
       """SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS band_value
          FROM events

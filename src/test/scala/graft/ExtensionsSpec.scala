@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+class ExtensionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions agree with the Column API bit for bit") {
+    GraftExtensions.register(spark)
+    val docs = Seq("the quick brown fox", "a b", "").toDF("text")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT simhash64(text) AS sh, shingle_hashes(text, 2) AS shh,
+         minhash_sig(shingle_hashes(text, 2), 8, 42L) AS sig
+         FROM ext_docs""").collect()
+    val viaCol = docs.select(
+      TextHash.simhash64Col(col("text")).as("sh"),
+      TextHash.shingleHashesCol(col("text"), 2).as("shh"),
+      TextHash.minhashSigCol(TextHash.shingleHashesCol(col("text"), 2), 8).as("sig"))
+      .collect()
+    assert(viaSql.map(_.toString) === viaCol.map(_.toString))
+  }
+
+  test("withExtensions wires the functions into a fresh session") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").withExtensions(new GraftExtensions).getOrCreate()
+    // same context, new session: the extension-registered function resolves
+    assert(s2.sql("SELECT simhash64('x y z') AS h").collect().head.getLong(0)
+      === TextHash.simhash64(org.apache.spark.unsafe.types.UTF8String.fromString("x y z")))
+  }
+
+  test("registerTables publishes the lake as SQL views") {
+    GraftExtensions.registerTables(spark, "/root/testdata/sf0.001")
+    assert(spark.sql("SELECT count(*) AS c FROM events").as[Long].head() > 0)
+    assert(spark.sql("SELECT count(*) AS c FROM lineitem").as[Long].head() > 0)
+  }
+}
