@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,18 +64,51 @@ private[paged] class PagedTable(pages: Int, pageSize: Int, seed: Long)
 }
 
 private[paged] class PagedScanBuilder(pages: Int, pageSize: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PagedSource.schema
+  private var pageFilters: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new PagedScan(pages, pageSize, seed, required)
+
+  /** Page pruning: filters on the `page` column skip whole input
+    * partitions — i.e. whole HTTP pages are never fetched. This is the
+    * incremental-load path: `.filter(col("page") >= lastCursor)` re-reads
+    * only the tail pages, the way the reference's sensor cursor does.
+    * Accepted filters are still re-evaluated by Spark (returned as
+    * residuals) — pruning is an optimization, never a correctness bet. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pageFilters = filters.filter(PagedScan.pagePredicate(_).isDefined)
+    filters // all residual: Spark re-checks row-level
+  }
+  override def pushedFilters(): Array[sources.Filter] = pageFilters
+  override def build(): Scan = new PagedScan(pages, pageSize, seed, required, pageFilters)
+}
+
+private[paged] object PagedScan {
+  /** Compile a pushed filter on `page` to a per-page predicate. */
+  def pagePredicate(f: sources.Filter): Option[Int => Boolean] = f match {
+    case sources.EqualTo("page", v: Int)            => Some(_ == v)
+    case sources.GreaterThan("page", v: Int)        => Some(_ > v)
+    case sources.GreaterThanOrEqual("page", v: Int) => Some(_ >= v)
+    case sources.LessThan("page", v: Int)           => Some(_ < v)
+    case sources.LessThanOrEqual("page", v: Int)    => Some(_ <= v)
+    case sources.In("page", vs) if vs.forall(_.isInstanceOf[Int]) =>
+      Some(p => vs.contains(p))
+    case _ => None
+  }
 }
 
 private[paged] class PagedScan(pages: Int, pageSize: Int, seed: Long,
-                               required: StructType) extends Scan with Batch {
+                               required: StructType,
+                               pageFilters: Array[sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(p => PagePartition(p, pageSize, seed): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val preds = pageFilters.flatMap(PagedScan.pagePredicate)
+    (0 until pages)
+      .filter(p => preds.forall(_(p)))
+      .map(p => PagePartition(p, pageSize, seed): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required.fieldNames)
 }

@@ -35,6 +35,16 @@ class PagedSourceSpec extends AnyFunSuite with SparkSpec {
       s"pruned scan should not mention unused columns:\n$plan")
   }
 
+  test("page filters prune input partitions (whole pages never fetched)") {
+    val df = read(pages = 8, pageSize = 10)
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("page") === 3).rdd.getNumPartitions === 1)
+    assert(df.filter(col("page") >= 5).rdd.getNumPartitions === 3)
+    assert(df.filter(col("page") >= 5).count() === 30)
+    // row-level residual still applies on non-page columns
+    assert(df.filter(col("page") >= 5 && col("event_id") % 2 === 0).count() === 15)
+  }
+
   test("schema types round-trip (timestamp is a real TimestampType)") {
     val row = read(pages = 1, pageSize = 1).select("ts").collect().head
     assert(row.get(0).isInstanceOf[java.sql.Timestamp])
