@@ -18,8 +18,11 @@ import graft.functions.TextHash
   * lake tables as views.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // BETWEEN theta-join → grid equi-join, gated on spark.graft.range.grid
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {

@@ -26,9 +26,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("withExtensions wires the functions into a fresh session") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
+    // getOrCreate() would return the shared session (and skip the
+    // extensions), so the default session is cleared around creation
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
       .master("local[2]").withExtensions(new GraftExtensions).getOrCreate()
-    // same context, new session: the extension-registered function resolves
+    finally {
+      SparkSession.setDefaultSession(SparkSpec.session)
+      SparkSession.setActiveSession(SparkSpec.session)
+    }
+    assert(s2 ne spark, "expected a fresh session, got the shared one")
     assert(s2.sql("SELECT simhash64('x y z') AS h").collect().head.getLong(0)
       === TextHash.simhash64(org.apache.spark.unsafe.types.UTF8String.fromString("x y z")))
   }
