@@ -138,8 +138,15 @@ object FatalityModel {
     // Deterministic hash split (not randomSplit: stable across runs/partitionings).
     val tagged = feats.withColumn("__fold", pmod(xxhash64(col("event_id")), lit(5L)))
     val prep = featPipeline.fit(tagged)
-    val train = prep.transform(tagged.filter(col("__fold") =!= 0)).cache()
-    val test = prep.transform(tagged.filter(col("__fold") === 0))
+    // GBT schedules ~maxIter sequential rounds of jobs over the cached fold;
+    // right-size partitions to the fold (a local-bench fold spread over all
+    // cores pays per-task overhead × rounds — at cluster scale keep
+    // partitions at the usual ~128 MB and this coalesce is a no-op choice).
+    val trainParts = math.max(2, math.min(8,
+      events.sparkSession.sparkContext.defaultParallelism / 4))
+    val train = prep.transform(tagged.filter(col("__fold") =!= 0))
+      .coalesce(trainParts).cache()
+    val test = prep.transform(tagged.filter(col("__fold") === 0)).coalesce(trainParts)
 
     val gbt = new GBTRegressor()
       .setLabelCol("value").setFeaturesCol("features").setSeed(seed)
@@ -160,10 +167,14 @@ object FatalityModel {
       .setEstimator(gbt).setEvaluator(evalRmse)
       .setEstimatorParamMaps(grid).setTrainRatio(0.8).setSeed(seed)
       .setParallelism(4) // grid points train concurrently on the sample
+    val t0 = System.nanoTime()
     val best = tvs.fit(sweepSample).bestModel.asInstanceOf[GBTRegressionModel]
     val (bestDepth, bestIter) = (best.getMaxDepth, best.getMaxIter)
-
+    val t1 = System.nanoTime()
     val model = gbt.setMaxDepth(bestDepth).setMaxIter(bestIter).fit(train)
+    val t2 = System.nanoTime()
+    if (sys.env.contains("GRAFT_ML_TIMING"))
+      println(f"[ml-timing] sweep ${(t1 - t0) / 1e9}%.2f s  final-fit ${(t2 - t1) / 1e9}%.2f s")
     train.unpersist()
     // cached: the three evaluator passes + metrics agg + downstream
     // perf/crosstab queries all reread the predictions
