@@ -125,6 +125,21 @@ object SparkEntry {
       Quality.presenceCounts(Tables.events(s, d), Seq("event_type", "props"))),
     "value_validation" -> ((s, d) =>
       Quality.valueValidation(Tables.events(s, d), "value")),
+    "schema_validation" -> ((s, d) =>
+      // Contract check against the expected events schema (plus one
+      // deliberately absent column). Pure schema inspection; the oracle is
+      // the golden VALUES table — the gate pins the contract itself.
+      Quality.schemaValidation(Tables.events(s, d), Seq(
+        "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double", "props" -> "string",
+        "not_a_column" -> "string"))),
+    "quarantine_stats" -> ((s, d) =>
+      // Validation-gate rollup: per-rule violation counters in one pass
+      // (the reference's blocking/non-blocking check split, base_checks.py).
+      Quality.quarantineStats(Tables.events(s, d), Seq(
+        "neg_value" -> (col("value") >= 0),
+        "extreme_value" -> (col("value") <= 50),
+        "bad_type" -> col("event_type").isin("click", "view", "purchase", "signup")))),
     "salted_agg" -> ((s, d) =>
       // Same stats as a direct groupBy (the oracle is the direct form) but
       // computed via the two-phase salted plan — the skew-safe variant for
@@ -487,6 +502,27 @@ object SparkEntry {
          avg(value) AS avg_value, sum(value) AS total_value
          FROM events""",
     "sql_api" -> SqlApiQuery,
+    "schema_validation" ->
+      """SELECT * FROM (VALUES
+           ('event_id',   'bigint',    'bigint',    'ok'),
+           ('ts',         'timestamp', 'timestamp', 'ok'),
+           ('user_id',    'bigint',    'bigint',    'ok'),
+           ('event_type', 'string',    'string',    'ok'),
+           ('value',      'double',    'double',    'ok'),
+           ('props',      'string',    'string',    'ok'),
+           ('not_a_column', 'string',  '',          'missing'))
+         t(column_name, expected_type, actual_type, status)""",
+    "quarantine_stats" ->
+      """SELECT count(*) AS total_records,
+         count(CASE WHEN coalesce(value >= 0, FALSE)
+                     AND coalesce(value <= 50, FALSE)
+                     AND coalesce(event_type IN ('click','view','purchase','signup'), FALSE)
+                    THEN 1 END) AS valid_records,
+         count(CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 1 END) AS neg_value_cnt,
+         count(CASE WHEN NOT coalesce(value <= 50, FALSE) THEN 1 END) AS extreme_value_cnt,
+         count(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup'), FALSE)
+                    THEN 1 END) AS bad_type_cnt
+         FROM events""",
     "range_join" ->
       """SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS band_value
          FROM events

@@ -107,4 +107,54 @@ object Quality {
       avg(v).as("avg_value"),
       sum(v).as("total_value"))
   }
+
+  /** Required-columns/type contract check (base_checks.py
+    * required-columns gate): one row per required column with its presence
+    * and type status. Pure schema inspection — no scan at all. */
+  def schemaValidation(df: DataFrame, required: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    required.map { case (name, expected) =>
+      val at = actual.get(name)
+      val status = at match {
+        case None                  => "missing"
+        case Some(t) if t == expected => "ok"
+        case Some(_)               => "type_mismatch"
+      }
+      (name, expected, at.getOrElse(""), status)
+    }.toDF("column_name", "expected_type", "actual_type", "status")
+  }
+
+  /** Row-level validation gate: tag each row with the names of the rules it
+    * violates (`rules` maps rule name → OK-predicate; a NULL predicate
+    * counts as a violation). Valid rows carry an empty array — split with
+    * [[validRows]]/[[invalidRows]] for the load/quarantine fork the
+    * reference's checks imply (blocking checks stop the load;
+    * non-blocking ones route rows aside). Single pass, pure projection. */
+  def quarantine(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    df.withColumn("violations",
+      array_compact(array(rules.map { case (name, ok) =>
+        when(!coalesce(ok, lit(false)), lit(name))
+      }: _*)))
+
+  def validRows(tagged: DataFrame): DataFrame =
+    tagged.filter(size(col("violations")) === 0).drop("violations")
+
+  def invalidRows(tagged: DataFrame): DataFrame =
+    tagged.filter(size(col("violations")) > 0)
+
+  /** One-row rollup of a quarantine ruleset: total, valid, and per-rule
+    * violation counts — the check-result summary the reference's asset
+    * checks publish. One conditional-counter scan. */
+  def quarantineStats(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val tagged = quarantine(df, rules)
+    val aggs = Seq(
+      count(lit(1)).as("total_records"),
+      count(when(size(col("violations")) === 0, lit(1))).as("valid_records")) ++
+      rules.map { case (name, _) =>
+        count(when(array_contains(col("violations"), name), lit(1))).as(s"${name}_cnt")
+      }
+    tagged.agg(aggs.head, aggs.tail: _*)
+  }
 }

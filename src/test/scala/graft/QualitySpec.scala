@@ -65,4 +65,34 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("min_value") === -1.0)
     assert(r.getAs[Double]("max_value") === 2000.0)
   }
+
+  test("schemaValidation: ok / type_mismatch / missing from pure schema") {
+    val got = Quality.schemaValidation(docs,
+      Seq("id" -> "bigint", "text" -> "string", "lang" -> "int", "ghost" -> "double"))
+      .as[(String, String, String, String)].collect()
+    assert(got === Array(
+      ("id", "bigint", "bigint", "ok"),
+      ("text", "string", "string", "ok"),
+      ("lang", "int", "string", "type_mismatch"),
+      ("ghost", "double", "", "missing")))
+  }
+
+  test("quarantine: rule tags, valid/invalid split, stats rollup") {
+    import org.apache.spark.sql.functions._
+    val rules = Seq(
+      "no_text" -> (col("text").isNotNull && col("text") =!= ""),
+      "no_lang" -> (col("lang").isNotNull && col("lang") =!= ""))
+    val tagged = Quality.quarantine(docs, rules)
+    val byId = tagged.select("id", "violations").as[(Long, Seq[String])].collect().toMap
+    assert(byId(1L) === Seq())
+    assert(byId(2L) === Seq("no_text"))
+    assert(byId(3L) === Seq("no_text", "no_lang"))
+    assert(byId(4L) === Seq("no_lang"))
+    assert(Quality.validRows(tagged).columns.toSeq === docs.columns.toSeq)
+    assert(Quality.validRows(tagged).count() === 1)
+    assert(Quality.invalidRows(tagged).count() === 3)
+    val stats = Quality.quarantineStats(docs, rules)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(stats === ((4L, 1L, 2L, 2L)))
+  }
 }
