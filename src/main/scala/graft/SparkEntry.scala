@@ -242,6 +242,19 @@ object SparkEntry {
       TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "fingerprint" -> ((s, d) =>
       TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "text_normalize" -> ((s, d) =>
+      // Normalization before hashing/shingling: cosmetic variants (case,
+      // CRLF, tab runs) collapse to one canonical form. Gate compares the
+      // md5 of the canonical text against DuckDB running the same chain.
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(TextOps.normalizeText(col("text"))).as("norm_hash"),
+        length(TextOps.normalizeText(col("text"))).cast("long").as("norm_chars"))),
+    "doc_filter_stats" -> ((s, d) =>
+      // C4/Gopher-style corpus filters as a quarantine ruleset over the
+      // documents table: per-rule violation counters in one pass.
+      Quality.quarantineStats(Tables.documents(s, d),
+        TextOps.corpusFilterRules(col("text")))),
     "multimodal_meta" -> ((s, d) => {
       val mm = Multimodal.asMultimodal(Tables.documents(s, d), "doc_id", "text")
       // Gate output is scalars only (the driver's pandas compare can't hash
@@ -567,6 +580,36 @@ object SparkEntry {
            len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS word_tokens,
            length(text) AS n_chars_calc
          FROM documents""",
+    "text_normalize" ->
+      """SELECT doc_id,
+           md5(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+                                         '[\x00-\x1f]', '', 'g')))) AS norm_hash,
+           length(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+                                            '[\x00-\x1f]', '', 'g')))) AS norm_chars
+         FROM documents""",
+    "doc_filter_stats" ->
+      """WITH t AS (
+           SELECT text,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+               / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS mean_wl
+           FROM documents)
+         SELECT count(*) AS total_records,
+           count(CASE WHEN coalesce(n_chars >= 100, FALSE)
+                       AND coalesce(n_digits * 1.0 / greatest(n_chars, 1) <= 0.2, FALSE)
+                       AND coalesce(regexp_matches(text, '[.!?]\s*$'), FALSE)
+                       AND coalesce(mean_wl >= 3 AND mean_wl <= 12, FALSE)
+                      THEN 1 END) AS valid_records,
+           count(CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 1 END) AS too_short_cnt,
+           count(CASE WHEN NOT coalesce(n_digits * 1.0 / greatest(n_chars, 1) <= 0.2, FALSE)
+                      THEN 1 END) AS digit_heavy_cnt,
+           count(CASE WHEN NOT coalesce(regexp_matches(text, '[.!?]\s*$'), FALSE)
+                      THEN 1 END) AS no_terminal_punct_cnt,
+           count(CASE WHEN NOT coalesce(mean_wl >= 3 AND mean_wl <= 12, FALSE)
+                      THEN 1 END) AS word_len_outlier_cnt
+         FROM t""",
     "target_encode" ->
       """WITH g AS (SELECT avg(value) AS gm FROM events),
             s AS (SELECT event_type, count(*) AS n, avg(value) AS m

@@ -76,6 +76,35 @@ object TextOps {
       round(greatest(scores: _*).getField("score"), 4).as("lang_score"))
   }
 
+  /** Normalization for dedup/training prep: strip control characters,
+    * collapse whitespace runs to single spaces, trim, lowercase. Applied
+    * before hashing/shingling so cosmetic variants (CRLF, tabs, case)
+    * dedup together. Pure codegen'd projection. (Unicode NFC would need a
+    * custom expression over java.text.Normalizer — out of scope here and
+    * noted as the production extension.) */
+  def normalizeText(text: Column): Column =
+    // collapse whitespace BEFORE stripping controls: tab/CR/LF are word
+    // separators and must become spaces, not vanish and merge words
+    lower(trim(regexp_replace(regexp_replace(text, "\\s+", " "), "[\\x00-\\x1f]", "")))
+
+  /** Corpus-filter rules in the C4/Gopher family, as a quarantine ruleset
+    * (pair with [[Quality.quarantine]]/[[Quality.quarantineStats]]):
+    * minimum length, digit-heaviness, terminal punctuation, mean word
+    * length inside human-language bounds. All portable SQL predicates. */
+  def corpusFilterRules(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nWords = size(tokens(text))
+    val digits = length(regexp_replace(text, "[^0-9]", ""))
+    Seq(
+      "too_short" -> (nChars >= 100),
+      "digit_heavy" -> (digits * lit(1.0) / greatest(nChars, lit(1)) <= 0.2),
+      "no_terminal_punct" -> text.rlike("[.!?]\\s*$"),
+      "word_len_outlier" -> {
+        val mean = length(regexp_replace(text, "\\s+", "")) * lit(1.0) / greatest(nWords, lit(1))
+        mean >= 3 && mean <= 12
+      })
+  }
+
   /** 31-bit domain keeps the rolling-hash multiply overflow-safe (ANSI). */
   private val P31 = 2147483647L
 

@@ -65,4 +65,31 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0)._3 === got(1)._3, "reordering must keep content minhash")
     assert(got.forall(_._4 === 3))
   }
+
+  test("normalizeText: control chars stripped, whitespace collapsed, lowercased") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("  Hello\tWorld\r\n x\u0001y  ", "ONE  two", "")
+      .toDF("t").select(TextOps.normalizeText(col("t")).as("n"))
+      .as[String].collect()
+    assert(got === Array("hello world xy", "one two", ""))
+  }
+
+  test("corpusFilterRules: each rule fires on its designed pathology") {
+    import org.apache.spark.sql.functions.col
+    val ok = ("the quick brown fox jumps over the lazy dog and keeps going " * 3) + "done."
+    val rows = Seq(
+      (1L, ok),                                 // passes all rules
+      (2L, "short."),                           // too_short
+      (3L, ("12345 67890 11 " * 12) + "yes."),  // digit_heavy
+      (4L, "a" * 120),                          // no terminal punct + word_len_outlier
+      (5L, ("abcd " * 60) + "no punct")         // no_terminal_punct
+    ).toDF("doc_id", "text")
+    val tagged = graft.operators.Quality.quarantine(rows, TextOps.corpusFilterRules(col("text")))
+    val byId = tagged.select("doc_id", "violations").as[(Long, Seq[String])].collect().toMap
+    assert(byId(1L) === Seq())
+    assert(byId(2L).contains("too_short"))
+    assert(byId(3L).contains("digit_heavy"))
+    assert(byId(4L) === Seq("no_terminal_punct", "word_len_outlier"))
+    assert(byId(5L) === Seq("no_terminal_punct"))
+  }
 }
