@@ -242,6 +242,23 @@ object SparkEntry {
       TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "fingerprint" -> ((s, d) =>
       TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "novelty_check" -> ((s, d) => {
+      // Incremental-crawl gate: which of the "new" docs (second half of the
+      // corpus) are genuinely novel against the existing corpus (first
+      // half)? Anti-join on content hash, self-dups collapsed first.
+      val docs = Tables.documents(s, d)
+      Dedup.novelDocs(docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text", "doc_id")
+        .select("doc_id", "lang", "source")
+    }),
+    "seq_packing" -> ((s, d) => {
+      // Token-budget sequence packing over the corpus' whitespace token
+      // counts: per-sequence fill statistics (greedy shard-local packing).
+      val toks = TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      Packing.packSequences(toks, "doc_id", "ws_tokens", budget = 1024, shards = 8)
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+    }),
     "text_normalize" -> ((s, d) =>
       // Normalization before hashing/shingling: cosmetic variants (case,
       // CRLF, tab runs) collapse to one canonical form. Gate compares the
@@ -580,6 +597,16 @@ object SparkEntry {
            len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS word_tokens,
            length(text) AS n_chars_calc
          FROM documents""",
+    "novelty_check" ->
+      // NOT EXISTS (not NOT IN): a NULL content hash must stay novel in
+      // both engines — NOT IN drops it, the anti-join keeps it
+      """WITH dedup AS (
+           SELECT doc_id, lang, source, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents WHERE doc_id >= 250),
+         corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250)
+         SELECT doc_id, lang, source FROM dedup d
+         WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = d.h)""",
     "text_normalize" ->
       """SELECT doc_id,
            md5(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),

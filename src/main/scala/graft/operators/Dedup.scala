@@ -191,6 +191,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Novelty check for incremental ingestion: keep only the rows of `fresh`
+    * whose content does not already exist in `corpus` — the "is this crawl
+    * batch new?" gate that runs before anything else in a training-data
+    * pipeline. Anti-join on the 128-bit content hash: the shuffle carries
+    * 16-byte keys, the (huge) corpus side is never materialized beyond its
+    * hash projection, and self-duplicates inside the batch collapse too. */
+  def novelDocs(fresh: DataFrame, corpus: DataFrame, contentCol: String,
+                idCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(contentCol)).as("__h")).distinct()
+    exactByHash(fresh, contentCol, idCol)
+      .join(seen, md5(col(contentCol)) === col("__h"), "left_anti")
+  }
+
   /** n-gram Jaccard similarity for candidate pairs blocked by a caller-
     * supplied key (at corpus scale the block key bounds the pair space;
     * pass an LSH band or a metadata bucket). */

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: assign documents to
+  * fixed-token-budget sequences (the pre-tokenization shuffle step before
+  * examples are concatenated into model context windows).
+  *
+  * Scale shape: documents are hash-sharded (shards pack independently — at
+  * 100 TB every shard is a separate task, no global coordination), each
+  * shard is sorted by id and greedily packed. The greedy scan is genuine
+  * per-partition imperative logic — the one place `mapPartitions` is the
+  * right tool — while sharding, sorting, and schema stay declarative.
+  * Oversized documents get a sequence of their own (callers chunk or drop
+  * them upstream).
+  */
+object Packing {
+
+  /** Pack `(idCol, tokenCol)` rows into sequences of at most `budget`
+    * tokens within `shards` hash shards. Output: (id, n_tokens, shard,
+    * seq_id) with seq_id unique per shard, deterministic for a given
+    * (input, shards, budget). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepped = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("n_tokens"),
+        pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int").as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Int)]
+    prepped.mapPartitions { it =>
+      // greedy first-fit on sorted order: one sequential pass per shard
+      var seq = 0L
+      var used = 0L
+      var cur = Int.MinValue
+      it.map { case (id, n, shard) =>
+        if (shard != cur) { cur = shard; seq = 0L; used = 0L }
+        if (used > 0 && used + n > budget) { seq += 1; used = 0L }
+        used += math.min(n, budget)
+        (id, n, shard, seq)
+      }
+    }.toDF("id", "n_tokens", "shard", "seq_id")
+  }
+}
