@@ -235,6 +235,13 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
     }),
+    "ivf_ann_trained" -> ((s, d) => {
+      // Production-quantizer tier: KMeans-fitted coarse centroids (MLlib,
+      // hash-sampled fit), same literal-matrix probe machinery.
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+    }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "quality_score" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),

@@ -126,15 +126,51 @@ object Similarity {
     * ever cross-joins the corpus. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = corpus
+    val cents: Seq[Seq[Double]] = normalized(corpus
       .select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("__r"))
       .orderBy("__r").limit(nlist)
       .select("cvec").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-      .map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / (if (n == 0.0) 1.0 else n))
-      }
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq)
+    ivfTopKWith(cents, corpus, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** IVF with KMeans-TRAINED coarse centroids (the production quantizer):
+    * MLlib KMeans fits on a deterministic hash sample of the corpus —
+    * distributed, seeded, a few passes over the sample — and the fitted
+    * cluster centers flow into the same literal-matrix probe machinery as
+    * [[ivfTopK]]. Trained centroids track the data distribution, so lists
+    * are balanced and recall at a given nprobe is higher than with sampled
+    * centroids. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                     sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame =
+    ivfTopKWith(
+      kmeansCentroids(corpus, idCol, vecCol, nlist, sampleFraction, seed),
+      corpus, queries, idCol, vecCol, k, nprobe)
+
+  /** Fit the coarse quantizer: KMeans over `array_to_vector` embeddings on
+    * a hash sample, centers L2-normalized for dot-product argmax. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, sampleFraction: Double = 1.0,
+                      seed: Long = 42L): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = Sample.hashSample(corpus, col(idCol), sampleFraction)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(sample)
+    normalized(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
+  private def normalized(vs: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    vs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / (if (n == 0.0) 1.0 else n))
+    }
+
+  private def ivfTopKWith(cents: Seq[Seq[Double]], corpus: DataFrame,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nprobe: Int): DataFrame = {
 
     // (dot with each unit centroid, centroid index) — the vector's own norm
     // is a common positive factor and cannot change the argmax/ordering.

@@ -141,4 +141,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._2).toSet.subsetOf(Set(1L, 2L)))
     assert(got.forall(_._3 > 0.99))
   }
+
+  test("ivfTopKTrained: KMeans centroids, exhaustive probe equals brute force") {
+    def vec(cluster: Int, seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 13
+      val center = Seq.tabulate(8)(j => if (j % 4 == cluster % 4) 5.0f else 0.0f)
+      center.map { c => x = x * 6364136223846793005L + 1442695040888963407L
+        c + ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    // 4 well-separated clusters of 20 vectors each
+    val rows = (0 until 80).map(i => (i.toLong, vec(i % 4, i)))
+    val df = rows.toDF("id", "emb")
+    val queries = df.filter(col("id") < 4)
+    val got = Similarity.ivfTopKTrained(df, queries, "id", "emb",
+      k = 3, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L))
+    for ((qid, hits) <- byQuery) {
+      val qv = rows(qid.toInt)._2
+      val brute = rows.filter(_._1 != qid)
+        .map { case (i, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1)
+      assert(hits.sortBy(_._4).map(_._2).toSeq === brute.toSeq, s"query $qid")
+    }
+    // single-probe on clustered data: trained centroids put each query's
+    // cluster in its own list, so k in-cluster neighbors still surface
+    val single = Similarity.ivfTopKTrained(df, queries, "id", "emb",
+      k = 3, nlist = 4, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(single.groupBy(_._1).forall(_._2.length == 3))
+  }
 }
