@@ -64,6 +64,24 @@ object Multimodal {
       }
   }
 
+  /** Resize planning: aspect-preserving fit of each asset into a
+    * (maxW, maxH) box — scale factor and target dimensions as a pure
+    * projection on the metadata struct. The pixel work happens inside the
+    * (stubbed) decoder at extract time; this is the Spark-side half every
+    * image pipeline needs: know the output shape BEFORE paying the decode,
+    * so batches can be packed by target size. */
+  def resizePlan(mm: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("meta.width"),
+      lit(maxH.toDouble) / col("meta.height"),
+      lit(1.0)) // never upscale
+    mm.select(
+      col("asset_id"), col("meta.width").as("src_width"), col("meta.height").as("src_height"),
+      round(scale, 6).as("scale"),
+      floor(col("meta.width") * scale).cast("int").as("dst_width"),
+      floor(col("meta.height") * scale).cast("int").as("dst_height"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: deterministic frame
     * offsets from metadata, exploded to one row per sampled frame. */
   def sampleFrames(mm: DataFrame, nFrames: Int = 4): DataFrame =

@@ -44,4 +44,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .select("frame_index", "byte_offset").as[(Int, Long)].collect().sorted
     assert(got === Array((0, 0L), (1, 1L), (2, 2L), (3, 3L)))
   }
+
+  test("resizePlan: aspect-preserving fit, never upscaling") {
+    import org.apache.spark.sql.functions._
+    val mm = Seq(
+      (1L, 1000, 500),  // wide: limited by width → 512x256
+      (2L, 200, 800),   // tall: limited by height → 128x512
+      (3L, 100, 100)    // already fits → untouched
+    ).toDF("asset_id", "w", "h")
+      .select(col("asset_id"), lit(Array[Byte]()).as("payload"),
+        struct(lit("image/png").as("mime"), col("w").as("width"),
+          col("h").as("height"), lit(0L).as("n_bytes")).as("meta"))
+    val got = Multimodal.resizePlan(mm, maxW = 512, maxH = 512)
+      .select("asset_id", "dst_width", "dst_height")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(got === Array((1L, 512, 256), (2L, 128, 512), (3L, 100, 100)))
+  }
 }
