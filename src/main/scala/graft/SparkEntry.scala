@@ -348,11 +348,16 @@ object SparkEntry {
       // version 1), and read the merged table back. Re-running is a no-op —
       // the same idempotence Dagster expects of a partitioned load.
       val path = sinkPath(d, "upsert")
+      Sink.reset(path) // self-contained: stale scratch state never leaks in
       val base = Tables.events(s, d).select(
         col("event_id"), to_date(col("ts")).as("day"), col("value"), lit(0).as("version"))
       Sink.upsertPartitioned(s, path, base,
         keys = Seq("event_id"), orderCol = "version", tieBreak = "event_id", partitionCol = "day")
-      val updates = base.filter(pmod(col("event_id"), lit(100L)) === 0)
+      // update batch bounded to ~¼ of the days: the merge reads and
+      // rewrites ONLY those partitions (the actual scale property — a
+      // daily load never touches the other 100 TB of table)
+      val updates = base
+        .filter(pmod(col("event_id"), lit(100L)) === 0 && dayofmonth(col("ts")) <= 7)
         .withColumn("value", col("value") + 1000)
         .withColumn("version", lit(1))
       Sink.upsertPartitioned(s, path, updates,
@@ -684,7 +689,8 @@ object SparkEntry {
            FROM (
              SELECT event_id, value, 0 AS version FROM events
              UNION ALL
-             SELECT event_id, value + 1000, 1 FROM events WHERE event_id % 100 = 0) u) t
+             SELECT event_id, value + 1000, 1 FROM events
+             WHERE event_id % 100 = 0 AND day(ts) <= 7) u) t
          WHERE rn = 1"""
   )
 }

@@ -72,6 +72,10 @@ object Sink {
       staging.stripPrefix("file:")))
   }
 
+  /** Drop a sink table (scratch/test lifecycles). */
+  def reset(path: String): Unit =
+    deleteRecursively(new java.io.File(path.stripPrefix("file:")))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
     f.delete(): Unit
