@@ -21,6 +21,12 @@ object Bench {
         try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
+    // Drop warmup debris (persisted dedup frames, cached model predictions)
+    // before timing: the timed loop should pay each operator's own cost,
+    // not the GC pressure of another scale factor's leftovers.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output InternalRow — a plain
