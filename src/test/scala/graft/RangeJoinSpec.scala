@@ -38,4 +38,12 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(ids === Array(1L, 2L))
   }
+
+  test("rangeJoin handles negative domains (floor-consistent cells)") {
+    val values = Seq((1L, -7.5), (2L, -0.1), (3L, 0.0), (4L, 3.0)).toDF("id", "v")
+    val intervals = Seq((1L, -10.0, -5.0), (2L, -1.0, 1.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.rangeJoin(values, "v", intervals, "lo", "hi", grid = 4.0)
+      .select("id", "iid").as[(Long, Long)].collect().sorted
+    assert(got === Array((1L, 1L), (2L, 2L), (3L, 2L)))
+  }
 }
