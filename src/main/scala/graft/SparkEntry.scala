@@ -249,6 +249,14 @@ object SparkEntry {
       TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "fingerprint" -> ((s, d) =>
       TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_clusters" -> ((s, d) => {
+      // Pairs → transitive clusters → size distribution: the step that
+      // makes pairwise near-dup output actionable (keep one per cluster).
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    }),
     "novelty_check" -> ((s, d) => {
       // Incremental-crawl gate: which of the "new" docs (second half of the
       // corpus) are genuinely novel against the existing corpus (first

@@ -191,6 +191,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise similarity into dedup CLUSTERS (a≈b, b≈c ⇒ {a,b,c} even when
+    * a≉c directly). Iterative min-label propagation: every vertex adopts
+    * the smallest label in its neighborhood until fixpoint — the
+    * DataFrame-native Pregel shape. Each iteration is one join + one
+    * groupBy (O(E) shuffle); LSH-derived dup graphs are cliquish, so the
+    * fixpoint lands in a handful of rounds. The driver reads ONE scalar
+    * per round (the changed-vertex count) — data never leaves the cluster.
+    *
+    * Returns (id, component) with component = min id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(sl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(sl)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(sl)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Full dedup: collapse every near-dup cluster to its canonical (min-id)
+    * member. Docs that appear in no pair survive untouched. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val losers = comp.filter(col("id") =!= col("component")).select("id")
+    docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Novelty check for incremental ingestion: keep only the rows of `fresh`
     * whose content does not already exist in `corpus` — the "is this crawl
     * batch new?" gate that runs before anything else in a training-data

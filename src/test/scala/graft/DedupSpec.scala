@@ -110,4 +110,44 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long, Double)].collect()
     assert(got === Array(("blk1", 1L, 2L, 1.0)))
   }
+
+  test("connectedComponents: transitive clusters, min-id labels") {
+    import org.apache.spark.sql.functions.col
+    // two chains + an isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(19)
+    val pairs = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val got = graft.operators.Dedup.connectedComponents(
+      pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    assert(got === want)
+  }
+
+  test("canonicalize: one survivor per cluster, untouched docs kept") {
+    val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (7L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 7L))
+  }
 }
