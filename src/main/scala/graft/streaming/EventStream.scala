@@ -33,18 +33,28 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
-  /** Tumbling-window counts + value sums with a watermark. On a stream the
-    * watermark bounds state; in batch it is a no-op and the plan degrades
-    * to a plain window aggregate — one shuffle on (window, event_type). */
+  /** Tumbling (or, with `slide`, sliding/hopping) window counts + value
+    * sums with a watermark. On a stream the watermark bounds state; in
+    * batch it is a no-op and the plan degrades to a plain window
+    * aggregate — one shuffle on (window, event_type). A sliding window
+    * multiplies state by windowLen/slide; keep the ratio small at scale. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)), col("event_type"))
       .agg(count(lit(1)).as("event_count"), sum("value").as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("event_count"), col("total_value"))
+
+  /** Stream-static enrichment: every micro-batch joins the (broadcast)
+    * static dimension — stateless, no watermark, the streaming form of the
+    * star join (per-batch dim lookup, the reference's region metadata
+    * attach in country_assets.py). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 
   /** Streaming dedup by key within the watermark horizon — the streaming
     * form of the reference's keyed upsert. */

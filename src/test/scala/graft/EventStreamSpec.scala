@@ -134,4 +134,30 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       (ts("2024-01-01 10:00:00"), "click", 2L, 5.0),
       (ts("2024-01-01 11:00:00"), "click", 1L, 2.0)))
   }
+
+  test("windowedCounts sliding: overlapping windows each count the event") {
+    val batch = Seq(ev(1, "2024-01-01 10:40:00", v = 2.0)).toDF()
+    val got = EventStream.windowedCounts(batch, windowLen = "1 hour",
+        slide = Some("30 minutes"))
+      .orderBy("window_start").as[(Timestamp, String, Long, Double)].collect()
+    // one event at 10:40 lands in [10:00,11:00) and [10:30,11:30)
+    assert(got.map(_._1) === Array(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+    assert(got.forall(r => r._3 == 1L && r._4 == 2.0))
+  }
+
+  test("enrichStream: micro-batches join the broadcast static dimension") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (9L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = EventStream.enrichStream(input.toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_stream").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", uid = 1), ev(2, "2024-01-01 10:01:00", uid = 5))
+      q.processAllAvailable()
+      val got = spark.table("enrich_stream").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().sortBy(_._1)
+      assert(got === Array((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
 }
