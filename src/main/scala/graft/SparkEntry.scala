@@ -242,6 +242,21 @@ object SparkEntry {
       Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
     }),
+    "embedding_quantize" -> ((s, d) => {
+      // int8 storage tier roundtrip: per-vector quantize → dequantize →
+      // cosine vs original, rolled up (proves the 4× compression keeps
+      // similarity structure).
+      val emb = Tables.embeddings(s, d)
+      val q = Similarity.quantize(emb, "vec_id", "embedding")
+      emb.join(q, "vec_id")
+        .select(Similarity.cosine(
+          col("embedding"), Similarity.dequantize(col("qvec"), col("scale")),
+          Similarity.l2norm(col("embedding")),
+          Similarity.l2norm(Similarity.dequantize(col("qvec"), col("scale")))).as("cos"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(min("cos"), 4).as("worst_cosine"),
+          round(avg("cos"), 4).as("avg_cosine"))
+    }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "quality_score" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),

@@ -162,6 +162,24 @@ object Similarity {
     normalized(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the storage tier for
+    * an embedding lake (4× smaller than float32 at rest; cosine after
+    * dequantization stays within ~1% for typical embeddings). Pure
+    * projection: (id, scale, qvec tinyint[]). */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = greatest(
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))),
+      lit(1e-12)) / 127.0
+    df.select(
+      col(idCol),
+      scale.cast("float").as("scale"),
+      transform(col(vecCol), x => round(x.cast("double") / scale).cast("tinyint")).as("qvec"))
+  }
+
+  /** Inverse of [[quantize]]: float vector from (qvec, scale). */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => (q.cast("double") * scale).cast("float"))
+
   private def normalized(vs: Seq[Seq[Double]]): Seq[Seq[Double]] =
     vs.map { v =>
       val n = math.sqrt(v.map(x => x * x).sum)

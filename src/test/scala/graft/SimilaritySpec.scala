@@ -176,4 +176,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double, Int)].collect()
     assert(single.groupBy(_._1).forall(_._2.length == 3))
   }
+
+  test("quantize/dequantize: int8 roundtrip preserves cosine within 1%") {
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 9176L + 3
+      Seq.fill(32) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val df = (0 until 50).map(i => (i.toLong, vec(i))).toDF("id", "emb")
+    val q = Similarity.quantize(df, "id", "emb")
+    // schema: tinyint array + float scale (the 4x storage claim)
+    assert(q.schema("qvec").dataType.simpleString === "array<tinyint>")
+    val joined = df.join(q, "id").select(
+      col("id"),
+      Similarity.cosine(
+        col("emb"), Similarity.dequantize(col("qvec"), col("scale")),
+        Similarity.l2norm(col("emb")),
+        Similarity.l2norm(Similarity.dequantize(col("qvec"), col("scale")))).as("cos"))
+    val cosines = joined.as[(Long, Double)].collect().map(_._2)
+    assert(cosines.forall(_ > 0.99), s"worst cosine ${cosines.min}")
+    // quantized values actually bounded to int8
+    val maxAbs = q.select(array_max(transform(col("qvec"), x => abs(x.cast("int")))))
+      .as[Int].collect().max
+    assert(maxAbs <= 127)
+  }
 }
