@@ -72,6 +72,20 @@ object Sink {
       staging.stripPrefix("file:")))
   }
 
+  /** Bucketed+sorted managed copy of a table: hash-bucketed on the join
+    * keys so every subsequent join/aggregation on those keys is
+    * CO-LOCATED — the physical plan carries no Exchange on the bucketed
+    * side(s). This is the lake-layout half of shuffle discipline: pay the
+    * shuffle once at write time, never again per query (Spark's answer to
+    * the reference's indexed Postgres table). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Drop a sink table (scratch/test lifecycles). */
   def reset(path: String): Unit =
     deleteRecursively(new java.io.File(path.stripPrefix("file:")))

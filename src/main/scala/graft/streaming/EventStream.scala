@@ -115,6 +115,25 @@ object EventStream {
   def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
 
+  /** Watermarked stream-stream interval join: for each left event, right
+    * events of the same key within `[l.ts, l.ts + within]` (e.g. click →
+    * purchase attribution). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so state on BOTH sides is
+    * finite and old state is evicted as the watermark advances — the only
+    * stream-stream join shape that survives unbounded streams. */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+                within: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_key").as(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** The reference's full sensor loop as one streaming query: poll the
     * landing directory for new files (sensors.py's cursor is the file
     * source's checkpoint), and merge each micro-batch into the lake table

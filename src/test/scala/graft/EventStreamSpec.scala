@@ -160,4 +160,31 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       assert(got === Array((1L, Some("gold")), (2L, None)))
     } finally q.stop()
   }
+
+  test("correlate: stream-stream interval join within the time bound") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStream.correlate(clicks.toDF(), purchases.toDF(), "user_id",
+        within = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("corr_stream").start()
+    try {
+      clicks.addData(ev(1, "2024-01-01 10:00:00", uid = 7),
+        ev(2, "2024-01-01 10:00:00", uid = 8))
+      purchases.addData(
+        ev(100, "2024-01-01 10:10:00", uid = 7),  // within 30m of click 1
+        ev(101, "2024-01-01 11:30:00", uid = 7),  // too late
+        ev(102, "2024-01-01 10:05:00", uid = 9))  // wrong user
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData(ev(3, "2024-01-01 14:00:00", uid = 1))
+      purchases.addData(ev(103, "2024-01-01 14:00:00", uid = 1))
+      q.processAllAvailable()
+      val got = spark.table("corr_stream").select("l_id", "r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 100L)), s"expected click1->purchase100 in $got")
+      assert(!got.contains((1L, 101L)) && !got.exists(_._2 == 102L))
+    } finally q.stop()
+  }
 }
