@@ -140,6 +140,15 @@ object SparkEntry {
         "neg_value" -> (col("value") >= 0),
         "extreme_value" -> (col("value") <= 50),
         "bad_type" -> col("event_type").isin("click", "view", "purchase", "signup")))),
+    "region_fanout" -> ((s, d) =>
+      // Per-region event-type distribution (country_assets.py:88 builds a
+      // value_counts per region asset) — Spark-first this is ONE two-level
+      // aggregate with a per-region pct window, not N per-region jobs.
+      Tables.events(s, d)
+        .groupBy(pmod(col("user_id"), lit(10L)).as("region"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pct", round(col("cnt") * 100.0 /
+          sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("region")), 2))),
     "salted_agg" -> ((s, d) =>
       // Same stats as a direct groupBy (the oracle is the direct form) but
       // computed via the two-phase salted plan — the skew-safe variant for
@@ -607,6 +616,10 @@ object SparkEntry {
          SELECT c.event_id, r.pv AS asof_purchase_value
          FROM clicks c ASOF LEFT JOIN purch r
            ON c.user_id = r.user_id AND c.ts >= r.ts""",
+    "region_fanout" ->
+      """SELECT user_id % 10 AS region, event_type, count(*) AS cnt,
+         round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY user_id % 10), 2) AS pct
+         FROM events GROUP BY 1, 2""",
     "salted_agg" ->
       """SELECT event_type, count(*) AS event_count, sum(value) AS total_value,
          avg(value) AS avg_value, min(value) AS min_value, max(value) AS max_value
