@@ -252,16 +252,17 @@ object SparkEntry {
         k = 5, nlist = 16, nprobe = 4)
     }),
     "embedding_quantize" -> ((s, d) => {
-      // int8 storage tier roundtrip: per-vector quantize → dequantize →
-      // cosine vs original, rolled up (proves the 4× compression keeps
-      // similarity structure).
-      val emb = Tables.embeddings(s, d)
-      val q = Similarity.quantize(emb, "vec_id", "embedding")
-      emb.join(q, "vec_id")
+      // int8 storage tier roundtrip: quantize → dequantize → cosine vs
+      // original, all in ONE projection over a single scan (no self-join),
+      // rolled up to prove the 4× compression keeps similarity structure.
+      val deq = {
+        val q = Similarity.quantized(col("embedding"))
+        Similarity.dequantize(q.getField("qvec"), q.getField("scale"))
+      }
+      Tables.embeddings(s, d)
         .select(Similarity.cosine(
-          col("embedding"), Similarity.dequantize(col("qvec"), col("scale")),
-          Similarity.l2norm(col("embedding")),
-          Similarity.l2norm(Similarity.dequantize(col("qvec"), col("scale")))).as("cos"))
+          col("embedding"), deq,
+          Similarity.l2norm(col("embedding")), Similarity.l2norm(deq)).as("cos"))
         .agg(count(lit(1)).as("n_vectors"),
           round(min("cos"), 4).as("worst_cosine"),
           round(avg("cos"), 4).as("avg_cosine"))

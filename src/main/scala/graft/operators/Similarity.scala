@@ -180,6 +180,17 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => (q.cast("double") * scale).cast("float"))
 
+  /** Column form of [[quantize]]: `struct(scale, qvec)` from a vector —
+    * composable inside a single projection (no self-join needed to compare
+    * a corpus against its own quantized form). */
+  def quantized(vec: Column): Column = {
+    val scale = greatest(
+      array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-12)) / 127.0
+    struct(
+      scale.cast("float").as("scale"),
+      transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("qvec"))
+  }
+
   private def normalized(vs: Seq[Seq[Double]]): Seq[Seq[Double]] =
     vs.map { v =>
       val n = math.sqrt(v.map(x => x * x).sum)
