@@ -260,9 +260,12 @@ object SparkEntry {
         Similarity.dequantize(q.getField("qvec"), q.getField("scale"))
       }
       Tables.embeddings(s, d)
+        // materialize the roundtrip vector once per row: cosine reads it
+        // three times and the transform chain is too expensive to inline
+        .select(col("embedding"), deq.as("deq"))
         .select(Similarity.cosine(
-          col("embedding"), deq,
-          Similarity.l2norm(col("embedding")), Similarity.l2norm(deq)).as("cos"))
+          col("embedding"), col("deq"),
+          Similarity.l2norm(col("embedding")), Similarity.l2norm(col("deq"))).as("cos"))
         .agg(count(lit(1)).as("n_vectors"),
           round(min("cos"), 4).as("worst_cosine"),
           round(avg("cos"), 4).as("avg_cosine"))
