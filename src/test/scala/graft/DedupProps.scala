@@ -42,6 +42,20 @@ object DedupProps extends Properties("Dedup") {
       got == expected
     }
 
+  property("connectedComponents: endpoints co-labeled; label is the cluster min") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))) { raw =>
+      val pairs = raw.filter(p => p._1 != p._2)
+      pairs.isEmpty || {
+        import spark.implicits._
+        val comp = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        val edgesJoined = pairs.forall { case (a, b) => comp(a) == comp(b) }
+        val labelIsMin = comp.groupBy(_._2)
+          .forall { case (label, members) => members.keys.min == label }
+        edgesJoined && labelIsMin
+      }
+    }
+
   property("minhash signature agreement estimates shingle Jaccard (k=64)") =
     forAll(docGen, docGen) { (ta, tb) =>
       import spark.implicits._
