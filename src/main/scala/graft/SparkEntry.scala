@@ -85,6 +85,21 @@ object SparkEntry {
       Analytics.topPerGroup(
         Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
         "o_custkey", "o_totalprice", "o_orderkey")),
+    "q7_part_supplier" -> ((s, d) => {
+      // Fact-to-two-dims star: lineitem against broadcast part + supplier
+      // (closes coverage of the last two testdata tables). Revenue rounded
+      // for engine-portable hashing, as in q3.
+      val l = Tables.lineitem(s, d)
+      val p = broadcast(Tables.part(s, d))
+      val su = broadcast(Tables.supplier(s, d))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          countDistinct("s_suppkey").as("n_suppliers"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
     "q6_semi_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -462,6 +477,14 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) t
          WHERE rn = 1""",
+    "q7_part_supplier" ->
+      """SELECT p_brand, count(*) AS n_items,
+         count(DISTINCT s_suppkey) AS n_suppliers,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY p_brand""",
     "q6_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
