@@ -30,23 +30,31 @@ object AsOf {
     require(keys.forall(lCols.contains), s"keys $keys must exist on the left side")
     val nullOf: (DataFrame, String) => Column =
       (df, c) => lit(null).cast(df.schema(c).dataType)
+    // The payload travels as ONE struct column: last(ignoreNulls) then takes
+    // a right row's payload tuple ATOMICALLY — the struct is non-null for
+    // every right row even when individual fields are NULL, so the latest
+    // right row's NULL field is attached as NULL (never an older row's
+    // value), and a multi-column payload can never stitch fields from
+    // different right rows.
+    val pType = org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c)))
     // side 0 = right, side 1 = left: at equal timestamps the right row sorts
     // first, so its payload is visible to the left row (<= semantics)
     val l = left.select(
-      (col(leftTime).as("__t") +: lit(1).as("__side") +: lCols.map(col)) ++
-        payload.map(c => nullOf(right, c).as(s"asof_$c")): _*)
+      (col(leftTime).as("__t") +: lit(1).as("__side") +: lCols.map(col)) :+
+        lit(null).cast(pType).as("__p"): _*)
     val r = right.select(
       (col(rightTime).as("__t") +: lit(0).as("__side") +:
-        lCols.map(c => if (keys.contains(c)) col(c) else nullOf(left, c).as(c))) ++
-        payload.map(c => col(c).as(s"asof_$c")): _*)
+        lCols.map(c => if (keys.contains(c)) col(c) else nullOf(left, c).as(c))) :+
+        struct(payload.map(col): _*).as("__p"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select(
-        (lCols.map(col) :+ col("__side")) ++
-          payload.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+        (lCols.map(col) :+ col("__side")) :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__p"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(lCols.map(col) ++
+        payload.map(c => col("__p").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic row-spread salt in [0, n): hashes the whole row's
-    * distribution via `monotonically_increasing_id`, so rows of a hot key
-    * scatter across n reduce buckets without any runtime randomness. */
-  private def saltCol(n: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(n.toLong)).cast("int")
+  /** Deterministic row-spread salt in [0, n): hashes the row's CONTENT
+    * (all columns), so a hot key's rows scatter across n reduce buckets
+    * with no runtime randomness AND no dependence on task/partition
+    * assignment — `monotonically_increasing_id` would reassign ids on a
+    * mid-stage task retry, re-shuffling a hot key differently across
+    * attempts. Content hashing is stable under retries; exact duplicate
+    * rows share a bucket, which only matters if one literal row dominates. */
+  private def saltCol(n: Int, rowCols: Seq[Column]): Column =
+    pmod(xxhash64(rowCols: _*), lit(n.toLong)).cast("int")
 
   /** Two-phase salted stats aggregation: phase 1 aggregates (key, salt) —
     * a hot key's rows land on up to `salt` different reducers — phase 2
@@ -28,7 +32,7 @@ object Skew {
   def saltedStats(df: DataFrame, keyCol: Column, keyName: String,
                   valueCol: String, salt: Int = 16): DataFrame = {
     val partial = df
-      .groupBy(keyCol.as(keyName), saltCol(salt).as("__salt"))
+      .groupBy(keyCol.as(keyName), saltCol(salt, df.columns.toSeq.map(col)).as("__salt"))
       .agg(
         count(lit(1)).as("__cnt"), sum(valueCol).as("__sum"),
         min(valueCol).as("__min"), max(valueCol).as("__max"))
@@ -49,7 +53,7 @@ object Skew {
     * replicated-build still fits the shuffle comfortably. */
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
                  salt: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("__salt", saltCol(salt))
+    val saltedFact = fact.withColumn("__salt", saltCol(salt, fact.columns.toSeq.map(col)))
     val saltedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")

@@ -30,11 +30,17 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val gridStr = conf.getConfString(GridConf, "")
     if (gridStr.isEmpty) return plan
-    val grid = gridStr.toDouble
-    if (!(grid > 0)) return plan
-    plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _) if noEquiConjunct(cond) =>
-        rewrite(j, cond, grid).getOrElse(j)
+    // A malformed conf value must never fail the query (this rule runs on
+    // EVERY plan in the session): skip the rewrite instead of throwing.
+    scala.util.Try(gridStr.toDouble).toOption.filter(_ > 0) match {
+      case None =>
+        logWarning(s"$GridConf='$gridStr' is not a positive double; range-join rewrite disabled")
+        plan
+      case Some(grid) =>
+        plan.transformUp {
+          case j @ Join(_, _, Inner, Some(cond), _) if noEquiConjunct(cond) =>
+            rewrite(j, cond, grid).getOrElse(j)
+        }
     }
   }
 
