@@ -118,6 +118,23 @@ object SparkEntry {
     "monthly_trends" -> ((s, d) =>
       Analytics.timeBucketStats(Tables.events(s, d), "month")),
     "rolling_7d" -> ((s, d) => Analytics.rolling7d(Tables.events(s, d))),
+    "report_window_7d" -> ((s, d) =>
+      // ReportConfig(start, end) applied under the daily rollup
+      // (report.py:37-43): the window predicate reaches the scan.
+      Analytics.dailyCounts(Analytics.reportWindow(
+        Tables.events(s, d), "2024-01-10", "2024-01-17"))),
+    "report_window_30d" -> ((s, d) =>
+      Analytics.timeBucketStats(Analytics.reportWindow(
+        Tables.events(s, d), "2024-01-01", "2024-01-31"), "week")),
+    "regional_multi_agg" -> ((s, d) =>
+      // Full ukraine_region_query shape (report.py:96-110): count + sum +
+      // avg(value) + per-region means of two extra measures (the lat/lon
+      // centroid analogue) in one aggregate pass.
+      Analytics.groupedStatsMulti(
+        Tables.events(s, d)
+          .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("double")),
+        pmod(col("user_id"), lit(10L)), "cohort", "value",
+        Seq(col("prop_k") -> "avg_prop", col("user_id").cast("double") -> "avg_user"))),
     "top_high_value" -> ((s, d) =>
       Analytics.topNByValue(Tables.events(s, d), 20, 30.0)),
     "value_buckets" -> ((s, d) => Analytics.valueBuckets(Tables.events(s, d))),
@@ -418,7 +435,23 @@ object SparkEntry {
 
     // ---- §E streaming (batch-equivalent plan for the gate) -------------
     "stream_windowed_counts" -> ((s, d) =>
-      EventStream.windowedCounts(Tables.events(s, d)))
+      EventStream.windowedCounts(Tables.events(s, d))),
+    "stream_sliding_counts" -> ((s, d) =>
+      // Hopping window (1h window, 30min slide): each event lands in
+      // exactly 2 windows. Same plan streams with bounded state
+      // (EventStreamSpec); the gate runs it in batch against a DuckDB
+      // spine-join oracle.
+      EventStream.windowedCounts(Tables.events(s, d), slide = Some("30 minutes"))),
+    "stream_correlate" -> ((s, d) => {
+      // Click→purchase attribution within 30 minutes per user — the
+      // stream-stream interval join (sensors.py's correlation window) in
+      // its batch form; both engines run the same interval predicate.
+      val ev = Tables.events(s, d)
+      EventStream.correlate(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "30 minutes")
+    })
   )
 
   /** Deterministic per-dataset scratch location for sink roundtrips (the
@@ -519,6 +552,25 @@ object SparkEntry {
            avg(event_count) OVER (ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_avg
          FROM daily""",
+    "report_window_7d" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS event_count,
+         sum(value) AS total_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+         GROUP BY 1""",
+    "report_window_30d" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(*) AS event_count, sum(value) AS total_value,
+         avg(value) AS avg_value, count(DISTINCT user_id) AS unique_ids
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+         GROUP BY 1""",
+    "regional_multi_agg" ->
+      """SELECT user_id % 10 AS cohort, count(*) AS event_count,
+         sum(value) AS total_value, avg(value) AS avg_value,
+         avg(CAST(props->>'$.k' AS DOUBLE)) AS avg_prop,
+         avg(CAST(user_id AS DOUBLE)) AS avg_user
+         FROM events GROUP BY 1""",
     "top_high_value" ->
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE value >= 30 ORDER BY value DESC, event_id ASC LIMIT 20""",
@@ -741,6 +793,23 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS event_count, sum(value) AS total_value
          FROM events GROUP BY 1, 2""",
+    "stream_sliding_counts" ->
+      // hopping window via a 2-row spine: an event at t belongs to the
+      // windows starting at trunc30(t) and trunc30(t) - 30min (exactly 2
+      // for len=1h, slide=30min); both engines' 30-min grids align (epoch
+      // and 2000-01-01 are both on the half-hour boundary)
+      """SELECT time_bucket(INTERVAL '30 minutes', ts)
+                - i * INTERVAL '30 minutes' AS window_start,
+           event_type, count(*) AS event_count, sum(value) AS total_value
+         FROM events CROSS JOIN range(0, 2) t(i)
+         GROUP BY 1, 2""",
+    "stream_correlate" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           l.ts AS l_ts, r.ts AS r_ts
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
+         WHERE l.event_type = 'click' AND r.event_type = 'purchase'""",
     "partitioned_sink" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
          sum(value) AS total_value

@@ -44,6 +44,30 @@ object Analytics {
         sum(valueCol).as("total_value"),
         avg(valueCol).as("avg_value"))
 
+  /** Full ukraine_region_query shape (report.py:96-110): count + sum + avg
+    * of the value column PLUS means of extra measure columns (the
+    * reference's avg(latitude), avg(longitude) centroid per region) — all
+    * in the same single-pass aggregate, one shuffle of pre-reduced groups. */
+  def groupedStatsMulti(df: DataFrame, groupExpr: Column, groupName: String,
+                        valueCol: String, extraAvg: Seq[(Column, String)]): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("event_count"),
+      sum(valueCol).as("total_value"),
+      avg(valueCol).as("avg_value")) ++
+      extraAvg.map { case (c, alias) => avg(c).as(alias) }
+    df.groupBy(groupExpr.as(groupName)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Bounded report window (report.py:37-43 ReportConfig(start_date,
+    * end_date): every reference report query is windowed). Inclusive start,
+    * exclusive end; the timestamp literals compare against the partition/
+    * min-max stats, so at lake scale this prunes file groups before any
+    * scan — compose it UNDER any rollup in this module. */
+  def reportWindow(df: DataFrame, start: String, end: String,
+                   tsCol: String = "ts"): DataFrame =
+    df.filter(col(tsCol) >= lit(start).cast("timestamp") &&
+              col(tsCol) < lit(end).cast("timestamp"))
+
   /** DATE_TRUNC-bucketed aggregation (ml.py:861 weekly, ml.py:239 monthly). */
   def timeBucketStats(events: DataFrame, unit: String, tsCol: String = "ts",
                       valueCol: String = "value", idCol: String = "user_id"): DataFrame =
