@@ -193,44 +193,74 @@ object Dedup {
 
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise similarity into dedup CLUSTERS (a≈b, b≈c ⇒ {a,b,c} even when
-    * a≉c directly). Iterative min-label propagation: every vertex adopts
-    * the smallest label in its neighborhood until fixpoint — the
-    * DataFrame-native Pregel shape. Each iteration is one join + one
-    * groupBy (O(E) shuffle); LSH-derived dup graphs are cliquish, so the
-    * fixpoint lands in a handful of rounds. The driver reads ONE scalar
-    * per round (the changed-vertex count) — data never leaves the cluster.
+    * a≉c directly). Iterative min-label propagation with POINTER JUMPING:
+    * each round every vertex adopts the smallest label in its neighborhood
+    * (one join + one groupBy, O(E) shuffle) and then shortcuts to its
+    * label's label (one self-join on the O(V) label frame) — path lengths
+    * halve per round, so chain-shaped graphs converge in O(log n) rounds
+    * instead of O(diameter). The previous round's label travels through the
+    * same aggregation as `old`, so the convergence check is a filter over
+    * the just-materialized cached frame — no extra join job per round; the
+    * driver reads ONE scalar (the changed count) and data never leaves the
+    * cluster.
     *
     * Returns (id, component) with component = min id of the cluster.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(sl)
+    // eager localCheckpoint, not persist: the label frame feeds the next
+    // round's plan FOUR times (both union legs + both jump-join sides), so
+    // without lineage truncation the logical plan quadruples per round and
+    // plan analysis itself becomes the bottleneck after ~10 rounds.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(sl)
+      .localCheckpoint(true)
+    val labelType = labels.schema("label").dataType
+    var freePrev = checkpointFree(labels)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
-        .persist(sl)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      // one aggregation carries BOTH the neighborhood min and the previous
+      // label (min ignores the null sentinel, and each id has exactly one
+      // non-null old) — the convergence check needs no second join
+      val combined = labels
+        .select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(viaNeighbor.withColumn("old", lit(null).cast(labelType)))
+        .groupBy("id").agg(min("label").as("label"), min("old").as("old"))
+      // pointer jumping: label ← label(label). Every label is itself a
+      // vertex id, so the lookup is a self-join of the O(V) label frame.
+      val next = combined
+        .join(combined.select(col("id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("jump"), col("label")).as("label"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("old")).count()
+      freePrev()
+      freePrev = checkpointFree(next)
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
     labels.withColumnRenamed("label", "component")
   }
+
+  /** Deterministic storage release for an eagerly localCheckpoint'ed frame
+    * (Dataset.unpersist does not cover checkpoint RDDs; without this each
+    * round's O(V) label snapshot would linger until GC + ContextCleaner). */
+  private def checkpointFree(df: DataFrame): () => Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        () => { r.rdd.unpersist(false); () }
+    }.getOrElse(() => ())
 
   /** Full dedup: collapse every near-dup cluster to its canonical (min-id)
     * member. Docs that appear in no pair survive untouched. */

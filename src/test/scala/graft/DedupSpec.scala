@@ -143,6 +143,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("connectedComponents: 1000-node chain converges in O(log n) rounds") {
+    // worst case for plain min-label propagation (diameter = n); pointer
+    // jumping must land the fixpoint well under diameter — maxIter = 15
+    // would leave labels wrong if convergence were O(n)
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(
+      pairs, "id_a", "id_b", maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length === 1000)
+    assert(got.forall(_._2 === 0L))
+  }
+
   test("canonicalize: one survivor per cluster, untouched docs kept") {
     val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (7L, "solo")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
