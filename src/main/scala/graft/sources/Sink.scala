@@ -45,14 +45,19 @@ object Sink {
     * an event's date never moves across loads), so the merge only needs the
     * partitions present in the update batch: existing rows there are
     * unioned with the updates, deduped by key, and exactly those partitions
-    * are rewritten via dynamic overwrite. The merged slice is staged to a
-    * side directory first — Spark (correctly) refuses a plan that reads the
-    * same files an overwrite is deleting.
+    * are replaced. The merged slice is staged to a side directory (Spark
+    * correctly refuses a plan that reads the same files an overwrite is
+    * deleting) and then each staged partition directory is SWAPPED into the
+    * table — delete the stale partition dir, rename the staged one in — so
+    * the merged rows are written exactly once. The previous implementation
+    * re-wrote the staging output through a second Spark job: 2× write
+    * amplification on every touched partition of every merge.
     */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
                         keys: Seq[String], orderCol: String, tieBreak: String,
                         partitionCol: String): Unit = {
-    if (!new java.io.File(path.stripPrefix("file:")).exists()) {
+    val tableDir = new java.io.File(path.stripPrefix("file:"))
+    if (!tableDir.exists()) {
       writePartitioned(updates, path, partitionCol)
       return
     }
@@ -67,9 +72,18 @@ object Sink {
       existing.unionByName(updates), keys, orderCol, tieBreak)
     val staging = path.stripSuffix("/") + "__staging"
     writePartitioned(merged, staging, partitionCol)
-    writePartitioned(spark.read.parquet(staging), path, partitionCol)
-    deleteRecursively(new java.io.File(
-      staging.stripPrefix("file:")))
+    // Atomic-per-partition swap: `day=X` dirs carry their own partition
+    // value, so renaming them under the table root is all "commit" means —
+    // no second write job, no name re-derivation (values with URL-escaped
+    // encodings move correctly because the directory name IS the encoding).
+    val stagingDir = new java.io.File(staging.stripPrefix("file:"))
+    stagingDir.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .foreach { part =>
+        val target = new java.io.File(tableDir, part.getName)
+        deleteRecursively(target)
+        java.nio.file.Files.move(part.toPath, target.toPath)
+      }
+    deleteRecursively(stagingDir)
   }
 
   /** Bucketed+sorted managed copy of a table: hash-bucketed on the join
