@@ -185,7 +185,10 @@ object SparkEntry {
       // Same stats as a direct groupBy (the oracle is the direct form) but
       // computed via the two-phase salted plan — the skew-safe variant for
       // hot keys (a few event types dominate ACLED-shaped feeds).
-      Skew.saltedStats(Tables.events(s, d), col("event_type"), "event_type", "value")),
+      // salt on the stable unique id: one cheap hash per row, perfect
+      // spread even for duplicate-heavy feeds (vs whole-row hashing)
+      Skew.saltedStats(Tables.events(s, d), col("event_type"), "event_type", "value",
+        saltOn = Seq(col("event_id")))),
 
     "sql_api" -> ((s, d) => {
       // The SQL front door: tables published as views, the query is the

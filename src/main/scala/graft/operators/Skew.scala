@@ -14,25 +14,55 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic row-spread salt in [0, n): hashes the row's CONTENT
-    * (all columns), so a hot key's rows scatter across n reduce buckets
-    * with no runtime randomness AND no dependence on task/partition
-    * assignment — `monotonically_increasing_id` would reassign ids on a
-    * mid-stage task retry, re-shuffling a hot key differently across
-    * attempts. Content hashing is stable under retries; exact duplicate
-    * rows share a bucket, which only matters if one literal row dominates. */
-  private def saltCol(n: Int, rowCols: Seq[Column]): Column =
+  /** Deterministic row-spread salt in [0, n) over the given columns: a hot
+    * key's rows scatter across n reduce buckets with no runtime randomness
+    * AND no dependence on task/partition assignment —
+    * `monotonically_increasing_id` would reassign ids on a mid-stage task
+    * retry, re-shuffling a hot key differently across attempts. Content
+    * hashing is stable under retries; rows identical on the salt columns
+    * share a bucket, so prefer a high-cardinality stable column (a row id)
+    * when one exists. Package-visible so SkewSpec asserts on the REAL
+    * formula rather than an inlined copy. */
+  private[graft] def saltCol(n: Int, rowCols: Seq[Column]): Column =
     pmod(xxhash64(rowCols: _*), lit(n.toLong)).cast("int")
+
+  /** Spark's hash expressions reject MapType (unordered — no well-defined
+    * hash), so the whole-row default salt must skip any column that
+    * contains a map at any nesting depth. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType  => containsMap(a.elementType)
+      case _             => false
+    }
+  }
+
+  /** The salt source: caller-named columns if given (the cheap, preferred
+    * path — one stable high-cardinality column beats hashing the row), else
+    * every hash-compatible column of the frame. A frame with NO hashable
+    * column degenerates to a single bucket (salting disabled) rather than
+    * failing the query. */
+  private def saltSource(df: DataFrame, saltOn: Seq[Column]): Seq[Column] =
+    if (saltOn.nonEmpty) saltOn
+    else {
+      val hashable = df.schema.fields.filterNot(f => containsMap(f.dataType))
+      if (hashable.isEmpty) Seq(lit(0L)) else hashable.toSeq.map(f => col(f.name))
+    }
 
   /** Two-phase salted stats aggregation: phase 1 aggregates (key, salt) —
     * a hot key's rows land on up to `salt` different reducers — phase 2
     * combines the per-salt partials into final count/sum/avg/min/max.
     * Results are identical to a direct groupBy (avg recombined as
-    * sum/count, not averaged averages). */
+    * sum/count, not averaged averages). Pass `saltOn` (e.g. the table's
+    * unique id) to salt on a named stable column instead of the whole row —
+    * cheaper per row, and immune to duplicate-row collapse. */
   def saltedStats(df: DataFrame, keyCol: Column, keyName: String,
-                  valueCol: String, salt: Int = 16): DataFrame = {
+                  valueCol: String, salt: Int = 16,
+                  saltOn: Seq[Column] = Nil): DataFrame = {
     val partial = df
-      .groupBy(keyCol.as(keyName), saltCol(salt, df.columns.toSeq.map(col)).as("__salt"))
+      .groupBy(keyCol.as(keyName), saltCol(salt, saltSource(df, saltOn)).as("__salt"))
       .agg(
         count(lit(1)).as("__cnt"), sum(valueCol).as("__sum"),
         min(valueCol).as("__min"), max(valueCol).as("__max"))
@@ -52,8 +82,8 @@ object Skew {
     * flooding one. Build-side cost is `salt`× its row count; pick salt so
     * replicated-build still fits the shuffle comfortably. */
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
-                 salt: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("__salt", saltCol(salt, fact.columns.toSeq.map(col)))
+                 salt: Int = 16, saltOn: Seq[Column] = Nil): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltCol(salt, saltSource(fact, saltOn)))
     val saltedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")

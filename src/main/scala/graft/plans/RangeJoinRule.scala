@@ -27,6 +27,10 @@ import org.apache.spark.sql.types._
 object RangeJoinRule extends Rule[LogicalPlan] {
   val GridConf = "spark.graft.range.grid"
 
+  // the optimizer applies this rule to every plan, possibly several times:
+  // warn once per distinct malformed value, not once per apply()
+  @volatile private var lastWarnedGrid: String = null
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val gridStr = conf.getConfString(GridConf, "")
     if (gridStr.isEmpty) return plan
@@ -34,7 +38,10 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     // EVERY plan in the session): skip the rewrite instead of throwing.
     scala.util.Try(gridStr.toDouble).toOption.filter(_ > 0) match {
       case None =>
-        logWarning(s"$GridConf='$gridStr' is not a positive double; range-join rewrite disabled")
+        if (gridStr != lastWarnedGrid) {
+          lastWarnedGrid = gridStr
+          logWarning(s"$GridConf='$gridStr' is not a positive double; range-join rewrite disabled")
+        }
         plan
       case Some(grid) =>
         plan.transformUp {

@@ -42,6 +42,21 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() === 2)
   }
 
+  test("asofJoin: multi-column payload is atomic; latest row's NULL field is kept") {
+    // regression for the struct-payload fix: with per-column max_by the
+    // latest row's NULL p1 would resurrect the older row's 1.0, stitching
+    // fields from two different right rows
+    val right = Seq(
+      ("a", ts("2024-01-01 10:00:00"), Option(1.0), Option("x")),
+      ("a", ts("2024-01-01 11:00:00"), Option.empty[Double], Option("y"))
+    ).toDF("k", "rts", "p1", "p2")
+    val left = Seq(("a", ts("2024-01-01 12:00:00"), 1L)).toDF("k", "lts", "id")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("p1", "p2"))
+      .select("id", "asof_p1", "asof_p2")
+      .as[(Long, Option[Double], Option[String])].collect()
+    assert(got === Array((1L, None, Some("y"))))
+  }
+
   test("asofJoin matches a brute-force range join on random data") {
     val rnd = new scala.util.Random(7)
     val rights = (1 to 200).map(_ =>
