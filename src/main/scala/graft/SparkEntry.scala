@@ -262,8 +262,13 @@ object SparkEntry {
         transform(col("embedding"),
           (x, i) => x + ((pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float")
             - lit(500.0f)) / lit(100000.0f))).as("embedding"))
+      // gate output is the recovered PAIRS (the verifiable property; the
+      // golden VALUES oracle lists them) — cos itself is float math over
+      // hash jitter no second engine reproduces; SimilaritySpec checks it
+      // against brute force
       Similarity.nearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
         dim = 64, nPlanes = 12, threshold = 0.8)
+        .select("id_a", "id_b")
     }),
     "cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -434,6 +439,24 @@ object SparkEntry {
       Sink.upsertPartitioned(s, path, updates,
         keys = Seq("event_id"), orderCol = "version", tieBreak = "event_id", partitionCol = "day")
       s.read.parquet(path).select("event_id", "value")
+    }),
+
+    "bucketed_layout" -> ((s, d) => {
+      // Pay the shuffle once at write time: both sides bucketed+sorted on
+      // the join key, then join + aggregate — the physical plan carries no
+      // Exchange on either side (BucketedSpec pins that); the gate verifies
+      // the bucketed layout also returns the CORRECT join result.
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Sink.writeBucketed(o, "orders_bkt", Seq("o_custkey"), 8,
+        Some(sinkPath(d, "bkt_orders")))
+      Sink.writeBucketed(c, "customer_bkt", Seq("o_custkey"), 8,
+        Some(sinkPath(d, "bkt_customer")))
+      s.table("orders_bkt").join(s.table("customer_bkt"), Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
     }),
 
     // ---- §E streaming (batch-equivalent plan for the gate) -------------
@@ -817,6 +840,54 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
          sum(value) AS total_value
          FROM events GROUP BY 1""",
+    "bucketed_layout" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "cosine_topk" ->
+      // same double-accumulation chain as Similarity.dot (float elements
+      // cast to double, sequential fold): bit-identical across engines
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+           q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+                 FROM embeddings WHERE vec_id < 8)
+         SELECT query_id, vec_id, cos, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id,
+             list_dot_product(c.e, q.e)
+               / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e))) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_dot_product(c.e, q.e)
+                 / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
+               c.vec_id) AS rank
+           FROM c JOIN q ON c.vec_id <> q.vec_id) t
+         WHERE rank <= 5""",
+    "embedding_quantize" ->
+      // mirrors Similarity.quantized/dequantize cast-for-cast: qvec from
+      // the DOUBLE scale, dequantize through the stored FLOAT scale
+      """WITH t AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS e,
+             greatest(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS dscale
+           FROM embeddings),
+         q AS (
+           SELECT e, CAST(dscale AS FLOAT) AS fscale,
+             list_transform(e, x -> CAST(round(x / dscale) AS TINYINT)) AS qvec
+           FROM t),
+         d AS (
+           SELECT e, CAST(list_transform(qvec,
+             v -> CAST(CAST(v AS DOUBLE) * fscale AS FLOAT)) AS DOUBLE[]) AS dq
+           FROM q),
+         c AS (
+           SELECT list_dot_product(e, dq)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(dq, dq))) AS cos
+           FROM d)
+         SELECT count(*) AS n_vectors, round(min(cos), 4) AS worst_cosine,
+           round(avg(cos), 4) AS avg_cosine
+         FROM c""",
+    "embedding_dedup" ->
+      // golden oracle: the query plants jittered copies of vectors 0..19 at
+      // id+1000000; the operator must recover exactly those pairs
+      """SELECT i AS id_a, i + 1000000 AS id_b FROM range(0, 20) t(i)""",
     "upsert_sink" ->
       """SELECT event_id, value FROM (
            SELECT event_id, value,

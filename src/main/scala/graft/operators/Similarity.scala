@@ -191,6 +191,67 @@ object Similarity {
       transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("qvec"))
   }
 
+  /** IVF for LARGE `nlist` (≈4096+): the literal centroid matrix of
+    * [[ivfTopK]] is baked into generated code and blows past codegen /
+    * constant-pool limits well before 4096×64 doubles. Here the centroids
+    * ride along as ONE broadcast row holding an array of (cid, cvec)
+    * structs, and assignment is a running-argmax fold over that array —
+    * still a pure projection per corpus row (no explosion, no window, no
+    * corpus shuffle), and the probe step stays a hash join on the list id.
+    * Same sampled-centroid policy as [[ivfTopK]]; spec asserts the two
+    * paths agree exactly at small nlist. */
+  def ivfTopKBroadcast(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nlist: Int = 16,
+                       nprobe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = normalized(corpus
+      .select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("__r"))
+      .orderBy("__r").limit(nlist)
+      .select("cvec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq)
+    ivfTopKWithBroadcast(cents, corpus, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Broadcast-array centroid machinery behind [[ivfTopKBroadcast]] —
+    * callers with their own (e.g. KMeans-trained) centroids plug in here. */
+  def ivfTopKWithBroadcast(cents: Seq[Seq[Double]], corpus: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // one row: array<struct<cid,cvec>> — broadcast to every task like a
+    // dimension table; the data never appears in generated code
+    val centRow = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cvec")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("__cents")))
+
+    def sims(vec: Column): Column =
+      transform(col("__cents"),
+        s => struct(dot(vec, s.getField("cvec")).as("sim"), s.getField("cid").as("cid")))
+    // running argmax over the centroid array: one fold, no sort. `>=` so an
+    // exact sim tie resolves to the larger cid — the same (sim, cid) struct
+    // order the literal path's greatest() uses.
+    def assignList(vec: Column): Column =
+      aggregate(sims(vec),
+        struct(lit(Double.MinValue).as("sim"), lit(-1).as("cid")),
+        (acc, s) => when(s.getField("sim") >= acc.getField("sim"), s).otherwise(acc))
+        .getField("cid")
+    def probeLists(vec: Column): Column =
+      transform(slice(reverse(array_sort(sims(vec))), 1, nprobe),
+        s => s.getField("cid"))
+
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .crossJoin(centRow)
+      .withColumn("centroid_id", assignList(col("vec")))
+      .withColumn("norm", l2norm(col("vec")))
+      .drop("__cents")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(centRow)
+      .withColumn("centroid_id", explode(probeLists(col("qvec"))))
+      .withColumn("qnorm", l2norm(col("qvec")))
+      .drop("__cents")
+    scoreWithinLists(c, q, k)
+  }
+
   private def normalized(vs: Seq[Seq[Double]]): Seq[Seq[Double]] =
     vs.map { v =>
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -219,12 +280,17 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("centroid_id", explode(probeLists(col("qvec"))))
       .withColumn("qnorm", l2norm(col("qvec")))
+    scoreWithinLists(c, q, k)
+  }
+
+  /** Shared IVF tail: hash join corpus↔queries on the probed list id, score
+    * cosine, rank per query. No dedup needed: every corpus vector lives in
+    * exactly one list, so a (query, vector) pair can only meet once. */
+  private def scoreWithinLists(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(q, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    // no dedup needed: every corpus vector lives in exactly one list, so a
-    // (query, vector) pair can only meet once
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")

@@ -93,18 +93,22 @@ object Sink {
     * shuffle once at write time, never again per query (Spark's answer to
     * the reference's indexed Postgres table). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int): Unit = {
+                    buckets: Int, path: Option[String] = None): Unit = {
     val spark = df.sparkSession
     // A table dir left by a previous session blocks CTAS even in overwrite
     // mode (a fresh in-memory catalog has no claim on the location):
     // drop the catalog entry AND clear the orphan location first.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    reset(s"${spark.conf.get("spark.sql.warehouse.dir")}/${table.toLowerCase}")
-    df.write
+    val loc = path.getOrElse(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${table.toLowerCase}")
+    reset(loc)
+    val w = df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path → external table (sessions with a cwd-default
+    // warehouse, e.g. the driver's bare Verify session, stay scratch-clean)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
   /** Drop a sink table (scratch/test lifecycles). */

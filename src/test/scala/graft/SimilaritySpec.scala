@@ -96,6 +96,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfTopKBroadcast: broadcast-centroid path equals the literal-matrix path") {
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 7
+      Seq.fill(8) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val df = (0 until 60).map(i => (i.toLong, vec(i))).toDF("id", "emb")
+    val queries = df.filter(col("id") < 4)
+    // identical sampled centroids (same hash sample) → identical output,
+    // row for row, for both partial (nprobe=2) and exhaustive probing
+    for (nprobe <- Seq(2, 8)) {
+      val literal = Similarity.ivfTopK(df, queries, "id", "emb",
+          k = 3, nlist = 8, nprobe = nprobe)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      val bcast = Similarity.ivfTopKBroadcast(df, queries, "id", "emb",
+          k = 3, nlist = 8, nprobe = nprobe)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      assert(bcast === literal, s"nprobe=$nprobe")
+    }
+  }
+
   test("lshTopK multi-probe: recall never below single-probe") {
     def vec(seed: Long): Seq[Float] = {
       var x = seed * 40503L + 11
