@@ -750,6 +750,27 @@ object SparkEntry {
            len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS word_tokens,
            length(text) AS n_chars_calc
          FROM documents""",
+    "lang_id" ->
+      // same stopword-profile scores + lexicographic (score, lang) argmax
+      // as TextOps.langId: struct comparison via list_max mirrors Spark's
+      // greatest() over (score, lang) structs
+      """WITH t AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, [
+             struct_pack(score := len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) * 1.0 / greatest(len(toks), 1), lang := 'de'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in','that'))) * 1.0 / greatest(len(toks), 1), lang := 'en'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('el','la','los','y','es','una','que','en'))) * 1.0 / greatest(len(toks), 1), lang := 'es'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','que','dans'))) * 1.0 / greatest(len(toks), 1), lang := 'fr'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','他','这'))) * 1.0 / greatest(len(toks), 1)
+               + least(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) * 1.0 / greatest(length(text), 1), 1.0), lang := 'zh')
+           ] AS cand
+           FROM t)
+         SELECT doc_id, list_max(cand).lang AS detected_lang,
+           round(list_max(cand).score, 4) AS lang_score
+         FROM s""",
     "novelty_check" ->
       // NOT EXISTS (not NOT IN): a NULL content hash must stay novel in
       // both engines — NOT IN drops it, the anti-join keeps it
