@@ -120,12 +120,14 @@ object SparkEntry {
     "rolling_7d" -> ((s, d) => Analytics.rolling7d(Tables.events(s, d))),
     "report_window_7d" -> ((s, d) =>
       // ReportConfig(start, end) applied under the daily rollup
-      // (report.py:37-43): the window predicate reaches the scan.
-      Analytics.dailyCounts(Analytics.reportWindow(
-        Tables.events(s, d), "2024-01-10", "2024-01-17"))),
+      // (report.py:37-43). eventsWindowed bounds the RAW nanos column, so
+      // the predicate reaches the parquet scan (row-group pruning) instead
+      // of filtering after the µs conversion.
+      Analytics.dailyCounts(
+        Tables.eventsWindowed(s, d, "2024-01-10", "2024-01-17"))),
     "report_window_30d" -> ((s, d) =>
-      Analytics.timeBucketStats(Analytics.reportWindow(
-        Tables.events(s, d), "2024-01-01", "2024-01-31"), "week")),
+      Analytics.timeBucketStats(
+        Tables.eventsWindowed(s, d, "2024-01-01", "2024-01-31"), "week")),
     "regional_multi_agg" -> ((s, d) =>
       // Full ukraine_region_query shape (report.py:96-110): count + sum +
       // avg(value) + per-region means of two extra measures (the lat/lon

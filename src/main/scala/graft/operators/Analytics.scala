@@ -60,9 +60,11 @@ object Analytics {
 
   /** Bounded report window (report.py:37-43 ReportConfig(start_date,
     * end_date): every reference report query is windowed). Inclusive start,
-    * exclusive end; the timestamp literals compare against the partition/
-    * min-max stats, so at lake scale this prunes file groups before any
-    * scan — compose it UNDER any rollup in this module. */
+    * exclusive end; on a natively-typed timestamp column the literals push
+    * down to partition/min-max stats and prune before the scan. NOTE: for
+    * the nanos-long events feed use [[graft.sources.Tables.eventsWindowed]]
+    * instead — a bound written against the CONVERTED ts stays a post-scan
+    * filter there. */
   def reportWindow(df: DataFrame, start: String, end: String,
                    tsCol: String = "ts"): DataFrame =
     df.filter(col(tsCol) >= lit(start).cast("timestamp") &&

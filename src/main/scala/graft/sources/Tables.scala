@@ -33,6 +33,27 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Events bounded to [start, end) with the predicate applied ON THE RAW
+    * NANOS LONG, before the µs conversion: a plain long comparison reaches
+    * the parquet scan (`PushedFilters` → row-group/file pruning), where the
+    * same bound written against `timestamp_micros(ts div 1000)` stays a
+    * post-scan filter — the difference between reading a week and scanning
+    * 100 TB. Bounds are UTC `yyyy-MM-dd[ HH:mm:ss]` strings; because both
+    * bounds are whole microseconds, the long predicate is exactly
+    * equivalent to the post-truncation timestamp predicate. */
+  def eventsWindowed(s: SparkSession, d: String, start: String, end: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def nanos(x: String): Long = {
+      val ldt =
+        if (x.length == 10) java.time.LocalDate.parse(x).atStartOfDay()
+        else java.time.LocalDateTime.parse(x.replace(' ', 'T'))
+      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    }
+    load(s, d, "events")
+      .filter(col("ts") >= lit(nanos(start)) && col("ts") < lit(nanos(end)))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
