@@ -4,10 +4,28 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Ingest
+import graft.sources.Tables
 
 class IngestSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
+
+  test("eventsWindowed: raw-nanos window equals the post-conversion filter AND pushes down") {
+    val d = "/root/testdata/sf0.001"
+    val windowed = Tables.eventsWindowed(spark, d, "2024-01-10", "2024-01-17")
+    val want = Tables.events(spark, d)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+              col("ts") < lit("2024-01-17").cast("timestamp"))
+    assert(windowed.count() === want.count())
+    assert(windowed.agg(round(sum("value"), 2)).as[Double].collect()
+      === want.agg(round(sum("value"), 2)).as[Double].collect())
+    // the whole point: both bounds reach the parquet scan as long predicates
+    val scan = windowed.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(ts,") && scan.contains("LessThan(ts,"),
+      s"window bounds not pushed to scan:\n$scan")
+  }
 
   test("typedEvents: date/derived-time casts, floor-int value, JSON prop") {
     val df = Seq(
