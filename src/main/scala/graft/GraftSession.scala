@@ -28,6 +28,20 @@ object GraftSession {
         sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
+  /** Production streaming state tuning: RocksDB-backed keyed state instead
+    * of the default in-JVM-heap HDFSBackedStateStore. At scale the state of
+    * windowed aggs / dedup / sessionization outgrows executor heaps —
+    * RocksDB keeps it off-heap + on local disk with incremental (changelog)
+    * checkpointing, the standard choice for large stateful streams. Confs
+    * are read at stream start, so call before `.start()`. */
+  def tuneStreaming(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark
+  }
+
   /** Apply graft runtime tuning to an externally-created session (the driver
     * builds its own bare session for Verify/Bench). Session-scoped SQL confs
     * only — master/memory are fixed at creation. */

@@ -61,6 +61,32 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream runs on the RocksDB state store (production state tier)") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    GraftSession.tuneStreaming(spark)
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("rocks_dedup").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      assert(spark.table("rocks_dedup").count() === 2)
+      // the running query's state store really is RocksDB, not the default
+      val progress = q.lastProgress.stateOperators
+      assert(progress.nonEmpty &&
+        progress.head.customMetrics.keySet.toString.contains("rocksdb"),
+        s"expected rocksdb state metrics, got ${progress.map(_.customMetrics)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize: keyed state accumulates per-user session summaries") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
