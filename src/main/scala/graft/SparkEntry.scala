@@ -319,6 +319,8 @@ object SparkEntry {
       TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "fingerprint" -> ((s, d) =>
       TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", topN = 3)),
     "dedup_clusters" -> ((s, d) => {
       // Pairs → transitive clusters → size distribution: the step that
       // makes pairwise near-dup output actionable (keep one per cluster).
@@ -752,6 +754,26 @@ object SparkEntry {
            len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS word_tokens,
            length(text) AS n_chars_calc
          FROM documents""",
+    "tfidf_top_terms" ->
+      // rank on the ROUNDED score in both engines: ln differs in the last
+      // ulp between libms, so ordering raw doubles could flip near-ties
+      """WITH terms AS (
+           SELECT doc_id, t AS term FROM (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+             FROM documents) u
+           WHERE t <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT doc_id, term, tf, doc_freq, tfidf, rank FROM (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             round(tf.tf * ln(n_docs * 1.0 / dfreq.doc_freq), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(n_docs * 1.0 / dfreq.doc_freq), 6) DESC,
+                        tf.term) AS rank
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n) s
+         WHERE rank <= 3""",
     "lang_id" ->
       // same stopword-profile scores + lexicographic (score, lang) argmax
       // as TextOps.langId: struct comparison via list_max mirrors Spark's

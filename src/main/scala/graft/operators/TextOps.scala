@@ -105,6 +105,36 @@ object TextOps {
       })
   }
 
+  /** TF-IDF top-N terms per document — keyword extraction for corpus
+    * diversity/topic analysis (the classic signal for dedup-aware sampling
+    * and quality filters over a training corpus).
+    *
+    * Scale shape: one explode pass over tokens, then two hash aggregations
+    * — (doc, term) counts and term document-frequency — joined back on the
+    * term key; the corpus row count N attaches as a broadcast 1-row
+    * scalar, and the per-doc top-N window runs over the already-aggregated
+    * (doc, term) frame, never raw tokens. Scores round to 6dp BEFORE
+    * ranking so rank order is stable across engines (ln differs in the
+    * last ulp between libms). */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
+  }
+
   /** 31-bit domain keeps the rolling-hash multiply overflow-safe (ANSI). */
   private val P31 = 2147483647L
 

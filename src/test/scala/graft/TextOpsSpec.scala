@@ -55,6 +55,28 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array("en", "de", "fr", "es", "zh"))
   }
 
+  test("tfIdfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma gamma")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfIdfTopTerms(docs, "doc_id", "text", topN = 2)
+      .select("doc_id", "term", "tfidf", "rank")
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // 'common' appears in all 3 docs → idf = ln(1) = 0 → never rank 1
+    assert(got(1L).head._2 === "alpha")
+    assert(got(2L).head._2 === "beta")
+    assert(got(3L).head._2 === "gamma")
+    // tfidf = tf * ln(3/1): alpha 2×, beta 1×, gamma 3×
+    assert(math.abs(got(1L).head._3 - 2 * math.log(3.0)) < 1e-5)
+    assert(math.abs(got(2L).head._3 - 1 * math.log(3.0)) < 1e-5)
+    assert(math.abs(got(3L).head._3 - 3 * math.log(3.0)) < 1e-5)
+    // rank-2 term is 'common' with score exactly 0 in every doc
+    assert(got.values.forall(v => v(1)._2 == "common" && v(1)._3 == 0.0))
+  }
+
   test("fingerprint: order-sensitive rolling hash, order-insensitive minhash") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
