@@ -245,6 +245,33 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)),
     "simhash_dedup" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)),
+    "minhash_planted_pairs" -> ((s, d) => {
+      // End-to-end MinHash check with a KNOWN answer: plant exact copies of
+      // docs 0..9 at id+1000000 — identical text ⇒ identical signature ⇒
+      // same bands ⇒ candidate ⇒ Jaccard exactly 1.0. The corpus has no
+      // organic exact dups (exact_dedup keeps all 500 rows), so the
+      // (id, id+1000000) pairs are exactly the planted ones.
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.minhashNearDups(
+          docs.select("doc_id", "text").unionByName(planted),
+          "doc_id", "text", threshold = 0.5)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+    "simhash_planted_pairs" -> ((s, d) => {
+      // Same planted-recovery shape for SimHash: identical text ⇒ identical
+      // 64-bit fingerprint ⇒ hamming 0 through band blocking + verify.
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simhashNearDups(
+          docs.select("doc_id", "text").unionByName(planted),
+          "doc_id", "text", maxHamming = 8)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
     "ngram_jaccard" -> ((s, d) =>
       // Block on a 16-bit SimHash band, not a metadata column: bucket count
       // grows with the corpus (|block|² stays bounded), while near-identical
@@ -933,6 +960,12 @@ object SparkEntry {
       // golden oracle: the query plants jittered copies of vectors 0..19 at
       // id+1000000; the operator must recover exactly those pairs
       """SELECT i AS id_a, i + 1000000 AS id_b FROM range(0, 20) t(i)""",
+    "minhash_planted_pairs" ->
+      """SELECT i AS id_a, i + 1000000 AS id_b, 1.0 AS jaccard
+         FROM range(0, 10) t(i)""",
+    "simhash_planted_pairs" ->
+      """SELECT i AS id_a, i + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM range(0, 10) t(i)""",
     "upsert_sink" ->
       """SELECT event_id, value FROM (
            SELECT event_id, value,
