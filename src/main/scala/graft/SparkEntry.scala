@@ -508,6 +508,27 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         "user_id", "30 minutes")
+    }),
+    "stream_upsert" -> ((s, d) => {
+      // The full sensor loop, actually STREAMING in the gate: two delivery
+      // waves into a landing dir, each drained by an AvailableNow run of
+      // the file-source → foreachBatch merge (the checkpoint carries the
+      // cursor between runs, batchId is the version). Wave 2 re-delivers
+      // every 100th event with value+1000 — latest wins in the lake table.
+      val base = sinkPath(d, "stream_upsert")
+      val (landing, tbl, ckpt) = (s"$base/landing", s"$base/table", s"$base/ckpt")
+      Sink.reset(base)
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      ev.write.parquet(landing)
+      EventStream.upsertStream(s, landing, tbl, ckpt, availableNow = true)
+        .awaitTermination()
+      ev.filter(pmod(col("event_id"), lit(100L)) === 0)
+        .withColumn("value", col("value") + 1000)
+        .write.mode("append").parquet(landing)
+      EventStream.upsertStream(s, landing, tbl, ckpt, availableNow = true)
+        .awaitTermination()
+      s.read.parquet(tbl).select("event_id", "value")
     })
   )
 
@@ -908,6 +929,12 @@ object SparkEntry {
            ON l.user_id = r.user_id
           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
          WHERE l.event_type = 'click' AND r.event_type = 'purchase'""",
+    "stream_upsert" ->
+      // wave 2 re-delivered every 100th event with value+1000 at a later
+      // stream batch — the merged lake table must show the update winning
+      """SELECT event_id,
+           CASE WHEN event_id % 100 = 0 THEN value + 1000 ELSE value END AS value
+         FROM events""",
     "partitioned_sink" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
          sum(value) AS total_value

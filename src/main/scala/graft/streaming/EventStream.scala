@@ -141,10 +141,17 @@ object EventStream {
     * [[graft.sources.Sink.upsertPartitioned]]. Later batches win
     * (batchId is the version); re-delivered keys within a batch resolve by
     * newest `ts`. Exactly-once to the table comes from the idempotence of
-    * the merge + the checkpointed source offsets. */
+    * the merge + the checkpointed source offsets.
+    *
+    * With `availableNow` the query drains everything currently in the
+    * landing area and terminates (Trigger.AvailableNow) — the scheduled
+    * "catch-up run" form of the sensor, and what lets the correctness gate
+    * drive REAL micro-batches: start, awaitTermination, re-run after the
+    * next delivery wave (the checkpoint carries the cursor across runs). */
   def upsertStream(spark: SparkSession, landingDir: String, tablePath: String,
-                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    fromDirectory(spark, landingDir).writeStream
+                   checkpointDir: String, availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = fromDirectory(spark, landingDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sink.upsertPartitioned(
@@ -154,5 +161,9 @@ object EventStream {
           keys = Seq("event_id"), orderCol = "__version", tieBreak = "ts",
           partitionCol = "day")
       }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .start()
+  }
 }
