@@ -15,9 +15,16 @@ object Bench {
     // Warmup at the smallest SF: codegen + JIT compile once so the timed
     // run measures steady-state operator cost, not whichever query happens
     // to pay first-touch compilation.
+    // Deterministic name order, NOT Map iteration order: HashMap order
+    // reshuffles whenever a query is added, silently moving different
+    // queries into the noise-prone tail of the run — r3/r4 showed the last
+    // three Map-order queries drifting 2-5× above their pins while a fresh
+    // isolated run reproduced the pins exactly. Sorted order keeps
+    // round-over-round numbers comparable.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      ordered.foreach { case (_, fn) =>
         try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
@@ -27,7 +34,10 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
     System.gc()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
+      // quiesce the heap before each timer starts so a query is never
+      // billed for garbage the previous 72 queries left behind
+      System.gc()
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output InternalRow — a plain
       // .count() lets Catalyst prune the projections under test.
@@ -37,7 +47,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

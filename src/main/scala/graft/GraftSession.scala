@@ -51,6 +51,9 @@ object GraftSession {
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Day/week bucketing and the tz-naive DuckDB oracle both assume UTC;
+    // an externally-built session on a non-UTC host must not disagree.
+    c.set("spark.sql.session.timeZone", "UTC")
     // Session-build-time home for the nanos-timestamp reader mapping
     // (Tables.events re-asserts the same constant for externally-built
     // sessions, e.g. the driver's smoke-check session).

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.FatalityModel
@@ -211,11 +211,33 @@ object SparkEntry {
         .groupBy("band_id")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("band_value"))
     }),
-    "sketch_profile" -> ((s, d) =>
+    "sketch_profile" -> ((s, d) => {
       // HLL distinct + approximate percentiles per event type — the
       // constant-memory substitutes for nunique()/describe() at 100 TB.
-      Sketch.approxProfile(Tables.events(s, d), col("event_type"), "event_type",
-        "user_id", "value")),
+      // The gate ALSO computes the exact statistics and emits each sketch
+      // as a within-tolerance flag: DuckDB reproduces the exact columns
+      // independently and pins every flag TRUE (|approx−exact| ≤ 3·rsd for
+      // HLL, 5% relative for the percentile sketch) — the sketches are
+      // verified against ground truth, not against themselves.
+      val ev = Tables.events(s, d)
+      val approx = Sketch.approxProfile(ev, col("event_type"), "event_type",
+        "user_id", "value")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("__xd"),
+          percentile(col("value"), lit(0.5)).as("__x50"),
+          percentile(col("value"), lit(0.95)).as("__x95"),
+          percentile(col("value"), lit(0.99)).as("__x99"))
+      def band(approxC: Column, exactC: Column): Column =
+        abs(approxC - exactC) <= greatest(abs(exactC) * 0.05, lit(0.01))
+      approx.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"),
+          col("__xd").as("exact_distinct"),
+          (abs(col("approx_distinct") - col("__xd")) <= col("__xd") * (3 * 0.02))
+            .as("distinct_ok"),
+          round(col("__x50"), 4).as("p50"), band(col("p50"), col("__x50")).as("p50_ok"),
+          round(col("__x95"), 4).as("p95"), band(col("p95"), col("__x95")).as("p95_ok"),
+          round(col("__x99"), 4).as("p99"), band(col("p99"), col("__x99")).as("p99_ok"))
+    }),
     "stratified_sample" -> ((s, d) =>
       // Reproducible hash-keyed class rebalancing: downsample dominant
       // types, keep rare ones whole. Deterministic (xxhash64 on the key),
@@ -280,6 +302,19 @@ object SparkEntry {
         Tables.documents(s, d)
           .withColumn("simband", shiftrightunsigned(Dedup.simhash(col("text")), 48)),
         "doc_id", "text", "simband")),
+    "ngram_jaccard_exact" -> ((s, d) =>
+      // Oracle-checkable slice of the same operator: Jaccard over hashed
+      // shingles equals Jaccard over the shingle strings themselves (the
+      // hash is injective up to negligible collisions), and blocking on a
+      // metadata column is a shape DuckDB can replay with list functions —
+      // so every pair's similarity is verified end to end by a second
+      // engine. The simband-blocked production form above stays the scale
+      // path.
+      Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text", "lang")
+        .select(col("block"), col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))),
     "embedding_dedup" -> ((s, d) => {
       // Random vectors have no organic cos>0.8 pairs at this SF, so the query
       // plants deterministic jittered copies of the first 20 vectors — the
@@ -304,14 +339,45 @@ object SparkEntry {
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
     "lsh_ann" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        dim = 64, k = 5, nPlanes = 6, probeBits = 2)
+      // Recall gate with a KNOWN answer: three jittered near-copies of
+      // each query are planted into the corpus (cos ≈ 0.9999 — the true
+      // top-3 by construction, same trick as embedding_dedup), ground
+      // truth is the oracle-green brute-force cosine_topk over the SAME
+      // corpus, and the multi-probe LSH top-5 must hit ≥3 of 5 of it
+      // (recall@5 ≥ 0.6 — the floor is asserted in-query; golden rows pin
+      // the exact hit counts). Unstructured random vectors have no
+      // locality for ANN to exploit, so the planted neighbors are what
+      // "recall" verifiably means here.
+      val (corpus, q) = plantedAnnCorpus(s, d)
+      val ann = Similarity.lshTopK(corpus, q, "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 6, probeBits = 3)
+      annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
+        ann, minHits = 3)
     }),
     "ivf_ann" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      // Same planted-recall gate for the IVF tier: a jittered copy lands
+      // in its original's inverted list, so nprobe=4 of nlist=16 must
+      // recover the planted true neighbors (floor recall@5 ≥ 0.6).
+      val (corpus, q) = plantedAnnCorpus(s, d)
+      val ann = Similarity.ivfTopK(corpus, q, "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
+      annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
+        ann, minHits = 3)
+    }),
+    "ivf_topk_broadcast" -> ((s, d) => {
+      // Large-nlist IVF path parity, surfaced to the driver gate: the
+      // broadcast-centroid variant must return EXACTLY the literal-matrix
+      // variant's neighbors (SimilaritySpec proves it per-row; this pins
+      // it in CORRECTNESS against golden counts).
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 8)
+      val lit_ = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4).select("query_id", "vec_id", "rank")
+      val bc = Similarity.ivfTopKBroadcast(emb, q, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4).select("query_id", "vec_id", "rank")
+      bc.agg(count(lit(1)).as("n_rows")).crossJoin(
+        bc.exceptAll(lit_).unionByName(lit_.exceptAll(bc))
+          .agg(count(lit(1)).as("n_mismatch")))
     }),
     "ivf_ann_trained" -> ((s, d) => {
       // Production-quantizer tier: KMeans-fitted coarse centroids (MLlib,
@@ -345,7 +411,13 @@ object SparkEntry {
     "token_count" -> ((s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "fingerprint" -> ((s, d) =>
-      TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+      // Rolling polynomial + content-minhash fingerprints are fully
+      // deterministic, so docs 0-9 gate against GOLDEN rows (xxhash64 has
+      // no DuckDB mirror; the pinned values were computed once and any
+      // tokenization/hash drift breaks the hash compare). TextOpsSpec
+      // covers the full-corpus invariants.
+      TextOps.fingerprint(
+        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text")),
     "tfidf_top_terms" -> ((s, d) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", topN = 3)),
     "dedup_clusters" -> ((s, d) => {
@@ -491,6 +563,19 @@ object SparkEntry {
     }),
 
     // ---- §E streaming (batch-equivalent plan for the gate) -------------
+    "stream_dedup_state" -> ((s, d) => {
+      // The streaming dedup-by-key operator (dropDuplicatesWithinWatermark,
+      // the stream form of the reference's keyed upsert) in its batch
+      // form: every 50th event re-delivered, the SAME transform must
+      // collapse each key back to exactly one row. The MemoryStream suite
+      // drives the stateful/watermarked behavior; this pins the semantics
+      // against DuckDB's DISTINCT.
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val redelivered = ev.filter(pmod(col("event_id"), lit(50L)) === 0)
+      EventStream.dedupStream(ev.unionByName(redelivered))
+        .select("event_id")
+    }),
     "stream_windowed_counts" -> ((s, d) =>
       EventStream.windowedCounts(Tables.events(s, d))),
     "stream_sliding_counts" -> ((s, d) =>
@@ -532,6 +617,40 @@ object SparkEntry {
     })
   )
 
+  /** Corpus for the ANN recall gates: the embeddings table plus three
+    * deterministically-jittered near-copies of each query vector (ids
+    * q+1M/q+2M/q+3M, per-component hash noise ±0.005) — planted true
+    * neighbors the ANN tiers must recover. Returns (corpus, queries). */
+  private def plantedAnnCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    val planted = (1 to 3).map { j =>
+      q.select(
+        (col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((pmod(xxhash64(col("vec_id"), i, lit(j)), lit(1000L)).cast("float")
+            - lit(500.0f)) / lit(100000.0f)))
+          // the jitter arithmetic widens to double; the corpus union must
+          // keep the table's array<float> element type
+          .cast("array<float>").as("embedding"))
+    }.reduce(_ unionByName _)
+    (emb.unionByName(planted), q)
+  }
+
+  /** Per-query recall of an ANN result against the brute-force ground
+    * truth: (query_id, n_hits, recall_ok). The truth side is the spine so
+    * a query with zero hits still yields a (visible, failing) row. */
+  private def annRecall(truth: DataFrame, ann: DataFrame, minHits: Int): DataFrame = {
+    val hits = truth.select("query_id", "vec_id")
+      .join(ann.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        (coalesce(col("__h"), lit(0L)) >= minHits).as("recall_ok"))
+  }
+
   /** Deterministic per-dataset scratch location for sink roundtrips (the
     * sink queries are self-contained: write then read back). */
   private def sinkPath(d: String, tag: String): String =
@@ -549,6 +668,80 @@ object SparkEntry {
        WHERE rnk <= 3"""
 
   def oracleSql: Map[String, String] = Map(
+    "sketch_profile" ->
+      // DuckDB supplies the EXACT distinct/percentiles; the _ok flags pin
+      // that Spark's sketches landed inside their error bands.
+      """SELECT event_type, count(*) AS n_rows,
+         count(DISTINCT user_id) AS exact_distinct, TRUE AS distinct_ok,
+         round(quantile_cont(value, 0.5), 4) AS p50, TRUE AS p50_ok,
+         round(quantile_cont(value, 0.95), 4) AS p95, TRUE AS p95_ok,
+         round(quantile_cont(value, 0.99), 4) AS p99, TRUE AS p99_ok
+         FROM events GROUP BY event_type""",
+    "stream_dedup_state" ->
+      // re-delivered copies must collapse back to one row per key
+      """SELECT event_id FROM events""",
+    "ivf_topk_broadcast" ->
+      // golden parity: broadcast-centroid IVF returns exactly the
+      // literal-matrix IVF's (query, neighbor, rank) set — 8 queries × 5
+      // neighbors, zero disagreements in either direction
+      """SELECT CAST(40 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch""",
+    "fingerprint" ->
+      // golden rows: the fingerprints are pure deterministic functions of
+      // the (fixed, seed=42) corpus — pinned once, any drift in
+      // tokenization, xxhash64 seeding, or the rolling-hash fold breaks
+      // the compare (xxhash64 has no DuckDB mirror to recompute against)
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rolling_hash AS BIGINT) AS rolling_hash,
+           CAST(content_minhash AS BIGINT) AS content_minhash,
+           CAST(n_tokens AS INTEGER) AS n_tokens
+         FROM (VALUES
+           (0, 1248500283, 128989048, 32),
+           (1,  442491546,  60886368, 72),
+           (2,  842094431,  60886368, 45),
+           (3, 1906784676, 102299716, 27),
+           (4, 1849330719,  60886368, 45),
+           (5, 1743147755,  60886368, 56),
+           (6,  972709475, 128989048, 15),
+           (7,   32345893,  60886368, 72),
+           (8, 1426928247,  60886368, 84),
+           (9,  110925171,  60886368, 74))
+           t(doc_id, rolling_hash, content_minhash, n_tokens)""",
+    "lsh_ann" ->
+      // golden per-query hit counts of multi-probe LSH against brute-force
+      // truth over the planted corpus; recall_ok pins recall@5 >= 0.6
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits, recall_ok
+         FROM (VALUES (0, 3, TRUE), (1, 4, TRUE), (2, 3, TRUE), (3, 4, TRUE),
+                      (4, 3, TRUE), (5, 4, TRUE), (6, 3, TRUE), (7, 5, TRUE))
+           t(query_id, n_hits, recall_ok)""",
+    "ivf_ann" ->
+      // golden per-query hit counts of IVF (nprobe=4/16) against
+      // brute-force truth over the planted corpus; recall@5 >= 0.6
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits, recall_ok
+         FROM (VALUES (0, 5, TRUE), (1, 3, TRUE), (2, 5, TRUE), (3, 3, TRUE),
+                      (4, 3, TRUE), (5, 3, TRUE), (6, 4, TRUE), (7, 4, TRUE))
+           t(query_id, n_hits, recall_ok)""",
+    "ngram_jaccard_exact" ->
+      // Full second-engine replay of the n-gram Jaccard operator: same
+      // tokenization (whitespace split of trimmed text), same distinct
+      // word-3-shingles (one truncated shingle when a doc has <3 tokens),
+      // same block join — Jaccard over shingle STRINGS equals graft's
+      // Jaccard over hashed shingles up to negligible collision odds.
+      """WITH t AS (
+           SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id < 100),
+         s AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM t)
+         SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -213,13 +213,23 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(sl)
-    // eager localCheckpoint, not persist: the label frame feeds the next
+    // Eager checkpoint, not persist: the label frame feeds the next
     // round's plan FOUR times (both union legs + both jump-join sides), so
     // without lineage truncation the logical plan quadruples per round and
     // plan analysis itself becomes the bottleneck after ~10 rounds.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // localCheckpoint blocks are NOT recoverable on executor loss — fine in
+    // local[n]; on a real cluster set spark.graft.cc.reliableCheckpoint=true
+    // (with sc.setCheckpointDir) to write each round's O(V) snapshot to
+    // fault-tolerant storage instead, trading round latency for the ability
+    // to survive a lost executor mid-iteration.
+    val spark = pairs.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.cc.reliableCheckpoint").exists(_.toBoolean)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var labels = truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     val labelType = labels.schema("label").dataType
     var freePrev = checkpointFree(labels)
     var iter = 0
@@ -237,12 +247,11 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"), min("old").as("old"))
       // pointer jumping: label ← label(label). Every label is itself a
       // vertex id, so the lookup is a self-join of the O(V) label frame.
-      val next = combined
+      val next = truncate(combined
         .join(combined.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("jump"), col("label")).as("label"),
-          col("old"))
-        .localCheckpoint(true)
+          col("old")))
       changed = next.filter(col("label") =!= col("old")).count()
       freePrev()
       freePrev = checkpointFree(next)

@@ -125,14 +125,21 @@ object Similarity {
     * window), and the probe step is a hash join on centroid_id. Nothing
     * ever cross-joins the corpus. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = normalized(corpus
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(sampledCentroids(corpus, idCol, vecCol, nlist),
+      corpus, queries, idCol, vecCol, k, nprobe)
+
+  /** Deterministic hash-sampled coarse centroids (shared by [[ivfTopK]] and
+    * [[ivfTopKBroadcast]] so the two policies cannot drift): the `nlist`
+    * corpus rows with the smallest xxhash64(id), L2-normalized. O(nlist)
+    * rows ever reach the driver. */
+  private def sampledCentroids(corpus: DataFrame, idCol: String,
+                               vecCol: String, nlist: Int): Seq[Seq[Double]] =
+    normalized(corpus
       .select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("__r"))
       .orderBy("__r").limit(nlist)
       .select("cvec").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq)
-    ivfTopKWith(cents, corpus, queries, idCol, vecCol, k, nprobe)
-  }
 
   /** IVF with KMeans-TRAINED coarse centroids (the production quantizer):
     * MLlib KMeans fits on a deterministic hash sample of the corpus —
@@ -202,14 +209,9 @@ object Similarity {
     * paths agree exactly at small nlist. */
   def ivfTopKBroadcast(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, nlist: Int = 16,
-                       nprobe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = normalized(corpus
-      .select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("__r"))
-      .orderBy("__r").limit(nlist)
-      .select("cvec").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq)
-    ivfTopKWithBroadcast(cents, corpus, queries, idCol, vecCol, k, nprobe)
-  }
+                       nprobe: Int = 4): DataFrame =
+    ivfTopKWithBroadcast(sampledCentroids(corpus, idCol, vecCol, nlist),
+      corpus, queries, idCol, vecCol, k, nprobe)
 
   /** Broadcast-array centroid machinery behind [[ivfTopKBroadcast]] —
     * callers with their own (e.g. KMeans-trained) centroids plug in here. */

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,6 +23,13 @@ import graft.operators.Dedup
   *    and rewrites ONLY the partitions the update batch touches. At 100 TB
   *    the update batch touches a handful of days; rewriting the whole table
   *    (or shuffling it) per load would be the scale bug.
+  *
+  * All directory manipulation goes through the Hadoop [[FileSystem]] API
+  * resolved from the session's Hadoop conf, so the same code commits on
+  * `file:`, `hdfs://`, and `s3a://` tables (rename is atomic-per-dir on
+  * local/HDFS; on object stores it degrades to copy-commit with the same
+  * ordering guarantees — for heavy S3 traffic front this with a
+  * manifest-committing table format).
   */
 object Sink {
 
@@ -48,16 +56,40 @@ object Sink {
     * are replaced. The merged slice is staged to a side directory (Spark
     * correctly refuses a plan that reads the same files an overwrite is
     * deleting) and then each staged partition directory is SWAPPED into the
-    * table — delete the stale partition dir, rename the staged one in — so
-    * the merged rows are written exactly once. The previous implementation
-    * re-wrote the staging output through a second Spark job: 2× write
-    * amplification on every touched partition of every merge.
+    * table — one write job per merge, no second overwrite pass.
+    *
+    * Crash safety: the swap never destroys the only copy of a row. Per
+    * partition the order is (1) rename the live `day=X` dir to a tombstone
+    * OUTSIDE the table root, (2) rename the staged dir in, (3) delete the
+    * tombstone — so at every instant either the old or the new dir exists
+    * in full. Entry first heals leftovers of an interrupted run: orphaned
+    * tombstones whose live partition vanished are renamed back (restoring
+    * the pre-merge rows a replay must read), and a stale staging dir is
+    * cleared so it can never be swapped into the table as old data.
     */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
                         keys: Seq[String], orderCol: String, tieBreak: String,
                         partitionCol: String): Unit = {
-    val tableDir = new java.io.File(path.stripPrefix("file:"))
-    if (!tableDir.exists()) {
+    val fs = fileSystem(spark, path)
+    val tableDir = new Path(path)
+    val staging = new Path(path.stripSuffix("/") + "__staging")
+    val tombs = new Path(path.stripSuffix("/") + "__tombstone")
+    // Heal an interrupted previous merge BEFORE reading `existing`:
+    //  - a tombstone with no live partition is the surviving pre-merge copy
+    //    → move it back so this merge sees those rows;
+    //  - a stale staging dir holds a previous batch's output → delete it,
+    //    otherwise dynamic overwrite would leave its untouched days behind
+    //    and the swap would resurrect them as current data.
+    if (fs.exists(tombs)) {
+      fs.listStatus(tombs).filter(_.isDirectory).foreach { t =>
+        val live = new Path(tableDir, t.getPath.getName)
+        if (!fs.exists(live)) rename(fs, t.getPath, live)
+        else fs.delete(t.getPath, true)
+      }
+      fs.delete(tombs, true)
+    }
+    fs.delete(staging, true)
+    if (!fs.exists(tableDir)) {
       writePartitioned(updates, path, partitionCol)
       return
     }
@@ -70,20 +102,24 @@ object Sink {
       .select(updates.columns.map(col): _*)
     val merged = Dedup.latestWins(
       existing.unionByName(updates), keys, orderCol, tieBreak)
-    val staging = path.stripSuffix("/") + "__staging"
-    writePartitioned(merged, staging, partitionCol)
+    writePartitioned(merged, staging.toString, partitionCol)
     // Atomic-per-partition swap: `day=X` dirs carry their own partition
     // value, so renaming them under the table root is all "commit" means —
     // no second write job, no name re-derivation (values with URL-escaped
     // encodings move correctly because the directory name IS the encoding).
-    val stagingDir = new java.io.File(staging.stripPrefix("file:"))
-    stagingDir.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
-      .foreach { part =>
-        val target = new java.io.File(tableDir, part.getName)
-        deleteRecursively(target)
-        java.nio.file.Files.move(part.toPath, target.toPath)
-      }
-    deleteRecursively(stagingDir)
+    val staged = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (staged.nonEmpty) fs.mkdirs(tombs)
+    staged.foreach { part =>
+      val name = part.getPath.getName
+      val target = new Path(tableDir, name)
+      val tomb = new Path(tombs, name)
+      if (fs.exists(target)) rename(fs, target, tomb)
+      rename(fs, part.getPath, target)
+      fs.delete(tomb, true)
+    }
+    fs.delete(tombs, true)
+    fs.delete(staging, true)
   }
 
   /** Bucketed+sorted managed copy of a table: hash-bucketed on the join
@@ -111,12 +147,20 @@ object Sink {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
-  /** Drop a sink table (scratch/test lifecycles). */
-  def reset(path: String): Unit =
-    deleteRecursively(new java.io.File(path.stripPrefix("file:")))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
-    f.delete(): Unit
+  /** Drop a sink table (scratch/test lifecycles). Routed through the
+    * active session's Hadoop FileSystem so scheme-qualified lake paths
+    * work the same as local ones. */
+  def reset(path: String): Unit = {
+    val spark = SparkSession.active
+    fileSystem(spark, path).delete(new Path(path), true): Unit
   }
+
+  private def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** FileSystem.rename reports failure by returning false (e.g. a missing
+    * parent on HDFS) — surface that instead of silently dropping a commit
+    * step. */
+  private def rename(fs: FileSystem, from: Path, to: Path): Unit =
+    require(fs.rename(from, to), s"rename failed: $from -> $to")
 }

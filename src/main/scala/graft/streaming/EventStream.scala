@@ -57,10 +57,16 @@ object EventStream {
     events.join(broadcast(dim), Seq(key), "left")
 
   /** Streaming dedup by key within the watermark horizon — the streaming
-    * form of the reference's keyed upsert. */
+    * form of the reference's keyed upsert. On a batch frame the watermark
+    * horizon is meaningless (the whole input is one "batch"), so the same
+    * call degrades to plain dedup-by-key — Spark rejects
+    * dropDuplicatesWithinWatermark outside a stream, and the batch
+    * semantics of "collapse re-deliveries of a key" IS dropDuplicates. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   case class SessionUpdate(user_id: Long, n_events: Int, total_value: Double,
                            session_start: java.sql.Timestamp, closed: Boolean)

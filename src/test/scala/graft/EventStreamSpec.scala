@@ -64,6 +64,8 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
   test("dedupStream runs on the RocksDB state store (production state tier)") {
     implicit val ctx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     GraftSession.tuneStreaming(spark)
     val input = MemoryStream[Ev]
     val q = EventStream.dedupStream(input.toDF())
@@ -83,6 +85,12 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
     }
   }

@@ -74,4 +74,51 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
       Seq("id"), "version", "id", "day")
     assert(spark.read.parquet(path).select("value").as[Double].collect() === Array(10.0))
   }
+
+  test("upsertPartitioned: commits through the FileSystem API on a file: URI") {
+    val path = "file:" + tmp()
+    Sink.upsertPartitioned(spark, path, table((1, "2024-01-01", 1.0, 0)),
+      Seq("id"), "version", "id", "day")
+    Sink.upsertPartitioned(spark, path, table((1, "2024-01-01", 2.0, 1)),
+      Seq("id"), "version", "id", "day")
+    assert(spark.read.parquet(path).select("value").as[Double].collect() === Array(2.0))
+  }
+
+  test("upsertPartitioned: a stale staging dir from an interrupted merge is discarded") {
+    val path = tmp()
+    Sink.upsertPartitioned(spark, path, table((1, "2024-01-01", 1.0, 0)),
+      Seq("id"), "version", "id", "day")
+    // simulate a crash mid-previous-merge: staged output for a day that the
+    // crashed batch (and no later batch) ever committed
+    Sink.writePartitioned(table((9, "2099-01-01", 9.0, 0)), path + "__staging", "day")
+    Sink.upsertPartitioned(spark, path, table((2, "2024-01-02", 2.0, 0)),
+      Seq("id"), "version", "id", "day")
+    val days = spark.read.parquet(path).select("day").distinct()
+      .as[String].collect().sorted
+    assert(days === Array("2024-01-01", "2024-01-02"),
+      "stale staged partition must never be swapped into the table")
+    assert(!new java.io.File(path + "__staging").exists())
+  }
+
+  test("upsertPartitioned: an orphaned tombstone is restored before the merge") {
+    val path = tmp()
+    Sink.upsertPartitioned(spark, path,
+      table((1, "2024-01-01", 1.0, 0), (3, "2024-01-01", 3.0, 0),
+        (2, "2024-01-02", 2.0, 0)),
+      Seq("id"), "version", "id", "day")
+    // simulate a crash between swap steps (1) and (2): the live partition
+    // was renamed to its tombstone and the staged dir never moved in
+    val tombs = new java.io.File(path + "__tombstone")
+    assert(tombs.mkdirs())
+    assert(new java.io.File(path + "/day=2024-01-01")
+      .renameTo(new java.io.File(tombs, "day=2024-01-01")))
+    Sink.upsertPartitioned(spark, path, table((1, "2024-01-01", 5.0, 1)),
+      Seq("id"), "version", "id", "day")
+    val back = spark.read.parquet(path).select("id", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(back === Array((1L, 5.0), (2L, 2.0), (3L, 3.0)),
+      "pre-merge rows must be readable again after crash recovery " +
+        "(id=3 lives only in the tombstoned partition)")
+    assert(!tombs.exists())
+  }
 }
