@@ -48,7 +48,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout JSON is one long line and log-capture pipelines truncate
+    // it (r5 lost the alphabetical tail, ~11 queries). Persist the full
+    // record to a file as well so every number survives capture.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+      java.nio.file.Files.write(out, json.getBytes("UTF-8")): Unit
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

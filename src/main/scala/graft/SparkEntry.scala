@@ -238,13 +238,29 @@ object SparkEntry {
           round(col("__x95"), 4).as("p95"), band(col("p95"), col("__x95")).as("p95_ok"),
           round(col("__x99"), 4).as("p99"), band(col("p99"), col("__x99")).as("p99_ok"))
     }),
-    "stratified_sample" -> ((s, d) =>
+    "stratified_sample" -> ((s, d) => {
       // Reproducible hash-keyed class rebalancing: downsample dominant
       // types, keep rare ones whole. Deterministic (xxhash64 on the key),
-      // so the counts are stable run to run.
-      Sample.stratifiedHashSample(Tables.events(s, d), col("event_type"),
-          col("event_id"), Map("click" -> 0.1, "view" -> 0.5, "purchase" -> 1.0, "signup" -> 1.0))
-        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))),
+      // so the per-stratum kept-counts are stable run to run — the oracle
+      // pins them as GOLDEN rows (computed once on the gate corpus) plus
+      // an in-query binomial sanity band: each stratum must land within
+      // ±3σ of its target fraction (σ = sqrt(f(1-f)n); exact strata with
+      // f=1.0 get σ=0, so the +1 slack only matters there).
+      val fracs = Map("click" -> 0.1, "view" -> 0.5,
+        "purchase" -> 1.0, "signup" -> 1.0)
+      val ev = Tables.events(s, d)
+      val totals = ev.groupBy("event_type").agg(count(lit(1)).as("__n"))
+      val sampled = Sample.stratifiedHashSample(ev, col("event_type"),
+          col("event_id"), fracs)
+        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+      val f = fracs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+        when(col("event_type") === k, lit(v)).otherwise(acc) }
+      sampled.join(totals, Seq("event_type"))
+        .select(col("event_type"), col("n_sampled"),
+          (abs(col("n_sampled") - f * col("__n")) <=
+            lit(3.0) * sqrt(f * (lit(1.0) - f) * col("__n")) + lit(1.0))
+            .as("frac_ok"))
+    }),
     "asof_join" -> ((s, d) => {
       // Point-in-time lookup: each click joined to the user's most recent
       // purchase at or before it. Purchases are pre-aggregated per
@@ -381,10 +397,16 @@ object SparkEntry {
     }),
     "ivf_ann_trained" -> ((s, d) => {
       // Production-quantizer tier: KMeans-fitted coarse centroids (MLlib,
-      // hash-sampled fit), same literal-matrix probe machinery.
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      // hash-sampled fit), same literal-matrix probe machinery — now under
+      // the same planted-neighbor recall gate as lsh_ann/ivf_ann: a
+      // jittered copy quantizes to (almost surely) its original's list, so
+      // the trained tier must recover the planted true neighbors too
+      // (recall@5 ≥ 0.6 asserted in-query; golden hit counts pinned).
+      val (corpus, q) = plantedAnnCorpus(s, d)
+      val ann = Similarity.ivfTopKTrained(corpus, q, "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
+      annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
+        ann, minHits = 3)
     }),
     "embedding_quantize" -> ((s, d) => {
       // int8 storage tier roundtrip: quantize → dequantize → cosine vs
@@ -444,6 +466,39 @@ object SparkEntry {
       Packing.packSequences(toks, "doc_id", "ws_tokens", budget = 1024, shards = 8)
         .groupBy("shard", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+    }),
+    "seq_packing_check" -> ((s, d) => {
+      // Invariant oracle for the packer, second-engine-pinned where a
+      // second engine CAN pin it: DuckDB independently recomputes the
+      // corpus' exact whitespace-token sum (conservation — every token
+      // lands in exactly one bin, nothing dropped or double-packed), and
+      // the structural invariants are pinned TRUE: no multi-doc bin over
+      // budget (an oversized single doc legitimately gets its own bin),
+      // and the bin count inside the greedy first-fit bounds — at least
+      // ceil(total/budget) (pigeonhole), at most total/(budget-maxdoc)
+      // closed bins (a bin only closes when the next doc doesn't fit, so
+      // every closed bin holds > budget-maxdoc tokens) plus one open bin
+      // per shard.
+      val budget = 1024L
+      val shards = 8
+      val toks = TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      val bins = Packing.packSequences(toks, "doc_id", "ws_tokens", budget, shards)
+        .groupBy("shard", "seq_id")
+        .agg(sum("n_tokens").as("seq_tokens"), count(lit(1)).as("n_docs"),
+          max("n_tokens").as("max_doc"))
+      bins.agg(
+          sum("seq_tokens").as("total_tokens"),
+          count(lit(1)).as("__bins"),
+          max("max_doc").as("__maxdoc"),
+          min(when(col("seq_tokens") <= budget || col("n_docs") === 1, 1)
+            .otherwise(0)).as("__budget_ok"))
+        .select(col("total_tokens"),
+          (col("__budget_ok") === 1).as("budget_ok"),
+          (col("__bins") >= ceil(col("total_tokens") / lit(budget.toDouble)) &&
+            (col("__maxdoc") >= budget ||
+              col("__bins") <= ceil(col("total_tokens") /
+                (lit(budget.toDouble) - col("__maxdoc"))) + lit(shards)))
+            .as("bins_ok"))
     }),
     "text_normalize" -> ((s, d) =>
       // Normalization before hashing/shingling: cosmetic variants (case,
@@ -684,12 +739,14 @@ object SparkEntry {
       // golden parity: broadcast-centroid IVF returns exactly the
       // literal-matrix IVF's (query, neighbor, rank) set — 8 queries × 5
       // neighbors, zero disagreements in either direction
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(40 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch""",
     "fingerprint" ->
       // golden rows: the fingerprints are pure deterministic functions of
       // the (fixed, seed=42) corpus — pinned once, any drift in
       // tokenization, xxhash64 seeding, or the rolling-hash fold breaks
       // the compare (xxhash64 has no DuckDB mirror to recompute against)
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(rolling_hash AS BIGINT) AS rolling_hash,
            CAST(content_minhash AS BIGINT) AS content_minhash,
@@ -709,6 +766,7 @@ object SparkEntry {
     "lsh_ann" ->
       // golden per-query hit counts of multi-probe LSH against brute-force
       // truth over the planted corpus; recall_ok pins recall@5 >= 0.6
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(n_hits AS BIGINT) AS n_hits, recall_ok
          FROM (VALUES (0, 3, TRUE), (1, 4, TRUE), (2, 3, TRUE), (3, 4, TRUE),
@@ -717,11 +775,41 @@ object SparkEntry {
     "ivf_ann" ->
       // golden per-query hit counts of IVF (nprobe=4/16) against
       // brute-force truth over the planted corpus; recall@5 >= 0.6
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(n_hits AS BIGINT) AS n_hits, recall_ok
          FROM (VALUES (0, 5, TRUE), (1, 3, TRUE), (2, 5, TRUE), (3, 3, TRUE),
                       (4, 3, TRUE), (5, 3, TRUE), (6, 4, TRUE), (7, 4, TRUE))
            t(query_id, n_hits, recall_ok)""",
+    "ivf_ann_trained" ->
+      // golden per-query hit counts of KMeans-trained IVF (nprobe=4/16,
+      // seed=42 fit) against brute-force truth over the planted corpus;
+      // recall@5 >= 0.6
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits, recall_ok
+         FROM (VALUES (0, 5, TRUE), (1, 5, TRUE), (2, 4, TRUE), (3, 5, TRUE),
+                      (4, 5, TRUE), (5, 5, TRUE), (6, 4, TRUE), (7, 5, TRUE))
+           t(query_id, n_hits, recall_ok)""",
+    "stratified_sample" ->
+      // golden per-stratum kept-counts of the deterministic xxhash64
+      // sample (fractions click 0.1 / view 0.5 / purchase 1.0 /
+      // signup 1.0); frac_ok pins each stratum inside its ±3σ binomial
+      // band around the target fraction
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT event_type, CAST(n_sampled AS BIGINT) AS n_sampled, frac_ok
+         FROM (VALUES ('click', 207, TRUE), ('view', 958, TRUE),
+                      ('purchase', 1981, TRUE), ('signup', 2017, TRUE))
+           t(event_type, n_sampled, frac_ok)""",
+    "seq_packing_check" ->
+      // token conservation is recomputed EXACTLY by the second engine
+      // (same whitespace tokenization as token_count); the structural
+      // invariants (no multi-doc bin over budget, bin count inside the
+      // greedy first-fit bounds) are pinned TRUE
+      """SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
+           TRUE AS budget_ok, TRUE AS bins_ok
+         FROM documents""",
     "ngram_jaccard_exact" ->
       // Full second-engine replay of the n-gram Jaccard operator: same
       // tokenization (whitespace split of trimmed text), same distinct

@@ -262,13 +262,29 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
-  /** Deterministic storage release for an eagerly localCheckpoint'ed frame
+  /** Deterministic storage release for an eagerly checkpointed frame
     * (Dataset.unpersist does not cover checkpoint RDDs; without this each
-    * round's O(V) label snapshot would linger until GC + ContextCleaner). */
+    * round's O(V) label snapshot would linger until GC + ContextCleaner).
+    * In reliable mode the checkpoint FILES are deleted too: Spark only
+    * removes them itself under
+    * spark.cleaner.referenceTracking.cleanCheckpoints=true, so without this
+    * every pointer-jumping round would leak an O(V) snapshot to the
+    * checkpoint dir for the app lifetime. */
   private def checkpointFree(df: DataFrame): () => Unit =
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
-        () => { r.rdd.unpersist(false); () }
+        () => {
+          // getCheckpointFile is Some only for RELIABLE checkpoints — a
+          // localCheckpoint frees everything via unpersist alone
+          val ckptDir = r.rdd.getCheckpointFile
+          r.rdd.unpersist(false)
+          ckptDir.foreach { dir =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+          ()
+        }
     }.getOrElse(() => ())
 
   /** Full dedup: collapse every near-dup cluster to its canonical (min-id)

@@ -58,11 +58,15 @@ object Sink {
     * deleting) and then each staged partition directory is SWAPPED into the
     * table — one write job per merge, no second overwrite pass.
     *
-    * Crash safety: the swap never destroys the only copy of a row. Per
-    * partition the order is (1) rename the live `day=X` dir to a tombstone
-    * OUTSIDE the table root, (2) rename the staged dir in, (3) delete the
-    * tombstone — so at every instant either the old or the new dir exists
-    * in full. Entry first heals leftovers of an interrupted run: orphaned
+    * Crash safety (SINGLE-WRITER, not snapshot isolation): the swap never
+    * destroys the only copy of a row. Per partition the order is (1) rename
+    * the live `day=X` dir to a tombstone OUTSIDE the table root, (2) rename
+    * the staged dir in, (3) delete the tombstone — so a crash at any instant
+    * leaves either the old or the new dir recoverable in full. A CONCURRENT
+    * READER, however, can observe the partition missing between (1) and (2)
+    * — reader-visible atomicity needs a manifest-committing table format,
+    * and two concurrent merges on one table are NOT safe.
+    * Entry first heals leftovers of an interrupted run: orphaned
     * tombstones whose live partition vanished are renamed back (restoring
     * the pre-merge rows a replay must read), and a stale staging dir is
     * cleared so it can never be swapped into the table as old data.
@@ -148,11 +152,16 @@ object Sink {
   }
 
   /** Drop a sink table (scratch/test lifecycles). Routed through the
-    * active session's Hadoop FileSystem so scheme-qualified lake paths
-    * work the same as local ones. */
+    * session's Hadoop FileSystem so scheme-qualified lake paths work the
+    * same as local ones; falls back to a default Hadoop configuration when
+    * no session is alive (test teardown after spark.stop()). */
   def reset(path: String): Unit = {
-    val spark = SparkSession.active
-    fileSystem(spark, path).delete(new Path(path), true): Unit
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new Path(path)
+    p.getFileSystem(conf).delete(p, true): Unit
   }
 
   private def fileSystem(spark: SparkSession, path: String): FileSystem =

@@ -29,10 +29,18 @@ object Tables {
     * bit-identical with the oracle. Projection happens in the scan's
     * codegen stage; no extra pass. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(s)
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Guarded fallback for externally-built sessions (the driver's bare
+    * Verify/smoke sessions): GraftSession asserts the nanos-as-long reader
+    * mapping at build/tune time, so for graft-built sessions this is a
+    * read-only conf check — no per-query session mutation. */
+  private def ensureNanosAsLong(s: SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Events bounded to [start, end) with the predicate applied ON THE RAW
     * NANOS LONG, before the µs conversion: a plain long comparison reaches
@@ -43,7 +51,7 @@ object Tables {
     * bounds are whole microseconds, the long predicate is exactly
     * equivalent to the post-truncation timestamp predicate. */
   def eventsWindowed(s: SparkSession, d: String, start: String, end: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(s)
     def nanos(x: String): Long = {
       val ldt =
         if (x.length == 10) java.time.LocalDate.parse(x).atStartOfDay()
