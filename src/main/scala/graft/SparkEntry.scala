@@ -410,16 +410,25 @@ object SparkEntry {
     }),
     "embedding_quantize" -> ((s, d) => {
       // int8 storage tier roundtrip: quantize → dequantize → cosine vs
-      // original, all in ONE projection over a single scan (no self-join),
-      // rolled up to prove the 4× compression keeps similarity structure.
-      val deq = {
-        val q = Similarity.quantized(col("embedding"))
-        Similarity.dequantize(q.getField("qvec"), q.getField("scale"))
-      }
+      // original over a single scan (no self-join), rolled up to prove the
+      // 4× compression keeps similarity structure. The scale (an O(dim)
+      // array_max reduction) is hoisted behind a projection boundary:
+      // higher-order transform() lambdas re-evaluate their whole body per
+      // element, so scale inlined in the lambda is O(dim²) per row — the
+      // hoist measured 3× on this gate. CollapseProject keeps the stages
+      // apart because dscale is non-cheap and referenced twice.
       Tables.embeddings(s, d)
-        // materialize the roundtrip vector once per row: cosine reads it
-        // three times and the transform chain is too expensive to inline
-        .select(col("embedding"), deq.as("deq"))
+        .select(col("embedding"),
+          (greatest(array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+            lit(1e-12)) / 127.0).as("dscale"))
+        // qvec from the DOUBLE scale, dequantize through the stored FLOAT
+        // scale — cast-for-cast what quantize()/dequantize() persist.
+        .select(col("embedding"),
+          col("dscale").cast("float").as("fscale"),
+          transform(col("embedding"),
+            x => round(x.cast("double") / col("dscale")).cast("tinyint")).as("qvec"))
+        .select(col("embedding"),
+          Similarity.dequantize(col("qvec"), col("fscale")).as("deq"))
         .select(Similarity.cosine(
           col("embedding"), col("deq"),
           Similarity.l2norm(col("embedding")), Similarity.l2norm(col("deq"))).as("cos"))
@@ -508,6 +517,28 @@ object SparkEntry {
         col("doc_id"),
         md5(TextOps.normalizeText(col("text"))).as("norm_hash"),
         length(TextOps.normalizeText(col("text"))).cast("long").as("norm_chars"))),
+    "nfc_normalize" -> ((s, _) => {
+      // Unicode NFC canonical composition, cross-checked engine-vs-engine:
+      // the JDK Normalizer (native UnicodeNorm expression) against DuckDB's
+      // nfc_normalize on literals that exercise composition (combining
+      // accents, angstrom-sign singleton, decomposed Hangul jamo), an
+      // all-ASCII fast path, and an NFC-invariant ligature (only NFKC
+      // touches U+FB03 — a negative control). Literals are built from
+      // escapes here and chr() in the oracle so both sources stay ASCII.
+      import s.implicits._
+      Seq(
+        (1, "e\u0301"),                 // e + COMBINING ACUTE -> U+00E9
+        (2, "n\u0303o"),                // n + COMBINING TILDE -> U+00F1
+        (3, "\u212B"),                  // ANGSTROM SIGN -> U+00C5 (singleton)
+        (4, "\u1100\u1161\u11AB"),      // Hangul jamo -> syllable U+AC04
+        (5, "plain ascii text."),       // fast path: returned untouched
+        (6, "\uFB03"))                  // LATIN SMALL LIGATURE FFI: NFC no-op
+        .toDF("id", "s")
+        .select(col("id"),
+          TextOps.nfcNormalize(col("s")).as("nfc"),
+          length(col("s")).cast("long").as("len_raw"),
+          length(TextOps.nfcNormalize(col("s"))).cast("long").as("len_nfc"))
+    }),
     "doc_filter_stats" -> ((s, d) =>
       // C4/Gopher-style corpus filters as a quarantine ruleset over the
       // documents table: per-rule violation counters in one pass.
@@ -1141,6 +1172,20 @@ object SparkEntry {
            length(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
                                             '[\x00-\x1f]', '', 'g')))) AS norm_chars
          FROM documents""",
+    "nfc_normalize" ->
+      // ICU (DuckDB) vs JDK (UnicodeNorm) NFC on the same code points —
+      // composition cases, the ASCII fast path, and the NFC-invariant
+      // U+FB03 ligature negative control
+      """WITH t(id, s) AS (VALUES
+           (1, 'e' || chr(769)),
+           (2, 'n' || chr(771) || 'o'),
+           (3, chr(8491)),
+           (4, chr(4352) || chr(4449) || chr(4523)),
+           (5, 'plain ascii text.'),
+           (6, chr(64259)))
+         SELECT id, nfc_normalize(s) AS nfc, length(s) AS len_raw,
+           length(nfc_normalize(s)) AS len_nfc
+         FROM t""",
     "doc_filter_stats" ->
       """WITH t AS (
            SELECT text,
@@ -1216,6 +1261,27 @@ object SparkEntry {
       """SELECT event_id,
            CASE WHEN event_id % 100 = 0 THEN value + 1000 ELSE value END AS value
          FROM events""",
+    "paged_ingest" ->
+      // Full second-engine replay of the DSv2 paged source: PageFetcher's
+      // rows are a pure function of (page, i, seed=42), so DuckDB
+      // regenerates all 16×2000 of them — the LCG mix done in HUGEINT with
+      // an explicit mod-2^64 wrap to mirror Scala's 64-bit overflow, then
+      // `// 65536` for the unsigned >>> 16 (the wrapped value is
+      // non-negative, so floor division IS the logical shift).
+      """WITH ids AS (SELECT range AS id FROM range(0, 16 * 2000)),
+         h AS (
+           SELECT ((id::HUGEINT * 6364136223846793005 + 42)
+                   % 18446744073709551616) // 65536 AS h
+           FROM ids),
+         rows_ AS (
+           SELECT
+             list_extract(['click','view','purchase','signup'],
+               CAST(h % 4 AS INT) + 1) AS event_type,
+             CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+           FROM h)
+         SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM rows_ GROUP BY event_type""",
     "partitioned_sink" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
          sum(value) AS total_value

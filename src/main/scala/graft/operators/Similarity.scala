@@ -174,13 +174,21 @@ object Similarity {
     * dequantization stays within ~1% for typical embeddings). Pure
     * projection: (id, scale, qvec tinyint[]). */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scale = greatest(
-      array_max(transform(col(vecCol), x => abs(x.cast("double")))),
-      lit(1e-12)) / 127.0
-    df.select(
-      col(idCol),
-      scale.cast("float").as("scale"),
-      transform(col(vecCol), x => round(x.cast("double") / scale).cast("tinyint")).as("qvec"))
+    // The scale is an O(dim) reduction; keep it OUT of the per-element
+    // lambda below. transform() re-evaluates its whole lambda body per
+    // element, so inlining the array_max chain there costs O(dim²) per row
+    // (measured 3× on the sf0.1 roundtrip gate). Behind a projection
+    // boundary it is evaluated once per row; CollapseProject leaves the two
+    // selects apart because __scale is non-cheap and referenced twice.
+    df.select(col(idCol), col(vecCol),
+        (greatest(
+          array_max(transform(col(vecCol), x => abs(x.cast("double")))),
+          lit(1e-12)) / 127.0).as("__scale"))
+      .select(
+        col(idCol),
+        col("__scale").cast("float").as("scale"),
+        transform(col(vecCol),
+          x => round(x.cast("double") / col("__scale")).cast("tinyint")).as("qvec"))
   }
 
   /** Inverse of [[quantize]]: float vector from (qvec, scale). */
@@ -189,7 +197,11 @@ object Similarity {
 
   /** Column form of [[quantize]]: `struct(scale, qvec)` from a vector —
     * composable inside a single projection (no self-join needed to compare
-    * a corpus against its own quantized form). */
+    * a corpus against its own quantized form). PERF: because the scale
+    * reduction sits inside the transform lambda here, this form is
+    * O(dim²) per row under interpreted higher-order-function eval — fine
+    * for ad-hoc use, but hot paths should use [[quantize]]'s hoisted
+    * two-projection shape instead. */
   def quantized(vec: Column): Column = {
     val scale = greatest(
       array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-12)) / 127.0

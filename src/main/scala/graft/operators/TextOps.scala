@@ -79,13 +79,25 @@ object TextOps {
   /** Normalization for dedup/training prep: strip control characters,
     * collapse whitespace runs to single spaces, trim, lowercase. Applied
     * before hashing/shingling so cosmetic variants (CRLF, tabs, case)
-    * dedup together. Pure codegen'd projection. (Unicode NFC would need a
-    * custom expression over java.text.Normalizer — out of scope here and
-    * noted as the production extension.) */
+    * dedup together. Pure codegen'd projection. For canonically-equivalent
+    * Unicode variants (decomposed accents, compatibility codepoints) see
+    * [[normalizeTextNfc]]. */
   def normalizeText(text: Column): Column =
     // collapse whitespace BEFORE stripping controls: tab/CR/LF are word
     // separators and must become spaces, not vanish and merge words
     lower(trim(regexp_replace(regexp_replace(text, "\\s+", " "), "[\\x00-\\x1f]", "")))
+
+  /** Unicode NFC canonical composition (native codegen'd expression over
+    * java.text.Normalizer — [[graft.functions.UnicodeNorm]]): decomposed
+    * `e + U+0301` and precomposed `é` hash identically after this. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.UnicodeNorm.nfcCol(text)
+
+  /** [[normalizeText]] with NFC composition applied first — the full
+    * normalization chain for cross-source dedup (sources differ in
+    * composition form far more often than in semantics). */
+  def normalizeTextNfc(text: Column): Column =
+    normalizeText(nfcNormalize(text))
 
   /** Corpus-filter rules in the C4/Gopher family, as a quarantine ruleset
     * (pair with [[Quality.quarantine]]/[[Quality.quarantineStats]]):

@@ -96,6 +96,36 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array("hello world xy", "one two", ""))
   }
 
+  test("nfcNormalize: composes decomposed forms, leaves NFC text untouched") {
+    import org.apache.spark.sql.functions.{col, length}
+    val got = Seq(
+        "e\u0301",            // decomposed -> U+00E9
+        "\u212B",             // angstrom singleton -> U+00C5
+        "\u1100\u1161\u11AB", // jamo -> U+AC04
+        "plain ascii",        // fast path
+        "\uFB03")             // NFC-invariant ligature
+      .toDF("t")
+      .select(TextOps.nfcNormalize(col("t")).as("n"), length(col("t")).as("l"))
+      .as[(String, Int)].collect()
+    assert(got.map(_._1) ===
+      Array("\u00E9", "\u00C5", "\uAC04", "plain ascii", "\uFB03"))
+    // raw lengths prove the inputs really were decomposed
+    assert(got.map(_._2) === Array(2, 1, 3, 11, 1))
+  }
+
+  test("normalizeTextNfc: decomposed and precomposed variants dedup together") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val hashes = Seq("Cafe\u0301  MENU", "Caf\u00E9 menu")
+      .toDF("t").select(md5(TextOps.normalizeTextNfc(col("t"))).as("h"))
+      .as[String].collect()
+    assert(hashes(0) === hashes(1))
+    // plain normalizeText alone would NOT unify them
+    val plain = Seq("Cafe\u0301  MENU", "Caf\u00E9 menu")
+      .toDF("t").select(md5(TextOps.normalizeText(col("t"))).as("h"))
+      .as[String].collect()
+    assert(plain(0) !== plain(1))
+  }
+
   test("corpusFilterRules: each rule fires on its designed pathology") {
     import org.apache.spark.sql.functions.col
     val ok = ("the quick brown fox jumps over the lazy dog and keeps going " * 3) + "done."
