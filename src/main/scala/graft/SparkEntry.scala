@@ -459,6 +459,30 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
     }),
+    "dedup_clusters_exact" -> ((s, d) => {
+      // Connected components verified end to end by a second engine. The
+      // production form above keeps its minhash edges (hash edges have no
+      // DuckDB mirror); here the edge set is fully replayable: (a) organic
+      // exact-dup stars — each doc linked to the min-id doc sharing its
+      // md5(normalizeTextNfc(text)), a hash groupBy + join on 16-byte
+      // keys, NO quadratic pair join — plus (b) a deterministic stress
+      // topology over synthetic ids (a 12-node chain and a 7-node star:
+      // multi-hop shapes pointer jumping must close in O(log n) rounds,
+      // present at every SF even when the corpus has no normalized dups).
+      // DuckDB replays the clustering itself as a recursive-CTE
+      // reachability closure + min-label GROUP BY.
+      import s.implicits._
+      val h = Tables.documents(s, d).select(col("doc_id"),
+        md5(TextOps.normalizeTextNfc(col("text"))).as("h"))
+      val organic = h.join(h.groupBy("h").agg(min("doc_id").as("id_a")), "h")
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      val chain = (0 until 11).map(i => (10000L + i, 10001L + i))
+      val star = (1 to 6).map(i => (20000L, 20000L + i))
+      val synth = (chain ++ star).toDF("id_a", "id_b")
+      Dedup.connectedComponents(organic.unionByName(synth), "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    }),
     "novelty_check" -> ((s, d) => {
       // Incremental-crawl gate: which of the "new" docs (second half of the
       // corpus) are genuinely novel against the existing corpus (first
@@ -861,6 +885,41 @@ object SparkEntry {
            round(len(list_intersect(a.sh, b.sh)) * 1.0
              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
          FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id""",
+    "dedup_clusters_exact" ->
+      // CC replayed by a second engine: same md5-of-normalized-text star
+      // edges + the synthetic chain/star topology, clustered via a
+      // recursive-CTE reachability closure (every (node, seed-label) pair
+      // in a component is eventually derived; min per node = the
+      // component's min id, exactly connectedComponents' label policy).
+      """WITH RECURSIVE
+           hashes AS (
+             SELECT doc_id,
+               md5(lower(trim(regexp_replace(regexp_replace(
+                 nfc_normalize(text), '\s+', ' ', 'g'),
+                 '[\x00-\x1f]', '', 'g')))) AS h
+             FROM documents),
+           minper AS (SELECT h, min(doc_id) AS id_a FROM hashes GROUP BY h),
+           organic AS (
+             SELECT m.id_a, d.doc_id AS id_b
+             FROM hashes d JOIN minper m USING (h)
+             WHERE d.doc_id <> m.id_a),
+           synth AS (
+             SELECT CAST(10000 + i AS BIGINT) AS id_a,
+                    CAST(10001 + i AS BIGINT) AS id_b FROM range(0, 11) r(i)
+             UNION ALL
+             SELECT CAST(20000 AS BIGINT), CAST(20000 + i AS BIGINT)
+             FROM range(1, 7) r(i)),
+           pairs AS (SELECT id_a, id_b FROM organic
+                     UNION ALL SELECT id_a, id_b FROM synth),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, label) AS (
+             SELECT a, a FROM edges
+             UNION
+             SELECT e.b, r.label FROM reach r JOIN edges e ON r.id = e.a),
+           labels AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+         SELECT component, count(*) AS cluster_size
+         FROM labels GROUP BY component""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
