@@ -577,6 +577,27 @@ object SparkEntry {
           col("asset_id"), col("n_bytes"),
           xxhash64(col("features").cast("string")).as("feature_hash"))
     }),
+    "multimodal_golden" -> ((s, d) => {
+      // Oracle-checkable slice of the multimodal plumbing: metadata
+      // struct, batched feature-extract hash, and resize plan for docs
+      // 0-9, all fully deterministic. The xxhash64-derived fields have no
+      // DuckDB mirror, so the oracle pins GOLDEN rows (computed once from
+      // the seed=42 corpus at the sf0.01 gate SF, like fingerprint's) —
+      // any drift in payload encoding, metadata derivation, the
+      // fake-decode LCG, batching, or resize arithmetic breaks the hash
+      // compare.
+      val mm = Multimodal.asMultimodal(
+        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(mm, dim = 16).toDF()
+        .select(col("asset_id"), col("n_bytes"),
+          xxhash64(col("features").cast("string")).as("feature_hash"))
+      mm.select(col("asset_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .join(feats, "asset_id")
+        .join(Multimodal.resizePlan(mm, 256, 256)
+          .select(col("asset_id"), col("scale"),
+            col("dst_width"), col("dst_height")), "asset_id")
+    }),
 
     // ---- §C ML pipeline ------------------------------------------------
     "target_encode" -> ((s, d) =>
@@ -796,6 +817,32 @@ object SparkEntry {
       // neighbors, zero disagreements in either direction
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(40 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch""",
+    "multimodal_golden" ->
+      // golden rows: metadata struct, batched fake-decode feature hash,
+      // and resize plan are pure deterministic functions of the corpus;
+      // the xxhash64/LCG pieces have no DuckDB mirror to recompute against
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT CAST(asset_id AS BIGINT) AS asset_id, mime,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(feature_hash AS BIGINT) AS feature_hash,
+           CAST(scale AS DOUBLE) AS scale,
+           CAST(dst_width AS INTEGER) AS dst_width,
+           CAST(dst_height AS INTEGER) AS dst_height
+         FROM (VALUES
+           (0, 'image/png', 1005, 449, 157, -1130491226319236547, 0.254726, 255, 114),
+           (1, 'image/png',  290, 676, 406,  6066860791919583684, 0.378698, 109, 256),
+           (2, 'image/png',  313, 484, 246, -2859419101451682729, 0.528926, 165, 256),
+           (3, 'image/png',  498, 592, 147, -3524431909835586142, 0.432432, 215, 256),
+           (4, 'image/png',   74, 410, 250, -2620771888506963704, 0.624390,  46, 256),
+           (5, 'image/png',  923, 345, 314,  9055550445406149136, 0.277356, 256,  95),
+           (6, 'image/png',  781, 313,  78,  1987226101001061944, 0.327785, 256, 102),
+           (7, 'image/png',  704, 547, 402,   173542432222336854, 0.363636, 256, 198),
+           (8, 'image/png',  511, 700, 470, -7648734408602006212, 0.365714, 186, 256),
+           (9, 'image/png',  148, 865, 391, -8082649607857352230, 0.295954,  43, 256))
+           t(asset_id, mime, width, height, n_bytes, feature_hash, scale,
+             dst_width, dst_height)""",
     "fingerprint" ->
       // golden rows: the fingerprints are pure deterministic functions of
       // the (fixed, seed=42) corpus — pinned once, any drift in
