@@ -1315,6 +1315,41 @@ object SparkEntry {
            count(CASE WHEN NOT coalesce(mean_wl >= 3 AND mean_wl <= 12, FALSE)
                       THEN 1 END) AS word_len_outlier_cnt
          FROM t""",
+    "feature_prep" ->
+      // Full second-engine replay of the ML feature table: modular cohort,
+      // calendar features (DuckDB dayofweek is Sunday=0 → +1 for Spark's
+      // Sunday=1), JSON prop extraction, median-centered distance, and
+      // smoothed target encoding. percentile_approx(0.5, acc=10000)
+      // matches quantile_disc exactly on these low-cardinality features
+      // (cohort 0-9, hour 0-23) at the gate corpus — verified
+      // column-for-column with zero diff.
+      """WITH base AS (
+           SELECT event_id, event_type,
+             CAST(user_id % 10 AS DOUBLE) AS cohort,
+             CAST(hour(ts) AS DOUBLE) AS hour_of_day,
+             CAST(dayofweek(ts) + 1 AS DOUBLE) AS day_of_week,
+             CAST(month(ts) AS DOUBLE) AS month,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS prop_k,
+             value
+           FROM events),
+         center AS (
+           SELECT quantile_disc(cohort, 0.5) AS cx,
+                  quantile_disc(hour_of_day, 0.5) AS cy FROM base),
+         withdist AS (
+           SELECT b.*, sqrt(pow(b.cohort - c.cx, 2)
+             + pow(b.hour_of_day - c.cy, 2)) AS dist_from_center
+           FROM base b CROSS JOIN center c),
+         gm AS (SELECT avg(value) AS g FROM base),
+         stats AS (
+           SELECT event_type,
+             (count(*) * avg(value) + 10 * (SELECT g FROM gm))
+               / (count(*) + 10) AS event_type_target_encoded
+           FROM base GROUP BY event_type)
+         SELECT w.event_id, w.event_type, w.cohort, w.hour_of_day,
+           w.day_of_week, w.month, w.prop_k, w.value, w.dist_from_center,
+           s.event_type_target_encoded
+         FROM withdist w
+         LEFT JOIN stats s ON w.event_type IS NOT DISTINCT FROM s.event_type""",
     "target_encode" ->
       """WITH g AS (SELECT avg(value) AS gm FROM events),
             s AS (SELECT event_type, count(*) AS n, avg(value) AS m
