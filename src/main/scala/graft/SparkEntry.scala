@@ -638,6 +638,19 @@ object SparkEntry {
         .option("pages", 16).option("pageSize", 2000).load()
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))),
+    "paged_cursor" -> ((s, _) =>
+      // Incremental-load path (the reference sensor's offset cursor): only
+      // pages >= 12 of 16 are re-read. The pushed `page >= 12` filter
+      // prunes whole input partitions — the skipped pages are never
+      // fetched at all (PagedSourceSpec asserts the partition count), and
+      // DuckDB replays the surviving tail rows exactly.
+      s.read.format("graft.sources.paged.PagedSource")
+        .option("pages", 16).option("pageSize", 2000).load()
+        .filter(col("page") >= 12)
+        .groupBy("page")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))),
     "partitioned_sink" -> ((s, d) => {
       // Daily-partitioned lake write (base_assets.py:150 S3 daily objects):
       // write events partitioned by day, read the table back, and aggregate
@@ -1423,6 +1436,21 @@ object SparkEntry {
          SELECT event_type, count(*) AS n_events,
            round(sum(value), 2) AS total_value
          FROM rows_ GROUP BY event_type""",
+    "paged_cursor" ->
+      // tail pages only: same LCG replay, ids in [12*2000, 16*2000)
+      """WITH ids AS (SELECT range AS id FROM range(12 * 2000, 16 * 2000)),
+         h AS (
+           SELECT id, ((id::HUGEINT * 6364136223846793005 + 42)
+                   % 18446744073709551616) // 65536 AS h
+           FROM ids),
+         rows_ AS (
+           SELECT id, CAST(id // 2000 AS INTEGER) AS page,
+             CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+           FROM h)
+         SELECT page, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           min(id) AS min_id, max(id) AS max_id
+         FROM rows_ GROUP BY page""",
     "partitioned_sink" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
          sum(value) AS total_value
