@@ -98,10 +98,14 @@ object Dedup {
     * cross join. Pairs are then verified with exact Jaccard over shingles.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * `maxBucket` caps band-bucket size (skew guard for boilerplate
+    * clusters); pass Int.MaxValue to disable. See the inline comment.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7,
+                      maxBucket: Int = 100000): DataFrame = {
     val k = bands * rows
     // (id, hashed shingles): the one pass over the raw text, via the native
     // TextHash expression. Persisted because the plan reuses it three times
@@ -123,8 +127,25 @@ object Dedup {
     val banded = withSig.select(
       col("id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    // Hot-bucket guard: a band bucket with B members emits B² candidate
+    // rows from the self-join below — at corpus scale one boilerplate
+    // cluster (empty docs, template pages) can dominate the entire stage.
+    // Buckets over `maxBucket` are dropped from CANDIDATE GENERATION only:
+    // their members still pair through their other bands (true near-dups
+    // agree on several bands with high probability), so recall degrades
+    // gracefully instead of the stage dying with a 10^12-row join. By
+    // construction there are at most corpus/maxBucket hot buckets, so the
+    // hot set broadcasts and the prune is a map-side anti join.
+    val pruned =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.join(
+        broadcast(banded.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select("band", "band_hash")),
+        Seq("band", "band_hash"), "left_anti")
+    val a = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = pruned.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

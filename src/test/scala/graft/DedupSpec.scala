@@ -74,6 +74,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(0)._3 > 0.8)
   }
 
+  test("minhashNearDups: maxBucket drops the boilerplate flood, keeps real pairs") {
+    // 20 identical template docs flood every band bucket they touch; one
+    // genuine near-dup pair (distinct from the template) sits in buckets
+    // of size 2. With maxBucket=5 the template's quadratic 190 pairs
+    // vanish from candidate generation while the real pair survives.
+    val template = (1 to 20).map(i =>
+      (i.toLong, (1 to 30).map(j => s"tmpl_$j").mkString(" ")))
+    val real = Seq(
+      (100L, (1 to 30).map(j => s"real_$j").mkString(" ")),
+      (101L, "real_1 " + (2 to 30).map(j => s"real_$j").mkString(" ")
+        .replace("real_15", "CHANGED")))
+    val df = (template ++ real).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(df, "doc_id", "text",
+        threshold = 0.5, maxBucket = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((100L, 101L)))
+    // uncapped control: the template pairs are all there
+    val full = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(full.length === 190 + 1)
+  }
+
   test("simhash: identical text → identical bits; small edit → small hamming") {
     val t1 = (1 to 60).map(i => s"word$i").mkString(" ")
     val t2 = t1.replace("word30", "EDITED")
