@@ -191,17 +191,29 @@ object Dedup {
     * hamming distance <= 3 in expectation), then verify with bit_count(xor).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = 100000): DataFrame = {
     // persisted: both legs of the band self-join reuse the fingerprints —
     // without it the full tokenize+vote pass runs twice over the corpus
     val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = withSim.select(
+    val bandedAll = withSim.select(
       col("id"), col("sim"),
       posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    // same hot-bucket guard as minhashNearDups: a 16-bit band shared by a
+    // boilerplate cluster (identical fingerprints) would emit B² pairs;
+    // dropped buckets' members still pair via their other three bands
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else bandedAll.join(
+        broadcast(bandedAll.groupBy("band", "band_val")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select("band", "band_val")),
+        Seq("band", "band_val"), "left_anti")
     val a = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "band_val"))

@@ -122,6 +122,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
   }
 
+  test("simhashNearDups: maxBucket drops identical-fingerprint floods") {
+    // 20 identical docs share one fingerprint → every band bucket is hot;
+    // with the cap nothing pairs (exact dedup upstream owns identical
+    // docs). A small-edit near-dup pair sits in buckets of size 2 on its
+    // unchanged bands and survives (same construction + hamming bound as
+    // the spec above).
+    val template = (1 to 20).map(i =>
+      (i.toLong, (1 to 60).map(j => s"tmpl$j").mkString(" ")))
+    val base = (1 to 60).map(j => s"real$j").mkString(" ")
+    val real = Seq((100L, base), (101L, base.replace("real30", "EDITED")))
+    val df = (template ++ real).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(df, "doc_id", "text",
+        maxHamming = 12, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(capped.toSet === Set((100L, 101L)))
+    val full = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(full.length === 190 + 1)
+  }
+
   test("ngramJaccardPairs: exact Jaccard within blocks only") {
     val df = Seq(
       (1L, "a b c d e", "blk1"),

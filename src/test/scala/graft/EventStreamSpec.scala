@@ -158,6 +158,54 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertStream replay: losing the offset commit re-runs the batch idempotently") {
+    // Exactly-once failure injection: after a batch's sink merge lands but
+    // before the engine records the commit, the driver "dies". On restart
+    // the engine replays the batch under the same batchId; the
+    // latest-wins merge rewrites the already-merged partitions to the
+    // identical state — duplicate rewrite, never duplicate rows.
+    val root = java.nio.file.Files.createTempDirectory("graft-replay").toFile.getAbsolutePath
+    val (landing, table, ckpt) = (s"$root/landing", s"$root/table", s"$root/ckpt")
+    new java.io.File(landing).mkdirs()
+    def land(rows: Seq[Ev], name: String): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF().coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit = {
+      val q = EventStream.upsertStream(spark, landing, table, ckpt, availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      // deregistration from the active set can lag awaitTermination; the
+      // next run's commit-log guard requires it to have completed
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    land(Seq(ev(1, "2024-01-01 10:00:00", v = 1.0), ev(2, "2024-01-02 10:00:00", v = 2.0)), "w1.parquet")
+    drain()
+    land(Seq(ev(2, "2024-01-02 11:00:00", v = 22.0), ev(3, "2024-01-03 10:00:00", v = 3.0)), "w2.parquet")
+    drain()
+    val expected = spark.read.parquet(table).select("event_id", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(expected === Array((1L, 1.0), (2L, 22.0), (3L, 3.0)))
+    // crash injection: drop the newest commit marker — offsets say the
+    // batch ran, commits say it didn't, so restart MUST replay it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the local FS keeps a CRC sidecar per file (an artifact of
+    // RawLocalFileSystem, absent on HDFS/S3); a stale one would block the
+    // replayed commit's atomic rename
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    drain()
+    val after = spark.read.parquet(table).select("event_id", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(after === expected)
+  }
+
   test("windowedCounts batch plan matches a hand-rolled aggregate") {
     val batch = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:59:59", v = 4.0),
