@@ -664,6 +664,24 @@ object SparkEntry {
         .groupBy("day")
         .agg(count(lit(1)).as("n_rows"), sum("value").as("total_value"))
     }),
+    "sorted_layout" -> ((s, d) => {
+      // Range-sorted lake layout (Sink.writeSorted): events rewritten with
+      // each file owning a contiguous event-time range, so a later bounded
+      // report is answered by row-group skipping. The gate verifies
+      // sort/write/read fidelity end to end — a mid-month window off the
+      // sorted copy must aggregate identically to the oracle reading the
+      // source directly. SinkSpec measures the skipping effect itself.
+      val path = sinkPath(d, "sorted")
+      Sink.writeSorted(
+        Tables.events(s, d).select(col("event_id"), col("ts"), col("value")),
+        path, Seq("ts"), files = 8)
+      s.read.parquet(path)
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("value"), 2).as("total_value"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
     "upsert_sink" -> ((s, d) => {
       // Postgres ON CONFLICT DO UPDATE re-expressed as a partition-scoped
       // lake merge (base_assets.py:207): load the base table, apply an
@@ -1455,6 +1473,12 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
          sum(value) AS total_value
          FROM events GROUP BY 1""",
+    "sorted_layout" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
     "bucketed_layout" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS total_price

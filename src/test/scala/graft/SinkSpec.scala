@@ -121,4 +121,42 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
         "(id=3 lives only in the tombstoned partition)")
     assert(!tombs.exists())
   }
+
+  test("writeSorted: a range predicate reads far fewer rows off the sorted layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    // event times over ~30 "days" (long nanos, the engine's raw storage
+    // type for event time — stats pushdown applies to longs); written in
+    // hash-shuffled order so the unsorted layout has no accidental order
+    val df = spark.range(n).select(
+      col("id").as("event_id"),
+      (xxhash64(col("id")) % n).as("t_nanos"))
+    val sortedPath = tmp()
+    val plainPath = tmp()
+    Sink.writeSorted(df, sortedPath, Seq("t_nanos"), files = 32)
+    df.write.parquet(plainPath)
+    // rows the parquet reader actually EMITS for a ~1/30 range slice:
+    // row groups whose min/max miss the range are skipped at scan time
+    def scanned(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("t_nanos") >= 0L && col("t_nanos") < n / 30)
+      val qe = q.queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+        .sum
+    }
+    val (sorted, plain) = (scanned(sortedPath), scanned(plainPath))
+    // unsorted: every row group spans the whole range -> nothing skips.
+    // sorted: only the group(s) owning the slice are decompressed.
+    assert(plain > n / 2, s"unsorted layout should read ~all rows, got $plain")
+    assert(sorted < plain / 5,
+      s"sorted layout should skip most row groups: sorted=$sorted plain=$plain")
+  }
 }
