@@ -61,6 +61,34 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: the watermark EVICTS expired state (bounded, not append-only)") {
+    // The scale property behind dropDuplicatesWithinWatermark: dedup state
+    // holds only keys younger than the watermark. 50 keys land; event time
+    // then jumps 6 hours (watermark delay is 2h), and after the next
+    // batch applies the advanced watermark the old keys must be gone —
+    // state is O(keys per watermark window), not O(keys ever seen).
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_evict").start()
+    try {
+      input.addData((1 to 50).map(i => ev(i.toLong, "2024-01-01 10:00:00")): _*)
+      q.processAllAvailable()
+      val grown = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).max
+      assert(grown >= 50, s"expected 50 keys in state, saw $grown")
+      // watermark advances at batch END; the eviction lands in the batch
+      // AFTER the jump, so feed one more event to run it
+      input.addData(ev(1000L, "2024-01-01 16:00:00"))
+      q.processAllAvailable()
+      input.addData(ev(1001L, "2024-01-01 16:00:01"))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(after < 50, s"watermark must evict expired dedup keys, state=$after")
+      assert(after <= 5, s"only the post-jump keys may remain, state=$after")
+    } finally q.stop()
+  }
+
   test("dedupStream runs on the RocksDB state store (production state tier)") {
     implicit val ctx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
