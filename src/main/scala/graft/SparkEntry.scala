@@ -408,6 +408,21 @@ object SparkEntry {
       annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
         ann, minHits = 3)
     }),
+    "ivf_pq_ann" -> ((s, d) => {
+      // The memory-bound ANN tier under the same planted-neighbor recall
+      // gate as lsh_ann/ivf_ann/ivf_ann_trained: vectors live as 8 one-
+      // byte PQ codes (32× smaller than float32×64), search scores codes
+      // via a per-(query, list) asymmetric-distance table, and a jittered
+      // near-copy's codes collapse to the query's own argmin rows — so
+      // the planted true neighbors must surface even through the coarse
+      // 16-codeword-per-subspace quantizer (recall@5 ≥ 0.6 asserted
+      // in-query; golden hit counts pinned).
+      val (corpus, q) = plantedAnnCorpus(s, d)
+      val ann = Similarity.ivfPqTopK(corpus, q, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, m = 8, codebookSize = 16)
+      annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
+        ann, minHits = 3)
+    }),
     "embedding_quantize" -> ((s, d) => {
       // int8 storage tier roundtrip: quantize → dequantize → cosine vs
       // original over a single scan (no self-join), rolled up to prove the
@@ -896,6 +911,16 @@ object SparkEntry {
            (8, 1426928247,  60886368, 84),
            (9,  110925171,  60886368, 74))
            t(doc_id, rolling_hash, content_minhash, n_tokens)""",
+    "ivf_pq_ann" ->
+      // golden per-query hit counts of the PQ-coded tier against
+      // brute-force truth over the planted corpus; recall_ok pins
+      // recall@5 >= 0.6
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits, recall_ok
+         FROM (VALUES (0, 4, TRUE), (1, 3, TRUE), (2, 3, TRUE), (3, 4, TRUE),
+                      (4, 3, TRUE), (5, 3, TRUE), (6, 3, TRUE), (7, 4, TRUE))
+           t(query_id, n_hits, recall_ok)""",
     "lsh_ann" ->
       // golden per-query hit counts of multi-probe LSH against brute-force
       // truth over the planted corpus; recall_ok pins recall@5 >= 0.6

@@ -133,17 +133,16 @@ object Dedup {
     // Buckets over `maxBucket` are dropped from CANDIDATE GENERATION only:
     // their members still pair through their other bands (true near-dups
     // agree on several bands with high probability), so recall degrades
-    // gracefully instead of the stage dying with a 10^12-row join. By
-    // construction there are at most corpus/maxBucket hot buckets, so the
-    // hot set broadcasts and the prune is a map-side anti join.
+    // gracefully instead of the stage dying with a 10^12-row join. Bucket
+    // sizes come from a count window over the SAME (band, band_hash)
+    // partitioning the self-join shuffles on — the window rides the
+    // join's own exchange, so the guard costs a per-partition count, not
+    // an extra aggregate + join.
     val pruned =
       if (maxBucket == Int.MaxValue) banded
-      else banded.join(
-        broadcast(banded.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket)
-          .select("band", "band_hash")),
-        Seq("band", "band_hash"), "left_anti")
+      else banded
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+        .filter(col("__n") <= maxBucket).drop("__n")
     val a = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = pruned.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_hash"))
@@ -203,17 +202,15 @@ object Dedup {
       col("id"), col("sim"),
       posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-    // same hot-bucket guard as minhashNearDups: a 16-bit band shared by a
+    // same hot-bucket guard as minhashNearDups (count window riding the
+    // join's own (band, band_val) exchange): a 16-bit band shared by a
     // boilerplate cluster (identical fingerprints) would emit B² pairs;
     // dropped buckets' members still pair via their other three bands
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
-      else bandedAll.join(
-        broadcast(bandedAll.groupBy("band", "band_val")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket)
-          .select("band", "band_val")),
-        Seq("band", "band_val"), "left_anti")
+      else bandedAll
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_val")))
+        .filter(col("__n") <= maxBucket).drop("__n")
     val a = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "band_val"))

@@ -309,4 +309,207 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
   }
+
+  // ---- IVF-PQ: product-quantized codes + asymmetric distance ----------
+  //
+  // The memory-bound tier. The tiers above still JOIN the raw vectors of
+  // every probed list; at 10^9+ vectors the float payload itself is the
+  // bottleneck. IVF-PQ stores each vector as `m` tinyint codes (8 bytes at
+  // the defaults vs 256 for float32×64): unit-normalize, subtract the
+  // assigned coarse centroid, split the residual into m subspaces, and
+  // code each slice against a per-subspace KMeans codebook. Search scores
+  // CODES, not vectors — per (query, probed list) an m×K lookup table of
+  // exact subspace distances is computed once, and each candidate costs m
+  // array lookups (asymmetric distance computation). On unit vectors,
+  // ascending L2 ADC order ≈ descending cosine order.
+
+  /** Unit-normalize, coarse-assign (dot argmax against the literal unit
+    * centroids), subtract the assigned centroid. Every O(dim) reduction
+    * sits behind its own projection boundary and is referenced ≥2× so
+    * CollapseProject cannot inline it into a per-element lambda (the
+    * O(dim²) trap documented at [[quantize]]). */
+  private def residuals(df: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[Seq[Double]]): DataFrame = {
+    val centLit = typedlit(cents)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__n", greatest(l2norm(col("v")), lit(1e-12)))
+      .select(col("id"), transform(col("v"), x => x / col("__n")).as("u"), col("__n"))
+      .select(col("id"), col("u"),
+        greatest(cents.zipWithIndex.map { case (c, i) =>
+          struct(dot(col("u"), typedlit(c)).as("sim"), lit(i).as("cid")) }: _*)
+          .getField("cid").as("centroid_id"))
+      .select(col("id"), col("centroid_id"),
+        zip_with(col("u"), element_at(centLit, col("centroid_id") + 1),
+          (x, c) => x - c).as("res"))
+  }
+
+  /** Exact squared L2 between a (residual-slice) column and a literal
+    * codeword. */
+  private def sqDist(v: Column, cw: Seq[Double]): Column =
+    aggregate(zip_with(v, typedlit(cw), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train the per-subspace PQ codebooks on coarse residuals. PQ codebook
+    * training is a bounded-sample problem by design (m tiny k-means over
+    * dim/m-wide slices), so the sample is COLLECTED — capped at
+    * `maxTrain` rows, ≤32 MB at the defaults, the same justified-collect
+    * category as the O(nlist) centroid pull — and m deterministic Lloyd's
+    * runs execute driver-side. The distributed alternative (m sequential
+    * MLlib fits) costs m×iterations Spark jobs to cluster kilobytes of
+    * data: at any corpus scale the sample cap bounds the driver work,
+    * while the job count would not shrink. m×K×(dim/m) doubles out — 8 KB
+    * at the defaults, literal-sized, so encode/search stay projections. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: Seq[Seq[Double]], m: Int = 8, codebookSize: Int = 16,
+                  sampleFraction: Double = 1.0, seed: Long = 42L,
+                  maxTrain: Int = 65536, iters: Int = 12): Seq[Seq[Seq[Double]]] = {
+    val dim = cents.head.size
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val sample: Array[Seq[Double]] = residuals(
+      Sample.hashSample(corpus, col(idCol), sampleFraction), idCol, vecCol, cents)
+      .select(col("res")).limit(maxTrain)
+      .collect().map(_.getSeq[Double](0))
+    (0 until m).map { mi =>
+      val slices = sample.map(r => r.slice(mi * sub, (mi + 1) * sub).toArray)
+      lloyd(slices, codebookSize, iters, seed + mi).map(_.toSeq).toSeq
+    }
+  }
+
+  /** Deterministic Lloyd's k-means (driver-side, for bounded PQ codebook
+    * samples): seeded-hash initial centers, `iters` assign/update rounds,
+    * empty clusters re-seeded from the point farthest from its center. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "empty PQ training sample")
+    val d = points(0).length
+    // deterministic distinct-ish init: points at seeded-LCG positions
+    var x = seed
+    def next(): Int = { x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % n).toInt }
+    val centers = Array.tabulate(k)(_ => points(next()).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < n) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val dd = d2(points(p), centers(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        assign(p) = best; p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < n) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } else {
+          // re-seed an empty cluster from the worst-fit point
+          var worst = 0; var worstD = -1.0; var p2 = 0
+          while (p2 < n) {
+            val dd = d2(points(p2), centers(assign(p2)))
+            if (dd > worstD) { worstD = dd; worst = p2 }
+            p2 += 1
+          }
+          centers(c) = points(worst).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Encode the corpus: (vec_id, centroid_id, codes array<tinyint>[m]) —
+    * per subspace, the argmin-distance codeword index. One projection over
+    * the residual frame; ties resolve to the larger index (greatest on
+    * (-dist, k) structs), deterministically. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = books.head.head.size
+    val codeCols = books.zipWithIndex.map { case (book, mi) =>
+      val sl = slice(col("res"), mi * sub + 1, sub)
+      greatest(book.zipWithIndex.map { case (cw, ki) =>
+        struct((-sqDist(sl, cw)).as("nd"), lit(ki).as("k")) }: _*)
+        .getField("k")
+    }
+    residuals(corpus, idCol, vecCol, cents)
+      .select(col("id").as("vec_id"), col("centroid_id"),
+        array(codeCols: _*).cast("array<tinyint>").as("codes"))
+  }
+
+  /** IVF-PQ search with caller-supplied coarse centroids + codebooks.
+    * Corpus side: one encode projection, hash-partitioned by list id.
+    * Query side: top-`nprobe` lists, one ADC table (m×K exact subspace
+    * distances) per (query, list). The join ships CODES (m bytes/vector)
+    * — never the float payload — and each candidate costs m lookups. */
+  def ivfPqTopKWith(cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+                    corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val m = books.size
+    val kk = books.head.size
+    val sub = books.head.head.size
+    val centLit = typedlit(cents)
+    val coded = pqEncode(corpus, idCol, vecCol, cents, books)
+    def centSims(u: Column): Seq[Column] =
+      cents.zipWithIndex.map { case (c, i) =>
+        struct(dot(u, typedlit(c)).as("sim"), lit(i).as("cid")) }
+    val adcEntries = books.zipWithIndex.flatMap { case (book, mi) =>
+      val sl = slice(col("qres"), mi * sub + 1, sub)
+      book.map(cw => sqDist(sl, cw))
+    }
+    val qt = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__n", greatest(l2norm(col("v")), lit(1e-12)))
+      .select(col("query_id"), transform(col("v"), x => x / col("__n")).as("u"), col("__n"))
+      .select(col("query_id"), col("u"),
+        explode(transform(
+          slice(reverse(array_sort(array(centSims(col("u")): _*))), 1, nprobe),
+          s => s.getField("cid"))).as("centroid_id"))
+      .select(col("query_id"), col("centroid_id"),
+        zip_with(col("u"), element_at(centLit, col("centroid_id") + 1),
+          (x, c) => x - c).as("qres"))
+      .select(col("query_id"), col("centroid_id"), array(adcEntries: _*).as("adt"))
+    val scored = coded.join(qt, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, i) => element_at(col("adt"), i * kk + c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adist", "rank")
+  }
+
+  /** End-to-end IVF-PQ: KMeans coarse quantizer + per-subspace codebooks
+    * trained on a hash sample, then [[ivfPqTopKWith]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, codebookSize: Int = 16,
+                sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, sampleFraction, seed)
+    val books = pqCodebooks(corpus, idCol, vecCol, cents, m, codebookSize,
+      sampleFraction, seed)
+    ivfPqTopKWith(cents, books, corpus, queries, idCol, vecCol, k, nprobe)
+  }
 }

@@ -198,6 +198,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(single.groupBy(_._1).forall(_._2.length == 3))
   }
 
+  test("ivfPqTopK: planted near-copies are the ADC global minimum; runs are deterministic") {
+    // 60 pseudo-random 16-dim vectors + a jittered copy of each of the
+    // first 4 (ids 100+i). A copy's residual ≈ the query's own residual,
+    // so its PQ codes equal the per-subspace argmin of the query's ADC
+    // table — the copy is the global ADC minimum and MUST rank 1 under an
+    // exhaustive coarse probe. This pins the whole chain (normalize,
+    // coarse-assign, residual, encode, table, lookup) without relying on
+    // PQ recall over random data.
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 11
+      Seq.fill(16) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val base = (0 until 60).map(i => (i.toLong, vec(i)))
+    val planted = (0 until 4).map(i =>
+      (100L + i, vec(i).zipWithIndex.map { case (v, j) => v + 0.001f * ((i + j) % 3) }))
+    val df = (base ++ planted).toDF("id", "emb")
+    val queries = df.filter(col("id") < 4)
+    def run() = Similarity.ivfPqTopK(df, queries, "id", "emb", k = 3,
+        nlist = 4, nprobe = 4, m = 4, codebookSize = 8)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val got = run()
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L))
+    for ((qid, hits) <- byQuery) {
+      assert(hits.map(_._4).toSeq === Seq(1, 2, 3), s"query $qid ranks")
+      assert(hits.head._2 === 100L + qid,
+        s"query $qid: planted copy must be the ADC top-1, got ${hits.head._2}")
+      assert(hits.head._3 < hits(1)._3, s"query $qid: top-1 must strictly win")
+    }
+    assert(got === run(), "IVF-PQ must be deterministic run to run")
+  }
+
+  test("pqEncode: m tinyint codes per vector, codes within the codebook range") {
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 13
+      Seq.fill(16) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val df = (0 until 50).map(i => (i.toLong, vec(i))).toDF("id", "emb")
+    val cents = Similarity.kmeansCentroids(df, "id", "emb", nlist = 4)
+    val books = Similarity.pqCodebooks(df, "id", "emb", cents, m = 4, codebookSize = 8)
+    assert(books.size === 4 && books.forall(_.size === 8)
+      && books.forall(_.forall(_.size === 4)))
+    val coded = Similarity.pqEncode(df, "id", "emb", cents, books)
+      .as[(Long, Int, Seq[Byte])].collect()
+    assert(coded.length === 50)
+    assert(coded.forall(_._3.size === 4), "m codes per vector")
+    assert(coded.forall(_._3.forall(c => c >= 0 && c < 8)), "codes in [0, K)")
+    assert(coded.forall(r => r._2 >= 0 && r._2 < 4), "list id in [0, nlist)")
+  }
+
   test("quantize/dequantize: int8 roundtrip preserves cosine within 1%") {
     def vec(seed: Long): Seq[Float] = {
       var x = seed * 9176L + 3
