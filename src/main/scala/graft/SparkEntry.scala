@@ -918,8 +918,8 @@ object SparkEntry {
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(n_hits AS BIGINT) AS n_hits, recall_ok
-         FROM (VALUES (0, 4, TRUE), (1, 3, TRUE), (2, 3, TRUE), (3, 4, TRUE),
-                      (4, 3, TRUE), (5, 3, TRUE), (6, 3, TRUE), (7, 4, TRUE))
+         FROM (VALUES (0, 3, TRUE), (1, 3, TRUE), (2, 3, TRUE), (3, 4, TRUE),
+                      (4, 3, TRUE), (5, 4, TRUE), (6, 3, TRUE), (7, 5, TRUE))
            t(query_id, n_hits, recall_ok)""",
     "lsh_ann" ->
       // golden per-query hit counts of multi-probe LSH against brute-force

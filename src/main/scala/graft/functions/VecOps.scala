@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+
+/** Native vector-quantization kernel for the IVF-PQ encode hot loop.
+  *
+  * The Column-function form (unit-normalize → nlist dot-products →
+  * residual → m×K subspace distances, all as higher-order functions) is
+  * semantically right but interpreted: ~2k boxed expression evaluations
+  * per corpus row. This `StaticInvoke` compiles to one static call inside
+  * whole-stage codegen — a tight JVM loop over primitive doubles, zero
+  * per-row allocation beyond the output — the same pattern as
+  * [[TextHash]] for the text hot loops.
+  *
+  * Tie-breaking matches the Column path exactly: coarse assignment picks
+  * the LARGER centroid id on a dot tie (greatest over (sim, cid) structs),
+  * codes pick the LARGER codeword index on a distance tie (greatest over
+  * (-dist, k)).
+  */
+object VecOps {
+
+  /** `[cid, code_0, …, code_{m-1}]` for one vector: unit-normalize,
+    * argmax-dot coarse assign against `cents` (flattened nlist×dim unit
+    * centroids), subtract the centroid, and code each of the m residual
+    * slices against `books` (flattened m×k×(dim/m)). */
+  def ivfPqCode(vec: ArrayData, cents: ArrayData, nlist: Int,
+                books: ArrayData, m: Int, k: Int): ArrayData = {
+    val dim = vec.numElements()
+    val sub = dim / m
+    // unit normalize
+    val u = new Array[Double](dim)
+    var i = 0
+    var nrm = 0.0
+    while (i < dim) { val x = vec.getDouble(i); u(i) = x; nrm += x * x; i += 1 }
+    nrm = math.max(math.sqrt(nrm), 1e-12)
+    i = 0
+    while (i < dim) { u(i) /= nrm; i += 1 }
+    // coarse argmax dot; ties -> larger cid (>=, ascending scan)
+    var cid = 0
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0
+      i = 0
+      while (i < dim) { d += u(i) * cents.getDouble(c * dim + i); i += 1 }
+      if (d >= best) { best = d; cid = c }
+      c += 1
+    }
+    // residual against the winning centroid
+    i = 0
+    while (i < dim) { u(i) -= cents.getDouble(cid * dim + i); i += 1 }
+    // per-subspace argmin distance; ties -> larger code (<=, ascending)
+    val out = new Array[Int](m + 1)
+    out(0) = cid
+    var mi = 0
+    while (mi < m) {
+      var bestK = 0
+      var bestD = Double.MaxValue
+      var kj = 0
+      while (kj < k) {
+        val base = (mi * k + kj) * sub
+        var dd = 0.0
+        var j = 0
+        while (j < sub) {
+          val t = u(mi * sub + j) - books.getDouble(base + j)
+          dd += t * t
+          j += 1
+        }
+        if (dd <= bestD) { bestD = dd; bestK = kj }
+        kj += 1
+      }
+      out(mi + 1) = bestK
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** dot(a, b) with double accumulation, ascending fold — the SAME IEEE
+    * operation sequence as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so
+    * swapping the interpreted form for this kernel is bit-identical
+    * (cosine_topk's DuckDB oracle pins exactly that). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  // ---- Column wrapper (full whole-stage codegen via StaticInvoke) -------
+
+  def dotCol(a: Column, b: Column): Column = {
+    val arrD = ArrayType(DoubleType, containsNull = false)
+    GraftExpressionBridge.column(StaticInvoke(
+      VecOps.getClass, DoubleType, "dot",
+      Seq(GraftExpressionBridge.expression(a.cast("array<double>")),
+        GraftExpressionBridge.expression(b.cast("array<double>"))),
+      Seq(arrD, arrD), propagateNull = true, returnNullable = false))
+  }
+
+  def ivfPqCodeCol(vec: Column, cents: Seq[Seq[Double]],
+                   books: Seq[Seq[Seq[Double]]]): Column = {
+    val nlist = cents.size
+    val m = books.size
+    val k = books.head.size
+    val arrD = ArrayType(DoubleType, containsNull = false)
+    GraftExpressionBridge.column(StaticInvoke(
+      VecOps.getClass, ArrayType(IntegerType, containsNull = false), "ivfPqCode",
+      Seq(
+        GraftExpressionBridge.expression(vec.cast("array<double>")),
+        Literal.create(cents.flatten, arrD),
+        Literal(nlist),
+        Literal.create(books.flatten.flatten, arrD),
+        Literal(m),
+        Literal(k)),
+      Seq(arrD, arrD, IntegerType, arrD, IntegerType, IntegerType),
+      propagateNull = true, returnNullable = false))
+  }
+}

@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) with double accumulation. */
+  /** dot(a, b) with double accumulation — a native codegen'd kernel
+    * ([[graft.functions.VecOps.dot]]) with the exact IEEE fold order of
+    * the equivalent `aggregate(zip_with(a, b, _*_), 0.0, _+_)` chain, so
+    * results are bit-identical to the higher-order-function form (and to
+    * DuckDB's list_dot_product, which cosine_topk's oracle pins) while
+    * the per-pair cost drops from ~4·dim boxed expression evals to one
+    * static call. This is the inner loop of every ANN pair score. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecOps.dotCol(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -439,21 +444,21 @@ object Similarity {
   }
 
   /** Encode the corpus: (vec_id, centroid_id, codes array<tinyint>[m]) —
-    * per subspace, the argmin-distance codeword index. One projection over
-    * the residual frame; ties resolve to the larger index (greatest on
-    * (-dist, k) structs), deterministically. */
+    * per subspace, the argmin-distance codeword index; ties resolve to the
+    * larger index, deterministically. The whole normalize→assign→residual→
+    * code chain runs as ONE native codegen'd kernel per row
+    * ([[graft.functions.VecOps.ivfPqCode]]) — the interpreted
+    * higher-order-function form costs ~2k boxed expression evals per row,
+    * which at corpus scale is pure CPU tax on the encode pass. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val sub = books.head.head.size
-    val codeCols = books.zipWithIndex.map { case (book, mi) =>
-      val sl = slice(col("res"), mi * sub + 1, sub)
-      greatest(book.zipWithIndex.map { case (cw, ki) =>
-        struct((-sqDist(sl, cw)).as("nd"), lit(ki).as("k")) }: _*)
-        .getField("k")
-    }
-    residuals(corpus, idCol, vecCol, cents)
-      .select(col("id").as("vec_id"), col("centroid_id"),
-        array(codeCols: _*).cast("array<tinyint>").as("codes"))
+    val m = books.size
+    corpus
+      .select(col(idCol).as("vec_id"),
+        graft.functions.VecOps.ivfPqCodeCol(col(vecCol), cents, books).as("cc"))
+      .select(col("vec_id"),
+        col("cc").getItem(0).as("centroid_id"),
+        slice(col("cc"), 2, m).cast("array<tinyint>").as("codes"))
   }
 
   /** IVF-PQ search with caller-supplied coarse centroids + codebooks.
@@ -501,13 +506,34 @@ object Similarity {
       .select("query_id", "vec_id", "adist", "rank")
   }
 
-  /** End-to-end IVF-PQ: KMeans coarse quantizer + per-subspace codebooks
-    * trained on a hash sample, then [[ivfPqTopKWith]]. */
+  /** Coarse centroids via the same driver-side Lloyd's as the PQ
+    * codebooks: unit-normalized hash-sampled vectors are collected (capped
+    * at `maxTrain`, ≤32 MB at the defaults), clustered locally, and the
+    * centers re-normalized for dot-product argmax. Same rationale as
+    * [[pqCodebooks]]: clustering a BOUNDED sample is driver work by
+    * design; an iterative distributed fit pays jobs-per-iteration to
+    * cluster megabytes. [[kmeansCentroids]] (MLlib) remains the choice
+    * where the fit itself should be distributed. */
+  def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, sampleFraction: Double = 1.0,
+                     seed: Long = 42L, maxTrain: Int = 65536,
+                     iters: Int = 12): Seq[Seq[Double]] = {
+    val sample = Sample.hashSample(corpus, col(idCol), sampleFraction)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__n", greatest(l2norm(col("v")), lit(1e-12)))
+      .select(transform(col("v"), x => x / col("__n")).as("u"), col("__n"))
+      .select(col("u")).limit(maxTrain)
+      .collect().map(_.getSeq[Double](0).toArray)
+    normalized(lloyd(sample, nlist, iters, seed).map(_.toSeq).toSeq)
+  }
+
+  /** End-to-end IVF-PQ: Lloyd's coarse quantizer + per-subspace codebooks
+    * trained on a capped hash sample, then [[ivfPqTopKWith]]. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, codebookSize: Int = 16,
                 sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, sampleFraction, seed)
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, sampleFraction, seed)
     val books = pqCodebooks(corpus, idCol, vecCol, cents, m, codebookSize,
       sampleFraction, seed)
     ivfPqTopKWith(cents, books, corpus, queries, idCol, vecCol, k, nprobe)
