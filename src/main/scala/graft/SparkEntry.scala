@@ -423,6 +423,17 @@ object SparkEntry {
       annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
         ann, minHits = 3)
     }),
+    "ivf_pq_rerank" -> ((s, d) => {
+      // Two-stage retrieval quality gate: ADC shortlists 50 from codes,
+      // exact cosine re-ranks only the shortlist. Quantization error can
+      // then only cost a candidate its shortlist spot, not its order —
+      // recall must be >= the plain PQ gate's (golden hit counts pin it).
+      val (corpus, q) = plantedAnnCorpus(s, d)
+      val ann = Similarity.ivfPqTopKRerank(corpus, q, "vec_id", "embedding",
+        k = 5, shortlist = 50, nlist = 16, nprobe = 4, m = 8, codebookSize = 16)
+      annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
+        ann, minHits = 3)
+    }),
     "embedding_quantize" -> ((s, d) => {
       // int8 storage tier roundtrip: quantize → dequantize → cosine vs
       // original over a single scan (no self-join), rolled up to prove the
@@ -911,6 +922,16 @@ object SparkEntry {
            (8, 1426928247,  60886368, 84),
            (9,  110925171,  60886368, 74))
            t(doc_id, rolling_hash, content_minhash, n_tokens)""",
+    "ivf_pq_rerank" ->
+      // golden hit counts for the two-stage (ADC shortlist + exact
+      // re-rank) tier: strictly dominates plain ivf_pq_ann's counts
+      // (36/40 planted neighbors vs 28/40 at the gate corpus)
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits, recall_ok
+         FROM (VALUES (0, 5, TRUE), (1, 4, TRUE), (2, 4, TRUE), (3, 4, TRUE),
+                      (4, 4, TRUE), (5, 5, TRUE), (6, 5, TRUE), (7, 5, TRUE))
+           t(query_id, n_hits, recall_ok)""",
     "ivf_pq_ann" ->
       // golden per-query hit counts of the PQ-coded tier against
       // brute-force truth over the planted corpus; recall_ok pins

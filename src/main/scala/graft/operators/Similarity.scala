@@ -538,4 +538,34 @@ object Similarity {
       sampleFraction, seed)
     ivfPqTopKWith(cents, books, corpus, queries, idCol, vecCol, k, nprobe)
   }
+
+  /** Two-stage retrieval — the production IVF-PQ pattern: the ADC pass
+    * shortlists `shortlist` candidates per query from CODES alone, and
+    * only that shortlist (|queries|×shortlist rows, not the corpus) joins
+    * back to the raw vectors for an exact cosine re-rank. Quantization
+    * error then affects only which candidates make the shortlist, never
+    * their final order — with a generous shortlist this recovers
+    * brute-force ordering inside the probed lists while the corpus-wide
+    * work still touches nothing but 8-byte codes. */
+  def ivfPqTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, shortlist: Int = 50,
+                      nlist: Int = 16, nprobe: Int = 4,
+                      m: Int = 8, codebookSize: Int = 16,
+                      sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, k = shortlist,
+      nlist, nprobe, m, codebookSize, sampleFraction, seed)
+      .select("query_id", "vec_id")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("norm", l2norm(col("vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", l2norm(col("qvec")))
+    val exact = cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
 }

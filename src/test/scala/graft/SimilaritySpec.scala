@@ -231,6 +231,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === run(), "IVF-PQ must be deterministic run to run")
   }
 
+  test("ivfPqTopKRerank: exact re-rank of a full shortlist equals in-list brute force") {
+    // With an exhaustive coarse probe and a shortlist covering the whole
+    // corpus, the ADC stage can only SELECT candidates (all of them) and
+    // the exact re-rank must reproduce brute-force cosine order exactly.
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 17
+      Seq.fill(16) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val rows = (0 until 50).map(i => (i.toLong, vec(i)))
+    val df = rows.toDF("id", "emb")
+    val queries = df.filter(col("id") < 3)
+    val got = Similarity.ivfPqTopKRerank(df, queries, "id", "emb", k = 3,
+        shortlist = 100, nlist = 4, nprobe = 4, m = 4, codebookSize = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    for ((qid, hits) <- byQuery) {
+      val qv = rows(qid.toInt)._2
+      val brute = rows.filter(_._1 != qid)
+        .map { case (i, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1)
+      assert(hits.sortBy(_._4).map(_._2).toSeq === brute.toSeq, s"query $qid")
+    }
+  }
+
   test("pqEncode: m tinyint codes per vector, codes within the codebook range") {
     def vec(seed: Long): Seq[Float] = {
       var x = seed * 2654435761L + 13
