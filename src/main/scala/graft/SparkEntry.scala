@@ -567,6 +567,26 @@ object SparkEntry {
         col("doc_id"),
         md5(TextOps.normalizeText(col("text"))).as("norm_hash"),
         length(TextOps.normalizeText(col("text"))).cast("long").as("norm_chars"))),
+    "pii_scrub" -> ((s, d) => {
+      // Corpus PII redaction (the standard pre-training scrub): mask
+      // emails/cards/phones/IPs with typed tokens, count what was
+      // removed. The gate corpus has no organic PII, so a deterministic
+      // PII sentence is appended to docs 0-4 in-query — both engines
+      // replay the same concat, so masks AND counts verify end to end.
+      val pii = lit(" Contact jo.doe+x@mail.example.org or +1 (555) 123-4567;" +
+        " host 10.0.42.7; card 4111 1111 1111 1111.")
+      val df = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") < 5, concat(col("text"), pii))
+          .otherwise(col("text")).as("text"))
+      TextOps.scrubPii(df, "doc_id", "text")
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrub_hash"),
+          col("n_email"), col("n_card"), col("n_phone"), col("n_ipv4"))
+    }),
+    "repetition_stats" -> ((s, d) =>
+      // Gopher-family repetition signals per document: duplicate-line
+      // fraction and top-2-gram mass (computed as the longest equal run
+      // over the sorted per-row gram array — O(n log n), no shuffle).
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
     "nfc_normalize" -> ((s, _) => {
       // Unicode NFC canonical composition, cross-checked engine-vs-engine:
       // the JDK Normalizer (native UnicodeNorm expression) against DuckDB's
@@ -1355,6 +1375,62 @@ object SparkEntry {
            length(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
                                             '[\x00-\x1f]', '', 'g')))) AS norm_chars
          FROM documents""",
+    "pii_scrub" ->
+      // same synthesized-PII concat, same 4-pattern mask chain (RE2 vs
+      // Java regex — patterns chosen to agree), counts on the pre-scrub
+      // text
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id < 5 THEN text ||
+               ' Contact jo.doe+x@mail.example.org or +1 (555) 123-4567;' ||
+               ' host 10.0.42.7; card 4111 1111 1111 1111.'
+             ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
+             '\+\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{2,4}', '<PHONE>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS scrub_hash,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text,
+             '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b'))::BIGINT AS n_card,
+           len(regexp_extract_all(text,
+             '\+\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{2,4}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4
+         FROM t""",
+    "repetition_stats" ->
+      // same line/token/2-gram derivations; top-gram mass via unnest +
+      // group-by max instead of the sorted-run fold — same number
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+               l -> trim(l)), l -> l <> '') AS lines,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, lines,
+             list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1]) AS grams
+           FROM t),
+         top AS (
+           SELECT doc_id, max(c) AS topc FROM (
+             SELECT doc_id, gm, count(*) AS c
+             FROM (SELECT doc_id, unnest(grams) AS gm FROM g)
+             GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT g.doc_id,
+           len(lines)::BIGINT AS n_lines,
+           round(CASE WHEN len(lines) > 0
+             THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+             ELSE 0 END, 4) AS dup_line_ratio,
+           len(grams)::BIGINT AS n_2grams,
+           round(CASE WHEN len(grams) > 0
+             THEN coalesce(top.topc, 0) * 1.0 / len(grams)
+             ELSE 0 END, 4) AS top_2gram_ratio
+         FROM g LEFT JOIN top USING (doc_id)""",
     "nfc_normalize" ->
       // ICU (DuckDB) vs JDK (UnicodeNorm) NFC on the same code points —
       // composition cases, the ASCII fast path, and the NFC-invariant

@@ -147,6 +147,67 @@ object TextOps {
       .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
   }
 
+  /** PII patterns for corpus scrubbing (the standard pre-training redaction
+    * family): emails, international-ish phone numbers, IPv4 addresses,
+    * 13-16-digit card numbers. Deliberately conservative, order matters
+    * (emails first so their digits never half-match the phone pattern). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", "\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b", "<CARD>"),
+    ("phone", "\\+\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{2,4}", "<PHONE>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** PII scrub for training corpora: masks each pattern family with a
+    * typed token and counts the hits per family — one projection, chained
+    * regexp_replace (codegen'd), counts from the pre-scrub text so they
+    * report what was REMOVED. Scales as a pure map over the corpus. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, token)) => regexp_replace(acc, pat, token)
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(expr(s"regexp_extract_all($textCol, '${pat.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as(s"n_$name")
+    }
+    df.select(
+      (col(idCol) +: scrubbed.as("scrubbed") +: counts): _*)
+  }
+
+  /** Gopher-family repetition signals: the fraction of LINES that are
+    * duplicates of an earlier line, and the fraction of 2-gram
+    * occurrences consumed by the single most frequent 2-gram. High values
+    * flag boilerplate/spam (nav bars, keyword stuffing) that
+    * length/stopword heuristics miss. One projection over per-row arrays;
+    * no shuffle. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val ts = tokens(col(textCol))
+    val grams = zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(col(idCol), lines.as("__lines"), grams.as("__grams"))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        round(when(size(col("__lines")) > 0,
+          (size(col("__lines")) - size(array_distinct(col("__lines")))).cast("double")
+            / size(col("__lines"))).otherwise(lit(0.0)), 4).as("dup_line_ratio"),
+        size(col("__grams")).cast("long").as("n_2grams"),
+        // top-gram mass via longest equal run over the SORTED grams —
+        // O(n log n) per row; a count-per-distinct scan would be O(n²)
+        round(when(size(col("__grams")) > 0,
+          aggregate(array_sort(col("__grams")),
+            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+            (st, g) => {
+              val run = when(g === st.getField("prev"), st.getField("run") + 1)
+                .otherwise(lit(1))
+              struct(g.as("prev"), run.as("run"),
+                greatest(st.getField("best"), run).as("best"))
+            },
+            st => st.getField("best"))
+            .cast("double") / size(col("__grams"))).otherwise(lit(0.0)), 4)
+          .as("top_2gram_ratio"))
+  }
+
   /** 31-bit domain keeps the rolling-hash multiply overflow-safe (ANSI). */
   private val P31 = 2147483647L
 

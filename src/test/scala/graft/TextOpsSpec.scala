@@ -126,6 +126,48 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(plain(0) !== plain(1))
   }
 
+  test("scrubPii: masks each family with its token, counts what was removed") {
+    import org.apache.spark.sql.functions.col
+    val dirty = "Reach me at jo.doe+x@mail.example.org or +1 (555) 123-4567. " +
+      "Server 10.0.42.7 billed to 4111 1111 1111 1111 yesterday."
+    val clean = "No personal data in this sentence at all."
+    val got = TextOps.scrubPii(
+        Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val s = got(0).getAs[String]("scrubbed")
+    assert(s.contains("<EMAIL>") && s.contains("<PHONE>")
+      && s.contains("<IP>") && s.contains("<CARD>"), s)
+    assert(!s.contains("@") && !s.contains("4111"), s)
+    assert(got(0).getAs[Long]("n_email") === 1L)
+    assert(got(0).getAs[Long]("n_phone") === 1L)
+    assert(got(0).getAs[Long]("n_ipv4") === 1L)
+    assert(got(0).getAs[Long]("n_card") === 1L)
+    assert(got(1).getAs[String]("scrubbed") === clean)
+    assert(got(1).getAs[Long]("n_email") === 0L)
+  }
+
+  test("repetitionStats: duplicate lines and dominant 2-grams are flagged") {
+    import org.apache.spark.sql.functions.col
+    val boiler = Seq("home | products | about", "real content line one",
+      "home | products | about", "home | products | about").mkString("\n")
+    val stuffed = ("buy cheap " * 10) + "now"   // 'buy cheap'/'cheap buy' dominate
+    val normal = "the quick brown fox jumps over the lazy dog entirely"
+    val got = TextOps.repetitionStats(
+        Seq((1L, boiler), (2L, stuffed), (3L, normal), (4L, "single"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // 4 lines, 3 copies of one -> 2 of 4 are dups
+    assert(got(0).getAs[Long]("n_lines") === 4L)
+    assert(got(0).getAs[Double]("dup_line_ratio") === 0.5)
+    // 'cheap buy' occurs 9 times of 20 2-grams
+    assert(got(1).getAs[Double]("top_2gram_ratio") >= 0.45)
+    assert(got(2).getAs[Double]("dup_line_ratio") === 0.0)
+    assert(got(2).getAs[Double]("top_2gram_ratio") <= 0.25)
+    // a one-token doc has zero 2-grams and must not divide by zero
+    assert(got(3).getAs[Long]("n_2grams") === 0L)
+    assert(got(3).getAs[Double]("top_2gram_ratio") === 0.0)
+  }
+
   test("corpusFilterRules: each rule fires on its designed pathology") {
     import org.apache.spark.sql.functions.col
     val ok = ("the quick brown fox jumps over the lazy dog and keeps going " * 3) + "done."
