@@ -567,6 +567,21 @@ object SparkEntry {
         col("doc_id"),
         md5(TextOps.normalizeText(col("text"))).as("norm_hash"),
         length(TextOps.normalizeText(col("text"))).cast("long").as("norm_chars"))),
+    "contamination_check" -> ((s, d) => {
+      // Benchmark decontamination: docs 0-4 play the eval set; a 12-token
+      // probe sentence is appended to them AND to training docs 10-12
+      // in-query (both engines replay the concat), so those three docs
+      // must flag with >= 5 shared 8-grams while the rest of the corpus
+      // stays clean. The corpus pass is a map-only projection against the
+      // broadcast benchmark gram set — nothing explodes or shuffles.
+      val probe = lit(" the quick brown contamination probe sentence lurks" +
+        " verbatim inside selected training documents")
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") < 5 || (col("doc_id") >= 10 && col("doc_id") <= 12),
+          concat(col("text"), probe)).otherwise(col("text")).as("text"))
+      Dedup.contamination(base.filter(col("doc_id") >= 5),
+        base.filter(col("doc_id") < 5), "doc_id", "text", n = 8)
+    }),
     "pii_scrub" -> ((s, d) => {
       // Corpus PII redaction (the standard pre-training scrub): mask
       // emails/cards/phones/IPs with typed tokens, count what was
@@ -1375,6 +1390,30 @@ object SparkEntry {
            length(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
                                             '[\x00-\x1f]', '', 'g')))) AS norm_chars
          FROM documents""",
+    "contamination_check" ->
+      // full replay over shingle STRINGS (the hash is injective up to
+      // negligible collisions, so intersection counts agree) — same
+      // 8-gram derivation as graft's, same probe-sentence concat
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id < 5 OR (doc_id BETWEEN 10 AND 12)
+               THEN text || ' the quick brown contamination probe sentence' ||
+                 ' lurks verbatim inside selected training documents'
+             ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS toks FROM base),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 8, 0) + 2),
+             i -> array_to_string(toks[i:i+7], ' '))) AS gr
+           FROM t),
+         bench AS (
+           SELECT list_distinct(flatten(list(gr))) AS bg FROM sh WHERE doc_id < 5)
+         SELECT doc_id, len(gr)::BIGINT AS n_grams,
+           len(list_intersect(gr, bg))::BIGINT AS n_contaminated,
+           len(list_intersect(gr, bg)) > 0 AS contaminated
+         FROM sh CROSS JOIN bench WHERE doc_id >= 5""",
     "pii_scrub" ->
       // same synthesized-PII concat, same 4-pattern mask chain (RE2 vs
       // Java regex — patterns chosen to agree), counts on the pre-scrub

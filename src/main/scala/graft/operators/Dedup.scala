@@ -361,4 +361,32 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .select("block", "id_a", "id_b", "jaccard")
   }
+
+  /** Benchmark decontamination: per training doc, how many of its word
+    * `n`-grams appear in the evaluation set (and the boolean an LLM data
+    * pipeline actually filters on). Distinct from [[novelDocs]], which
+    * anti-joins whole-document hashes — eval contamination hides as a
+    * quoted PASSAGE inside an otherwise-novel doc, so the unit here is
+    * the n-gram.
+    *
+    * Scale shape: the benchmark side is small by definition (eval suites,
+    * not corpora) — its distinct gram hashes form one array in a 1-row
+    * broadcast frame, and the corpus pass is a pure projection computing
+    * an array intersection per row. Nothing explodes, nothing shuffles:
+    * at 100 TB this is a map-only scan, same family as novelty's
+    * broadcast anti join. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val grams = (t: Column) => graft.functions.TextHash.shingleHashesCol(t, n)
+    val bench = broadcast(
+      benchmark.select(explode(grams(col(textCol))).as("g"))
+        .agg(sort_array(collect_set(col("g"))).as("__bench")))
+    docs.select(col(idCol), grams(col(textCol)).as("__g"))
+      .crossJoin(bench)
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        size(array_intersect(col("__g"), col("__bench"))).cast("long")
+          .as("n_contaminated"),
+        (size(array_intersect(col("__g"), col("__bench"))) > 0).as("contaminated"))
+  }
 }

@@ -153,6 +153,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array(("blk1", 1L, 2L, 1.0)))
   }
 
+  test("contamination: embedded benchmark passage flagged, short overlap is not") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((900L, s"benchmark question about $passage and its answer"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"innocuous preamble then $passage quoted wholesale here"), // contaminated
+      (2L, "completely unrelated training document with fresh words"), // clean
+      (3L, "alpha beta gamma delta only shares four tokens nothing more") // < n overlap
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(docs, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("contaminated"),
+      "doc embedding a full 10-token benchmark passage must be flagged")
+    assert(got(0).getAs[Long]("n_contaminated") >= 3) // 10-token passage -> >=3 shared 8-grams
+    assert(!got(1).getAs[Boolean]("contaminated"))
+    assert(!got(2).getAs[Boolean]("contaminated"),
+      "a 4-token overlap is below the 8-gram unit and must not flag")
+  }
+
   test("connectedComponents: transitive clusters, min-id labels") {
     import org.apache.spark.sql.functions.col
     // two chains + an isolated pair: {1,2,3,4}, {10,11}, {20,21}
