@@ -567,6 +567,28 @@ object SparkEntry {
         col("doc_id"),
         md5(TextOps.normalizeText(col("text"))).as("norm_hash"),
         length(TextOps.normalizeText(col("text"))).cast("long").as("norm_chars"))),
+    "chunk_docs" -> ((s, d) =>
+      // Long-document → context-window preparation: ≤32-token chunks with
+      // 8 tokens of overlap (small window so the gate corpus actually
+      // chunks). One projection + one explode; DuckDB replays the chunk
+      // boundaries and text token-for-token.
+      TextOps.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))),
+    "token_budget_sample" -> ((s, d) => {
+      // Mixture draw by TOKEN budget per language (how a training mix is
+      // specified), deterministic by hash order with at-most-one-doc
+      // overshoot. Gate orders by md5 so DuckDB replays the exact draw;
+      // the production default is the engine-standard xxhash64.
+      val df = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sample.tokenBudgetSample(df, col("lang"), col("doc_id"), col("n_tokens"),
+          Map("en" -> 2000L, "de" -> 800L, "fr" -> 500L),
+          orderKey = Some(md5(col("doc_id").cast("string"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+    }),
     "contamination_check" -> ((s, d) => {
       // Benchmark decontamination: docs 0-4 play the eval set; a 12-token
       // probe sentence is appended to them AND to training docs 10-12
@@ -1390,6 +1412,38 @@ object SparkEntry {
            length(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
                                             '[\x00-\x1f]', '', 'g')))) AS norm_chars
          FROM documents""",
+    "chunk_docs" ->
+      // same tokenization, same start sequence 1, 1+24, … capped at
+      // n-overlap, same 32-token slices
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
+               AS INT) AS st
+           FROM t)
+         SELECT doc_id, CAST((st - 1) / 24 AS INT) AS chunk_id,
+           len(toks[st:st+31])::BIGINT AS n_tokens,
+           md5(array_to_string(toks[st:st+31], ' ')) AS chunk_hash
+         FROM c""",
+    "token_budget_sample" ->
+      // same md5 draw order, same exclusive running sum, same budgets
+      """WITH t AS (
+           SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ok
+           FROM documents),
+         w AS (
+           SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 800
+                       WHEN 'fr' THEN 500 ELSE -1 END AS b
+           FROM t)
+         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         FROM w WHERE b >= 0 AND bef < b GROUP BY lang""",
     "contamination_check" ->
       // full replay over shingle STRINGS (the hash is injective up to
       // negligible collisions, so intersection counts agree) — same

@@ -39,4 +39,33 @@ object Sample {
         pmod(xxhash64(keyCol, lit(salt)), lit(10000L)) < col("__frac") * 10000)
       .drop("__frac")
   }
+
+  /** Token-budget mixture draw: per stratum (source/language), keep docs in
+    * deterministic hash order until the stratum's TOKEN budget is reached —
+    * how a training mixture is actually specified ("this many tokens of
+    * code, this many of web"), as opposed to row fractions. A doc is kept
+    * while the budget is not yet exhausted BEFORE it (running sum
+    * exclusive), so each stratum overshoots by at most one document.
+    *
+    * One shuffle (the per-stratum window); hash order makes the draw
+    * reproducible and incremental — re-running on a grown corpus keeps
+    * every previously-kept doc whose hash position still fits the budget. */
+  def tokenBudgetSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+                        tokensCol: Column, budgets: Map[String, Long],
+                        salt: Long = 0L,
+                        orderKey: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (stratum, b)) =>
+      when(stratumCol === stratum, lit(b)).otherwise(acc)
+    }
+    // default draw order is the engine-standard xxhash64; callers needing
+    // a cross-engine-replayable order (the gate uses md5) can override
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(orderKey.getOrElse(xxhash64(keyCol, lit(salt))).asc, keyCol.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__budget", budget)
+      .withColumn("__before", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .filter(col("__budget") >= 0 && col("__before") < col("__budget"))
+      .drop("__budget", "__before")
+  }
 }

@@ -208,6 +208,32 @@ object TextOps {
           .as("top_2gram_ratio"))
   }
 
+  /** Split documents into ≤`maxTokens`-token training chunks with
+    * `overlap` tokens of context carried across boundaries — the standard
+    * long-document → context-window preparation. Chunk starts step by
+    * `maxTokens - overlap`; the start sequence is capped at
+    * `n - overlap` so no trailing chunk is fully contained in its
+    * predecessor; docs within the window stay whole (chunk_id 0).
+    *
+    * One projection + one explode, no shuffle. The token array is
+    * materialized behind a projection boundary before the per-chunk
+    * slices — inlined in the lambda it would re-tokenize the document
+    * once per chunk (the [[graft.operators.Similarity.quantize]] trap). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - overlap, lit(1)), lit(step)),
+          st => slice(col("__toks"), st, lit(maxTokens)))))
+      .select(col(idCol),
+        col("pos").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
   /** 31-bit domain keeps the rolling-hash multiply overflow-safe (ANSI). */
   private val P31 = 2147483647L
 

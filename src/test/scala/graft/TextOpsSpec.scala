@@ -168,6 +168,52 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3).getAs[Double]("top_2gram_ratio") === 0.0)
   }
 
+  test("chunkDocs: overlapping windows cover every token, short docs stay whole") {
+    import org.apache.spark.sql.functions.col
+    val doc = (1 to 25).map(i => s"t$i").mkString(" ")    // 25 tokens
+    val short = "just five little tokens here"
+    val got = TextOps.chunkDocs(
+        Seq((1L, doc), (2L, short)).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 10, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Long, String)].collect()
+    val chunks = got.filter(_._1 == 1L)
+    // starts 1, 7, 13, 19 (step 6, capped at 25 - 4 = 21)
+    assert(chunks.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(chunks.map(_._3).toSeq === Seq(10L, 10L, 10L, 7L))
+    assert(chunks(0)._4.startsWith("t1 ") && chunks(1)._4.startsWith("t7 "))
+    assert(chunks(3)._4.endsWith(" t25"), "last chunk must reach the last token")
+    // consecutive chunks share exactly `overlap` tokens
+    assert(chunks(0)._4.split(" ").takeRight(4).toSeq ===
+      chunks(1)._4.split(" ").take(4).toSeq)
+    val single = got.filter(_._1 == 2L)
+    assert(single.length === 1 && single(0)._3 === 5L && single(0)._4 === short)
+  }
+
+  test("tokenBudgetSample: each stratum fills its token budget, overshoot <= 1 doc") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1 to 60).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", 10L + (i % 7)) // ~10-16 tokens each
+    }
+    val df = docs.toDF("doc_id", "lang", "n_tokens")
+    val budgets = Map("en" -> 100L, "de" -> 40L)
+    val kept = graft.operators.Sample.tokenBudgetSample(
+        df, col("lang"), col("doc_id"), col("n_tokens"), budgets)
+      .as[(Long, String, Long)].collect()
+    for ((lang, budget) <- budgets) {
+      val toks = kept.filter(_._2 == lang).map(_._3)
+      val total = toks.sum
+      assert(total >= budget, s"$lang must reach its budget: $total < $budget")
+      assert(total - toks.max < budget,
+        s"$lang may overshoot by at most one doc: $total")
+    }
+    // deterministic: same call, same draw
+    val again = graft.operators.Sample.tokenBudgetSample(
+        df, col("lang"), col("doc_id"), col("n_tokens"), budgets)
+      .as[(Long, String, Long)].collect()
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("corpusFilterRules: each rule fires on its designed pathology") {
     import org.apache.spark.sql.functions.col
     val ok = ("the quick brown fox jumps over the lazy dog and keeps going " * 3) + "done."
