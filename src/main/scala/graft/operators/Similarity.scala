@@ -6,16 +6,24 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column.
   *
-  * Two tiers, per the 100 TB design rule:
+  * The tier ladder, per the 100 TB design rule — each step trades exact
+  * work for a cheaper corpus-side representation:
   *  - `cosineTopK`: exact brute force with the QUERY side broadcast — the
-  *    corpus streams through one pass, no shuffle of the corpus, so it
-  *    scales with corpus size as a map-only job + per-query top-k heap.
+  *    corpus streams through one pass, no shuffle of the corpus.
   *  - `lshTopK` / `nearDupPairs`: random-hyperplane LSH buckets the corpus
   *    once, then joins on bucket id — the pair space is |bucket|², the
   *    scale path when the query set itself is large.
+  *  - `ivfTopK` / `ivfTopKTrained` / `ivfTopKBroadcast`: coarse-quantizer
+  *    inverted lists; probing is a hash join on list ids.
+  *  - `ivfPqTopK` (+ `ivfPqTopKRerank`): the memory-bound tier — vectors
+  *    as m one-byte PQ codes, asymmetric-distance scoring, optional exact
+  *    re-rank of a per-query shortlist.
   *
-  * All vector math is built-in higher-order functions (zip_with +
-  * aggregate) over doubles — codegen'd, no UDF, no MLlib Vector boxing.
+  * Vector math runs as native codegen'd kernels where it is hot
+  * ([[graft.functions.VecOps]]: the ANN pair-score dot, the PQ encode
+  * chain — bit-identical IEEE fold to the higher-order-function forms)
+  * and as built-in higher-order functions elsewhere. No UDFs, no MLlib
+  * Vector boxing.
   */
 object Similarity {
 
