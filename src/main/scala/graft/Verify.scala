@@ -16,6 +16,29 @@ object Verify {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Gate-corpus sentinel: the [GOLDEN @ gate corpus] oracles (fingerprint,
+    // stratified_sample, multimodal_golden, embedding_dedup, the ANN
+    // hit-count gates) pin constants derived from the seed=42 sf0.01 corpus
+    // (documents=500, embeddings=500, events=10000). Running against any
+    // other corpus flips those rows red for a reason that is NOT an engine
+    // bug — say so loudly up front instead of letting it read as one.
+    val expected = Seq("documents" -> 500L, "embeddings" -> 500L,
+      "events" -> 10000L)
+    val actual = expected.map { case (t, _) =>
+      t -> spark.read.parquet(s"$sfDir/$t.parquet").count() }
+    if (actual != expected) {
+      val msg =
+        s"""|[verify] WRONG CORPUS for golden oracles: expected
+            |[verify]   ${expected.map { case (t, n) => s"$t=$n" }.mkString(" ")}
+            |[verify] but $sfDir has
+            |[verify]   ${actual.map { case (t, n) => s"$t=$n" }.mkString(" ")}
+            |[verify] The [GOLDEN @ gate corpus] rows (fingerprint, stratified_sample,
+            |[verify] multimodal_golden, embedding_dedup, lsh/ivf ANN hit counts) WILL
+            |[verify] mismatch — that is a corpus change, not an engine regression.
+            |""".stripMargin
+      System.err.println(msg)
+      Files.writeString(Paths.get(s"$outDir/CORPUS_SENTINEL.txt"), msg)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -379,9 +379,16 @@ object Similarity {
     val dim = cents.head.size
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
+    // Cap the sample in HASH order, not `.limit` order: a bare LIMIT
+    // without ORDER BY is partition-layout dependent, so two runs over
+    // differently-partitioned inputs would train different codebooks.
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-K,
+    // no full shuffle), so the cap stays cheap and fully deterministic.
     val sample: Array[Seq[Double]] = residuals(
       Sample.hashSample(corpus, col(idCol), sampleFraction), idCol, vecCol, cents)
-      .select(col("res")).limit(maxTrain)
+      .select(col("id"), col("res"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(maxTrain)
+      .select(col("res"))
       .collect().map(_.getSeq[Double](0))
     (0 until m).map { mi =>
       val slices = sample.map(r => r.slice(mi * sub, (mi + 1) * sub).toArray)

@@ -35,11 +35,16 @@ object Tables {
   }
 
   /** Guarded fallback for externally-built sessions (the driver's bare
-    * Verify/smoke sessions): GraftSession asserts the nanos-as-long reader
-    * mapping at build/tune time, so for graft-built sessions this is a
-    * read-only conf check — no per-query session mutation. */
+    * smoke session): GraftSession asserts the nanos-as-long reader mapping
+    * at build/tune time, so for graft-built sessions this never mutates.
+    * Memoized per session (weak keys — sessions are never retained), so
+    * per-query paths touch the conf at most once per session lifetime. */
+  private val nanosChecked =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private def ensureNanosAsLong(s: SparkSession): Unit =
-    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    if (nanosChecked.putIfAbsent(s, java.lang.Boolean.TRUE) == null &&
+        !s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Events bounded to [start, end) with the predicate applied ON THE RAW

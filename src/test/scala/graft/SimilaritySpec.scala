@@ -280,6 +280,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(coded.forall(r => r._2 >= 0 && r._2 < 4), "list id in [0, nlist)")
   }
 
+  test("pqCodebooks: identical codebooks across partition layouts (hash-order cap)") {
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 13
+      Seq.fill(16) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val df = (0 until 200).map(i => (i.toLong, vec(i))).toDF("id", "emb")
+    val cents = Similarity.kmeansCentroids(df, "id", "emb", nlist = 4)
+    // maxTrain below the row count so the cap actually bites; three
+    // adversarial layouts (1 partition, 13 round-robin, hash by id)
+    def books(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCodebooks(d, "id", "emb", cents, m = 4, codebookSize = 8,
+        maxTrain = 120)
+    val base = books(df.coalesce(1))
+    assert(books(df.repartition(13)) === base, "round-robin layout")
+    assert(books(df.repartition(5, col("id"))) === base, "hash layout")
+  }
+
   test("quantize/dequantize: int8 roundtrip preserves cosine within 1%") {
     def vec(seed: Long): Seq[Float] = {
       var x = seed * 9176L + 3
