@@ -765,6 +765,28 @@ object SparkEntry {
           round(sum("value"), 2).as("total_value"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
     }),
+    "partitioned_sorted" -> ((s, d) => {
+      // The composed production layout (Sink.writePartitionedSorted):
+      // daily partition dirs (coarse prune) + ts-sorted rows within each
+      // day (row-group skip). The read-back stacks both predicates — the
+      // `day` bound prunes partitions before any I/O, the finer `ts`
+      // bound skips row groups inside the surviving days — and must
+      // aggregate identically to the oracle reading the source directly.
+      // SinkSpec measures the prune × skip multiplication itself.
+      val path = sinkPath(d, "part_sorted")
+      Sink.writePartitionedSorted(
+        Tables.events(s, d).select(
+          col("event_id"), to_date(col("ts")).as("day"), col("ts"), col("value")),
+        path, "day", Seq("ts"), files = 16)
+      s.read.parquet(path)
+        .filter(col("day") >= lit("2024-01-08").cast("date") &&
+          col("day") <= lit("2024-01-14").cast("date") &&
+          col("ts") >= lit("2024-01-10 06:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 18:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("value"), 2).as("total_value"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
     "upsert_sink" -> ((s, d) => {
       // Postgres ON CONFLICT DO UPDATE re-expressed as a partition-scoped
       // lake merge (base_assets.py:207): load the base table, apply an
@@ -1697,6 +1719,14 @@ object SparkEntry {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "partitioned_sorted" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+           AND CAST(ts AS DATE) <= DATE '2024-01-14'
+           AND ts >= TIMESTAMP '2024-01-10 06:00:00'
+           AND ts < TIMESTAMP '2024-01-12 18:00:00'""",
     "bucketed_layout" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS total_price

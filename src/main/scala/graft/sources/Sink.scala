@@ -170,6 +170,33 @@ object Sink {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** The composed lake layout a production table actually uses: daily
+    * partition directories for the COARSE cut (partition pruning removes
+    * whole days from the file listing, before any I/O) + range-sorted rows
+    * WITHIN each partition for the FINE cut (every parquet row group
+    * carries tight min/max on `sortCols`, so an intra-day predicate skips
+    * row groups at scan time). The two prunes multiply: a "last hour of
+    * one day" query off a 100 TB table lists one directory and
+    * decompresses a handful of row groups (reference base_assets.py:150
+    * writes the daily objects; report.py:37 bounds reads by a time
+    * window — this layout serves both from one copy).
+    *
+    * One `repartitionByRange(files, partitionCol +: sortCols)` drives
+    * BOTH properties: tasks own contiguous (partition, sort-key) ranges,
+    * so each day's files come from at most a couple of tasks (no
+    * tasks×days small-file explosion) and `sortWithinPartitions` orders
+    * rows inside every file. Dynamic overwrite keeps the daily-reload
+    * idempotence of [[writePartitioned]]: re-materializing a day replaces
+    * exactly that day's directory. */
+  def writePartitionedSorted(df: DataFrame, path: String, partitionCol: String,
+                             sortCols: Seq[String], files: Int = 32): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val cols = (partitionCol +: sortCols).map(df.col)
+    df.repartitionByRange(files, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
+
   /** Drop a sink table (scratch/test lifecycles). Routed through the
     * session's Hadoop FileSystem so scheme-qualified lake paths work the
     * same as local ones; falls back to a default Hadoop configuration when

@@ -122,6 +122,55 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(!tombs.exists())
   }
 
+  test("writePartitionedSorted: partition prune and row-group skip multiply") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    val days = 20L
+    // day = coarse partition key, t = fine within-day key (long nanos —
+    // stats pushdown applies); hash-shuffled so nothing is accidentally
+    // sorted before the writer imposes its layout
+    val df = spark.range(n).select(
+      col("id").as("event_id"),
+      concat(lit("d"), lpad((col("id") % days).cast("string"), 2, "0")).as("day"),
+      (xxhash64(col("id")) % 1000000L).as("t"))
+    val comboPath = tmp()
+    val plainPath = tmp()
+    Sink.writePartitionedSorted(df, comboPath, "day", Seq("t"), files = 64)
+    df.write.parquet(plainPath)
+    // one day + a quarter of its t range: the day bound prunes 19/20
+    // partition dirs from the listing, the t bound then skips the files
+    // (= row groups) inside the surviving day whose min/max miss the range
+    def scan(q: DataFrame): (Long, Long) = {
+      val qe = q.queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collectLeaves().collect { case f: FileSourceScanExec => f }
+      (scans.map(_.metrics("numOutputRows").value).sum,
+        scans.map(_.metrics("numFiles").value).sum)
+    }
+    val pred = (c: DataFrame) => c.filter(
+      col("day") === "d10" && col("t") >= -1000000L && col("t") < -500000L)
+    val (comboRows, comboFiles) = scan(pred(spark.read.parquet(comboPath)))
+    val (plainRows, _) = scan(pred(spark.read.parquet(plainPath)))
+    val totalComboFiles = new java.io.File(comboPath).listFiles
+      .filter(_.getName.startsWith("day=")).map(
+        _.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    assert(plainRows > n / 2, s"unsorted layout should read ~all rows, got $plainRows")
+    // partition prune alone caps at one day (n/20); the within-day sort
+    // must cut deeper than that
+    assert(comboRows < n / days, s"prune x skip should beat prune alone: $comboRows")
+    assert(comboFiles < totalComboFiles / 4,
+      s"should open a fraction of the files: $comboFiles of $totalComboFiles")
+    // and the layout still returns the right answer
+    assert(pred(spark.read.parquet(comboPath)).count() ===
+      pred(df).count())
+  }
+
   test("writeSorted: a range predicate reads far fewer rows off the sorted layout") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
