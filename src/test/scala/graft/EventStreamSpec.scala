@@ -89,6 +89,42 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts: per-batch state telemetry plateaus under steady ingestion") {
+    // The first thing an operator reads at scale is stateOperators
+    // numRowsTotal / memoryUsedBytes per micro-batch (the reference's
+    // sensor cursor is the analogous run-over-run observable). Under
+    // steady ingestion with advancing event time and a 2h watermark over
+    // 1h windows, windowed-agg state must PLATEAU at the few windows the
+    // watermark keeps open — not grow with batches ever processed.
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_telemetry").start()
+    try {
+      val rowsPerBatch = scala.collection.mutable.ArrayBuffer[Long]()
+      for (wave <- 0 until 10) {
+        // 20 events per wave, event time advancing one hour per wave
+        input.addData((1 to 20).map(i =>
+          ev(wave * 100L + i, f"2024-01-01 ${8 + wave}%02d:${i % 60}%02d:00")): _*)
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators.head
+        rowsPerBatch += so.numRowsTotal
+        assert(so.memoryUsedBytes > 0, "state memory telemetry must be reported")
+      }
+      // watermark horizon = 2h behind max event time → at most ~3 open
+      // 1h windows × 1 event_type; allow slack for the batch that lands
+      // just before eviction applies
+      assert(rowsPerBatch.last <= 4,
+        s"steady-state rows must stay at the watermark horizon: $rowsPerBatch")
+      assert(rowsPerBatch.drop(4).max <= 4,
+        s"state must plateau, not grow with batch count: $rowsPerBatch")
+      // eviction is observable batch-over-batch: rows removed were counted
+      assert(q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum > 0,
+        "watermark eviction must report removed rows")
+    } finally q.stop()
+  }
+
   test("dedupStream runs on the RocksDB state store (production state tier)") {
     implicit val ctx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
