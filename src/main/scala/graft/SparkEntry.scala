@@ -1004,24 +1004,24 @@ object SparkEntry {
     "ivf_pq_rerank" ->
       // golden hit counts for the two-stage (ADC shortlist + exact
       // re-rank) tier: strictly dominates plain ivf_pq_ann's counts
-      // (35/40 planted neighbors vs 27/40 at the gate corpus)
+      // (33/40 planted neighbors vs 27/40 at the gate corpus)
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change;
-      //  counts also depend on the hash-ordered PQ training cap]
+      //  counts also depend on the hash-ordered coarse+PQ training caps]
       """SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(n_hits AS BIGINT) AS n_hits, recall_ok
-         FROM (VALUES (0, 5, TRUE), (1, 4, TRUE), (2, 4, TRUE), (3, 4, TRUE),
-                      (4, 4, TRUE), (5, 5, TRUE), (6, 4, TRUE), (7, 5, TRUE))
+         FROM (VALUES (0, 3, TRUE), (1, 5, TRUE), (2, 4, TRUE), (3, 4, TRUE),
+                      (4, 4, TRUE), (5, 4, TRUE), (6, 5, TRUE), (7, 4, TRUE))
            t(query_id, n_hits, recall_ok)""",
     "ivf_pq_ann" ->
       // golden per-query hit counts of the PQ-coded tier against
       // brute-force truth over the planted corpus; recall_ok pins
       // recall@5 >= 0.6
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change;
-      //  counts also depend on the hash-ordered PQ training cap]
+      //  counts also depend on the hash-ordered coarse+PQ training caps]
       """SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(n_hits AS BIGINT) AS n_hits, recall_ok
-         FROM (VALUES (0, 4, TRUE), (1, 3, TRUE), (2, 3, TRUE), (3, 4, TRUE),
-                      (4, 3, TRUE), (5, 3, TRUE), (6, 3, TRUE), (7, 4, TRUE))
+         FROM (VALUES (0, 3, TRUE), (1, 3, TRUE), (2, 4, TRUE), (3, 4, TRUE),
+                      (4, 3, TRUE), (5, 4, TRUE), (6, 3, TRUE), (7, 3, TRUE))
            t(query_id, n_hits, recall_ok)""",
     "lsh_ann" ->
       // golden per-query hit counts of multi-probe LSH against brute-force

@@ -177,7 +177,13 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val sample = Sample.hashSample(corpus, col(idCol), sampleFraction)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // Random init, not k-means||: the parallel init alone costs
+    // initSteps×(job + collect) rounds — scheduler overhead that dwarfs
+    // the Lloyd's iterations on a bounded sample, and the coarse
+    // quantizer only needs centers that track the density (recall gates
+    // hold either way; Lloyd's iterations do the refining).
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setInitMode("random")
       .fit(sample)
     normalized(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
@@ -533,12 +539,14 @@ object Similarity {
                      nlist: Int, sampleFraction: Double = 1.0,
                      seed: Long = 42L, maxTrain: Int = 65536,
                      iters: Int = 12): Seq[Seq[Double]] = {
+    // hash-ordered cap, same reasoning as [[pqCodebooks]]: a bare LIMIT is
+    // partition-layout dependent and would train layout-dependent centers
     val sample = Sample.hashSample(corpus, col(idCol), sampleFraction)
-      .select(col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("__n", greatest(l2norm(col("v")), lit(1e-12)))
-      .select(transform(col("v"), x => x / col("__n")).as("u"), col("__n"))
-      .select(col("u")).limit(maxTrain)
-      .collect().map(_.getSeq[Double](0).toArray)
+      .select(col("id"), transform(col("v"), x => x / col("__n")).as("u"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(maxTrain)
+      .select(col("u")).collect().map(_.getSeq[Double](0).toArray)
     normalized(lloyd(sample, nlist, iters, seed).map(_.toSeq).toSeq)
   }
 
