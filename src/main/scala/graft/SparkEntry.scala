@@ -604,6 +604,25 @@ object SparkEntry {
       Dedup.contamination(base.filter(col("doc_id") >= 5),
         base.filter(col("doc_id") < 5), "doc_id", "text", n = 8)
     }),
+    "corpus_pipeline" -> ((s, d) => {
+      // The END-TO-END corpus chain (normalize → exact-dedup → filter →
+      // chunk → pack) as one conservation gate: stage survivor counts are
+      // replayed by DuckDB, and packed_tokens — summed off the PACKER's
+      // output — must equal the chunk-stage token sum the oracle computes
+      // analytically, so a token dropped or double-packed anywhere between
+      // stages flips the row red. Docs 0-9 are planted as exact copies at
+      // id+1000000 (both engines replay the union) so the dedup stage has
+      // real work; the keep-ruleset drops the terminal-punctuation rule —
+      // this corpus is word-soup, the other three rules split it 500→463.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val rules = (t: Column) => TextOps.corpusFilterRules(t)
+        .collect { case (name, rule) if name != "no_terminal_punct" => rule }
+        .reduce(_ && _)
+      CorpusPipeline.summary(docs.unionByName(planted), "doc_id", "text",
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 8, keep = rules)
+    }),
     "pii_scrub" -> ((s, d) => {
       // Corpus PII redaction (the standard pre-training scrub): mask
       // emails/cards/phones/IPs with typed tokens, count what was
@@ -1469,6 +1488,50 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM w WHERE b >= 0 AND bef < b GROUP BY lang""",
+    "corpus_pipeline" ->
+      // full-chain replay: same planted union, same NFC+regex normalize
+      // chain, same min-id dedup rule, same three keep-rules, same chunk
+      // boundaries as the chunk_docs oracle. packed_tokens is the one
+      // column the oracle CANNOT take from graft's packer — it recomputes
+      // the chunk-stage token sum analytically, so the equality IS the
+      // conservation proof.
+      """WITH src AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+         norm AS (
+           SELECT doc_id,
+             lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+               '\s+', ' ', 'g'), '[\x00-\x1f]', '', 'g'))) AS t
+           FROM src),
+         ded AS (
+           SELECT doc_id, t,
+             row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+           FROM norm),
+         kept AS (
+           SELECT doc_id, t FROM ded
+           WHERE rn = 1
+             AND length(t) >= 100
+             AND length(regexp_replace(t, '[^0-9]', '', 'g')) * 1.0
+                 / greatest(length(t), 1) <= 0.2
+             AND length(regexp_replace(t, '\s+', '', 'g')) * 1.0
+                 / greatest(len(string_split_regex(trim(t), '\s+')), 1)
+                 BETWEEN 3 AND 12),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
+               AS INT) AS st
+           FROM (SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks
+                 FROM kept)),
+         ch AS (SELECT len(toks[st:st+31])::BIGINT AS n FROM c)
+         SELECT
+           (SELECT count(*) FROM src) AS docs_in,
+           (SELECT count(*) FROM ded WHERE rn = 1) AS docs_unique,
+           (SELECT count(*) FROM kept) AS docs_kept,
+           count(*) AS n_chunks,
+           CAST(sum(n) AS BIGINT) AS packed_tokens,
+           TRUE AS budget_ok
+         FROM ch""",
     "contamination_check" ->
       // full replay over shingle STRINGS (the hash is injective up to
       // negligible collisions, so intersection counts agree) — same

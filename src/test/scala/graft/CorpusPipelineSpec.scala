@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusPipeline, TextOps}
+
+class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // A corpus with a known outcome per stage: doc 1 is canonical, doc 2 is a
+  // cosmetic variant of it (case + whitespace — dedup must collapse them),
+  // doc 3 fails the length filter, doc 4 is long enough to chunk, doc 5 is
+  // digit-heavy (filter must drop it).
+  private val longText =
+    (1 to 120).map(i => s"word$i token").mkString(" ") + " tail."
+  private val corpus = Seq(
+    (1L, ("alpha beta gamma delta " * 10).trim + " end."),
+    (2L, ("ALPHA  beta\tgamma   DELTA " * 10).trim + "\tEND."),
+    (3L, "too short."),
+    (4L, longText),
+    (5L, "1234567890 " * 30)
+  ).toDF("doc_id", "text")
+
+  test("summary: stage counts, conservation, budget flag") {
+    val row = CorpusPipeline.summary(corpus, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2).collect().head
+    assert(row.getAs[Long]("docs_in") === 5L)
+    assert(row.getAs[Long]("docs_unique") === 4L, "doc 2 must dedup into doc 1")
+    assert(row.getAs[Long]("docs_kept") === 2L, "docs 3 and 5 must be filtered")
+    assert(row.getAs[Boolean]("budget_ok"))
+    // conservation: packed token total == chunk-stage token total computed
+    // independently (chunkDocs over the surviving canonical docs)
+    val survivors = corpus.filter(col("doc_id").isin(1L, 4L))
+      .select(col("doc_id"), TextOps.normalizeTextNfc(col("text")).as("t"))
+    val chunkTokens = TextOps.chunkDocs(survivors, "doc_id", "t",
+        maxTokens = 32, overlap = 8)
+      .agg(sum("n_tokens")).as[Long].collect().head
+    assert(row.getAs[Long]("packed_tokens") === chunkTokens)
+    assert(row.getAs[Long]("n_chunks") > 2L, "doc 4 must split into chunks")
+  }
+
+  test("prepare: packed chunks trace back to surviving docs, bins respect budget") {
+    val packed = CorpusPipeline.prepare(corpus, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2)
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(packed.map(_._1).distinct.sorted === Array(1L, 4L))
+    // chunk ids are dense per doc starting at 0
+    val chunksOf4 = packed.filter(_._1 == 4L).map(_._2).sorted
+    assert(chunksOf4 === (0 until chunksOf4.length).toArray)
+    // every multi-chunk bin within budget
+    packed.groupBy(p => (p._4, p._5)).foreach { case (_, bin) =>
+      assert(bin.map(_._3).sum <= 128L || bin.length == 1)
+    }
+    // deterministic end to end
+    val again = CorpusPipeline.prepare(corpus, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2)
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(packed.sortBy(p => (p._1, p._2)) === again.sortBy(p => (p._1, p._2)))
+  }
+
+  test("custom keep-predicate reaches the filter stage") {
+    val none = CorpusPipeline.summary(corpus, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2,
+      keep = _ => lit(false)).collect().head
+    assert(none.getAs[Long]("docs_kept") === 0L)
+    assert(none.getAs[Long]("docs_unique") === 4L)
+  }
+}
