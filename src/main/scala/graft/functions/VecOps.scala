@@ -80,6 +80,28 @@ object VecOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Dense matrix-vector product `mat · vec` (mat flattened row-major,
+    * rows×dim): the OPQ rotation applied per corpus row. One tight
+    * primitive loop inside whole-stage codegen — the HOF form (an
+    * aggregate per output element) costs rows×dim boxed evaluations. */
+  def matvec(mat: ArrayData, vec: ArrayData, rows: Int): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = vec.getDouble(i); i += 1 }
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var s = 0.0
+      var j = 0
+      val base = r * dim
+      while (j < dim) { s += mat.getDouble(base + j) * v(j); j += 1 }
+      out(r) = s
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** dot(a, b) with double accumulation, ascending fold — the SAME IEEE
     * operation sequence as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so
     * swapping the interpreted form for this kernel is bit-identical
@@ -101,6 +123,19 @@ object VecOps {
       Seq(GraftExpressionBridge.expression(a.cast("array<double>")),
         GraftExpressionBridge.expression(b.cast("array<double>"))),
       Seq(arrD, arrD), propagateNull = true, returnNullable = false))
+  }
+
+  /** `mat · vec` as a Column; `mat` rows become a flattened literal. */
+  def matvecCol(vec: Column, mat: Seq[Seq[Double]]): Column = {
+    val arrD = ArrayType(DoubleType, containsNull = false)
+    GraftExpressionBridge.column(StaticInvoke(
+      VecOps.getClass, arrD, "matvec",
+      Seq(
+        Literal.create(mat.flatten, arrD),
+        GraftExpressionBridge.expression(vec.cast("array<double>")),
+        Literal(mat.size)),
+      Seq(arrD, arrD, IntegerType),
+      propagateNull = true, returnNullable = false))
   }
 
   def ivfPqCodeCol(vec: Column, cents: Seq[Seq[Double]],
