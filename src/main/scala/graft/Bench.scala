@@ -45,20 +45,41 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // The stdout JSON is one long line and log-capture pipelines truncate
-    // it (r5 lost the alphabetical tail, ~11 queries). Persist the full
-    // record to a file as well so every number survives capture.
+    // Full-precision record → file, COMMITTED per round (BENCH_LAST.json).
+    // The capture pipeline keeps only the LAST ~2000 chars of stdout, and
+    // 90+ query names alone exceed that — no single full-precision stdout
+    // line can survive it (r1-r7 all lost their head, every round's
+    // `parsed` was null). The file is the durable record.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-      java.nio.file.Files.write(out, json.getBytes("UTF-8")): Unit
+      java.nio.file.Files.write(out, fullJson.getBytes("UTF-8")): Unit
     } catch { case _: Throwable => () }
+    // Stdout, engineered for a 2000-char tail window:
+    //   line 1 — every query at 3-decimal precision, CHEAPEST FIRST with
+    //     the envelope at the end, so the only thing a tail cut can lose
+    //     is the sub-0.1s noise floor, never the expensive queries;
+    //   line 2 — a short, complete, parseable JSON summary (total + the
+    //     top-12 most expensive queries), guaranteed inside the window,
+    //     so a last-JSON-line parser always gets a valid record.
+    def fmt(v: Double) = f"$v%.3f"
+    val ascending = results.sortBy(_._2)
+    val line1 = ascending.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{\"queries\":{", ",", "},\"metric\":\"total\",\"value\":" +
+        fmt(total) + ",\"unit\":\"sec\",\"sf\":\"" + sfDir +
+        "\",\"full\":\"BENCH_LAST.json\"}")
+    val top = results.sortBy(-_._2).take(12)
+    val line2 = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{\"metric\":\"total\",\"value\":" + fmt(total) +
+        ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"n_queries\":" +
+        results.size + ",\"queries\":{", ",", "}}")
+    println(line1)
+    println(line2)
     spark.stop()
   }
 }

@@ -183,6 +183,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("pct", round(col("cnt") * 100.0 /
           sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("region")), 2))),
+    "partition_date_check" -> ((s, d) =>
+      // Partition-integrity gate (acled_checks.py:195, blocking): every
+      // event date must equal its partition's date. The partition here is
+      // assigned the way the bug actually happens in a backfill — by
+      // *processing* time (event time shifted one hour) — so rows landing
+      // in the first hour of each day fall into the previous day's
+      // partition and the check has real violations to surface. The
+      // assignment is a pure function of ts, so DuckDB replays it exactly.
+      Quality.partitionDateCheck(
+        Tables.events(s, d)
+          .withColumn("partition_date",
+            to_date(col("ts") - expr("INTERVAL 1 HOUR"))),
+        "partition_date")),
+    "report_bundle" -> ((s, d) =>
+      // The composed monthly report (ml.py:775-888): quality + daily +
+      // event-type + region sections as ONE grouping-sets pass over one
+      // bounded scan — the relational twin of corpus_pipeline. Region and
+      // centroid measures mirror regional_multi_agg's analogues.
+      Analytics.reportBundle(
+        Tables.eventsWindowed(s, d, "2024-01-01", "2024-01-31"),
+        pmod(col("user_id"), lit(10L)),
+        Seq(get_json_object(col("props"), "$.k").cast("double") -> "avg_prop",
+            col("user_id").cast("double") -> "avg_user"))),
     "salted_agg" -> ((s, d) =>
       // Same stats as a direct groupBy (the oracle is the direct form) but
       // computed via the two-phase salted plan — the skew-safe variant for
@@ -1349,6 +1372,49 @@ object SparkEntry {
          count(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup'), FALSE)
                     THEN 1 END) AS bad_type_cnt
          FROM events""",
+    "partition_date_check" ->
+      // replays the lagging-backfill partition assignment (a pure
+      // function of ts), then the per-partition integrity counters
+      """SELECT CAST(ts - INTERVAL 1 HOUR AS DATE) AS expected_date,
+         count(*) AS n_rows,
+         count(CASE WHEN CAST(ts AS DATE) IS DISTINCT FROM
+                         CAST(ts - INTERVAL 1 HOUR AS DATE) THEN 1 END)
+           AS invalid_dates,
+         count(DISTINCT CAST(ts AS DATE)) AS unique_dates_count,
+         count(CASE WHEN CAST(ts AS DATE) IS DISTINCT FROM
+                         CAST(ts - INTERVAL 1 HOUR AS DATE) THEN 1 END) = 0
+           AS ok
+         FROM events GROUP BY 1""",
+    "report_bundle" ->
+      // same GROUPING SETS pass, same per-column GROUPING() section tags —
+      // the bundle's one-scan composition is replayed, not just its rows
+      """WITH e AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  user_id % 10 AS region, value, props,
+                  CAST(props->>'$.k' AS DOUBLE) AS prop_k,
+                  CAST(user_id AS DOUBLE) AS user_d
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31')
+         SELECT
+           CASE WHEN GROUPING(day) = 0 THEN 'daily'
+                WHEN GROUPING(event_type) = 0 THEN 'event_type'
+                WHEN GROUPING(region) = 0 THEN 'region'
+                ELSE 'quality' END AS section,
+           CASE WHEN GROUPING(day) = 0 THEN CAST(day AS VARCHAR)
+                WHEN GROUPING(event_type) = 0 THEN coalesce(event_type, '(null)')
+                WHEN GROUPING(region) = 0 THEN CAST(region AS VARCHAR)
+                ELSE 'ALL' END AS key,
+           count(*) AS event_count,
+           sum(value) AS total_value,
+           avg(value) AS avg_value,
+           count(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 END)
+             AS missing_event_type,
+           count(CASE WHEN props IS NULL OR props = '' THEN 1 END)
+             AS missing_props,
+           avg(prop_k) AS avg_prop,
+           avg(user_d) AS avg_user
+         FROM e
+         GROUP BY GROUPING SETS ((), (day), (event_type), (region))""",
     "range_join" ->
       """SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS band_value
          FROM events

@@ -85,7 +85,12 @@ object VecOps {
     * primitive loop inside whole-stage codegen — the HOF form (an
     * aggregate per output element) costs rows×dim boxed evaluations. */
   def matvec(mat: ArrayData, vec: ArrayData, rows: Int): ArrayData = {
-    val dim = vec.numElements()
+    // width comes from the MATRIX (the trusted plan-time literal), not the
+    // per-row vector; UnsafeArrayData reads are unchecked, so a too-short
+    // vector must be rejected here rather than silently reading past it
+    val dim = mat.numElements() / rows
+    require(vec.numElements() >= dim,
+      s"matvec: vector has ${vec.numElements()} elements, matrix width is $dim")
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = vec.getDouble(i); i += 1 }
@@ -125,8 +130,17 @@ object VecOps {
       Seq(arrD, arrD), propagateNull = true, returnNullable = false))
   }
 
-  /** `mat · vec` as a Column; `mat` rows become a flattened literal. */
+  /** `mat · vec` as a Column; `mat` rows become a flattened literal
+    * (the OPQ-rotation shape: one fixed matrix applied per corpus row).
+    * The matrix must be rectangular — a ragged Seq would silently
+    * misalign every row after the short one once flattened, so it is
+    * rejected here at plan-build time, not at execution. The row width
+    * is taken from the matrix; a vector column narrower than that width
+    * fails the kernel's per-row require, never silently. */
   def matvecCol(vec: Column, mat: Seq[Seq[Double]]): Column = {
+    require(mat.nonEmpty && mat.head.nonEmpty, "matvecCol: empty matrix")
+    require(mat.forall(_.size == mat.head.size),
+      s"matvecCol: ragged matrix — row widths ${mat.map(_.size).distinct}")
     val arrD = ArrayType(DoubleType, containsNull = false)
     GraftExpressionBridge.column(StaticInvoke(
       VecOps.getClass, arrD, "matvec",

@@ -114,6 +114,62 @@ object Analytics {
     events.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** The composed monthly report (ml.py:775-888
+    * acled_monthly_report_with_ml): the reference's headline deliverable
+    * runs quality + daily-counts + event-type + region + actor queries as
+    * one asset over the same date-bounded table. A driver that re-issues
+    * them as N separate jobs scans the window N times; Spark-first the
+    * whole bundle is ONE `GROUPING SETS` aggregate — a single bounded scan,
+    * a single shuffle of pre-reduced groups, emitting every report section
+    * as rows tagged by section:
+    *   - `quality`    — the global row: total count + missing-field and
+    *                    presence counters (quality_query + actor_query);
+    *   - `daily`      — per-day count/sum (daily_counts_query);
+    *   - `event_type` — per-type distribution (event_types_query);
+    *   - `region`     — per-region count/sum/avg + extra-measure centroid
+    *                    means (region_query / ukraine_region_query).
+    * The conditional counters are evaluated once per input row and folded
+    * into every grouping set's partial aggregate, so adding a section
+    * costs group-cardinality, not another pass. This is the relational
+    * twin of [[CorpusPipeline]]: the composition — not the component
+    * queries — is the product. */
+  def reportBundle(events: DataFrame, regionExpr: Column,
+                   extraAvg: Seq[(Column, String)] = Seq.empty): DataFrame = {
+    val e = events
+      .withColumn("__day", to_date(col("ts")))
+      .withColumn("__region", regionExpr)
+    val aggs = Seq(
+      count(lit(1)).as("event_count"),
+      sum("value").as("total_value"),
+      avg("value").as("avg_value"),
+      count(when(col("event_type").isNull || col("event_type") === "", lit(1)))
+        .as("missing_event_type"),
+      count(when(col("props").isNull || col("props") === "", lit(1)))
+        .as("missing_props")) ++
+      extraAvg.map { case (c, alias) => avg(c).as(alias) } ++ Seq(
+      grouping(col("__day")).as("__g_day"),
+      grouping(col("event_type")).as("__g_et"),
+      grouping(col("__region")).as("__g_rg"))
+    e.groupingSets(
+        Seq(Seq.empty, Seq(col("__day")), Seq(col("event_type")), Seq(col("__region"))),
+        col("__day"), col("event_type"), col("__region"))
+      .agg(aggs.head, aggs.tail: _*)
+      // section/key derived from per-column grouping() flags, not
+      // grouping_id() bit order — the DuckDB oracle replays the same
+      // GROUPING() calls, so neither engine's bit convention is load-bearing
+      .withColumn("section",
+        when(col("__g_day") === 0, "daily")
+          .when(col("__g_et") === 0, "event_type")
+          .when(col("__g_rg") === 0, "region")
+          .otherwise("quality"))
+      .withColumn("key",
+        when(col("__g_day") === 0, col("__day").cast("string"))
+          .when(col("__g_et") === 0, coalesce(col("event_type"), lit("(null)")))
+          .when(col("__g_rg") === 0, col("__region").cast("string"))
+          .otherwise(lit("ALL")))
+      .drop("__day", "__region", "event_type", "__g_day", "__g_et", "__g_rg")
+  }
+
   /** Per-group deterministic rank-1 rows (window row_number pattern used for
     * "hottest region" style queries in report.py:918-927). */
   def topPerGroup(df: DataFrame, partitionCol: String, orderCol: String,

@@ -38,8 +38,11 @@ object CorpusPipeline {
   /** One flagged frame carrying every stage's verdict per document:
     * (id, norm_text, is_canonical, passes_filters). Computing flags
     * instead of filtering lets [[summary]] count all stages in a single
-    * aggregate, and [[prepare]] filter once — the chain is evaluated one
-    * time either way. */
+    * aggregate, and [[prepare]] filter once. [[summary]] evaluates the
+    * chain twice — once for the stage counts, once through the packer —
+    * deliberately uncached: at corpus scale two streaming passes beat
+    * persisting a corpus-sized normalized intermediate, and each pass is
+    * a map-side projection plus one small-key shuffle. */
   private def flagged(docs: DataFrame, idCol: String, textCol: String,
                       keep: Column => Column): DataFrame = {
     val norm = docs.select(
@@ -58,7 +61,10 @@ object CorpusPipeline {
     * (doc_id, chunk_id, n_tokens, shard, seq_id). Chunks are keyed by
     * `doc_id * 1e6 + chunk_id` inside the packer (collision-free while a
     * single document stays under a million chunks — 32M tokens at the
-    * default window; callers with longer docs split upstream). */
+    * default window; callers with longer docs split upstream). REQUIRES
+    * nonnegative doc ids below 2^63/1e6 ≈ 9.2e12: the key multiply
+    * overflows past that bound, and a negative id would make the integer
+    * div/pmod decode below disagree on which chunk a key names. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               maxTokens: Int = 512, overlap: Int = 64,
               budget: Long = 4096L, shards: Int = 64,
@@ -70,7 +76,10 @@ object CorpusPipeline {
       .withColumn("chunk_key", col("id") * lit(1000000L) + col("chunk_id"))
     Packing.packSequences(chunks, "chunk_key", "n_tokens", budget, shards)
       .select(
-        (col("id") / 1000000L).cast("long").as("doc_id"),
+        // integer division, not double `/` + cast: exact for every legal
+        // key (double division loses ULPs past 2^53 and truncates toward
+        // zero, which disagrees with pmod for negatives)
+        expr("id div 1000000").as("doc_id"),
         pmod(col("id"), lit(1000000L)).cast("int").as("chunk_id"),
         col("n_tokens"), col("shard"), col("seq_id"))
   }
@@ -93,11 +102,15 @@ object CorpusPipeline {
     val packed = prepare(docs, idCol, textCol, maxTokens, overlap, budget, shards, keep)
     val bins = packed.groupBy("shard", "seq_id")
       .agg(sum("n_tokens").as("seq_tokens"), count(lit(1)).as("n_chunks"))
+    // coalesce: a keep-predicate that rejects every document leaves the
+    // packed frame empty, and sum/min over zero rows are NULL — the audit
+    // row must then read 0 chunks / 0 tokens / budget vacuously OK, not
+    // three NULLs a downstream gate would misread
     val totals = bins.agg(
-      sum("n_chunks").as("n_chunks"),
-      sum("seq_tokens").as("packed_tokens"),
-      min(when(col("seq_tokens") <= budget || col("n_chunks") === 1, 1)
-        .otherwise(0)).as("__budget_ok"))
+      coalesce(sum("n_chunks"), lit(0L)).as("n_chunks"),
+      coalesce(sum("seq_tokens"), lit(0L)).as("packed_tokens"),
+      coalesce(min(when(col("seq_tokens") <= budget || col("n_chunks") === 1, 1)
+        .otherwise(0)), lit(1)).as("__budget_ok"))
     // two single-row frames → broadcast-joined scalar row, no real shuffle
     stages.crossJoin(totals)
       .select(col("docs_in"), col("docs_unique"), col("docs_kept"),

@@ -383,10 +383,14 @@ object Dedup {
         .agg(sort_array(collect_set(col("g"))).as("__bench")))
     docs.select(col(idCol), grams(col(textCol)).as("__g"))
       .crossJoin(bench)
+      // the intersection is computed ONCE behind a projection boundary;
+      // the flag derives from the count, never re-evaluating the O(|g|)
+      // set operation (same CSE discipline as the HOF kernels)
       .select(col(idCol),
         size(col("__g")).cast("long").as("n_grams"),
         size(array_intersect(col("__g"), col("__bench"))).cast("long")
-          .as("n_contaminated"),
-        (size(array_intersect(col("__g"), col("__bench"))) > 0).as("contaminated"))
+          .as("n_contaminated"))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") > 0).as("contaminated"))
   }
 }

@@ -126,6 +126,33 @@ object Quality {
     }.toDF("column_name", "expected_type", "actual_type", "status")
   }
 
+  /** Event-date-vs-partition consistency check (acled_checks.py:195
+    * acled_event_date_partition_check, a BLOCKING check in the reference):
+    * every row stored in a daily partition must carry an event timestamp
+    * whose date equals the partition's date — the invariant a backfill
+    * that partitions by *processing* time instead of *event* time breaks.
+    * Output: one row per partition with the reference check's metadata
+    * (expected_date = the partition value, invalid_dates = rows whose
+    * event date differs, unique_dates_count, and the pass/fail verdict).
+    *
+    * One groupBy on the partition column — at lake scale the groups are
+    * days-of-history, so the shuffle moves a handful of counters per day,
+    * and on a lake laid out by that same column the scan-side partial
+    * aggregation already collapses each file to one row. Null event
+    * timestamps count as invalid (null-safe compare): a row that can't
+    * prove it belongs in the partition fails the check. */
+  def partitionDateCheck(df: DataFrame, partitionCol: String,
+                         tsCol: String = "ts"): DataFrame = {
+    val eventDate = to_date(col(tsCol))
+    df.groupBy(col(partitionCol).as("expected_date"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(!(eventDate <=> col(partitionCol)), lit(1)))
+          .as("invalid_dates"),
+        countDistinct(eventDate).as("unique_dates_count"))
+      .withColumn("ok", col("invalid_dates") === 0)
+  }
+
   /** Row-level validation gate: tag each row with the names of the rules it
     * violates (`rules` maps rule name → OK-predicate; a NULL predicate
     * counts as a violation). Valid rows carry an empty array — split with

@@ -76,6 +76,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array(("1-10", 3L), ("11-25", 1L), ("26-50", 1L)))
   }
 
+  test("reportBundle: one grouping-sets pass emits every report section") {
+    // props: empty on event 1 (a missing-field hit), JSON elsewhere
+    val e = events.withColumn("props",
+      when(col("event_id") === 1L, lit(""))
+        .otherwise(lit("""{"k":2.0}""")))
+    val got = Analytics.reportBundle(e, pmod(col("user_id"), lit(3L)),
+        Seq(col("value") * 2 -> "avg_double"))
+      .select("section", "key", "event_count", "total_value",
+        "missing_props", "avg_double")
+      .as[(String, String, Long, Double, Long, Double)].collect()
+    val bySection = got.groupBy(_._1)
+    // quality: exactly one global row with the missing-field counters
+    val quality = bySection("quality")
+    assert(quality === Array(("quality", "ALL", 5L, 77.0, 1L, 30.8)))
+    // daily: one row per day, counts match dailyCounts semantics
+    val daily = bySection("daily").map(r => r._2 -> r._3).toMap
+    assert(daily === Map(
+      "2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-08" -> 1L))
+    // event_type: the distribution section
+    val types = bySection("event_type").map(r => r._2 -> r._3).toMap
+    assert(types === Map("click" -> 3L, "view" -> 1L, "purchase" -> 1L))
+    // region: user_id % 3 cohorts
+    val regions = bySection("region").map(r => r._2 -> r._3).toMap
+    assert(regions === Map("0" -> 1L, "1" -> 2L, "2" -> 2L))
+    // nothing beyond the four sections, and the pass is one aggregate:
+    assert(got.length === 1 + 3 + 3 + 3)
+  }
+
   test("topPerGroup: rank-1 row per group with tie-break") {
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 12L, 1.0))
       .toDF("g", "id", "v")

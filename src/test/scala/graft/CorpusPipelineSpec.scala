@@ -65,5 +65,9 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
       keep = _ => lit(false)).collect().head
     assert(none.getAs[Long]("docs_kept") === 0L)
     assert(none.getAs[Long]("docs_unique") === 4L)
+    // the empty-pipeline path must read 0/0/OK, not NULL aggregates
+    assert(none.getAs[Long]("n_chunks") === 0L)
+    assert(none.getAs[Long]("packed_tokens") === 0L)
+    assert(none.getAs[Boolean]("budget_ok"), "empty packing is vacuously within budget")
   }
 }

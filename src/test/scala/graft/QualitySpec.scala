@@ -95,4 +95,25 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(stats === ((4L, 1L, 2L, 2L)))
   }
+
+  test("partitionDateCheck: per-partition integrity counters, null ts is invalid") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lake = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "2024-01-01"), // ok
+      (2L, ts("2024-01-01 23:30:00"), "2024-01-01"), // ok
+      (3L, ts("2024-01-02 00:30:00"), "2024-01-01"), // event date ≠ partition
+      (4L, null.asInstanceOf[java.sql.Timestamp], "2024-01-02"), // null ts
+      (5L, ts("2024-01-02 12:00:00"), "2024-01-02"), // ok
+      (6L, ts("2024-01-03 08:00:00"), "2024-01-03")  // clean partition
+    ).toDF("event_id", "ts", "p")
+      .withColumn("p", to_date(col("p")))
+    val got = Quality.partitionDateCheck(lake, "p")
+      .orderBy("expected_date")
+      .as[(java.sql.Date, Long, Long, Long, Boolean)].collect()
+    assert(got === Array(
+      (java.sql.Date.valueOf("2024-01-01"), 3L, 1L, 2L, false),
+      (java.sql.Date.valueOf("2024-01-02"), 2L, 1L, 1L, false),
+      (java.sql.Date.valueOf("2024-01-03"), 1L, 0L, 1L, true)))
+  }
 }
