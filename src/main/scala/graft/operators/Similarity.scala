@@ -182,8 +182,13 @@ object Similarity {
     // the Lloyd's iterations on a bounded sample, and the coarse
     // quantizer only needs centers that track the density (recall gates
     // hold either way; Lloyd's iterations do the refining).
+    // maxIter 10, not the MLlib default 20: every Lloyd's iteration is a
+    // full Spark job, and the coarse quantizer only needs centers that
+    // track density — list routing is refined by nprobe at query time, so
+    // the marginal iterations buy scheduler overhead, not recall (the
+    // planted-neighbor recall gates hold at 10 with margin).
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .setInitMode("random")
+      .setInitMode("random").setMaxIter(10)
       .fit(sample)
     normalized(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
