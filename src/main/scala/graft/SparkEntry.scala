@@ -457,6 +457,21 @@ object SparkEntry {
       annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
         ann, minHits = 3)
     }),
+    "ivf_opq_rerank" -> ((s, d) => {
+      // OPQ tier: a seeded orthogonal rotation decorrelates coordinates
+      // before PQ coding (Ge et al., CVPR 2013 — the FAISS OPQMatrix
+      // init), then the same two-stage ADC-shortlist + exact-cosine
+      // re-rank as ivf_pq_rerank. Rotation preserves inner products, so
+      // the brute-force gate is unchanged; recall must hold through the
+      // rotated codebooks (recall@5 ≥ 0.6 in-query; golden hit counts
+      // pinned). This is the live caller of the VecOps.matvec kernel.
+      val (corpus, q) = plantedAnnCorpus(s, d)
+      val ann = Similarity.ivfOpqTopKRerank(corpus, q, "vec_id", "embedding",
+        k = 5, dim = 64, shortlist = 50, nlist = 16, nprobe = 4, m = 8,
+        codebookSize = 16)
+      annRecall(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 5),
+        ann, minHits = 3)
+    }),
     "embedding_quantize" -> ((s, d) => {
       // int8 storage tier roundtrip: quantize → dequantize → cosine vs
       // original over a single scan (no self-join), rolled up to prove the
@@ -1043,6 +1058,21 @@ object SparkEntry {
            (8, 1426928247,  60886368, 84),
            (9,  110925171,  60886368, 74))
            t(doc_id, rolling_hash, content_minhash, n_tokens)""",
+    "ivf_opq_rerank" ->
+      // golden hit counts for the OPQ-rotated two-stage tier. Identical
+      // to ivf_pq_rerank's counts at this corpus — expected, and itself
+      // evidence the two-stage design works: the generous shortlist (50
+      // of ~33 probed-list candidates per query) saturates candidate
+      // coverage, and the exact re-rank recovers brute-force order among
+      // candidates regardless of which rotation coded them. The rotation
+      // earns its keep when m starves subspaces at production dims.
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change;
+      //  counts also depend on rotation seed + hash-ordered training caps]
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits, recall_ok
+         FROM (VALUES (0, 3, TRUE), (1, 5, TRUE), (2, 4, TRUE), (3, 4, TRUE),
+                      (4, 4, TRUE), (5, 4, TRUE), (6, 5, TRUE), (7, 4, TRUE))
+           t(query_id, n_hits, recall_ok)""",
     "ivf_pq_rerank" ->
       // golden hit counts for the two-stage (ADC shortlist + exact
       // re-rank) tier: strictly dominates plain ivf_pq_ann's counts

@@ -261,6 +261,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("randomRotation: orthogonal, and matvecCol application preserves dot products") {
+    val dim = 16
+    val r = Similarity.randomRotation(dim, seed = 7L)
+    // R·Rᵀ = I within float slop (rows were Gram-Schmidt orthonormalized)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R·Rᵀ[$i][$j]")
+    }
+    // the executor-side kernel agrees: dot(Rx, Ry) == dot(x, y)
+    val x = Seq.tabulate(dim)(i => math.sin(i + 1.0))
+    val y = Seq.tabulate(dim)(i => math.cos(i * 2.0))
+    val got = Seq((x, y)).toDF("x", "y")
+      .select(
+        Similarity.dot(
+          graft.functions.VecOps.matvecCol(col("x"), r),
+          graft.functions.VecOps.matvecCol(col("y"), r)).as("rot"),
+        Similarity.dot(col("x"), col("y")).as("plain"))
+      .as[(Double, Double)].collect()(0)
+    assert(math.abs(got._1 - got._2) < 1e-9)
+  }
+
+  test("ivfOpqTopKRerank: rotated full-shortlist retrieval equals brute force") {
+    // Same exhaustive setup as the ivfPqTopKRerank test: when the probe
+    // covers every list and the shortlist the whole corpus, the rotation
+    // can only change WHICH codes represent a vector, never the exact
+    // re-rank's cosine order — OPQ must reproduce brute force too.
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 17
+      Seq.fill(16) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val rows = (0 until 50).map(i => (i.toLong, vec(i)))
+    val df = rows.toDF("id", "emb")
+    val queries = df.filter(col("id") < 3)
+    val got = Similarity.ivfOpqTopKRerank(df, queries, "id", "emb", k = 3,
+        dim = 16, shortlist = 100, nlist = 4, nprobe = 4, m = 4, codebookSize = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    for ((qid, hits) <- byQuery) {
+      val qv = rows(qid.toInt)._2
+      val brute = rows.filter(_._1 != qid)
+        .map { case (i, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1)
+      assert(hits.sortBy(_._4).map(_._2).toSeq === brute.toSeq, s"query $qid")
+    }
+  }
+
   test("pqEncode: m tinyint codes per vector, codes within the codebook range") {
     def vec(seed: Long): Seq[Float] = {
       var x = seed * 2654435761L + 13
