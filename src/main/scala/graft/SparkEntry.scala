@@ -1419,7 +1419,8 @@ object SparkEntry {
       // same GROUPING SETS pass, same per-column GROUPING() section tags —
       // the bundle's one-scan composition is replayed, not just its rows
       """WITH e AS (
-           SELECT CAST(ts AS DATE) AS day, event_type,
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
                   user_id % 10 AS region, value, props,
                   CAST(props->>'$.k' AS DOUBLE) AS prop_k,
                   CAST(user_id AS DOUBLE) AS user_d
@@ -1427,10 +1428,12 @@ object SparkEntry {
            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31')
          SELECT
            CASE WHEN GROUPING(day) = 0 THEN 'daily'
+                WHEN GROUPING(week) = 0 THEN 'weekly'
                 WHEN GROUPING(event_type) = 0 THEN 'event_type'
                 WHEN GROUPING(region) = 0 THEN 'region'
                 ELSE 'quality' END AS section,
            CASE WHEN GROUPING(day) = 0 THEN CAST(day AS VARCHAR)
+                WHEN GROUPING(week) = 0 THEN CAST(week AS VARCHAR)
                 WHEN GROUPING(event_type) = 0 THEN coalesce(event_type, '(null)')
                 WHEN GROUPING(region) = 0 THEN CAST(region AS VARCHAR)
                 ELSE 'ALL' END AS key,
@@ -1444,7 +1447,7 @@ object SparkEntry {
            avg(prop_k) AS avg_prop,
            avg(user_d) AS avg_user
          FROM e
-         GROUP BY GROUPING SETS ((), (day), (event_type), (region))""",
+         GROUP BY GROUPING SETS ((), (day), (week), (event_type), (region))""",
     "range_join" ->
       """SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS band_value
          FROM events

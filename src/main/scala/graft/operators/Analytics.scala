@@ -127,7 +127,9 @@ object Analytics {
     *   - `daily`      — per-day count/sum (daily_counts_query);
     *   - `event_type` — per-type distribution (event_types_query);
     *   - `region`     — per-region count/sum/avg + extra-measure centroid
-    *                    means (region_query / ukraine_region_query).
+    *                    means (region_query / ukraine_region_query);
+    *   - `weekly`     — DATE_TRUNC('week') count/sum/avg
+    *                    (ml_performance_query's actuals side).
     * The conditional counters are evaluated once per input row and folded
     * into every grouping set's partial aggregate, so adding a section
     * costs group-cardinality, not another pass. This is the relational
@@ -137,6 +139,7 @@ object Analytics {
                    extraAvg: Seq[(Column, String)] = Seq.empty): DataFrame = {
     val e = events
       .withColumn("__day", to_date(col("ts")))
+      .withColumn("__week", date_trunc("week", col("ts")).cast("date"))
       .withColumn("__region", regionExpr)
     val aggs = Seq(
       count(lit(1)).as("event_count"),
@@ -148,26 +151,31 @@ object Analytics {
         .as("missing_props")) ++
       extraAvg.map { case (c, alias) => avg(c).as(alias) } ++ Seq(
       grouping(col("__day")).as("__g_day"),
+      grouping(col("__week")).as("__g_wk"),
       grouping(col("event_type")).as("__g_et"),
       grouping(col("__region")).as("__g_rg"))
     e.groupingSets(
-        Seq(Seq.empty, Seq(col("__day")), Seq(col("event_type")), Seq(col("__region"))),
-        col("__day"), col("event_type"), col("__region"))
+        Seq(Seq.empty, Seq(col("__day")), Seq(col("__week")),
+          Seq(col("event_type")), Seq(col("__region"))),
+        col("__day"), col("__week"), col("event_type"), col("__region"))
       .agg(aggs.head, aggs.tail: _*)
       // section/key derived from per-column grouping() flags, not
       // grouping_id() bit order — the DuckDB oracle replays the same
       // GROUPING() calls, so neither engine's bit convention is load-bearing
       .withColumn("section",
         when(col("__g_day") === 0, "daily")
+          .when(col("__g_wk") === 0, "weekly")
           .when(col("__g_et") === 0, "event_type")
           .when(col("__g_rg") === 0, "region")
           .otherwise("quality"))
       .withColumn("key",
         when(col("__g_day") === 0, col("__day").cast("string"))
+          .when(col("__g_wk") === 0, col("__week").cast("string"))
           .when(col("__g_et") === 0, coalesce(col("event_type"), lit("(null)")))
           .when(col("__g_rg") === 0, col("__region").cast("string"))
           .otherwise(lit("ALL")))
-      .drop("__day", "__region", "event_type", "__g_day", "__g_et", "__g_rg")
+      .drop("__day", "__week", "__region", "event_type",
+        "__g_day", "__g_wk", "__g_et", "__g_rg")
   }
 
   /** Per-group deterministic rank-1 rows (window row_number pattern used for

@@ -100,8 +100,11 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // region: user_id % 3 cohorts
     val regions = bySection("region").map(r => r._2 -> r._3).toMap
     assert(regions === Map("0" -> 1L, "1" -> 2L, "2" -> 2L))
-    // nothing beyond the four sections, and the pass is one aggregate:
-    assert(got.length === 1 + 3 + 3 + 3)
+    // weekly: Jan 1 2024 is a Monday, Jan 8 starts the next ISO week
+    val weekly = bySection("weekly").map(r => r._2 -> r._3).toMap
+    assert(weekly === Map("2024-01-01" -> 4L, "2024-01-08" -> 1L))
+    // nothing beyond the five sections, and the pass is one aggregate:
+    assert(got.length === 1 + 3 + 2 + 3 + 3)
   }
 
   test("topPerGroup: rank-1 row per group with tie-break") {
