@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ml.FatalityModel
 import graft.operators._
-import graft.sources.{Sink, Tables}
+import graft.sources.{Jsonl, Sink, Tables}
 import graft.streaming.EventStream
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -770,6 +770,44 @@ object SparkEntry {
     }),
 
     // ---- §F sources & sinks --------------------------------------------
+    "compact_partitions" -> ((s, d) => {
+      // Lake maintenance: a micro-batched ingest is simulated by writing
+      // the daily lake WITHOUT the one-task-per-partition discipline
+      // (8 hash tasks × ~30 days ≈ 240 small files), then
+      // Sink.compactPartitions restores the invariant — every fragmented
+      // day rewritten by one task into one file via the tombstone-
+      // protected swap. The oracle pins per-day row counts against the
+      // source (compaction must move files, never rows) plus both
+      // file-count verdicts.
+      val path = sinkPath(d, "compact")
+      Sink.reset(path)
+      Tables.events(s, d).withColumn("day", to_date(col("ts")))
+        .repartition(8, col("event_id"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      Sink.compactPartitions(s, path, "day")
+        .select(col("day"), col("n_rows"),
+          (col("files_before") > 1).as("was_fragmented"),
+          (col("files_after") === 1).as("compacted"))
+    }),
+    "jsonl_ingest" -> ((s, d) => {
+      // JSONL corpus boundary: land the documents table as
+      // newline-delimited JSON (the LLM-corpus interchange format), plant
+      // two malformed lines the way real third-party dumps contain them,
+      // and read back under an explicit contract schema with PERMISSIVE
+      // per-row quarantine — corrupt lines are counted, never fatal, and
+      // every valid row's chars roundtrip exactly (the oracle pins the
+      // per-lang totals against the source parquet).
+      val path = sinkPath(d, "jsonl")
+      Jsonl.write(Tables.documents(s, d), path)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "zz-corrupt.json"),
+        java.util.Arrays.asList(
+          """{"doc_id": 1, "text": "unterminated""",
+          """this is not json"""))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string, lang string, source string, n_chars long")
+      Jsonl.ingestProfile(Jsonl.read(s, path, schema), "lang", "n_chars")
+    }),
     "paged_ingest" -> ((s, _) =>
       // Paged-fetch ingestion as a DSv2 source: one input partition per
       // page (the reference's concurrent offset/limit HTTP pages,
@@ -1835,6 +1873,24 @@ object SparkEntry {
       """SELECT event_id,
            CASE WHEN event_id % 100 = 0 THEN value + 1000 ELSE value END AS value
          FROM events""",
+    "compact_partitions" ->
+      // row-conservation replay: per-day counts must equal the source's
+      // (compaction moves files, never rows); fragmentation before and
+      // single-file-after are pinned TRUE for every day (8 hash tasks all
+      // intersect every ~330-row day at the gate corpus)
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_rows,
+           TRUE AS was_fragmented, TRUE AS compacted
+         FROM events GROUP BY 1""",
+    "jsonl_ingest" ->
+      // valid rows roundtrip the parquet table exactly (per-lang doc and
+      // char totals); the two planted malformed lines land in the
+      // __corrupt bucket with no chars counted
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT '__corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)""",
     "paged_ingest" ->
       // Full second-engine replay of the DSv2 paged source: PageFetcher's
       // rows are a pure function of (page, i, seed=42), so DuckDB

@@ -107,10 +107,17 @@ object Sink {
     val merged = Dedup.latestWins(
       existing.unionByName(updates), keys, orderCol, tieBreak)
     writePartitioned(merged, staging.toString, partitionCol)
-    // Atomic-per-partition swap: `day=X` dirs carry their own partition
-    // value, so renaming them under the table root is all "commit" means —
-    // no second write job, no name re-derivation (values with URL-escaped
-    // encodings move correctly because the directory name IS the encoding).
+    swapStaged(fs, tableDir, staging, tombs)
+  }
+
+  /** Atomic-per-partition swap of staged partition dirs into the table:
+    * `day=X` dirs carry their own partition value, so renaming them under
+    * the table root is all "commit" means — no second write job, no name
+    * re-derivation (values with URL-escaped encodings move correctly
+    * because the directory name IS the encoding). Tombstone-protected per
+    * partition (see [[upsertPartitioned]]'s crash-safety contract). */
+  private def swapStaged(fs: FileSystem, tableDir: Path, staging: Path,
+                         tombs: Path): Unit = {
     val staged = fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
     if (staged.nonEmpty) fs.mkdirs(tombs)
@@ -124,6 +131,62 @@ object Sink {
     }
     fs.delete(tombs, true)
     fs.delete(staging, true)
+  }
+
+  /** Small-file compaction — the lake-maintenance pass every streamed or
+    * micro-batched ingest eventually owes: each partition directory whose
+    * data-file count exceeds `maxFilesPerPartition` is rewritten by ONE
+    * task into one file (the same one-task-per-partition invariant
+    * [[writePartitioned]] establishes at write time), and swapped in with
+    * the upsert path's tombstone-protected rename, so readers never see a
+    * partially compacted partition and a crash strands no data. Untouched
+    * partitions are not rewritten — the rewrite cost scales with the
+    * fragmented fraction, not the table. Returns the per-partition audit
+    * frame (partition value, files_before, files_after, n_rows AFTER the
+    * pass) — row counts must be invariant, which is the correctness gate.
+    *
+    * Driver-side material is O(partitions) directory listings — bounded
+    * by days-of-history like the upsert's touched-partition discovery. A
+    * partition too large for one file belongs in
+    * [[writePartitionedSorted]]'s range-split layout instead; compaction
+    * restores the small-file invariant, it does not re-shard. */
+  def compactPartitions(spark: SparkSession, path: String, partitionCol: String,
+                        maxFilesPerPartition: Int = 1): DataFrame = {
+    val fs = fileSystem(spark, path)
+    val tableDir = new Path(path)
+    def dataFiles(p: Path): Int = fs.listStatus(p).count { f =>
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+    }
+    def partDirs() = fs.listStatus(tableDir)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    def decode(name: String): String =
+      java.net.URLDecoder.decode(name.substring(name.indexOf('=') + 1), "UTF-8")
+    val before = partDirs().map(p => p.getPath.getName -> dataFiles(p.getPath)).toMap
+    val needy = before.filter(_._2 > maxFilesPerPartition).keys.toSeq
+    if (needy.nonEmpty) {
+      val staging = new Path(path.stripSuffix("/") + "__staging")
+      val tombs = new Path(path.stripSuffix("/") + "__tombstone")
+      fs.delete(staging, true)
+      val values = needy.map(decode)
+      spark.read.parquet(path)
+        .filter(col(partitionCol).cast("string").isin(values: _*)) // pruned
+        .repartition(col(partitionCol)) // one task → one file per partition
+        .write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(staging.toString)
+      swapStaged(fs, tableDir, staging, tombs)
+    }
+    val after = partDirs().map(p => p.getPath.getName -> dataFiles(p.getPath)).toMap
+    import spark.implicits._
+    val audit = before.keys.toSeq.sorted
+      .map(n => (decode(n), before(n), after.getOrElse(n, 0)))
+      .toDF("__part", "files_before", "files_after")
+    spark.read.parquet(path)
+      .groupBy(col(partitionCol).cast("string").as("__part"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(audit), Seq("__part"))
+      .select(col("__part").as(partitionCol), col("n_rows"),
+        col("files_before"), col("files_after"))
   }
 
   /** Bucketed+sorted managed copy of a table: hash-bucketed on the join

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Jsonl
+
+class JsonlSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL("id long, text string, lang string")
+
+  test("write/read: clean roundtrip preserves rows and types") {
+    val path = Files.createTempDirectory("graft-jsonl").toFile.getAbsolutePath + "/t"
+    val df = Seq(
+      (1L, "hello world", "en"),
+      (2L, "bonjour", "fr"),
+      (3L, null.asInstanceOf[String], "en")
+    ).toDF("id", "text", "lang")
+    Jsonl.write(df, path)
+    val back = Jsonl.read(spark, path, schema)
+    assert(back.filter(col("_corrupt_record").isNotNull).count() === 0)
+    val got = back.select("id", "text", "lang").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(got === Array((1L, "hello world", "en"), (2L, "bonjour", "fr"),
+      (3L, null, "en")))
+  }
+
+  test("read: malformed lines are quarantined per row, never fatal") {
+    val path = Files.createTempDirectory("graft-jsonl").toFile.getAbsolutePath + "/t"
+    Jsonl.write(Seq((1L, "ok", "en")).toDF("id", "text", "lang"), path)
+    Files.write(Paths.get(path, "zz-corrupt.json"), java.util.Arrays.asList(
+      """{"id": 2, "text": "untermin""",
+      """garbage line"""))
+    val back = Jsonl.read(spark, path, schema)
+    assert(back.count() === 3)
+    val corrupt = back.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect().sorted
+    assert(corrupt === Array("""{"id": 2, "text": "untermin""", "garbage line").sorted)
+    // profile: valid rows grouped, corrupt rows in their own bucket
+    val prof = Jsonl.ingestProfile(
+        back.withColumn("chars", length(col("text"))), "lang", "chars")
+      .as[(String, Long, java.lang.Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(prof("en") === ((1L, 2L: java.lang.Long)))
+    assert(prof("__corrupt")._1 === 2L)
+    assert(prof("__corrupt")._2 === null)
+  }
+}

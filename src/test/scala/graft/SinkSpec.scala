@@ -122,6 +122,40 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(!tombs.exists())
   }
 
+  test("compactPartitions: fragmented days collapse to one file, rows conserved, clean days untouched") {
+    val path = tmp()
+    // fragment two days (4 writer tasks each), leave one day clean
+    val frag = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02", i * 1.0, 0))
+    frag.toDF("id", "day", "value", "version")
+      .repartition(4, org.apache.spark.sql.functions.col("id"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    Sink.writePartitioned(
+      table((100, "2024-01-03", 1.0, 0)), path, "day")
+    def files(day: String) =
+      new java.io.File(s"$path/day=$day").listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val cleanBefore = files("2024-01-03")
+    assert(files("2024-01-01").size > 1, "setup must fragment day 1")
+    val audit = Sink.compactPartitions(spark, path, "day")
+      .as[(String, Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(audit("2024-01-01")._2 > 1 && audit("2024-01-01")._3 === 1)
+    assert(audit("2024-01-02")._2 > 1 && audit("2024-01-02")._3 === 1)
+    assert(files("2024-01-01").size === 1)
+    // rows conserved exactly
+    assert(audit("2024-01-01")._1 === 20L)
+    assert(audit("2024-01-02")._1 === 20L)
+    assert(spark.read.parquet(path).count() === 41L)
+    // the already-clean partition was not rewritten: same physical file
+    assert(audit("2024-01-03") === ((1L, 1, 1)))
+    assert(files("2024-01-03") === cleanBefore, "clean day must keep its exact file")
+    // idempotent: a second pass rewrites nothing
+    val again = Sink.compactPartitions(spark, path, "day")
+      .as[(String, Long, Int, Int)].collect()
+    assert(again.forall(r => r._3 === 1 && r._4 === 1))
+  }
+
   test("writePartitionedSorted: partition prune and row-group skip multiply") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
