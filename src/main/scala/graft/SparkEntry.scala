@@ -976,6 +976,40 @@ object SparkEntry {
       EventStream.upsertStream(s, landing, tbl, ckpt, availableNow = true)
         .awaitTermination()
       s.read.parquet(tbl).select("event_id", "value")
+    }),
+    "stream_jsonl_ingest" -> ((s, d) => {
+      // The corpus boundary as a STREAM: the JSONL landing prefix (with
+      // the same two planted corrupt lines as jsonl_ingest) drained by an
+      // AvailableNow run of the quarantined parse, maxFilesPerTrigger=2
+      // forcing several real micro-batches; foreachBatch appends each
+      // batch's ingest profile as telemetry. The gate rolls the telemetry
+      // up — counts and char-sums are decomposable, so the rollup must
+      // equal the batch profile EXACTLY no matter how the drain was
+      // split into batches (batch-split independence), pinned by the same
+      // oracle as jsonl_ingest.
+      val base = sinkPath(d, "stream_jsonl")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      Jsonl.write(Tables.documents(s, d), landing)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, "zz-corrupt.json"),
+        java.util.Arrays.asList(
+          """{"doc_id": 1, "text": "unterminated""",
+          """this is not json"""))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string, lang string, source string, n_chars long")
+      Jsonl.readStream(s, landing, schema, maxFilesPerTrigger = 2)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Jsonl.ingestProfile(batch, "lang", "n_chars")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .start().awaitTermination()
+      s.read.parquet(out).groupBy("lang")
+        .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"))
     })
   )
 
@@ -1882,6 +1916,14 @@ object SparkEntry {
            count(*) AS n_rows,
            TRUE AS was_fragmented, TRUE AS compacted
          FROM events GROUP BY 1""",
+    "stream_jsonl_ingest" ->
+      // identical to jsonl_ingest's oracle: the streamed drain's telemetry
+      // rollup must be indistinguishable from the batch profile
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT '__corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)""",
     "jsonl_ingest" ->
       // valid rows roundtrip the parquet table exactly (per-lang doc and
       // char totals); the two planted malformed lines land in the

@@ -50,6 +50,24 @@ object Jsonl {
       .select(col("__r.*"))
   }
 
+  /** Streaming variant of [[read]]: a file-source stream over a JSONL
+    * landing prefix with the same explicit-schema + per-row quarantine
+    * parse. `maxFilesPerTrigger` bounds per-micro-batch work — the knob
+    * that keeps a catch-up drain over a month of backlog from becoming
+    * one giant batch. The parse is the SAME `from_json` expression as the
+    * batch path, so batch and stream cannot drift semantically. */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 16): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(path)
+      .select(from_json(col("value"), withCorrupt, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** Ingest profile over a quarantined read: per-group valid counts plus
     * one `__corrupt` row — the check-result a JSONL load publishes before
     * the lake accepts the batch. One conditional-counter aggregate. */

@@ -48,4 +48,39 @@ class JsonlSpec extends AnyFunSuite with SparkSpec {
     assert(prof("__corrupt")._1 === 2L)
     assert(prof("__corrupt")._2 === null)
   }
+
+  test("readStream: multi-batch AvailableNow drain; telemetry rollup equals the batch profile") {
+    val base = Files.createTempDirectory("graft-jsonl-stream").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val df = (1L to 30L)
+      .map(i => (i, s"doc number $i", if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "text", "lang")
+    Jsonl.write(df.repartition(5), landing) // 5 files → 5 micro-batches below
+    Files.write(Paths.get(landing, "zz-corrupt.json"),
+      java.util.Arrays.asList("""broken"""))
+    Jsonl.readStream(spark, landing, schema, maxFilesPerTrigger = 1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Jsonl.ingestProfile(
+            batch.withColumn("chars", length(col("text"))), "lang", "chars")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .start().awaitTermination()
+    val tele = spark.read.parquet(out)
+    assert(tele.select("batch_id").distinct().count() >= 2,
+      "drain must have split into multiple real micro-batches")
+    // decomposable counters: the cross-batch rollup must equal the batch
+    // profile over the same landing dir, however the drain was split
+    val rolled = tele.groupBy("lang")
+      .agg(sum("n_docs").as("n"), sum("total_chars").as("c"))
+      .as[(String, Long, java.lang.Long)].collect().sortBy(_._1)
+    val batch = Jsonl.ingestProfile(
+        Jsonl.read(spark, landing, schema)
+          .withColumn("chars", length(col("text"))), "lang", "chars")
+      .as[(String, Long, java.lang.Long)].collect().sortBy(_._1)
+    assert(rolled === batch)
+  }
 }
