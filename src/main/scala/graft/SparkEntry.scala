@@ -717,6 +717,14 @@ object SparkEntry {
           col("asset_id"), col("n_bytes"),
           xxhash64(col("features").cast("string")).as("feature_hash"))
     }),
+    "multimodal_frames" -> ((s, d) => {
+      // Frame-sampling plumbing under a FULL oracle (unlike the
+      // hash-bearing meta/feature gates, the offsets are pure metadata
+      // arithmetic DuckDB replays exactly): n evenly-spaced byte offsets
+      // per asset, one row per sampled frame.
+      val mm = Multimodal.asMultimodal(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.sampleFrames(mm, nFrames = 4)
+    }),
     "multimodal_golden" -> ((s, d) => {
       // Oracle-checkable slice of the multimodal plumbing: metadata
       // struct, batched feature-extract hash, and resize plan for docs
@@ -1082,6 +1090,14 @@ object SparkEntry {
       // neighbors, zero disagreements in either direction
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(40 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch""",
+    "multimodal_frames" ->
+      // full replay: UTF-8 byte length and the evenly-spaced offset
+      // arithmetic are engine-portable (encode → BLOB octet_length)
+      """SELECT doc_id AS asset_id,
+           CAST(i AS INTEGER) AS frame_index,
+           CAST(floor(i * octet_length(encode(text)) / 4.0) AS BIGINT)
+             AS byte_offset
+         FROM documents CROSS JOIN (SELECT range AS i FROM range(0, 4)) t""",
     "multimodal_golden" ->
       // golden rows: metadata struct, batched fake-decode feature hash,
       // and resize plan are pure deterministic functions of the corpus;
