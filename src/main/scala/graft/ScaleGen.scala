@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-proof corpus builder: multiplies the `documents` and `embeddings`
-  * tables by an integer factor so scaling claims can be measured one decade
-  * past the driver-provided SFs (sf0.1 × 10 ≈ sf1) without touching the
-  * read-only testdata tree.
+/** Scale-proof corpus builder: multiplies the `documents`, `embeddings`,
+  * and `events` tables by an integer factor so scaling claims can be
+  * measured one decade past the driver-provided SFs (sf0.1 × 10 ≈ sf1)
+  * without touching the read-only testdata tree.
   *
   * Copy 0 is the original corpus byte-for-byte; copy k>0 remaps ids into a
   * disjoint range and rewrites content deterministically so the statistical
@@ -58,6 +58,22 @@ object ScaleGen {
     docCopies.repartition(factor * 4)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    // events: same days, 10× the rows per day — how a bigger feed actually
+    // looks (longer history would change day cardinality, not density).
+    // The raw ts stays the nanos long the loaders expect (GraftSession
+    // maps TIMESTAMP(NANOS) to long at read; written back as plain int64
+    // it reads as long again). The id offset is a multiple of 10 so the
+    // pmod-10 cohort/region distributions are preserved exactly.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evCopies = (0 until factor).map { k =>
+      if (k == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(k * OFF))
+        .withColumn("user_id", col("user_id") + lit(k * OFF))
+    }.reduce(_ unionByName _)
+    evCopies.repartition(factor * 4)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embCopies = (0 until factor).map { k =>
       if (k == 0) emb
@@ -72,7 +88,7 @@ object ScaleGen {
     embCopies.repartition(factor * 2)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    println(s"""{"scaled":"$dst","factor":$factor,"documents":${docCopies.count()},"embeddings":${embCopies.count()}}""")
+    println(s"""{"scaled":"$dst","factor":$factor,"documents":${docCopies.count()},"embeddings":${embCopies.count()},"events":${evCopies.count()}}""")
     spark.stop()
   }
 }
