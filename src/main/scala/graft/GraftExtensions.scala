@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
-import graft.functions.TextHash
+import org.apache.spark.sql.catalyst.expressions.Cast
+
+import graft.functions.{TextHash, UnicodeNorm, VecOps}
 
 /** SQL surface for the engine: registers graft's native expressions as SQL
   * functions so `spark.sql("SELECT simhash64(text) …")` works — via
@@ -48,6 +50,18 @@ object GraftExtensions {
       args => StaticInvoke(TextHash.getClass,
         ArrayType(LongType, containsNull = false), "minhashSig",
         args, Seq(ArrayType(LongType), IntegerType, LongType),
+        propagateNull = true, returnNullable = false)
+    },
+    fn("nfc_normalize", "nfc_normalize(text) — Unicode NFC canonical composition") {
+      args => StaticInvoke(UnicodeNorm.getClass, StringType, "nfc",
+        args, Seq(StringType), propagateNull = true, returnNullable = false)
+    },
+    fn("vec_dot", "vec_dot(a, b) — double-precision dot product (ANN kernel)") {
+      // explicit cast so float/int arrays from SQL work without a manual
+      // CAST — same widening dotCol applies on the Column side
+      args => StaticInvoke(VecOps.getClass, DoubleType, "dot",
+        args.map(a => Cast(a, ArrayType(DoubleType))),
+        Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
         propagateNull = true, returnNullable = false)
     })
 

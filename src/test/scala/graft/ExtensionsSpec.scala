@@ -25,6 +25,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql.map(_.toString) === viaCol.map(_.toString))
   }
 
+  test("vec_dot and nfc_normalize SQL functions agree with the Column API") {
+    GraftExtensions.register(spark)
+    // float arrays: the SQL function must widen to double itself
+    Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("ext_vecs")
+    val d = spark.sql("SELECT vec_dot(a, b) AS d FROM ext_vecs")
+      .as[Double].collect()
+    assert(d === Array(4.0))
+    // NFC: decomposed e + COMBINING ACUTE (U+0301) composes to U+00E9
+    // (explicit escapes so source-file encoding cannot decide the test)
+    val n = spark.sql("SELECT nfc_normalize('e\u0301') AS t")
+      .as[String].collect()
+    assert(n === Array("\u00e9"))
+  }
+
   test("withExtensions wires the functions into a fresh session") {
     // getOrCreate() would return the shared session (and skip the
     // extensions), so the default session is cleared around creation
