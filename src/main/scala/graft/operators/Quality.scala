@@ -144,10 +144,18 @@ object Quality {
   def partitionDateCheck(df: DataFrame, partitionCol: String,
                          tsCol: String = "ts"): DataFrame = {
     val eventDate = to_date(col(tsCol))
+    // try_to_date on the partition column makes the compare type-robust:
+    // a date passes through unchanged, a `day=2024-01-01`-style STRING
+    // partition value parses, and an unparseable value becomes null —
+    // failing every row in that partition (null-safe compare), which is
+    // the right verdict for a partition whose identity can't be read.
+    // (try_, not to_date: ANSI mode makes the plain cast THROW on
+    // malformed input — an integrity CHECK must report, never abort.)
+    val partDate = try_to_date(col(partitionCol))
     df.groupBy(col(partitionCol).as("expected_date"))
       .agg(
         count(lit(1)).as("n_rows"),
-        count(when(!(eventDate <=> col(partitionCol)), lit(1)))
+        count(when(!(eventDate <=> partDate), lit(1)))
           .as("invalid_dates"),
         countDistinct(eventDate).as("unique_dates_count"))
       .withColumn("ok", col("invalid_dates") === 0)

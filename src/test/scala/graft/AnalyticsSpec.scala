@@ -105,6 +105,14 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(weekly === Map("2024-01-01" -> 4L, "2024-01-08" -> 1L))
     // nothing beyond the five sections, and the pass is one aggregate:
     assert(got.length === 1 + 3 + 2 + 3 + 3)
+    // cross-section conservation: every per-key section partitions the
+    // same bounded scan, so each section's counts and value-sums must
+    // total the quality row's — a wrong grouping set can't hide
+    val (gCount, gSum) = (quality.head._3, quality.head._4)
+    for (s <- Seq("daily", "weekly", "event_type", "region")) {
+      assert(bySection(s).map(_._3).sum === gCount, s"$s count conservation")
+      assert(math.abs(bySection(s).map(_._4).sum - gSum) < 1e-9, s"$s sum conservation")
+    }
   }
 
   test("topPerGroup: rank-1 row per group with tie-break") {

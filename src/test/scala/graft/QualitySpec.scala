@@ -115,5 +115,17 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
       (java.sql.Date.valueOf("2024-01-01"), 3L, 1L, 2L, false),
       (java.sql.Date.valueOf("2024-01-02"), 2L, 1L, 1L, false),
       (java.sql.Date.valueOf("2024-01-03"), 1L, 0L, 1L, true)))
+    // type-robust: a STRING partition column (the day=... dir form) gives
+    // the same verdicts, and an unparseable partition fails all its rows
+    val strLake = Seq(
+      (1L, ts("2024-01-03 08:00:00"), "2024-01-03"),
+      (2L, ts("2024-01-04 09:00:00"), "garbage")
+    ).toDF("event_id", "ts", "p")
+    val got2 = Quality.partitionDateCheck(strLake, "p")
+      .orderBy("expected_date")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got2 === Array(
+      ("2024-01-03", 1L, 0L, 1L, true),
+      ("garbage", 1L, 1L, 1L, false)))
   }
 }
