@@ -1016,7 +1016,7 @@ object SparkEntry {
             .write.mode("append").parquet(out)
         }
         .start().awaitTermination()
-      s.read.parquet(out).groupBy("lang")
+      s.read.parquet(out).groupBy("lang", "is_corrupt")
         .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"))
     })
   )
@@ -1935,20 +1935,20 @@ object SparkEntry {
     "stream_jsonl_ingest" ->
       // identical to jsonl_ingest's oracle: the streamed drain's telemetry
       // rollup must be indistinguishable from the batch profile
-      """SELECT lang, count(*) AS n_docs,
+      """SELECT lang, FALSE AS is_corrupt, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang
          UNION ALL
-         SELECT '__corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)""",
+         SELECT CAST(NULL AS VARCHAR), TRUE, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)""",
     "jsonl_ingest" ->
       // valid rows roundtrip the parquet table exactly (per-lang doc and
-      // char totals); the two planted malformed lines land in the
-      // __corrupt bucket with no chars counted
-      """SELECT lang, count(*) AS n_docs,
+      // char totals); the two planted malformed lines land in the corrupt
+      // bucket (explicit is_corrupt flag, null group) with no chars counted
+      """SELECT lang, FALSE AS is_corrupt, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang
          UNION ALL
-         SELECT '__corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)""",
+         SELECT CAST(NULL AS VARCHAR), TRUE, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)""",
     "paged_ingest" ->
       // Full second-engine replay of the DSv2 paged source: PageFetcher's
       // rows are a pure function of (page, i, seed=42), so DuckDB

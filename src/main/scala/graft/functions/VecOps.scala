@@ -87,9 +87,11 @@ object VecOps {
   def matvec(mat: ArrayData, vec: ArrayData, rows: Int): ArrayData = {
     // width comes from the MATRIX (the trusted plan-time literal), not the
     // per-row vector; UnsafeArrayData reads are unchecked, so a too-short
-    // vector must be rejected here rather than silently reading past it
+    // vector must be rejected here rather than silently reading past it —
+    // and a too-LONG vector equally (prefix-truncation would return
+    // plausible numbers from a dimension mismatch), so exact equality
     val dim = mat.numElements() / rows
-    require(vec.numElements() >= dim,
+    require(vec.numElements() == dim,
       s"matvec: vector has ${vec.numElements()} elements, matrix width is $dim")
     val v = new Array[Double](dim)
     var i = 0
@@ -115,7 +117,16 @@ object VecOps {
     val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      // Unchecked getDouble reads a null slot as 0.0 — fine for the Column
+      // path (inputs declared containsNull=false) but a silent corruption
+      // for SQL arrays with null elements, so reject those loudly.
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_dot: null element at index $i — vectors must be dense")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -135,8 +146,9 @@ object VecOps {
     * The matrix must be rectangular — a ragged Seq would silently
     * misalign every row after the short one once flattened, so it is
     * rejected here at plan-build time, not at execution. The row width
-    * is taken from the matrix; a vector column narrower than that width
-    * fails the kernel's per-row require, never silently. */
+    * is taken from the matrix; a vector column whose width differs (in
+    * either direction) fails the kernel's per-row require, never
+    * silently. */
   def matvecCol(vec: Column, mat: Seq[Seq[Double]]): Column = {
     require(mat.nonEmpty && mat.head.nonEmpty, "matvecCol: empty matrix")
     require(mat.forall(_.size == mat.head.size),

@@ -69,13 +69,23 @@ object Jsonl {
   }
 
   /** Ingest profile over a quarantined read: per-group valid counts plus
-    * one `__corrupt` row — the check-result a JSONL load publishes before
-    * the lake accepts the batch. One conditional-counter aggregate. */
+    * one corrupt row — the check-result a JSONL load publishes before
+    * the lake accepts the batch. One conditional-counter aggregate.
+    *
+    * The corrupt bucket is carried as an explicit `is_corrupt` FLAG
+    * column, not a sentinel value in the group column: a sentinel (e.g.
+    * the string "__corrupt") would silently merge any VALID row whose
+    * group value happens to equal it into the quarantine row, corrupting
+    * the telemetry. With the flag, the group value is nulled on corrupt
+    * rows (the parser couldn't trust any parsed field on them anyway)
+    * and no data value can collide with the quarantine bucket. */
   def ingestProfile(parsed: DataFrame, groupCol: String,
                     charsCol: String): DataFrame = {
     val corrupt = col("_corrupt_record").isNotNull
     parsed
-      .groupBy(when(corrupt, lit("__corrupt")).otherwise(col(groupCol)).as(groupCol))
+      .groupBy(
+        when(!corrupt, col(groupCol)).as(groupCol),
+        corrupt.as("is_corrupt"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(!corrupt, col(charsCol))).as("total_chars"))

@@ -160,6 +160,14 @@ object Sink {
     }
     def partDirs() = fs.listStatus(tableDir)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    // Spark writes null (and empty-string) partition values to the
+    // __HIVE_DEFAULT_PARTITION__ dir and reads that dir back as null, so
+    // the dir name is the storage layer's OWN null encoding — we keep it
+    // as the audit join key (a value-level sentinel can't collide here:
+    // any data value that maps to this dir is read back as null by Spark
+    // itself) and select on isNull rather than a cast (cast of null is
+    // null, so an isin filter would silently skip the partition).
+    val nullDir = "__HIVE_DEFAULT_PARTITION__"
     def decode(name: String): String =
       java.net.URLDecoder.decode(name.substring(name.indexOf('=') + 1), "UTF-8")
     val before = partDirs().map(p => p.getPath.getName -> dataFiles(p.getPath)).toMap
@@ -168,9 +176,17 @@ object Sink {
       val staging = new Path(path.stripSuffix("/") + "__staging")
       val tombs = new Path(path.stripSuffix("/") + "__tombstone")
       fs.delete(staging, true)
-      val values = needy.map(decode)
+      val (needyNull, needyVals) = needy.map(decode).partition(_ == nullDir)
+      val sel = {
+        val byValue =
+          if (needyVals.nonEmpty) Some(col(partitionCol).cast("string").isin(needyVals: _*))
+          else None
+        val byNull =
+          if (needyNull.nonEmpty) Some(col(partitionCol).isNull) else None
+        (byValue ++ byNull).reduce(_ || _)
+      }
       spark.read.parquet(path)
-        .filter(col(partitionCol).cast("string").isin(values: _*)) // pruned
+        .filter(sel) // pruned
         .repartition(col(partitionCol)) // one task → one file per partition
         .write.mode("overwrite").partitionBy(partitionCol)
         .parquet(staging.toString)
@@ -182,11 +198,13 @@ object Sink {
       .map(n => (decode(n), before(n), after.getOrElse(n, 0)))
       .toDF("__part", "files_before", "files_after")
     spark.read.parquet(path)
-      .groupBy(col(partitionCol).cast("string").as("__part"))
+      .groupBy(coalesce(col(partitionCol).cast("string"), lit(nullDir)).as("__part"))
       .agg(count(lit(1)).as("n_rows"))
       .join(broadcast(audit), Seq("__part"))
-      .select(col("__part").as(partitionCol), col("n_rows"),
-        col("files_before"), col("files_after"))
+      .select(
+        when(col("__part") === nullDir, lit(null).cast("string"))
+          .otherwise(col("__part")).as(partitionCol),
+        col("n_rows"), col("files_before"), col("files_after"))
   }
 
   /** Bucketed+sorted managed copy of a table: hash-bucketed on the join

@@ -40,6 +40,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(n === Array("\u00e9"))
   }
 
+  test("vec_dot: a null array element is rejected, never silently read as 0.0") {
+    GraftExtensions.register(spark)
+    val ex = intercept[Throwable] {
+      spark.sql("SELECT vec_dot(array(1.0, CAST(NULL AS DOUBLE)), array(2.0, 3.0))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("vec_dot")), s"got: ${messages(ex)}")
+    // a whole-null argument still propagates null (propagateNull contract)
+    val r = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0)) AS d")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("withExtensions wires the functions into a fresh session") {
     // getOrCreate() would return the shared session (and skip the
     // extensions), so the default session is cleared around creation

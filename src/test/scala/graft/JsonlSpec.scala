@@ -40,13 +40,30 @@ class JsonlSpec extends AnyFunSuite with SparkSpec {
     val corrupt = back.filter(col("_corrupt_record").isNotNull)
       .select("_corrupt_record").as[String].collect().sorted
     assert(corrupt === Array("""{"id": 2, "text": "untermin""", "garbage line").sorted)
-    // profile: valid rows grouped, corrupt rows in their own bucket
+    // profile: valid rows grouped, corrupt rows in their own flagged bucket
     val prof = Jsonl.ingestProfile(
         back.withColumn("chars", length(col("text"))), "lang", "chars")
-      .as[(String, Long, java.lang.Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(prof("en") === ((1L, 2L: java.lang.Long)))
-    assert(prof("__corrupt")._1 === 2L)
-    assert(prof("__corrupt")._2 === null)
+      .as[(Option[String], Boolean, Long, java.lang.Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(prof((Some("en"), false)) === ((1L, 2L: java.lang.Long)))
+    assert(prof((None, true))._1 === 2L)
+    assert(prof((None, true))._2 === null)
+  }
+
+  test("ingestProfile: a valid group value is never merged into the corrupt bucket") {
+    // A data value that collides with any conceivable sentinel string must
+    // stay its own valid row — the corrupt bucket is a flag, not a value.
+    val path = Files.createTempDirectory("graft-jsonl").toFile.getAbsolutePath + "/t"
+    Jsonl.write(Seq((1L, "ok", "__corrupt"), (2L, "ok2", "en")).toDF("id", "text", "lang"), path)
+    Files.write(Paths.get(path, "zz-corrupt.json"), java.util.Arrays.asList("""nope"""))
+    val prof = Jsonl.ingestProfile(
+        Jsonl.read(spark, path, schema).withColumn("chars", length(col("text"))),
+        "lang", "chars")
+      .as[(Option[String], Boolean, Long, java.lang.Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(prof((Some("__corrupt"), false)) === ((1L, 2L: java.lang.Long)),
+      "valid row whose group value is '__corrupt' keeps its own non-flagged row")
+    assert(prof((None, true))._1 === 1L)
   }
 
   test("readStream: multi-batch AvailableNow drain; telemetry rollup equals the batch profile") {
@@ -74,13 +91,13 @@ class JsonlSpec extends AnyFunSuite with SparkSpec {
       "drain must have split into multiple real micro-batches")
     // decomposable counters: the cross-batch rollup must equal the batch
     // profile over the same landing dir, however the drain was split
-    val rolled = tele.groupBy("lang")
+    val rolled = tele.groupBy("lang", "is_corrupt")
       .agg(sum("n_docs").as("n"), sum("total_chars").as("c"))
-      .as[(String, Long, java.lang.Long)].collect().sortBy(_._1)
+      .as[(Option[String], Boolean, Long, java.lang.Long)].collect().sortBy(r => (r._1, r._2))
     val batch = Jsonl.ingestProfile(
         Jsonl.read(spark, landing, schema)
           .withColumn("chars", length(col("text"))), "lang", "chars")
-      .as[(String, Long, java.lang.Long)].collect().sortBy(_._1)
+      .as[(Option[String], Boolean, Long, java.lang.Long)].collect().sortBy(r => (r._1, r._2))
     assert(rolled === batch)
   }
 }

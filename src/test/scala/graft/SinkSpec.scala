@@ -156,6 +156,31 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(again.forall(r => r._3 === 1 && r._4 === 1))
   }
 
+  test("compactPartitions: a fragmented NULL partition is compacted and audited") {
+    val path = tmp()
+    // 20 rows with day=null (→ __HIVE_DEFAULT_PARTITION__ dir) written by
+    // 4 tasks, plus one clean valued day
+    val rows = (1L to 20L).map(i => (i, null: String, i * 1.0)) :+
+      ((100L, "2024-01-05", 1.0))
+    rows.toDF("id", "day", "value")
+      .repartition(4, org.apache.spark.sql.functions.col("id"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val nullDir = new java.io.File(s"$path/day=__HIVE_DEFAULT_PARTITION__")
+    assert(nullDir.listFiles.count(_.getName.endsWith(".parquet")) > 1,
+      "setup must fragment the null partition")
+    val audit = Sink.compactPartitions(spark, path, "day")
+      .as[(Option[String], Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(audit(None)._1 === 20L, "null partition must appear in the audit with its rows")
+    assert(audit(None)._2 > 1 && audit(None)._3 === 1,
+      "null partition must be compacted to one file")
+    assert(nullDir.listFiles.count(_.getName.endsWith(".parquet")) === 1)
+    // rows conserved, null values still read back as null
+    assert(spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("day").isNull).count() === 20L)
+    assert(spark.read.parquet(path).count() === 21L)
+  }
+
   test("writePartitionedSorted: partition prune and row-group skip multiply") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -39,4 +39,16 @@ class VecOpsSpec extends AnyFunSuite with SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("matvec")), s"got: ${messages(ex)}")
   }
+
+  test("matvec kernel: a vector WIDER than the matrix width fails loudly too") {
+    // prefix-truncation would silently return plausible numbers from a
+    // dimension mismatch — both directions must reject
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v") // width-2 matrix below
+    val ex = intercept[Throwable] {
+      df.select(VecOps.matvecCol(col("v"), Seq(Seq(1.0, 2.0)))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("matvec")), s"got: ${messages(ex)}")
+  }
 }
