@@ -197,15 +197,19 @@ object SparkEntry {
             to_date(col("ts") - expr("INTERVAL 1 HOUR"))),
         "partition_date")),
     "report_bundle" -> ((s, d) =>
-      // The composed monthly report (ml.py:775-888): quality + daily +
-      // event-type + region sections as ONE grouping-sets pass over one
-      // bounded scan — the relational twin of corpus_pipeline. Region and
-      // centroid measures mirror regional_multi_agg's analogues.
+      // The composed monthly report (ml.py:775-890): quality + daily +
+      // event-type + region + weekly sections as ONE grouping-sets pass
+      // over one bounded scan — the relational twin of corpus_pipeline —
+      // plus the actor-presence counters folded into every row's
+      // aggregate (actor_query) and the top-20 high-value event rows
+      // unioned as the top_events section (high_fatality_events_query,
+      // value >= 10 desc, id-asc tie-break): all eight report sections.
       Analytics.reportBundle(
         Tables.eventsWindowed(s, d, "2024-01-01", "2024-01-31"),
         pmod(col("user_id"), lit(10L)),
         Seq(get_json_object(col("props"), "$.k").cast("double") -> "avg_prop",
-            col("user_id").cast("double") -> "avg_user"))),
+            col("user_id").cast("double") -> "avg_user"),
+        topN = 20, topMin = 10.0)),
     "salted_agg" -> ((s, d) =>
       // Same stats as a direct groupBy (the oracle is the direct form) but
       // computed via the two-phase salted plan — the skew-safe variant for
@@ -302,6 +306,12 @@ object SparkEntry {
     "exact_dedup" -> ((s, d) =>
       Dedup.exactByHash(Tables.documents(s, d), "text", "doc_id")
         .select("doc_id", "lang", "source", "n_chars")),
+    "para_dedup" -> ((s, d) =>
+      // Passage-granularity dedup: corpus-frequency-thresholded 8-token
+      // windows; per-doc repeated-span mass + scrubbed text. The oracle is
+      // a FULL DuckDB replay grouping the passage STRINGS (so the 64-bit
+      // hash grouping is cross-checked against the semantic spec).
+      Dedup.paraDedup(Tables.documents(s, d), "doc_id", "text")),
     "minhash_dedup" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)),
     "simhash_dedup" -> ((s, d) =>
@@ -1504,10 +1514,12 @@ object SparkEntry {
            AS ok
          FROM events GROUP BY 1""",
     "report_bundle" ->
-      // same GROUPING SETS pass, same per-column GROUPING() section tags —
-      // the bundle's one-scan composition is replayed, not just its rows
+      // same GROUPING SETS pass, same per-column GROUPING() section tags,
+      // same presence counters, same top-20 row section (value >= 10,
+      // desc, id-asc tie-break) — the bundle's composition is replayed,
+      // not just its rows
       """WITH e AS (
-           SELECT CAST(ts AS DATE) AS day,
+           SELECT event_id, CAST(ts AS DATE) AS day,
                   CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
                   user_id % 10 AS region, value, props,
                   CAST(props->>'$.k' AS DOUBLE) AS prop_k,
@@ -1532,10 +1544,29 @@ object SparkEntry {
              AS missing_event_type,
            count(CASE WHEN props IS NULL OR props = '' THEN 1 END)
              AS missing_props,
+           count(CASE WHEN event_type IS NOT NULL AND event_type != '' THEN 1 END)
+             AS event_type_present,
+           count(CASE WHEN props IS NOT NULL AND props != '' THEN 1 END)
+             AS props_present,
            avg(prop_k) AS avg_prop,
            avg(user_d) AS avg_user
          FROM e
-         GROUP BY GROUPING SETS ((), (day), (week), (event_type), (region))""",
+         GROUP BY GROUPING SETS ((), (day), (week), (event_type), (region))
+         UNION ALL
+         SELECT 'top_events' AS section, CAST(event_id AS VARCHAR) AS key,
+           CAST(1 AS BIGINT) AS event_count,
+           value AS total_value, value AS avg_value,
+           CAST(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 ELSE 0 END
+             AS BIGINT) AS missing_event_type,
+           CAST(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END
+             AS BIGINT) AS missing_props,
+           CAST(CASE WHEN event_type IS NOT NULL AND event_type != '' THEN 1 ELSE 0 END
+             AS BIGINT) AS event_type_present,
+           CAST(CASE WHEN props IS NOT NULL AND props != '' THEN 1 ELSE 0 END
+             AS BIGINT) AS props_present,
+           prop_k AS avg_prop, user_d AS avg_user
+         FROM (SELECT * FROM e WHERE value >= 10
+               ORDER BY value DESC, event_id ASC LIMIT 20)""",
     "range_join" ->
       """SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS band_value
          FROM events
@@ -1569,6 +1600,39 @@ object SparkEntry {
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn = 1""",
+    "para_dedup" ->
+      // full replay: same lower+trim+\s+ tokenization, same 1, 9, 17, …
+      // non-overlapping 8-token windows (short tail kept), frequency
+      // grouped by the passage STRING (the semantic spec the 64-bit hash
+      // grouping must agree with), same >= 2 threshold, same char-mass
+      // ratio, clean text re-joined with single spaces in window order
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id, toks,
+             CAST(unnest(generate_series(1, greatest(len(toks), 1), 8))
+               AS INT) AS st
+           FROM t),
+         p AS (
+           SELECT doc_id, CAST((st - 1) / 8 AS INT) AS pos,
+             array_to_string(toks[st:st+7], ' ') AS passage
+           FROM w),
+         f AS (SELECT passage, count(*) AS df FROM p GROUP BY passage),
+         m AS (
+           SELECT p.doc_id, p.pos, p.passage,
+             len(p.passage) AS chars, (f.df >= 2) AS rep
+           FROM p JOIN f USING (passage))
+         SELECT doc_id,
+           count(*)::BIGINT AS n_passages,
+           CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           round(CASE WHEN sum(chars) > 0
+             THEN sum(CASE WHEN rep THEN chars ELSE 0 END) * 1.0 / sum(chars)
+             ELSE 0.0 END, 4) AS repeated_ratio,
+           coalesce(string_agg(CASE WHEN NOT rep THEN passage END, ' '
+             ORDER BY pos), '') AS clean_text
+         FROM m GROUP BY doc_id""",
     "quality_score" ->
       """SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\s+')) AS n_words,

@@ -129,14 +129,26 @@ object Analytics {
     *   - `region`     — per-region count/sum/avg + extra-measure centroid
     *                    means (region_query / ukraine_region_query);
     *   - `weekly`     — DATE_TRUNC('week') count/sum/avg
-    *                    (ml_performance_query's actuals side).
-    * The conditional counters are evaluated once per input row and folded
-    * into every grouping set's partial aggregate, so adding a section
-    * costs group-cardinality, not another pass. This is the relational
-    * twin of [[CorpusPipeline]]: the composition — not the component
-    * queries — is the product. */
+    *                    (ml_performance_query's actuals side);
+    *   - `top_events` — (topN > 0) the reference's top-N high-fatality
+    *                    EVENT ROWS (ml.py:875-890 high_fatality_events
+    *                    _query: value >= topMin, ordered desc, LIMIT N,
+    *                    id-asc tie-break for determinism), unioned on with
+    *                    key = event_id and per-row measures in the
+    *                    aggregate columns.
+    * The actor/field presence counters (ml.py:838-848 actor_query) ride
+    * the same aggregate: conditional counters are evaluated once per
+    * input row and folded into every grouping set's partial aggregate, so
+    * adding one costs group-cardinality, not another pass. The top-N leg
+    * is the one section that CANNOT fold into the aggregate (it emits raw
+    * rows, not groups) — it reuses the same bounded scan as a partial
+    * per-partition top-N (TakeOrderedAndProject: each scan task keeps N
+    * rows, the driver merges K·N — no global sort, no extra shuffle).
+    * This is the relational twin of [[CorpusPipeline]]: the composition —
+    * not the component queries — is the product. */
   def reportBundle(events: DataFrame, regionExpr: Column,
-                   extraAvg: Seq[(Column, String)] = Seq.empty): DataFrame = {
+                   extraAvg: Seq[(Column, String)] = Seq.empty,
+                   topN: Int = 0, topMin: Double = 10.0): DataFrame = {
     val e = events
       .withColumn("__day", to_date(col("ts")))
       .withColumn("__week", date_trunc("week", col("ts")).cast("date"))
@@ -148,13 +160,20 @@ object Analytics {
       count(when(col("event_type").isNull || col("event_type") === "", lit(1)))
         .as("missing_event_type"),
       count(when(col("props").isNull || col("props") === "", lit(1)))
-        .as("missing_props")) ++
+        .as("missing_props"),
+      // the actor_query presence counters (ml.py:838-848): same
+      // conditional-count family as the missing-field pair, free riders
+      // on every grouping set's partial aggregate
+      count(when(col("event_type").isNotNull && col("event_type") =!= "", lit(1)))
+        .as("event_type_present"),
+      count(when(col("props").isNotNull && col("props") =!= "", lit(1)))
+        .as("props_present")) ++
       extraAvg.map { case (c, alias) => avg(c).as(alias) } ++ Seq(
       grouping(col("__day")).as("__g_day"),
       grouping(col("__week")).as("__g_wk"),
       grouping(col("event_type")).as("__g_et"),
       grouping(col("__region")).as("__g_rg"))
-    e.groupingSets(
+    val grouped = e.groupingSets(
         Seq(Seq.empty, Seq(col("__day")), Seq(col("__week")),
           Seq(col("event_type")), Seq(col("__region"))),
         col("__day"), col("__week"), col("event_type"), col("__region"))
@@ -176,6 +195,27 @@ object Analytics {
           .otherwise(lit("ALL")))
       .drop("__day", "__week", "__region", "event_type",
         "__g_day", "__g_wk", "__g_et", "__g_rg")
+    if (topN <= 0) grouped
+    else {
+      val present = (c: Column) =>
+        when(c.isNotNull && c =!= "", lit(1L)).otherwise(lit(0L))
+      val top = events
+        .filter(col("value") >= topMin)
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(topN)
+        .select(Seq(
+          lit("top_events").as("section"),
+          col("event_id").cast("string").as("key"),
+          lit(1L).as("event_count"),
+          col("value").as("total_value"),
+          col("value").as("avg_value"),
+          (lit(1L) - present(col("event_type"))).as("missing_event_type"),
+          (lit(1L) - present(col("props"))).as("missing_props"),
+          present(col("event_type")).as("event_type_present"),
+          present(col("props")).as("props_present")) ++
+          extraAvg.map { case (c, alias) => c.cast("double").as(alias) }: _*)
+      grouped.unionByName(top)
+    }
   }
 
   /** Per-group deterministic rank-1 rows (window row_number pattern used for

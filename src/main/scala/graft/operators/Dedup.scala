@@ -393,4 +393,80 @@ object Dedup {
       .select(col(idCol), col("n_grams"), col("n_contaminated"),
         (col("n_contaminated") > 0).as("contaminated"))
   }
+
+  /** Passage-granularity dedup — the production tier BETWEEN exact-document
+    * ([[exactByHash]]) and near-document ([[minhashNearDups]]): repeated
+    * passages (boilerplate headers, license blocks, quoted spans) survive
+    * both doc-hash and MinHash because the surrounding document differs,
+    * yet they dominate token counts in real crawls. Documents are split
+    * into fixed non-overlapping `window`-token passages (the
+    * paragraph-proxy for single-line corpora; a `\n\n` split composes
+    * upstream for prose), each passage is hash-counted across the CORPUS,
+    * and any passage occurring >= `minDf` times is marked repeated.
+    * Returns per-doc (n_passages, n_repeated, repeated_ratio by char
+    * mass, clean_text with repeated passages scrubbed).
+    *
+    * Scale shape — the text never rides the frequency machinery:
+    *  - the passage frame projects to (doc_id, pos, xxhash64, chars) —
+    *    ~28 bytes/row through every exchange, never passage strings;
+    *  - the corpus-frequency aggregate partial-aggregates map-side, so a
+    *    boilerplate passage in half the corpus arrives at the reduce side
+    *    as one row PER MAP PARTITION, not one row per occurrence — the
+    *    hot-key pre-aggregation that banded joins need an explicit salt
+    *    for is built into hash aggregation here;
+    *  - the frequency attach is a join whose build side has exactly ONE
+    *    row per hash, so no pair explosion is possible for any bucket
+    *    size (unlike LSH band self-joins, which need the maxBucket cap);
+    *    residual probe-partition imbalance is AQE skew-split territory;
+    *  - clean text is REBUILT from the source projection via each doc's
+    *    repeated-position set (bounded by windows-per-doc), so document
+    *    content crosses exactly one exchange — the final doc_id join.
+    *
+    * Grouping by the 64-bit hash instead of the passage string is the
+    * wire-efficiency trade: a collision would over-mark one passage as
+    * repeated with probability ~n²/2^65 — negligible below ~10^9 distinct
+    * passages per corpus (the DuckDB oracle groups by the string itself,
+    * so the gate would catch a collision at the test corpus). */
+  def paraDedup(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, minDf: Int = 2): DataFrame = {
+    require(window > 0 && minDf >= 2, "window > 0, minDf >= 2")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val starts = (ts: Column) =>
+      sequence(lit(1), greatest(size(ts), lit(1)), lit(window))
+    val passages = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col("__id"),
+        posexplode(transform(starts(col("__toks")),
+          st => array_join(slice(col("__toks"), st, lit(window)), " "))))
+      .select(col("__id"), col("pos").as("__pos"),
+        xxhash64(col("col")).as("__h"),
+        length(col("col")).cast("long").as("__chars"))
+    val freq = passages.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val perDoc = passages.join(freq, Seq("__h"))
+      .withColumn("__rep", col("__df") >= minDf)
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("__rep"), lit(1L)).otherwise(lit(0L))).as("n_repeated"),
+        sum(col("__chars")).as("__total_chars"),
+        sum(when(col("__rep"), col("__chars")).otherwise(lit(0L))).as("__rep_chars"),
+        sort_array(collect_list(when(col("__rep"), col("__pos")))).as("__rep_pos"))
+    df.select(col(idCol).as("__id"), toks.as("__toks"))
+      .join(perDoc, Seq("__id"))
+      .select(
+        col("__id").as(idCol),
+        col("n_passages"), col("n_repeated"),
+        round(when(col("__total_chars") > 0,
+          col("__rep_chars").cast("double") / col("__total_chars"))
+          .otherwise(lit(0.0)), 4).as("repeated_ratio"),
+        array_join(
+          transform(
+            filter(
+              transform(starts(col("__toks")),
+                (st, i) => struct(st.as("st"), i.as("i"))),
+              s => !array_contains(col("__rep_pos"), s.getField("i"))),
+            s => array_join(
+              slice(col("__toks"), s.getField("st"), lit(window)), " ")),
+          " ").as("clean_text"))
+  }
 }

@@ -115,6 +115,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("reportBundle: presence counters ride every row; topN unions the event-row section") {
+    // props: empty on event 1, JSON elsewhere → 4 of 5 props present
+    val e = events.withColumn("props",
+      when(col("event_id") === 1L, lit(""))
+        .otherwise(lit("""{"k":2.0}""")))
+    val got = Analytics.reportBundle(e, pmod(col("user_id"), lit(3L)),
+        Seq(col("value") * 2 -> "avg_double"), topN = 2, topMin = 5.0)
+      .select("section", "key", "event_count", "total_value",
+        "event_type_present", "props_present", "avg_double")
+      .as[(String, String, Long, Double, Long, Long, Double)].collect()
+    val bySection = got.groupBy(_._1)
+    // presence counters on the global row (the actor_query analogue)
+    val quality = bySection("quality").head
+    assert((quality._5, quality._6) === ((5L, 4L)),
+      "5 event_types present, 4 non-empty props")
+    // and on a per-day row (free riders on every grouping set)
+    val day1 = bySection("daily").find(_._2 == "2024-01-01").get
+    assert((day1._5, day1._6) === ((2L, 1L)))
+    // top_events: value >= 5 desc, id-asc tie-break, limit 2 → events 4, 3;
+    // per-row measures land in the aggregate columns
+    val top = bySection("top_events").sortBy(_._2)
+    assert(top.map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSeq === Seq(
+      ("3", 1L, 20.0, 1L, 1L, 40.0),
+      ("4", 1L, 40.0, 1L, 1L, 80.0)))
+    // the five aggregate sections are untouched by the union
+    assert(bySection("daily").map(_._3).sum === 5L)
+  }
+
   test("topPerGroup: rank-1 row per group with tie-break") {
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 12L, 1.0))
       .toDF("g", "id", "v")

@@ -223,4 +223,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(1L, 7L))
   }
+
+  test("paraDedup: boilerplate passage scrubbed across docs, unique text untouched") {
+    // 4-token windows; a license-header passage planted in 60 docs (the
+    // hot-key shape: one hash owns 60 of 62 passage rows) plus per-doc
+    // unique tails. The boilerplate window must be marked repeated in
+    // EVERY doc, unique tails kept verbatim, and a fully-unique doc must
+    // come back untouched with ratio 0.
+    val boiler = "licensed under apache two"
+    val docs = (1L to 60L).map(i => (i, s"$boiler unique tail $i")) :+
+      ((100L, "totally original four words"))
+    val out = Dedup.paraDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        window = 4, minDf = 2)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    (1L to 60L).foreach { i =>
+      val (nPass, nRep, ratio, clean) = out(i)
+      assert(nPass === 2L && nRep === 1L, s"doc $i: boilerplate window must be repeated")
+      assert(clean === s"unique tail $i", s"doc $i: tail must survive the scrub verbatim")
+      assert(ratio > 0.5 && ratio < 1.0)
+    }
+    assert(out(100L) === ((1L, 0L, 0.0, "totally original four words")))
+  }
+
+  test("paraDedup: normalization folds case/whitespace; short tail windows count") {
+    // "A  B" and "a b" must hash to the same passage; a 5-token doc at
+    // window=4 yields a 4-token window plus a 1-token tail window.
+    val docs = Seq(
+      (1L, "Alpha  Beta gamma DELTA extra"),
+      (2L, "alpha beta GAMMA delta other")).toDF("doc_id", "text")
+    val out = Dedup.paraDedup(docs, "doc_id", "text", window = 4, minDf = 2)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(out(1L) === ((2L, 1L, "extra")), "case/space variants must dedup together")
+    assert(out(2L) === ((2L, 1L, "other")))
+  }
 }
