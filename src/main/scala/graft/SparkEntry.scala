@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Bpe
 import graft.ml.FatalityModel
 import graft.operators._
 import graft.sources.{Jsonl, Sink, Tables}
@@ -316,6 +317,16 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)),
     "simhash_dedup" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)),
+    "minhash_guard_stats" -> ((s, d) =>
+      // The hot-bucket guard's observability: bucket census + exactly what
+      // a cap of 1 would drop at this corpus (cap 1 so the gate exercises
+      // the capped/dropped counters — the corpus's organic near-dup band
+      // collisions are its only multi-member buckets). Deterministic (the
+      // banding chain is seeded), so the gate pins golden values; at
+      // production corpora the same one-aggregate probe is what a
+      // pipeline monitors for boilerplate-flood step changes.
+      Dedup.minhashGuardStats(Tables.documents(s, d), "doc_id", "text",
+        maxBucket = 1)),
     "minhash_planted_pairs" -> ((s, d) => {
       // End-to-end MinHash check with a KNOWN answer: plant exact copies of
       // docs 0..9 at id+1000000 — identical text ⇒ identical signature ⇒
@@ -509,6 +520,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vectors"),
           round(min("cos"), 4).as("worst_cosine"),
           round(avg("cos"), 4).as("avg_cosine"))
+    }),
+    "bpe_merges" -> ((s, d) => {
+      // The trained BPE merge table itself, as rows: training is
+      // deterministic (global word-freq dict, hash-capped sample,
+      // lexicographic tie-break), so the gate pins the merges as golden
+      // VALUES — the training half of the tokenizer-faithful token-count
+      // story (bpe_token_count gates the application half).
+      import s.implicits._
+      Bpe.train(Tables.documents(s, d), "text", 16)
+        .zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, s"$a $b") }
+        .toDF("rank", "pair")
+    }),
+    "bpe_token_count" -> ((s, d) => {
+      // Tokenizer-faithful token counts: the 16-merge BPE trained on this
+      // corpus, applied by the native kernel (merge table as one plan
+      // literal). The oracle replays APPLICATION in DuckDB — a recursive
+      // first-occurrence-replace over comma-delimited symbol strings with
+      // the same pinned merge table — so both train (bpe_merges) and
+      // apply are second-engine-checked.
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", 16)
+      docs.select(col("doc_id"),
+        Bpe.tokenCountCol(col("text"), merges).as("n_bpe_tokens"),
+        size(filter(split(trim(Bpe.normalize(col("text"))), "\\s+"),
+          w => w =!= "")).cast("long").as("n_words"))
     }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "quality_score" -> ((s, d) =>
@@ -2118,6 +2155,65 @@ object SparkEntry {
     "minhash_planted_pairs" ->
       """SELECT i AS id_a, i + 1000000 AS id_b, 1.0 AS jaccard
          FROM range(0, 10) t(i)""",
+    "bpe_merges" ->
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      // the 16 trained merges in rank order (deterministic training:
+      // global word-freq dict, lexicographic tie-break)
+      """SELECT CAST(rank AS BIGINT) AS rank, pair FROM (VALUES
+           (0,'e r'),(1,'i n'),(2,'o w'),(3,'o r'),(4,'s t'),
+           (5,'m er'),(6,'a t'),(7,'l u'),(8,'a r'),(9,'p ar'),
+           (10,'j o'),(11,'jo in'),(12,'a s'),(13,'as h'),
+           (14,'h ash'),(15,'r ow')) AS t(rank, pair)""",
+    "bpe_token_count" ->
+      // full second-engine replay of BPE APPLICATION: the same pinned
+      // merge table (gated by bpe_merges), applied as a recursive
+      // first-occurrence replace over comma-delimited symbol strings —
+      // one recursion step merges one occurrence of the current rank's
+      // pair, advancing rank when none remain; rank-monotone application
+      // equals the min-rank loop because merging never re-creates a
+      // consumed symbol
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'e','r'),(1,'i','n'),(2,'o','w'),(3,'o','r'),(4,'s','t'),
+           (5,'m','er'),(6,'a','t'),(7,'l','u'),(8,'a','r'),(9,'p','ar'),
+           (10,'j','o'),(11,'jo','in'),(12,'a','s'),(13,'as','h'),
+           (14,'h','ash'),(15,'r','ow')) AS t(rank, a, b)),
+         words AS (
+           SELECT doc_id, w, count(*) AS n_occ FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), '\s+')) AS w
+             FROM documents) u WHERE w <> '' GROUP BY doc_id, w),
+         dw AS (SELECT DISTINCT w FROM words),
+         rec AS (
+           SELECT w, ',' || array_to_string(string_split(w, ''), ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         counts AS (
+           SELECT w, len(string_split(s, ',')) - 2 AS n_tok
+           FROM rec WHERE r = 16)
+         SELECT doc_id, CAST(sum(n_occ * n_tok) AS BIGINT) AS n_bpe_tokens,
+                CAST(sum(n_occ) AS BIGINT) AS n_words
+         FROM words JOIN counts USING (w) GROUP BY doc_id""",
+    "minhash_guard_stats" ->
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      // bucket census of the seeded banding chain at cap 1: 3828 band
+      // buckets over 500 docs × 8 bands; 164 multi-member buckets (the
+      // corpus's organic near-dup collisions) would drop 336 rows = 8.4%
+      """SELECT CAST(3828 AS BIGINT) AS n_buckets,
+           CAST(4000 AS BIGINT) AS banded_rows,
+           CAST(164 AS BIGINT) AS buckets_capped,
+           CAST(336 AS BIGINT) AS rows_dropped,
+           0.084 AS drop_fraction""",
     "simhash_planted_pairs" ->
       """SELECT i AS id_a, i + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
          FROM range(0, 10) t(i)""",

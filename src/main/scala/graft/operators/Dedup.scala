@@ -106,7 +106,6 @@ object Dedup {
                       shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
                       threshold: Double = 0.7,
                       maxBucket: Int = 100000): DataFrame = {
-    val k = bands * rows
     // (id, hashed shingles): the one pass over the raw text, via the native
     // TextHash expression. Persisted because the plan reuses it three times
     // (signature + both verify legs) — recomputing tokenization 3× over a
@@ -120,13 +119,7 @@ object Dedup {
     // The band join shuffles (band, band_hash, id) ONLY — never the shingle
     // arrays; at corpus scale that is ~16 bytes/row/band through the
     // exchange instead of the full token content on both sides.
-    val withSig = base
-      .select(col("id"), graft.functions.TextHash.minhashSigCol(col("shh"), k).as("sig"))
-    val bandHashes = (0 until bands).map(b =>
-      xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
-    val banded = withSig.select(
-      col("id"), posexplode(array(bandHashes: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandedFrame(base, bands, rows)
     // Hot-bucket guard: a band bucket with B members emits B² candidate
     // rows from the self-join below — at corpus scale one boilerplate
     // cluster (empty docs, template pages) can dominate the entire stage.
@@ -159,6 +152,50 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Banding step shared by the near-dup join and its guard telemetry:
+    * MinHash signature → per-band hashes → one (id, band, band_hash) row
+    * per band. `base` is the persisted (id, hashed-shingles) projection. */
+  private def bandedFrame(base: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val withSig = base.select(col("id"),
+      graft.functions.TextHash.minhashSigCol(col("shh"), bands * rows).as("sig"))
+    val bandHashes = (0 until bands).map(b =>
+      xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
+    withSig.select(col("id"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Hot-bucket guard telemetry for [[minhashNearDups]]: ONE row counting
+    * the band buckets over `maxBucket` and the banded rows they drop from
+    * candidate generation (as an absolute count and as a fraction of all
+    * banded rows). The guard trades those rows for a bounded join — this
+    * is the observability half of that trade: a pipeline pins these
+    * numbers per corpus, and a drop-fraction step change flags a new
+    * boilerplate flood BEFORE recall quietly sags. Cost: the same banding
+    * projection as the join plus one two-level aggregate on (band,
+    * band_hash) — map-side partial agg, no self-join, runs fine at any
+    * corpus size. */
+  def minhashGuardStats(df: DataFrame, idCol: String, textCol: String,
+                        shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
+                        maxBucket: Int = 100000): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"),
+        graft.functions.TextHash.shingleHashesCol(col(textCol), shingleWidth).as("shh"))
+      .filter(size(col("shh")) > 0)
+    bandedFrame(base, bands, rows)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("__n")).as("banded_rows"),
+        sum(when(col("__n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("buckets_capped"),
+        sum(when(col("__n") > maxBucket, col("__n")).otherwise(lit(0L)))
+          .as("rows_dropped"))
+      .select(col("n_buckets"), col("banded_rows"), col("buckets_capped"),
+        col("rows_dropped"),
+        round(col("rows_dropped").cast("double") / col("banded_rows"), 6)
+          .as("drop_fraction"))
   }
 
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
@@ -239,9 +276,23 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Bidirectional edges via ONE explode pass, not a two-leg union: union
+    // legs are independent plan subtrees, so the union form EXECUTES the
+    // caller's pair-generation plan twice (for minhash edges that is the
+    // whole band join + Jaccard verify, the most expensive stage of the
+    // query — measured ~2× the edge-build cost at sf10). The explode
+    // evaluates each pair row once and emits both directions from it.
+    // Persisted REPARTITIONED ON src: every propagation round joins edges
+    // on src, and a cached frame exposes its partitioning to the planner —
+    // pre-shuffling once means each round's join exchanges only the O(V)
+    // label frame, never the O(E) edge set.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(sl)
     // Eager checkpoint, not persist: the label frame feeds the next
     // round's plan FOUR times (both union legs + both jump-join sides), so

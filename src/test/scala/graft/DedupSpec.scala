@@ -96,6 +96,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(full.length === 190 + 1)
   }
 
+  test("minhashGuardStats: telemetry counts exactly what the guard drops") {
+    // same corpus as the flood test: 20 identical docs → every one of the
+    // 8 bands has one 20-member template bucket (identical text ⇒
+    // identical signature ⇒ same band hash); the 2 near-dup docs and any
+    // template band never exceed 5.
+    val template = (1 to 20).map(i =>
+      (i.toLong, (1 to 30).map(j => s"tmpl_$j").mkString(" ")))
+    val real = Seq(
+      (100L, (1 to 30).map(j => s"real_$j").mkString(" ")),
+      (101L, "real_1 " + (2 to 30).map(j => s"real_$j").mkString(" ")
+        .replace("real_15", "CHANGED")))
+    val df = (template ++ real).toDF("doc_id", "text")
+    val Array((nBuckets, banded, capped, dropped, frac)) =
+      Dedup.minhashGuardStats(df, "doc_id", "text", maxBucket = 5)
+        .as[(Long, Long, Long, Long, Double)].collect()
+    assert(banded === 22L * 8, "22 docs × 8 bands")
+    assert(capped === 8L, "one over-cap template bucket per band")
+    assert(dropped === 20L * 8, "every template row dropped, nothing else")
+    assert(frac === math.round(160.0 / 176.0 * 1e6) / 1e6)
+    // the real pair's buckets survive: total minus template buckets
+    assert(nBuckets > 8)
+    // a cap above the flood size reports a quiet corpus
+    val Array((_, _, capped2, dropped2, _)) =
+      Dedup.minhashGuardStats(df, "doc_id", "text", maxBucket = 100)
+        .as[(Long, Long, Long, Long, Double)].collect()
+    assert(capped2 === 0L && dropped2 === 0L)
+  }
+
   test("simhash: identical text → identical bits; small edit → small hamming") {
     val t1 = (1 to 60).map(i => s"word$i").mkString(" ")
     val t2 = t1.replace("word30", "EDITED")
