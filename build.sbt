@@ -19,6 +19,11 @@ run / fork := true
 // Normal dev/test invocations (no env var) keep the trailer.
 showSuccess := !sys.env.contains("SPARK_GRAFT_SF_DIR")
 Global / excludeLintKeys += showSuccess
+// …and sbt's logger prefixes every forked-stdout line with "[info] ",
+// which breaks a parse of the last line as JSON. StdoutOutput passes the
+// forked process's output through verbatim, so Bench's summary line
+// reaches the capture exactly as printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
