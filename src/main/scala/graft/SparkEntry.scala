@@ -313,6 +313,13 @@ object SparkEntry {
       // a FULL DuckDB replay grouping the passage STRINGS (so the 64-bit
       // hash grouping is cross-checked against the semantic spec).
       Dedup.paraDedup(Tables.documents(s, d), "doc_id", "text")),
+    "span_dedup" -> ((s, d) =>
+      // Stride-1 repeated-span detection: every 8-token window counted
+      // across the corpus, repeated windows coalesced into maximal spans
+      // per doc (catches passages at arbitrary alignment that para_dedup's
+      // fixed windows straddle). Full DuckDB replay: same windows, string-
+      // grouped frequencies, lag-based span starts, position-union cover.
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text")),
     "minhash_dedup" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)),
     "simhash_dedup" -> ((s, d) =>
@@ -1637,6 +1644,56 @@ object SparkEntry {
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn = 1""",
+    "span_dedup" ->
+      // full replay: stride-1 windows, frequency by passage STRING, span
+      // starts via lag (a repeated start opens a span iff the previous
+      // repeated start is >= 8 back), covered tokens as the distinct
+      // position union of all repeated windows (a different algorithm
+      // than the engine's interval fold — same answer, which is the point)
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id, len(toks) AS n,
+             CAST(unnest(generate_series(1, greatest(len(toks) - 7, 1), 1))
+               AS INT) - 1 AS s0,
+             toks
+           FROM t),
+         p AS (
+           SELECT doc_id, n, s0,
+             array_to_string(toks[s0+1:s0+8], ' ') AS passage
+           FROM w),
+         f AS (SELECT passage, count(*) AS df FROM p GROUP BY passage),
+         r AS (SELECT p.doc_id, p.n, p.s0
+               FROM p JOIN f USING (passage) WHERE f.df >= 2),
+         spans AS (
+           SELECT doc_id, count(*) AS n_spans FROM (
+             SELECT doc_id, s0,
+               lag(s0) OVER (PARTITION BY doc_id ORDER BY s0) AS prev
+             FROM r) q
+           WHERE prev IS NULL OR s0 - prev >= 8 GROUP BY doc_id),
+         cov AS (
+           SELECT doc_id, count(DISTINCT pos) AS covered FROM (
+             SELECT doc_id,
+               unnest(generate_series(s0, least(s0 + 7, n - 1))) AS pos
+             FROM r) u
+           GROUP BY doc_id),
+         base AS (
+           SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+                  count(*)::BIGINT AS n_windows,
+                  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_rep_windows
+           FROM p JOIN f USING (passage) GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tokens, b.n_windows, b.n_rep_windows,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CASE WHEN b.n_tokens > 0
+             THEN coalesce(c.covered, 0) * 1.0 / b.n_tokens
+             ELSE 0.0 END, 4) AS covered_fraction
+         FROM base b
+         LEFT JOIN spans s USING (doc_id)
+         LEFT JOIN cov c USING (doc_id)""",
     "para_dedup" ->
       // full replay: same lower+trim+\s+ tokenization, same 1, 9, 17, …
       // non-overlapping 8-token windows (short tail kept), frequency

@@ -198,6 +198,85 @@ object Dedup {
           .as("drop_fraction"))
   }
 
+  /** Repeated-SPAN detection at arbitrary alignment — the stride-1
+    * companion to [[paraDedup]] (which windows at stride w and therefore
+    * misses a repeated passage that straddles a window boundary; the
+    * public reference point is Lee et al., ACL 2022, "Deduplicating
+    * Training Data Makes Language Models Better", which dedups exact
+    * ≥k-token substrings): EVERY w-token window (stride 1) is
+    * hash-counted across the corpus, windows occurring >= `minDf` times
+    * mark their positions repeated, and per doc the overlapping repeated
+    * windows are coalesced into MAXIMAL SPANS. Emits per-doc span count,
+    * covered-token count/fraction — the numbers a curation pass
+    * thresholds on before cutting spans out.
+    *
+    * Scale shape: [[paraDedup]]'s machinery with w× the window rows, and
+    * a tighter attach than even the passage form needs: the frequency
+    * aggregate (map-side pre-collapsed) is FILTERED to repeated hashes
+    * BEFORE the attach, which becomes a left-semi join whose build side
+    * holds only the repeated-window hashes (a small fraction of the
+    * corpus — broadcastable for most corpora, and the per-doc rollup
+    * then processes repeated rows only, never the full window stream).
+    * `n_windows` is arithmetic in the token count, so the non-repeated
+    * windows never cross an exchange at all. Span coalescing happens
+    * INSIDE the per-doc aggregate as one fold over the sorted start list
+    * (integer arithmetic, exact). */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, minDf: Int = 2): DataFrame = {
+    require(window > 0 && minDf >= 2, "window > 0, minDf >= 2")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val wins = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col("__id"), size(col("__toks")).as("__n"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - (window - 1), lit(1))),
+          st => xxhash64(array_join(slice(col("__toks"), st, lit(window)), " ")))))
+      .select(col("__id"), col("__n"), col("pos").as("__start"), col("col").as("__h"))
+    val repHashes = wins.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__h")
+    val perDocRep = wins.join(repHashes, Seq("__h"), "left_semi")
+      .groupBy(col("__id"), col("__n"))
+      .agg(
+        count(lit(1)).as("n_rep_windows"),
+        sort_array(collect_list(col("__start"))).as("__rep_starts"))
+      // interval union of [s, s+w-1] over the ASCENDING start list: a new
+      // span opens when s starts past the running end; covered length adds
+      // the non-overlapped tail of each window. Pure integer fold — exact.
+      .withColumn("__fold",
+        aggregate(col("__rep_starts"),
+          struct(lit(-1).as("prev_end"), lit(0L).as("spans"), lit(0L).as("covered")),
+          (st, s) => {
+            // starts are 0-based (posexplode index); the end is capped at
+            // the last token so a short doc's single sub-w window can
+            // never claim more coverage than the doc has tokens
+            val winEnd = least(s + lit(window - 1), col("__n") - 1)
+            val newSpan = s > st.getField("prev_end")
+            struct(
+              winEnd.as("prev_end"),
+              (st.getField("spans") + when(newSpan, 1L).otherwise(0L)).as("spans"),
+              (st.getField("covered") +
+                (winEnd - greatest(st.getField("prev_end"), s - 1)).cast("long"))
+                .as("covered"))
+          }))
+      .select(col("__id"), col("n_rep_windows"),
+        col("__fold.spans").as("n_spans"),
+        col("__fold.covered").as("covered_tokens"))
+    // every doc gets a row; docs with no repeated window fill with zeros
+    // (their windows never left the frequency aggregate's partial side)
+    df.select(col(idCol).as("__id"), size(toks).as("__n"))
+      .join(perDocRep, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        greatest(col("__n") - (window - 1), lit(1)).cast("long").as("n_windows"),
+        coalesce(col("n_rep_windows"), lit(0L)).as("n_rep_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(when(col("__n") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("__n"))
+          .otherwise(lit(0.0)), 4).as("covered_fraction"))
+  }
+
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
     * Native Catalyst expression (graft.functions.TextHash) — one tight JVM
     * loop per row inside whole-stage codegen, no per-token allocation. */

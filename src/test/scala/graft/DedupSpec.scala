@@ -274,6 +274,61 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(100L) === ((1L, 0L, 0.0, "totally original four words")))
   }
 
+  test("spanDedup: straddling repeated passage found at arbitrary alignment; spans coalesce") {
+    // A 6-token boilerplate phrase planted at DIFFERENT offsets in two
+    // docs (offset 2 in doc 1, offset 5 in doc 2): stride-8 windows would
+    // straddle it, stride-1 with window=4 must find it in both. The
+    // shared phrase yields 3 repeated width-4 windows per doc (starts
+    // offset..offset+2), overlapping → ONE span covering 6 tokens.
+    val phrase = "licensed under apache version two zero"
+    val docs = Seq(
+      (1L, s"alpha beta $phrase gamma delta epsilon"),
+      (2L, s"one two three four five $phrase six"),
+      (3L, "totally unrelated words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", window = 4, minDf = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, w1, rep1, spans1, cov1, frac1) = out(1L)
+    assert((n1, w1) === ((11L, 8L)), "11 tokens, 8 stride-1 width-4 windows")
+    assert(rep1 === 3L, "three windows inside the planted phrase repeat")
+    assert(spans1 === 1L, "overlapping repeated windows coalesce to one span")
+    assert(cov1 === 6L, "the span covers exactly the 6 phrase tokens")
+    assert(frac1 === 0.5455)
+    val (_, _, _, rep2, spans2, cov2, _) = out(2L)
+    assert((rep2, spans2, cov2) === ((3L, 1L, 6L)), "same span at a different offset")
+    val (_, _, _, rep3, spans3, cov3, frac3) = out(3L)
+    assert((rep3, spans3, cov3, frac3) === ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("spanDedup: disjoint repeats form separate spans; short docs cap coverage") {
+    // doc 1 and doc 2 share TWO phrases separated by unique filler wider
+    // than the window → two spans; docs 3/4 are identical 2-token docs
+    // (shorter than the window) → their single sub-width window repeats
+    // and coverage caps at n_tokens, never beyond.
+    val docs = Seq(
+      (1L, "aa bb cc dd xx yy zz qq ww ee aa bb cc dd"),
+      (2L, "aa bb cc dd k1 k2 k3 k4 k5 k6 aa bb cc dd"),
+      (3L, "tiny doc"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", window = 4, minDf = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // "aa bb cc dd" opens and closes each doc (and repeats within doc 1's
+    // own text too via the doubled prefix/suffix): the repeated windows
+    // are exactly starts 0 and 10 in both docs → two disjoint spans of 4
+    val (_, _, _, _, spans1, cov1, _) = out(1L)
+    assert((spans1, cov1) === ((2L, 8L)))
+    val (_, _, _, _, spans2, cov2, _) = out(2L)
+    assert((spans2, cov2) === ((2L, 8L)))
+    val (_, n3, w3, rep3, spans3, cov3, frac3) = out(3L)
+    assert((n3, w3) === ((2L, 1L)), "sub-width doc has one short window")
+    assert((rep3, spans3) === ((1L, 1L)))
+    assert(cov3 === 2L, "coverage caps at the doc's token count")
+    assert(frac3 === 1.0)
+  }
+
   test("paraDedup: normalization folds case/whitespace; short tail windows count") {
     // "A  B" and "a b" must hash to the same passage; a 5-token doc at
     // window=4 yields a 4-token window plus a 1-token tail window.
