@@ -252,6 +252,47 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept === Array(1L, 7L))
   }
 
+  test("CC edge-cache mechanism: src-partitioned cache joins without re-exchanging the edge side") {
+    // The r9 connectedComponents win rests on two planner facts: (1) an
+    // explode evaluates its input once (vs a union's two independent
+    // legs), and (2) a cached frame EXPOSES its partitioning, so a join
+    // on the cache's partition key shuffles only the other side. This
+    // pins fact (2) at the plan level: with broadcast off, the join of a
+    // src-partitioned cached edge set against a label frame must contain
+    // exactly ONE shuffle exchange (the label side) — the cached edges
+    // stream straight out of InMemoryTableScan.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = (1L to 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val edges = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .distinct().repartition(col("src"))
+        .persist()
+      try {
+        edges.count()
+        val labels = (1L to 201L).map(i => (i, i)).toDF("src", "label")
+        def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+        assert(shuffles(edges.join(labels, Seq("src"))) === 1,
+          "cached src-partitioning must be reused — only the label side shuffles")
+        // control: the same join against an UNpartitioned cache-free edge
+        // set shuffles both sides
+        val plainEdges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        assert(shuffles(plainEdges.join(labels, Seq("src"))) === 2)
+      } finally edges.unpersist(true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("paraDedup: boilerplate passage scrubbed across docs, unique text untouched") {
     // 4-token windows; a license-header passage planted in 60 docs (the
     // hot-key shape: one hash owns 60 of 62 passage rows) plus per-doc
