@@ -401,6 +401,24 @@ object SparkEntry {
         dim = 64, nPlanes = 12, threshold = 0.8)
         .select("id_a", "id_b")
     }),
+    "semantic_dedup" -> ((s, d) => {
+      // SemDeDup-style cluster-blocked dedup: the same planted jittered
+      // copies as embedding_dedup, but candidate blocking is the TRAINED
+      // KMeans coarse quantizer instead of random hyperplanes — a
+      // near-identical copy must land in its original's cluster (argmax
+      // over the same centroids), so the golden pairs are recovered
+      // through data-adaptive blocking. cos itself is float math over
+      // hash jitter; the golden oracle pins the recovered pair ids.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float")
+            - lit(500.0f)) / lit(100000.0f))).as("embedding"))
+      Similarity.semanticDedupPairs(emb.unionByName(planted), "vec_id", "embedding",
+          nlist = 16, threshold = 0.8)
+        .select("id_a", "id_b")
+    }),
     "cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -2208,6 +2226,11 @@ object SparkEntry {
     "embedding_dedup" ->
       // golden oracle: the query plants jittered copies of vectors 0..19 at
       // id+1000000; the operator must recover exactly those pairs
+      """SELECT i AS id_a, i + 1000000 AS id_b FROM range(0, 20) t(i)""",
+    "semantic_dedup" ->
+      // same golden planted pairs, recovered through TRAINED-cluster
+      // blocking instead of random hyperplanes (a jittered copy assigns to
+      // its original's cluster by the same centroid argmax)
       """SELECT i AS id_a, i + 1000000 AS id_b FROM range(0, 20) t(i)""",
     "minhash_planted_pairs" ->
       """SELECT i AS id_a, i + 1000000 AS id_b, 1.0 AS jaccard

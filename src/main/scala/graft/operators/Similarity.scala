@@ -193,6 +193,67 @@ object Similarity {
     normalized(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — the public cluster-then-prune formulation):
+    * cluster the embedding space with the TRAINED coarse quantizer
+    * ([[kmeansCentroids]]), then compare vectors only WITHIN a cluster
+    * and emit pairs with cosine >= `threshold`. Compose with
+    * [[Dedup.canonicalize]] to keep one representative per group.
+    *
+    * The cluster id is the blocking key — the complement of
+    * [[nearDupPairs]]' random-hyperplane buckets: trained centroids track
+    * the data distribution, so blocking recall holds in anisotropic
+    * embedding spaces where fixed random planes split dense regions. Pair
+    * space is Σ|cluster|², never |corpus|²; `maxCluster` is the same
+    * skew guard as the LSH band joins (a degenerate cluster of
+    * near-identical boilerplate embeddings would explode quadratically —
+    * capped clusters drop from candidate generation only, and the cap
+    * window rides the self-join's own exchange). Assignment is the
+    * broadcast-centroid running-argmax fold — a map-only projection, no
+    * shuffle before the one cluster-keyed self-join. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int = 16, threshold: Double = 0.95,
+                         sampleFraction: Double = 1.0, seed: Long = 42L,
+                         maxCluster: Int = 100000,
+                         centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // callers with a pre-fitted cluster model (the common production case:
+    // the corpus-curation KMeans is trained once and reused) plug in here,
+    // same as ivfTopKWithBroadcast
+    val cents = centroids.map(normalized)
+      .getOrElse(kmeansCentroids(df, idCol, vecCol, nlist, sampleFraction, seed))
+    val centRow = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cvec")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("__cents")))
+    val assignCluster = (vec: Column) =>
+      aggregate(
+        transform(col("__cents"),
+          s => struct(dot(vec, s.getField("cvec")).as("sim"), s.getField("cid").as("cid"))),
+        struct(lit(Double.MinValue).as("sim"), lit(-1).as("cid")),
+        (acc, s) => when(s.getField("sim") >= acc.getField("sim"), s).otherwise(acc))
+        .getField("cid")
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(centRow)
+      .withColumn("cluster", assignCluster(col("vec")))
+      .drop("__cents")
+      .withColumn("norm", l2norm(col("vec")))
+    val guarded =
+      if (maxCluster == Int.MaxValue) assigned
+      else assigned
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("__n") <= maxCluster).drop("__n")
+    val a = guarded.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = guarded.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select("cluster", "id_a", "id_b", "cos")
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the storage tier for
     * an embedding lake (4× smaller than float32 at rest; cosine after
     * dequantization stays within ~1% for typical embeddings). Pure

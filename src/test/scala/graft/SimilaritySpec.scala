@@ -68,6 +68,60 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"LSH recalled only ${planted.intersect(lsh).size}/5 planted pairs")
   }
 
+  test("semanticDedupPairs: trained-cluster blocking recovers planted pairs, never invents them") {
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 2654435761L + 1
+      Seq.fill(8) { x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f }
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val jittered = (0 until 5).map(i =>
+      (100L + i, vec(i).zipWithIndex.map { case (v, j) => v + 0.001f * ((i + j) % 3) }))
+    val all = (base ++ jittered).toDF("id", "emb")
+    val got = Similarity.semanticDedupPairs(all, "id", "emb",
+        nlist = 4, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val allSeq = base ++ jittered
+    val brute = (for {
+      (ia, va) <- allSeq; (ib, vb) <- allSeq
+      if ia < ib && cos(va, vb) >= 0.98
+    } yield (ia, ib)).toSet
+    // cluster blocking can only MISS (split across clusters), never invent
+    assert(got.subsetOf(brute), s"false positives: ${got.diff(brute)}")
+    // a near-identical copy argmaxes to its original's cluster: all 5 found
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.subsetOf(got),
+      s"cluster blocking recalled only ${planted.intersect(got).size}/5 planted pairs")
+  }
+
+  test("semanticDedupPairs: maxCluster guard drops a degenerate identical-vector flood") {
+    // 30 identical vectors in one cluster → 435 quadratic pairs; with the
+    // cap they vanish from candidate generation while a distinct planted
+    // pair in another cluster survives. Centroids are supplied explicitly
+    // (the pre-fitted-model path): trained KMeans on 30-identical + 2
+    // points seeds all centers inside the flood, which is exactly the
+    // degenerate-cluster shape the guard exists for — the explicit model
+    // makes the cap's effect assertable in isolation.
+    val flood = (0 until 30).map(i => (i.toLong, Seq.fill(8)(0.5f)))
+    val pairVec = Seq(1.0f, -1.0f, 1.0f, -1.0f, 1.0f, -1.0f, 1.0f, -1.0f)
+    val keep = Seq((200L, pairVec), (201L, pairVec.map(_ * 1.0001f)))
+    val df = (flood ++ keep).toDF("id", "emb")
+    val cents = Some(Seq(Seq.fill(8)(0.5), pairVec.map(_.toDouble)))
+    val capped = Similarity.semanticDedupPairs(df, "id", "emb",
+        threshold = 0.98, maxCluster = 5, centroids = cents)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((200L, 201L)),
+      "flood pairs dropped by the cap; the real pair in its own cluster survives")
+    val uncapped = Similarity.semanticDedupPairs(df, "id", "emb",
+        threshold = 0.98, centroids = cents)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(uncapped.length === 30 * 29 / 2 + 1, "uncapped control keeps the flood")
+  }
+
   test("ivfTopK: recalls what brute force finds, never invents pairs") {
     def vec(seed: Long): Seq[Float] = {
       var x = seed * 2654435761L + 7
