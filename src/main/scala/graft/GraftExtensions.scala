@@ -63,6 +63,21 @@ object GraftExtensions {
         args.map(a => Cast(a, ArrayType(DoubleType))),
         Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
         propagateNull = true, returnNullable = false)
+    },
+    fn("bpe_token_count",
+       "bpe_token_count(text, merges) — trained-merge BPE token count (merges as array of 'a b' strings in rank order)") {
+      // the SQL form takes the merge table as an argument (pass the
+      // trained table as an array literal); normalization matches the
+      // Column form: lowercase, non-[a-z] → space
+      args => StaticInvoke(graft.functions.Bpe.getClass, LongType, "tokenCount",
+        Seq(
+          org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+            new org.apache.spark.sql.catalyst.expressions.Lower(args.head),
+            org.apache.spark.sql.catalyst.expressions.Literal("[^a-z]+"),
+            org.apache.spark.sql.catalyst.expressions.Literal(" ")),
+          Cast(args(1), ArrayType(StringType))),
+        Seq(StringType, ArrayType(StringType)),
+        propagateNull = true, returnNullable = false)
     })
 
   /** Imperative registration on an existing session (tests, notebooks). */

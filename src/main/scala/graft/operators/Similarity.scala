@@ -204,7 +204,13 @@ object Similarity {
     * [[nearDupPairs]]' random-hyperplane buckets: trained centroids track
     * the data distribution, so blocking recall holds in anisotropic
     * embedding spaces where fixed random planes split dense regions. Pair
-    * space is Σ|cluster|², never |corpus|²; `maxCluster` is the same
+    * space is Σ|cluster|², never |corpus|² — which makes `nlist` the
+    * CORPUS-PROPORTIONAL knob: at fixed nlist the expected pair count is
+    * n²/nlist (quadratic — measured 15.7× for a 10× corpus at nlist=16),
+    * so production callers scale nlist with n (the SemDeDup paper trains
+    * tens of thousands of clusters for web corpora), keeping mean cluster
+    * size — and the pair space per row — constant. Same contract as the
+    * LSH tier's plane count. `maxCluster` is the same
     * skew guard as the LSH band joins (a degenerate cluster of
     * near-identical boilerplate embeddings would explode quadratically —
     * capped clusters drop from candidate generation only, and the cap

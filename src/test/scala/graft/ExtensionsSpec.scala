@@ -40,6 +40,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(n === Array("\u00e9"))
   }
 
+  test("bpe_token_count SQL function agrees with the Column API") {
+    GraftExtensions.register(spark)
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val viaSql = spark.sql(
+      "SELECT bpe_token_count('ABC abc xy', array('a b', 'ab c')) AS n")
+      .as[Long].collect()
+    // "abc abc xy" → abc(1) abc(1) x,y(2) = 4
+    assert(viaSql === Array(4L))
+    val viaCol = Seq(("ABC abc xy")).toDF("text")
+      .select(graft.functions.Bpe.tokenCountCol(col("text"), merges).as("n"))
+      .as[Long].collect()
+    assert(viaCol === viaSql)
+  }
+
   test("vec_dot: a null array element is rejected, never silently read as 0.0") {
     GraftExtensions.register(spark)
     val ex = intercept[Throwable] {
