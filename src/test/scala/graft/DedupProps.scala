@@ -73,4 +73,34 @@ object DedupProps extends Properties("Dedup") {
       // k=64 → sd <= 0.0625; 0.35 is a >5-sigma band (deterministic per seed)
       math.abs(est - trueJ) <= 0.35
     }
+
+  property("spanDedup matches a brute-force reference on random corpora") =
+    forAll(Gen.listOfN(6, docGen)) { texts =>
+      import spark.implicits._
+      val w = 3
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.spanDedup(df, "doc_id", "text", window = w, minDf = 2)
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      // O(n²) reference: count every stride-1 window across the corpus,
+      // mark repeated starts, union the covered intervals per doc
+      val toks = texts.map(_.toLowerCase.trim.split("\\s+").toSeq)
+      val wins = toks.zipWithIndex.flatMap { case (ts, d) =>
+        val starts = 0 until math.max(ts.length - (w - 1), 1)
+        starts.map(s => (d.toLong, s, ts.slice(s, s + w).mkString(" ")))
+      }
+      val freq = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      texts.indices.forall { d =>
+        val n = toks(d).length
+        val mine = wins.filter(_._1 == d)
+        val rep = mine.filter(x => freq(x._3) >= 2).map(_._2).sorted
+        val covered = rep.flatMap(s => s to math.min(s + w - 1, n - 1)).distinct.size
+        val spans = rep.foldLeft((List.empty[Int], -1)) { case ((acc, prevEnd), s) =>
+          val end = math.min(s + w - 1, n - 1)
+          if (s > prevEnd) (s :: acc, end) else (acc, math.max(prevEnd, end))
+        }._1.size
+        got(d.toLong) == ((n.toLong, mine.size.toLong, rep.size.toLong,
+          spans.toLong, covered.toLong))
+      }
+    }
 }
