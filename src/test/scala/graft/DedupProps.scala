@@ -74,6 +74,29 @@ object DedupProps extends Properties("Dedup") {
       math.abs(est - trueJ) <= 0.35
     }
 
+  property("paraDedup matches a brute-force reference on random corpora") =
+    forAll(Gen.listOfN(6, docGen)) { texts =>
+      import spark.implicits._
+      val w = 3
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.paraDedup(df, "doc_id", "text", window = w, minDf = 2)
+        .as[(Long, Long, Long, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+      // O(n²) reference over non-overlapping stride-w windows
+      val toks = texts.map(_.toLowerCase.trim.split("\\s+").toSeq)
+      val wins = toks.zipWithIndex.flatMap { case (ts, d) =>
+        val starts = 0 until math.max((ts.length + w - 1) / w, 1)
+        starts.map(p => (d.toLong, p, ts.slice(p * w, p * w + w).mkString(" ")))
+      }
+      val freq = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      texts.indices.forall { d =>
+        val mine = wins.filter(_._1 == d)
+        val rep = mine.count(x => freq(x._3) >= 2)
+        val clean = mine.filter(x => freq(x._3) < 2).sortBy(_._2).map(_._3).mkString(" ")
+        got(d.toLong) == ((mine.size.toLong, rep.toLong, clean))
+      }
+    }
+
   property("spanDedup matches a brute-force reference on random corpora") =
     forAll(Gen.listOfN(6, docGen)) { texts =>
       import spark.implicits._
