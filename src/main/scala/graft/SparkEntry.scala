@@ -2251,7 +2251,9 @@ object SparkEntry {
       // one recursion step merges one occurrence of the current rank's
       // pair, advancing rank when none remain; rank-monotone application
       // equals the min-rank loop because merging never re-creates a
-      // consumed symbol
+      // consumed symbol. The final LEFT JOIN from documents keeps a
+      // (doc_id, 0, 0) row for a doc that normalizes to zero words —
+      // matching the engine, which projects over every doc
       """WITH RECURSIVE
          m AS (SELECT * FROM (VALUES
            (0,'e','r'),(1,'i','n'),(2,'o','w'),(3,'o','r'),(4,'s','t'),
@@ -2280,10 +2282,14 @@ object SparkEntry {
            WHERE rec.r < 16),
          counts AS (
            SELECT w, len(string_split(s, ',')) - 2 AS n_tok
-           FROM rec WHERE r = 16)
-         SELECT doc_id, CAST(sum(n_occ * n_tok) AS BIGINT) AS n_bpe_tokens,
-                CAST(sum(n_occ) AS BIGINT) AS n_words
-         FROM words JOIN counts USING (w) GROUP BY doc_id""",
+           FROM rec WHERE r = 16),
+         perdoc AS (
+           SELECT doc_id, sum(n_occ * n_tok) AS n_bpe, sum(n_occ) AS n_w
+           FROM words JOIN counts USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(p.n_w, 0) AS BIGINT) AS n_words
+         FROM documents d LEFT JOIN perdoc p USING (doc_id)""",
     "minhash_guard_stats" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       // bucket census of the seeded banding chain at cap 1: 3828 band

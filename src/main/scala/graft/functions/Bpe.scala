@@ -112,18 +112,44 @@ object Bpe {
     out.toArray
   }
 
-  /** Kernel: BPE token count of `text` under `merges` (array of "a b"
-    * strings in rank order). Called from codegen via StaticInvoke. */
-  def tokenCount(text: UTF8String, merges: ArrayData): Long = {
+  /** Per-thread memo for the parsed merge table: a LITERAL merge array is
+    * one ArrayData instance per plan, so an identity check skips the
+    * re-parse on every row of the scan (the kernel stays correct for
+    * per-row array columns too — they just miss the memo). */
+  private val pairMemo =
+    new ThreadLocal[(ArrayData, Array[(String, String)])]
+
+  private def parsePairs(merges: ArrayData): Array[(String, String)] = {
+    val hit = pairMemo.get()
+    if (hit != null && (hit._1 eq merges)) return hit._2
     val m = merges.numElements()
     val pairs = new Array[(String, String)](m)
     var i = 0
     while (i < m) {
+      // loud, named errors for the SQL surface (the Column form validates
+      // at plan build; SQL callers reach the kernel directly): a null
+      // element or an entry without the 'a b' shape must not surface as a
+      // raw NPE/StringIndexOutOfBounds from codegen
+      if (merges.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"bpe_token_count: null merge entry at index $i")
       val s = merges.getUTF8String(i).toString
       val sp = s.indexOf(' ')
+      if (sp <= 0 || sp == s.length - 1)
+        throw new IllegalArgumentException(
+          s"bpe_token_count: merge entry '$s' is not of the form 'left right'")
       pairs(i) = (s.substring(0, sp), s.substring(sp + 1))
       i += 1
     }
+    pairMemo.set((merges, pairs))
+    pairs
+  }
+
+  /** Kernel: BPE token count of `text` under `merges` (array of "a b"
+    * strings in rank order). Called from codegen via StaticInvoke. */
+  def tokenCount(text: UTF8String, merges: ArrayData): Long = {
+    val pairs = parsePairs(merges)
+    val m = pairs.length
     var total = 0L
     val words = text.trim.toString.split("\\s+")
     var wi = 0

@@ -115,6 +115,12 @@ object VecOps {
     * (cosine_topk's DuckDB oracle pins exactly that). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    // same dimension-mismatch discipline as matvec: iterating a's length
+    // over a shorter b would READ PAST its unchecked UnsafeArrayData end
+    // (garbage, not an error), and a longer b would silently drop its tail
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch — ${n} vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -225,6 +225,9 @@ object Dedup {
                 window: Int = 8, minDf: Int = 2): DataFrame = {
     require(window > 0 && minDf >= 2, "window > 0, minDf >= 2")
     val toks = split(trim(lower(col(textCol))), "\\s+")
+    // persisted for the same two-consumer reason as paraDedup's passages
+    // frame (frequency aggregate + semi-join probe): one tokenize+hash
+    // pass over the corpus, not two
     val wins = df
       .select(col(idCol).as("__id"), toks.as("__toks"))
       .select(col("__id"), size(col("__toks")).as("__n"),
@@ -232,6 +235,7 @@ object Dedup {
           sequence(lit(1), greatest(size(col("__toks")) - (window - 1), lit(1))),
           st => xxhash64(array_join(slice(col("__toks"), st, lit(window)), " ")))))
       .select(col("__id"), col("__n"), col("pos").as("__start"), col("col").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repHashes = wins.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__h")
     val perDocRep = wins.join(repHashes, Seq("__h"), "left_semi")
@@ -563,6 +567,11 @@ object Dedup {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val starts = (ts: Column) =>
       sequence(lit(1), greatest(size(ts), lit(1)), lit(window))
+    // persisted: the frequency aggregate and the attach-join probe side
+    // both consume this frame — unpersisted, the tokenize+window+hash
+    // pass over the whole corpus would execute twice (the same
+    // materialize-the-compact-projection discipline as minhashNearDups'
+    // `base`; this is the skinny (id, pos, hash, chars) form, cheap to hold)
     val passages = df
       .select(col(idCol).as("__id"), toks.as("__toks"))
       .select(col("__id"),
@@ -571,6 +580,7 @@ object Dedup {
       .select(col("__id"), col("pos").as("__pos"),
         xxhash64(col("col")).as("__h"),
         length(col("col")).cast("long").as("__chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = passages.groupBy("__h").agg(count(lit(1)).as("__df"))
     val perDoc = passages.join(freq, Seq("__h"))
       .withColumn("__rep", col("__df") >= minDf)

@@ -68,6 +68,30 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("vec_dot: a length mismatch is rejected, never read past the shorter array") {
+    GraftExtensions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Throwable] {
+      spark.sql("SELECT vec_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0))").collect()
+    }
+    assert(messages(ex).exists(_.contains("dimension mismatch")), s"got: ${messages(ex)}")
+  }
+
+  test("bpe_token_count: malformed or null merge entries fail loudly, not with raw NPEs") {
+    GraftExtensions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val noSpace = intercept[Throwable] {
+      spark.sql("SELECT bpe_token_count('abc', array('ab'))").collect()
+    }
+    assert(messages(noSpace).exists(_.contains("not of the form")), s"got: ${messages(noSpace)}")
+    val nullEntry = intercept[Throwable] {
+      spark.sql("SELECT bpe_token_count('abc', array('a b', CAST(NULL AS STRING)))").collect()
+    }
+    assert(messages(nullEntry).exists(_.contains("null merge entry")), s"got: ${messages(nullEntry)}")
+  }
+
   test("withExtensions wires the functions into a fresh session") {
     // getOrCreate() would return the shared session (and skip the
     // extensions), so the default session is cleared around creation
