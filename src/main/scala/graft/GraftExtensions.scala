@@ -65,17 +65,13 @@ object GraftExtensions {
         propagateNull = true, returnNullable = false)
     },
     fn("bpe_token_count",
-       "bpe_token_count(text, merges) — trained-merge BPE token count (merges as array of 'a b' strings in rank order)") {
+       "bpe_token_count(text, merges) — byte-level trained-merge BPE token count (merges as array of 'a b' hex-byte-symbol strings in rank order)") {
       // the SQL form takes the merge table as an argument (pass the
-      // trained table as an array literal); normalization matches the
-      // Column form: lowercase, non-[a-z] → space
+      // trained table as an array literal); byte-level BPE sees the raw
+      // text — no case folding or stripping — and the kernel enforces the
+      // same hex-pair merge alphabet the Column form validates at build
       args => StaticInvoke(graft.functions.Bpe.getClass, LongType, "tokenCount",
-        Seq(
-          org.apache.spark.sql.catalyst.expressions.RegExpReplace(
-            new org.apache.spark.sql.catalyst.expressions.Lower(args.head),
-            org.apache.spark.sql.catalyst.expressions.Literal("[^a-z]+"),
-            org.apache.spark.sql.catalyst.expressions.Literal(" ")),
-          Cast(args(1), ArrayType(StringType))),
+        Seq(args.head, Cast(args(1), ArrayType(StringType))),
         Seq(StringType, ArrayType(StringType)),
         propagateNull = true, returnNullable = false)
     })

@@ -547,11 +547,13 @@ object SparkEntry {
           round(avg("cos"), 4).as("avg_cosine"))
     }),
     "bpe_merges" -> ((s, d) => {
-      // The trained BPE merge table itself, as rows: training is
-      // deterministic (global word-freq dict, hash-capped sample,
+      // The trained byte-level BPE merge table itself, as rows: training
+      // is deterministic (global word-freq dict, hash-capped sample,
       // lexicographic tie-break), so the gate pins the merges as golden
       // VALUES — the training half of the tokenizer-faithful token-count
-      // story (bpe_token_count gates the application half).
+      // story (bpe_token_count gates the application half). Symbols are
+      // 2-hex-digit UTF-8 bytes, so the table is ASCII whatever the
+      // corpus script.
       import s.implicits._
       Bpe.train(Tables.documents(s, d), "text", 16)
         .zipWithIndex
@@ -559,18 +561,30 @@ object SparkEntry {
         .toDF("rank", "pair")
     }),
     "bpe_token_count" -> ((s, d) => {
-      // Tokenizer-faithful token counts: the 16-merge BPE trained on this
-      // corpus, applied by the native kernel (merge table as one plan
-      // literal). The oracle replays APPLICATION in DuckDB — a recursive
-      // first-occurrence-replace over comma-delimited symbol strings with
-      // the same pinned merge table — so both train (bpe_merges) and
-      // apply are second-engine-checked.
+      // Tokenizer-faithful token counts: the 16-merge byte-level BPE
+      // trained on this corpus, applied by the native kernel (merge table
+      // as one plan literal). The corpus is augmented with PLANTED
+      // non-ASCII docs (fr/de accents, CJK — built from \u escapes here
+      // and chr() codepoints in the oracle, so no encoding channel can
+      // skew either side) to prove counting is byte-faithful outside
+      // [a-z]: every non-ASCII char counts as its UTF-8 bytes rather than
+      // being stripped. The oracle replays APPLICATION in DuckDB — a
+      // recursive first-occurrence-replace over comma-delimited
+      // hex-byte-symbol strings with the same pinned merge table — so
+      // both train (bpe_merges) and apply are second-engine-checked.
+      import s.implicits._
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, "text", 16)
-      docs.select(col("doc_id"),
-        Bpe.tokenCountCol(col("text"), merges).as("n_bpe_tokens"),
-        size(filter(split(trim(Bpe.normalize(col("text"))), "\\s+"),
-          w => w =!= "")).cast("long").as("n_words"))
+      val planted = Seq(
+        (9000001L, "café déjà naïve entrée"),
+        (9000002L, "über straße größer"),
+        (9000003L, "模型 训练 数据"))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          Bpe.tokenCountCol(col("text"), merges).as("n_bpe_tokens"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_words"))
     }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "quality_score" -> ((s, d) =>
@@ -2237,37 +2251,58 @@ object SparkEntry {
          FROM range(0, 10) t(i)""",
     "bpe_merges" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
-      // the 16 trained merges in rank order (deterministic training:
-      // global word-freq dict, lexicographic tie-break)
+      // the 16 trained byte-level merges in rank order (deterministic
+      // training: global word-freq dict, lexicographic tie-break);
+      // symbols are 2-hex-digit UTF-8 bytes — on this pure-ASCII corpus
+      // they are the hex rendering of the former char merges (e.g.
+      // '65 72' = 'e r')
       """SELECT CAST(rank AS BIGINT) AS rank, pair FROM (VALUES
-           (0,'e r'),(1,'i n'),(2,'o w'),(3,'o r'),(4,'s t'),
-           (5,'m er'),(6,'a t'),(7,'l u'),(8,'a r'),(9,'p ar'),
-           (10,'j o'),(11,'jo in'),(12,'a s'),(13,'as h'),
-           (14,'h ash'),(15,'r ow')) AS t(rank, pair)""",
+           (0,'65 72'),(1,'69 6e'),(2,'6f 77'),(3,'6f 72'),(4,'73 74'),
+           (5,'6d 6572'),(6,'61 74'),(7,'6c 75'),(8,'61 72'),(9,'70 6172'),
+           (10,'6a 6f'),(11,'6a6f 696e'),(12,'61 73'),(13,'6173 68'),
+           (14,'68 617368'),(15,'72 6f77')) AS t(rank, pair)""",
     "bpe_token_count" ->
-      // full second-engine replay of BPE APPLICATION: the same pinned
-      // merge table (gated by bpe_merges), applied as a recursive
-      // first-occurrence replace over comma-delimited symbol strings —
-      // one recursion step merges one occurrence of the current rank's
-      // pair, advancing rank when none remain; rank-monotone application
-      // equals the min-rank loop because merging never re-creates a
-      // consumed symbol. The final LEFT JOIN from documents keeps a
-      // (doc_id, 0, 0) row for a doc that normalizes to zero words —
-      // matching the engine, which projects over every doc
+      // full second-engine replay of byte-level BPE APPLICATION: the same
+      // pinned merge table (gated by bpe_merges), applied as a recursive
+      // first-occurrence replace over comma-delimited hex-byte-symbol
+      // strings (regexp_extract_all over lower(hex(w)) = the word's UTF-8
+      // bytes) — one recursion step merges one occurrence of the current
+      // rank's pair, advancing rank when none remain; rank-monotone
+      // application equals the min-rank loop because merging never
+      // re-creates a consumed symbol. The corpus is documents plus the
+      // PLANTED non-ASCII docs (chr() codepoints — byte-for-byte the
+      // engine's \u literals) proving non-[a-z] text is counted, not
+      // stripped. The final LEFT JOIN keeps a (doc_id, 0, 0) row for a
+      // doc with zero words — matching the engine, which projects over
+      // every doc
       """WITH RECURSIVE
          m AS (SELECT * FROM (VALUES
-           (0,'e','r'),(1,'i','n'),(2,'o','w'),(3,'o','r'),(4,'s','t'),
-           (5,'m','er'),(6,'a','t'),(7,'l','u'),(8,'a','r'),(9,'p','ar'),
-           (10,'j','o'),(11,'jo','in'),(12,'a','s'),(13,'as','h'),
-           (14,'h','ash'),(15,'r','ow')) AS t(rank, a, b)),
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'caf' || chr(233) || ' d' || chr(233) || 'j' ||
+                       chr(224) || ' na' || chr(239) || 've entr' ||
+                       chr(233) || 'e'),
+             (9000002, chr(252) || 'ber stra' || chr(223) || 'e gr' ||
+                       chr(246) || chr(223) || 'er'),
+             (9000003, chr(27169) || chr(22411) || ' ' || chr(35757) ||
+                       chr(32451) || ' ' || chr(25968) || chr(25454))
+           ) AS t(doc_id, text)),
          words AS (
            SELECT doc_id, w, count(*) AS n_occ FROM (
-             SELECT doc_id, unnest(string_split_regex(trim(
-               regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), '\s+')) AS w
-             FROM documents) u WHERE w <> '' GROUP BY doc_id, w),
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+             FROM corpus) u WHERE w <> '' GROUP BY doc_id, w),
          dw AS (SELECT DISTINCT w FROM words),
          rec AS (
-           SELECT w, ',' || array_to_string(string_split(w, ''), ',') || ',' AS s,
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
                   0 AS r
            FROM dw
            UNION ALL
@@ -2286,10 +2321,10 @@ object SparkEntry {
          perdoc AS (
            SELECT doc_id, sum(n_occ * n_tok) AS n_bpe, sum(n_occ) AS n_w
            FROM words JOIN counts USING (w) GROUP BY doc_id)
-         SELECT d.doc_id,
+         SELECT c.doc_id,
            CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
            CAST(coalesce(p.n_w, 0) AS BIGINT) AS n_words
-         FROM documents d LEFT JOIN perdoc p USING (doc_id)""",
+         FROM corpus c LEFT JOIN perdoc p USING (doc_id)""",
     "minhash_guard_stats" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       // bucket census of the seeded banding chain at cap 1: 3828 band

@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
@@ -9,54 +11,73 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Byte-pair-encoding token counting with a TRAINED merge table — the
-  * tokenizer-faithful upgrade to the whitespace/regex counts of
-  * [[graft.operators.TextOps.tokenCounts]]: mixture budgets and packing
+/** Byte-level byte-pair-encoding token counting with a TRAINED merge
+  * table — the tokenizer-faithful upgrade to the whitespace/regex counts
+  * of [[graft.operators.TextOps.tokenCounts]]: mixture budgets and packing
   * targets (token_budget_sample, seq_packing) are specified in TOKENIZER
   * tokens in production, and a whitespace proxy misprices short-word-rich
   * vs long-word-rich strata against each other.
   *
-  * Algorithm (Sennrich et al., ACL 2016, "Neural Machine Translation of
-  * Rare Words with Subword Units" — the public BPE formulation):
-  *  - train: start from characters; `numMerges` times, merge the
-  *    most-frequent adjacent symbol pair across the word-frequency dict
-  *    (deterministic tie-break: lexicographically smallest pair).
+  * Algorithm (Sennrich et al., ACL 2016 merge training; byte-level base
+  * alphabet per the public GPT-2 recipe, Radford et al. 2019):
+  *  - base symbols: the UTF-8 BYTES of each whitespace-delimited word —
+  *    every script (Latin, accented, CJK) is representable, nothing is
+  *    stripped or case-folded, so counts are faithful for non-English
+  *    text too (the earlier char-level form deleted everything outside
+  *    [a-z], deflating de/fr/zh counts).
+  *  - train: `numMerges` times, merge the most-frequent adjacent symbol
+  *    pair across the word-frequency dict (deterministic tie-break:
+  *    lexicographically smallest pair).
   *  - apply: process merges in rank order; within a rank, greedy
   *    left-to-right. Rank-monotone application equals the min-rank-loop
   *    form because merging never re-creates a consumed symbol.
   *
+  * Symbols are rendered as 2-hex-digit strings per byte ("65", "c3"), so
+  * the whole symbol/merge alphabet is regex-safe ASCII `[0-9a-f]` no
+  * matter the input script — the DuckDB oracle replays application with
+  * first-occurrence replace steps over a comma-delimited symbol string
+  * built by `regexp_extract_all(lower(hex(word)), '[0-9a-f]{2}')`, and
+  * byte-level symbols sidestep any JVM-vs-DuckDB case-folding or Unicode
+  * normalization divergence (there is no casefold step at all).
+  *
   * Scale shape: training is driver-side on a CAPPED word-frequency sample
   * (same discipline as the PQ codebooks — bounded driver material, never
   * collect-the-corpus); the merge table ships as ONE plan literal
-  * (array of "a b" strings, like the OPQ rotation matrix) and application
-  * is a native StaticInvoke kernel — a tight per-row JVM loop inside
-  * whole-stage codegen, O(|merges| × |word|) per word, no per-token
-  * allocation churn beyond the symbol buffer. No end-of-word marker —
-  * counts are what this kernel serves, and the marker only matters for
-  * detokenization (documented deviation from the paper's `</w>`).
-  *
-  * Text is pre-normalized IN PLAN to lowercase [a-z ] (everything else →
-  * space) so the symbol alphabet is regex-safe — the DuckDB oracle
-  * replays application with first-occurrence regexp_replace steps over a
-  * comma-delimited symbol string, and unescaped symbols keep that replay
-  * exact.
+  * (array of "a b" hex strings, like the OPQ rotation matrix) and
+  * application is a native StaticInvoke kernel — a tight per-row JVM loop
+  * inside whole-stage codegen with a per-thread distinct-word memo (Zipf
+  * corpora re-apply the same few thousand words constantly). No
+  * end-of-word marker — counts are what this kernel serves, and the
+  * marker only matters for detokenization (documented deviation from the
+  * paper's `</w>`).
   */
 object Bpe {
 
-  /** In-plan normalization shared by train and apply (and mirrored by the
-    * oracle): lowercase, non-[a-z] → space. */
-  def normalize(text: Column): Column =
-    regexp_replace(lower(text), "[^a-z]+", " ")
+  /** UTF-8 bytes of a word as 2-hex-digit base symbols ("65", "c3"). */
+  private[graft] def hexSyms(w: String): Array[String] = {
+    val bytes = w.getBytes(StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i) = f"$b%02x"
+      i += 1
+    }
+    out
+  }
 
-  /** Train `numMerges` BPE merges from a text column. Driver-side on the
-    * aggregated word-frequency dict, CAPPED at `maxWords` distinct words
-    * (hash-ordered — deterministic, unbiased); the per-word payload is a
-    * (word, count) pair, so even 65k words is a few MB of driver memory.
-    * Returns merges in rank order as (left, right) symbol pairs. */
+  /** Train `numMerges` BPE merges from a text column. Words are the
+    * whitespace-delimited tokens of the RAW text (no case folding, no
+    * punctuation stripping — byte-level BPE sees the text as the
+    * tokenizer would). Driver-side on the aggregated word-frequency dict,
+    * CAPPED at `maxWords` distinct words (hash-ordered — deterministic,
+    * unbiased); the per-word payload is a (word, count) pair, so even 65k
+    * words is a few MB of driver memory. Returns merges in rank order as
+    * (left, right) hex-symbol pairs. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             maxWords: Int = 65536): Seq[(String, String)] = {
     val words = df
-      .select(explode(split(trim(normalize(col(textCol))), "\\s+")).as("w"))
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(md5(col("w")), col("w"))
@@ -65,7 +86,7 @@ object Bpe {
       .map(r => (r.getString(0), r.getLong(1)))
     // symbols per distinct word, weighted by corpus frequency
     var dict: Array[(Array[String], Long)] =
-      words.map { case (w, n) => (w.map(_.toString).toArray, n) }
+      words.map { case (w, n) => (hexSyms(w), n) }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var iter = 0
     while (iter < numMerges) {
@@ -112,72 +133,109 @@ object Bpe {
     out.toArray
   }
 
-  /** Per-thread memo for the parsed merge table: a LITERAL merge array is
-    * one ArrayData instance per plan, so an identity check skips the
-    * re-parse on every row of the scan (the kernel stays correct for
-    * per-row array columns too — they just miss the memo). */
-  private val pairMemo =
-    new ThreadLocal[(ArrayData, Array[(String, String)])]
+  /** Per-thread memo for the parsed merge table AND a distinct-word count
+    * cache: a LITERAL merge array is one ArrayData instance per plan, so
+    * an identity check skips the re-parse on every row of the scan, and
+    * Zipf-distributed corpora hit the same few thousand distinct words
+    * constantly — memoizing per-word counts turns the per-occurrence
+    * O(|merges| × |word|) loop into a hash probe for repeat words. The
+    * word memo is bounded (wordMemoCap) and cleared wholesale on overflow
+    * or when the merge table changes. (The kernel stays correct for
+    * per-row merge-array columns too — they just miss both memos.) */
+  private val memoCap = 1 << 16
+  private val pairMemo = new ThreadLocal[
+    (ArrayData, Array[(String, String)], mutable.HashMap[String, Int])]
 
-  private def parsePairs(merges: ArrayData): Array[(String, String)] = {
+  private def parsePairs(merges: ArrayData)
+      : (Array[(String, String)], mutable.HashMap[String, Int]) = {
     val hit = pairMemo.get()
-    if (hit != null && (hit._1 eq merges)) return hit._2
+    if (hit != null && (hit._1 eq merges)) return (hit._2, hit._3)
     val m = merges.numElements()
     val pairs = new Array[(String, String)](m)
     var i = 0
     while (i < m) {
       // loud, named errors for the SQL surface (the Column form validates
       // at plan build; SQL callers reach the kernel directly): a null
-      // element or an entry without the 'a b' shape must not surface as a
-      // raw NPE/StringIndexOutOfBounds from codegen
+      // element, a malformed entry (no space, >1 space), or symbols
+      // outside the hex-pair alphabet must not surface as a raw
+      // NPE/StringIndexOutOfBounds from codegen — and must not become a
+      // silent never-matching no-op either
       if (merges.isNullAt(i))
         throw new IllegalArgumentException(
           s"bpe_token_count: null merge entry at index $i")
       val s = merges.getUTF8String(i).toString
       val sp = s.indexOf(' ')
-      if (sp <= 0 || sp == s.length - 1)
+      if (sp <= 0 || sp == s.length - 1 || s.indexOf(' ', sp + 1) >= 0)
         throw new IllegalArgumentException(
           s"bpe_token_count: merge entry '$s' is not of the form 'left right'")
-      pairs(i) = (s.substring(0, sp), s.substring(sp + 1))
+      val pair = (s.substring(0, sp), s.substring(sp + 1))
+      if (!isHexSymbol(pair._1) || !isHexSymbol(pair._2))
+        throw new IllegalArgumentException(
+          s"bpe_token_count: merge entry '$s' is not over the byte-level " +
+            "hex alphabet (each side must be one or more [0-9a-f] pairs)")
+      pairs(i) = pair
       i += 1
     }
-    pairMemo.set((merges, pairs))
-    pairs
+    val wordMemo = mutable.HashMap.empty[String, Int]
+    pairMemo.set((merges, pairs, wordMemo))
+    (pairs, wordMemo)
   }
 
-  /** Kernel: BPE token count of `text` under `merges` (array of "a b"
-    * strings in rank order). Called from codegen via StaticInvoke. */
+  /** One or more 2-hex-digit byte symbols, concatenated. */
+  private[graft] def isHexSymbol(s: String): Boolean = {
+    if (s.isEmpty || (s.length & 1) == 1) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def countWord(w: String, pairs: Array[(String, String)]): Int = {
+    var syms: Array[String] = hexSyms(w)
+    var r = 0
+    while (r < pairs.length && syms.length > 1) {
+      syms = mergePair(syms, pairs(r))
+      r += 1
+    }
+    syms.length
+  }
+
+  /** Kernel: byte-level BPE token count of `text` under `merges` (array
+    * of "a b" hex-symbol strings in rank order). Called from codegen via
+    * StaticInvoke. */
   def tokenCount(text: UTF8String, merges: ArrayData): Long = {
-    val pairs = parsePairs(merges)
-    val m = pairs.length
+    val (pairs, wordMemo) = parsePairs(merges)
     var total = 0L
-    val words = text.trim.toString.split("\\s+")
+    val words = text.toString.split("\\s+")
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        var syms: Array[String] = w.map(_.toString).toArray
-        var r = 0
-        while (r < m && syms.length > 1) {
-          syms = mergePair(syms, pairs(r))
-          r += 1
+        var n = wordMemo.getOrElse(w, -1)
+        if (n < 0) {
+          n = countWord(w, pairs)
+          if (wordMemo.size >= memoCap) wordMemo.clear()
+          wordMemo.update(w, n)
         }
-        total += syms.length
+        total += n
       }
       wi += 1
     }
     total
   }
 
-  /** Column form: `merges` ships as one plan literal. */
+  /** Column form: `merges` ships as one plan literal (validated at plan
+    * build to the same hex-pair alphabet the kernel enforces). */
   def tokenCountCol(text: Column, merges: Seq[(String, String)]): Column = {
-    require(merges.forall { case (a, b) =>
-      (a + b).forall(c => c >= 'a' && c <= 'z') },
-      "bpe merges must be over the normalized [a-z] alphabet")
+    require(merges.forall { case (a, b) => isHexSymbol(a) && isHexSymbol(b) },
+      "bpe merges must be hex byte symbols (one or more [0-9a-f] pairs per side)")
     val arrS = ArrayType(StringType, containsNull = false)
     GraftExpressionBridge.column(StaticInvoke(
       Bpe.getClass, LongType, "tokenCount",
-      Seq(GraftExpressionBridge.expression(normalize(text)),
+      Seq(GraftExpressionBridge.expression(text),
         org.apache.spark.sql.catalyst.expressions.Literal.create(
           merges.map { case (a, b) => s"$a $b" }, arrS)),
       Seq(StringType, arrS), propagateNull = true, returnNullable = false))

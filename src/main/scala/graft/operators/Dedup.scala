@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Intermediate frames persisted by the operators below (each returns a
+    * LAZY frame, so the operator itself cannot unpersist — its consumer
+    * has not run yet; contrast connectedComponents, which materializes
+    * internally and releases its own caches). A long-lived session that
+    * invokes these operators repeatedly should call
+    * [[unpersistIntermediates]] once the results are consumed; otherwise
+    * the cached projections accumulate until LRU eviction. */
+  private val persistedIntermediates =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedIntermediates.add(p)
+    p
+  }
+
+  /** Release every intermediate frame persisted by dedup operators since
+    * the last call (non-blocking unpersist; safe while jobs run — Spark
+    * recomputes evicted blocks from lineage). */
+  def unpersistIntermediates(): Unit = {
+    var d = persistedIntermediates.poll()
+    while (d != null) { d.unpersist(false); d = persistedIntermediates.poll() }
+  }
+
   /** Latest-wins upsert semantics as a batch operator: one row per key,
     * ordered by recency with a total-order tie-break (deterministic under
     * ties, unlike bare dropDuplicates). Single hash shuffle on the key. */
@@ -115,7 +139,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.functions.TextHash.shingleHashesCol(col(textCol), shingleWidth).as("shh"))
       .filter(size(col("shh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     // The band join shuffles (band, band_hash, id) ONLY — never the shingle
     // arrays; at corpus scale that is ~16 bytes/row/band through the
     // exchange instead of the full token content on both sides.
@@ -194,8 +218,11 @@ object Dedup {
           .as("rows_dropped"))
       .select(col("n_buckets"), col("banded_rows"), col("buckets_capped"),
         col("rows_dropped"),
-        round(col("rows_dropped").cast("double") / col("banded_rows"), 6)
-          .as("drop_fraction"))
+        // zero guard: an empty corpus (or all-zero-shingle docs) reports
+        // 0.0, not null — monitoring thresholds compare numerically
+        round(when(col("banded_rows") > 0,
+          col("rows_dropped").cast("double") / col("banded_rows"))
+          .otherwise(lit(0.0)), 6).as("drop_fraction"))
   }
 
   /** Repeated-SPAN detection at arbitrary alignment — the stride-1
@@ -235,7 +262,7 @@ object Dedup {
           sequence(lit(1), greatest(size(col("__toks")) - (window - 1), lit(1))),
           st => xxhash64(array_join(slice(col("__toks"), st, lit(window)), " ")))))
       .select(col("__id"), col("__n"), col("pos").as("__start"), col("col").as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val repHashes = wins.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__h")
     val perDocRep = wins.join(repHashes, Seq("__h"), "left_semi")
@@ -315,7 +342,7 @@ object Dedup {
     // persisted: both legs of the band self-join reuse the fingerprints —
     // without it the full tokenize+vote pass runs twice over the corpus
     val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val bandVals = (0 until 4).map(b =>
       shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val bandedAll = withSim.select(
@@ -485,7 +512,7 @@ object Dedup {
     val base = df.select(
       col(idCol).as("id"), col(blockCol).as("block"),
       graft.functions.TextHash.shingleHashesCol(col(textCol), n).as("shh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val a = base.select(col("block"), col("id").as("id_a"), col("shh").as("shh_a"))
     val b = base.select(col("block"), col("id").as("id_b"), col("shh").as("shh_b"))
     a.join(b, Seq("block"))
@@ -580,7 +607,7 @@ object Dedup {
       .select(col("__id"), col("pos").as("__pos"),
         xxhash64(col("col")).as("__h"),
         length(col("col")).cast("long").as("__chars"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val freq = passages.groupBy("__h").agg(count(lit(1)).as("__df"))
     val perDoc = passages.join(freq, Seq("__h"))
       .withColumn("__rep", col("__df") >= minDf)

@@ -9,22 +9,38 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   test("train: most-frequent pair merges first, deterministic tie-break") {
-    // corpus: "aaab" ×3, "aab" ×1 → pair counts: (a,a)=3·2+1=7, (a,b)=4 →
-    // merge 0 = (a,a); then (aa,a)=3, (aa,b)=1+... recompute: aaab→[aa,a,b],
-    // aab→[aa,b]: (aa,a)=3, (a,b)=3, (aa,b)=1 → tie (aa,a) vs (a,b) broken
-    // lexicographically: "a" < "aa" → (a,b) wins rank 1.
+    // corpus: "aaab" ×3, "aab" ×1 — bytes a=61, b=62. pair counts:
+    // (61,61)=3·2+1=7, (61,62)=4 → merge 0 = (61,61); then
+    // aaab→[6161,61,62], aab→[6161,62]: (6161,61)=3, (61,62)=3,
+    // (6161,62)=1 → tie broken lexicographically: '61' < '6161' →
+    // (61,62) wins rank 1 (hex rendering preserves per-char order, so
+    // this is the same tie-break the char-level form made).
     val df = (Seq.fill(3)("aaab") ++ Seq("aab")).toDF("text")
     val merges = Bpe.train(df, "text", 2)
-    assert(merges === Seq(("a", "a"), ("a", "b")))
+    assert(merges === Seq(("61", "61"), ("61", "62")))
+  }
+
+  test("train and apply are byte-level: multi-byte UTF-8 chars merge as bytes") {
+    // é is bytes c3 a9: "ééé" → [c3,a9,c3,a9,c3,a9]; pair (c3,a9)
+    // occurs 3×, (a9,c3) 2× → merge 0 = (c3,a9) = the char é; then
+    // [c3a9,c3a9,c3a9] → merge 1 = (c3a9,c3a9). Nothing is stripped.
+    val df = Seq.fill(3)("ééé").toDF("text")
+    val merges = Bpe.train(df, "text", 2)
+    assert(merges === Seq(("c3", "a9"), ("c3a9", "c3a9")))
+    val n = df.limit(1)
+      .select(Bpe.tokenCountCol(col("text"), merges).as("n"))
+      .as[Long].collect()
+    // ééé → é,é,é → éé,é → 2 tokens (greedy left-to-right within a rank)
+    assert(n === Array(2L))
   }
 
   test("kernel: counts match a per-word reference application") {
     val docs = Seq((1L, "low lower lowest"), (2L, "new newer newest"),
       (3L, "low new low")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, "text", 6)
-    // reference: naive rank-ordered merge loop per word
+    // reference: naive rank-ordered merge loop per word, over hex symbols
     def applyRef(w: String): Int = {
-      var syms = w.map(_.toString).toList
+      var syms = Bpe.hexSyms(w).toList
       merges.foreach { case (a, b) =>
         var changed = true
         while (changed) {
@@ -49,21 +65,31 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
-  test("kernel: normalization folds case and punctuation; empty-safe") {
-    val merges = Seq(("a", "b"))
-    val got = Seq((1L, "AB ab a-b"), (2L, "!!!"), (3L, ""))
+  test("kernel: no case folding or stripping — every byte counts; empty-safe") {
+    val merges = Seq(("61", "62")) // bytes of "ab"
+    val got = Seq((1L, "AB ab a-b"), (2L, "!!!"), (3L, ""), (4L, "été"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), Bpe.tokenCountCol(col("text"), merges).as("n"))
       .as[(Long, Long)].collect().toMap
-    // "AB ab a-b" → "ab ab a b": ab=1, ab=1, a=1, b=1 → 4
-    assert(got(1L) === 4L)
-    assert(got(2L) === 0L, "pure punctuation normalizes to zero tokens")
+    // AB stays 41,42 (2) + ab merges (1) + a-b = 61,2d,62 (3) = 6
+    assert(got(1L) === 6L, "case is NOT folded at byte level")
+    assert(got(2L) === 3L, "punctuation is counted, not stripped")
     assert(got(3L) === 0L)
+    // été = c3 a9 74 c3 a9 — accents count as their UTF-8 bytes
+    assert(got(4L) === 5L, "non-ASCII text is counted, not deleted")
   }
 
-  test("tokenCountCol: merges outside the normalized alphabet are rejected") {
+  test("tokenCountCol: merges outside the hex-pair alphabet are rejected") {
     intercept[IllegalArgumentException] {
       Bpe.tokenCountCol(col("text"), Seq(("a.", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      // the old char-level shape: valid letters, but not byte symbols
+      Bpe.tokenCountCol(col("text"), Seq(("a", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      // odd length — not a whole number of bytes
+      Bpe.tokenCountCol(col("text"), Seq(("616", "62")))
     }
   }
 

@@ -124,6 +124,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped2 === 0L && dropped2 === 0L)
   }
 
+  test("minhashGuardStats: empty corpus reports drop_fraction 0.0, not null") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = Dedup.minhashGuardStats(empty, "doc_id", "text").collect()(0)
+    assert(!row.isNullAt(4), "drop_fraction must be numeric on an empty corpus")
+    assert(row.getDouble(4) === 0.0)
+    // docs that produce zero shingles (empty text) behave the same
+    val zeroShingles = Seq((1L, ""), (2L, " ")).toDF("doc_id", "text")
+    val row2 = Dedup.minhashGuardStats(zeroShingles, "doc_id", "text").collect()(0)
+    assert(!row2.isNullAt(4) && row2.getDouble(4) === 0.0)
+  }
+
+  test("unpersistIntermediates releases operator caches") {
+    Dedup.unpersistIntermediates() // drain anything earlier tests persisted
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (1 to 10).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta doc$i"))
+      .toDF("doc_id", "text")
+    Dedup.spanDedup(docs, "doc_id", "text").collect()
+    Dedup.paraDedup(docs, "doc_id", "text").collect()
+    def extra = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(extra.size >= 2, s"expected the two tracked intermediates cached, saw ${extra.size}")
+    Dedup.unpersistIntermediates()
+    // non-blocking unpersist: poll briefly for the catalog to drain back
+    // to the pre-test set (other suites' caches, if any, are untouched)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (extra.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(extra.isEmpty, s"still cached after unpersistIntermediates: $extra")
+  }
+
   test("simhash: identical text → identical bits; small edit → small hamming") {
     val t1 = (1 to 60).map(i => s"word$i").mkString(" ")
     val t2 = t1.replace("word30", "EDITED")

@@ -42,12 +42,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
 
   test("bpe_token_count SQL function agrees with the Column API") {
     GraftExtensions.register(spark)
-    val merges = Seq(("a", "b"), ("ab", "c"))
+    // byte-level: merges are hex byte symbols ('61 62' = bytes of "ab")
+    val merges = Seq(("61", "62"), ("6162", "63"))
     val viaSql = spark.sql(
-      "SELECT bpe_token_count('ABC abc xy', array('a b', 'ab c')) AS n")
+      "SELECT bpe_token_count('ABC abc xy', array('61 62', '6162 63')) AS n")
       .as[Long].collect()
-    // "abc abc xy" → abc(1) abc(1) x,y(2) = 4
-    assert(viaSql === Array(4L))
+    // no case folding at byte level: ABC stays A,B,C (3) + abc→ab→abc (1)
+    // + x,y (2) = 6
+    assert(viaSql === Array(6L))
     val viaCol = Seq(("ABC abc xy")).toDF("text")
       .select(graft.functions.Bpe.tokenCountCol(col("text"), merges).as("n"))
       .as[Long].collect()
@@ -83,11 +85,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     val noSpace = intercept[Throwable] {
-      spark.sql("SELECT bpe_token_count('abc', array('ab'))").collect()
+      spark.sql("SELECT bpe_token_count('abc', array('6162'))").collect()
     }
     assert(messages(noSpace).exists(_.contains("not of the form")), s"got: ${messages(noSpace)}")
+    // a second space must be rejected too — 'a b c' parsed at the first
+    // space would silently become the never-matching pair ('a', 'b c')
+    val twoSpaces = intercept[Throwable] {
+      spark.sql("SELECT bpe_token_count('abc', array('61 62 63'))").collect()
+    }
+    assert(messages(twoSpaces).exists(_.contains("not of the form")), s"got: ${messages(twoSpaces)}")
+    // non-hex symbols (the old char-level shape) fail loudly on the SQL
+    // path as well, same as the Column form's build-time validation
+    val notHex = intercept[Throwable] {
+      spark.sql("SELECT bpe_token_count('abc', array('a b'))").collect()
+    }
+    assert(messages(notHex).exists(_.contains("hex alphabet")), s"got: ${messages(notHex)}")
     val nullEntry = intercept[Throwable] {
-      spark.sql("SELECT bpe_token_count('abc', array('a b', CAST(NULL AS STRING)))").collect()
+      spark.sql("SELECT bpe_token_count('abc', array('61 62', CAST(NULL AS STRING)))").collect()
     }
     assert(messages(nullEntry).exists(_.contains("null merge entry")), s"got: ${messages(nullEntry)}")
   }
