@@ -796,39 +796,46 @@ object SparkEntry {
         TextOps.corpusFilterRules(col("text")))),
     "multimodal_meta" -> ((s, d) => {
       val mm = Multimodal.asMultimodal(Tables.documents(s, d), "doc_id", "text")
-      // Gate output is scalars only (the driver's pandas compare can't hash
-      // array cells): the feature vector is summarized by a stable hash.
+      // REAL decode: every payload is a rendered PNG, parsed back by
+      // ImageIO — decoded dims/bands come from the pixels, not the
+      // metadata claim. Gate output is scalars only (the driver's pandas
+      // compare can't hash array cells): the feature vector is summarized
+      // by a stable hash.
       Multimodal.extractFeatures(mm, dim = 16).toDF()
         .select(
           col("asset_id"), col("n_bytes"),
+          col("decoded_width"), col("decoded_height"), col("channels"),
           xxhash64(col("features").cast("string")).as("feature_hash"))
     }),
     "multimodal_frames" -> ((s, d) => {
       // Frame-sampling plumbing under a FULL oracle (unlike the
       // hash-bearing meta/feature gates, the offsets are pure metadata
       // arithmetic DuckDB replays exactly): n evenly-spaced byte offsets
-      // per asset, one row per sampled frame.
-      val mm = Multimodal.asMultimodal(Tables.documents(s, d), "doc_id", "text")
+      // per asset, one row per sampled frame. Runs on the byte-stream
+      // (video-shaped) wrapper — octet_length arithmetic is portable to
+      // the replay, a PNG container length is not.
+      val mm = Multimodal.asByteStream(Tables.documents(s, d), "doc_id", "text")
       Multimodal.sampleFrames(mm, nFrames = 4)
     }),
     "multimodal_golden" -> ((s, d) => {
       // Oracle-checkable slice of the multimodal plumbing: metadata
-      // struct, batched feature-extract hash, and resize plan for docs
-      // 0-9, all fully deterministic. The xxhash64-derived fields have no
-      // DuckDB mirror, so the oracle pins GOLDEN rows (computed once from
-      // the seed=42 corpus at the sf0.01 gate SF, like fingerprint's) —
-      // any drift in payload encoding, metadata derivation, the
-      // fake-decode LCG, batching, or resize arithmetic breaks the hash
-      // compare.
+      // struct, REAL ImageIO decode (claimed vs decoded dims + band
+      // count + pixel-stat feature hash), and resize plan for docs 0-9,
+      // all fully deterministic. The hash-derived fields have no DuckDB
+      // mirror, so the oracle pins GOLDEN rows (computed once from the
+      // seed=42 corpus at the sf0.01 gate SF, like fingerprint's) — any
+      // drift in the PNG render, the decode, pixel statistics, batching,
+      // or resize arithmetic breaks the hash compare.
       val mm = Multimodal.asMultimodal(
         Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text")
       val feats = Multimodal.extractFeatures(mm, dim = 16).toDF()
         .select(col("asset_id"), col("n_bytes"),
+          col("decoded_width"), col("decoded_height"), col("channels"),
           xxhash64(col("features").cast("string")).as("feature_hash"))
       mm.select(col("asset_id"), col("meta.mime").as("mime"),
           col("meta.width").as("width"), col("meta.height").as("height"))
         .join(feats, "asset_id")
-        .join(Multimodal.resizePlan(mm, 256, 256)
+        .join(Multimodal.resizePlan(mm, 64, 64)
           .select(col("asset_id"), col("scale"),
             col("dst_width"), col("dst_height")), "asset_id")
     }),
@@ -1185,31 +1192,36 @@ object SparkEntry {
              AS byte_offset
          FROM documents CROSS JOIN (SELECT range AS i FROM range(0, 4)) t""",
     "multimodal_golden" ->
-      // golden rows: metadata struct, batched fake-decode feature hash,
-      // and resize plan are pure deterministic functions of the corpus;
-      // the xxhash64/LCG pieces have no DuckDB mirror to recompute against
+      // golden rows: REAL PNG render + ImageIO decode — claimed dims,
+      // decoded dims, band count, pixel-stat feature hash, and resize
+      // plan are pure deterministic functions of the corpus; the
+      // hash/decoder pieces have no DuckDB mirror to recompute against
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       """SELECT CAST(asset_id AS BIGINT) AS asset_id, mime,
            CAST(width AS INTEGER) AS width,
            CAST(height AS INTEGER) AS height,
            CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(decoded_width AS INTEGER) AS decoded_width,
+           CAST(decoded_height AS INTEGER) AS decoded_height,
+           CAST(channels AS INTEGER) AS channels,
            CAST(feature_hash AS BIGINT) AS feature_hash,
            CAST(scale AS DOUBLE) AS scale,
            CAST(dst_width AS INTEGER) AS dst_width,
            CAST(dst_height AS INTEGER) AS dst_height
          FROM (VALUES
-           (0, 'image/png', 1005, 449, 157, -1130491226319236547, 0.254726, 255, 114),
-           (1, 'image/png',  290, 676, 406,  6066860791919583684, 0.378698, 109, 256),
-           (2, 'image/png',  313, 484, 246, -2859419101451682729, 0.528926, 165, 256),
-           (3, 'image/png',  498, 592, 147, -3524431909835586142, 0.432432, 215, 256),
-           (4, 'image/png',   74, 410, 250, -2620771888506963704, 0.624390,  46, 256),
-           (5, 'image/png',  923, 345, 314,  9055550445406149136, 0.277356, 256,  95),
-           (6, 'image/png',  781, 313,  78,  1987226101001061944, 0.327785, 256, 102),
-           (7, 'image/png',  704, 547, 402,   173542432222336854, 0.363636, 256, 198),
-           (8, 'image/png',  511, 700, 470, -7648734408602006212, 0.365714, 186, 256),
-           (9, 'image/png',  148, 865, 391, -8082649607857352230, 0.295954,  43, 256))
-           t(asset_id, mime, width, height, n_bytes, feature_hash, scale,
-             dst_width, dst_height)""",
+           (0, 'image/png', 89, 80, 21513, 89, 80, 3,  8111064614580237344, 0.719101, 64, 57),
+           (1, 'image/png', 34, 93,  9647, 34, 93, 3, -4711019057112965275, 0.688172, 23, 64),
+           (2, 'image/png', 57, 35,  6088, 57, 35, 3, -1581139355009805544, 1.0,      57, 35),
+           (3, 'image/png', 94, 57, 16199, 94, 57, 3,  2281525233769789840, 0.680851, 64, 38),
+           (4, 'image/png', 62, 23,  4369, 62, 23, 3,  4443404239234293832, 1.0,      62, 23),
+           (5, 'image/png', 48, 47,  6883, 48, 47, 3, -8241910020716912126, 1.0,      48, 47),
+           (6, 'image/png', 72, 81, 17650, 72, 81, 3,  8414626735775590888, 0.790123, 56, 64),
+           (7, 'image/png', 60, 57, 10385, 60, 57, 3,  8998926091928995417, 1.0,      60, 57),
+           (8, 'image/png', 94, 40, 11388, 94, 40, 3,  7250246917149063029, 0.680851, 64, 27),
+           (9, 'image/png', 73, 90, 19873, 73, 90, 3, -2293091748645264245, 0.711111, 51, 64))
+           t(asset_id, mime, width, height, n_bytes, decoded_width,
+             decoded_height, channels, feature_hash, scale, dst_width,
+             dst_height)""",
     "fingerprint" ->
       // golden rows: the fingerprints are pure deterministic functions of
       // the (fixed, seed=42) corpus — pinned once, any drift in

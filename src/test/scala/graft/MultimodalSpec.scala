@@ -1,5 +1,9 @@
 package graft
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -14,39 +18,71 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     (3L, "a third payload with more bytes in it")
   ).toDF("doc_id", "text")
 
-  test("asMultimodal: binary payload + typed metadata struct") {
+  test("asMultimodal: payload is a real decodable PNG; meta matches the pixels") {
     val mm = Multimodal.asMultimodal(docs, "doc_id", "text")
     val schema = mm.schema
     assert(schema("payload").dataType.typeName === "binary")
     assert(schema("meta").dataType.typeName === "struct")
-    val r = mm.filter(col("asset_id") === 1L)
-      .select(col("meta.mime"), col("meta.n_bytes"), length(col("payload")))
-      .as[(String, Int, Int)].collect()(0)
-    assert(r === (("image/png", 22, 22)))
+    val rows = mm.select(col("asset_id"), col("payload"),
+        col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_bytes"))
+      .as[(Long, Array[Byte], String, Int, Int, Int)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (id, payload, mime, w, h, nBytes) =>
+      assert(mime === "image/png")
+      assert(nBytes === payload.length, s"asset $id: n_bytes must be the PNG length")
+      // PNG magic bytes — this is a real container, not labeled text
+      assert((payload(0) & 0xff) === 0x89 && payload(1) === 'P'.toByte)
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      assert(img != null, s"asset $id: ImageIO must decode the payload")
+      assert(img.getWidth === w && img.getHeight === h,
+        s"asset $id: claimed dims must equal decoded dims")
+    }
   }
 
-  test("extractFeatures: deterministic fixed-dim vectors, batched flow") {
+  test("extractFeatures: real decode — dims/bands from pixels, deterministic, batched") {
     val mm = Multimodal.asMultimodal(docs, "doc_id", "text")
     val f1 = Multimodal.extractFeatures(mm, dim = 16, batchSize = 2).collect()
       .map(a => a.asset_id -> a).toMap
     assert(f1.keySet === Set(1L, 2L, 3L))
     assert(f1.values.forall(_.features.length === 16))
-    assert(f1(2L).n_bytes === 4)
-    // determinism: a second run yields bit-identical features
+    val claimed = mm.select(col("asset_id"), col("meta.width"), col("meta.height"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    f1.values.foreach { a =>
+      assert((a.decoded_width, a.decoded_height) === claimed(a.asset_id))
+      assert(a.channels === 3, "rendered PNGs are 3-band RGB")
+      // feature layout: [0]=w, [1]=h, [2]=bands, histogram tail sums to 1
+      assert(a.features(0) === a.decoded_width.toFloat)
+      assert(a.features(1) === a.decoded_height.toFloat)
+      assert(a.features(2) === 3.0f)
+      assert(math.abs(a.features.drop(8).sum - 1.0f) < 1e-3,
+        "luminance histogram fractions must sum to ~1")
+      assert(a.features(6) <= a.features(7), "min luma <= max luma")
+    }
+    // determinism: a second run with different batching is bit-identical
     val f2 = Multimodal.extractFeatures(mm, dim = 16, batchSize = 64).collect()
       .map(a => a.asset_id -> a).toMap
     assert(f1(3L).features.toSeq === f2(3L).features.toSeq)
   }
 
-  test("sampleFrames: deterministic per-frame byte offsets") {
-    val mm = Multimodal.asMultimodal(docs.filter(col("doc_id") === 2L), "doc_id", "text")
+  test("extractFeatures: an undecodable payload fails loudly") {
+    val bad = Seq((7L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload")
+    val ex = intercept[Exception] {
+      Multimodal.extractFeatures(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("undecodable")), s"got: ${messages(ex)}")
+  }
+
+  test("asByteStream + sampleFrames: deterministic per-frame byte offsets") {
+    val mm = Multimodal.asByteStream(docs.filter(col("doc_id") === 2L), "doc_id", "text")
     val got = Multimodal.sampleFrames(mm, nFrames = 4)
       .select("frame_index", "byte_offset").as[(Int, Long)].collect().sorted
+    // "tiny" = 4 bytes → offsets 0,1,2,3
     assert(got === Array((0, 0L), (1, 1L), (2, 2L), (3, 3L)))
   }
 
   test("resizePlan: aspect-preserving fit, never upscaling") {
-    import org.apache.spark.sql.functions._
     val mm = Seq(
       (1L, 1000, 500),  // wide: limited by width → 512x256
       (2L, 200, 800),   // tall: limited by height → 128x512
