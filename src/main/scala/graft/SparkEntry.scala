@@ -604,33 +604,64 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => {
       // Pairs → transitive clusters → size distribution: the step that
       // makes pairwise near-dup output actionable (keep one per cluster).
-      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.5)
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
+      // The edge set is the UNION of every near-dup tier a production
+      // dedup run emits — MinHash band pairs, SimHash hamming pairs, and
+      // SemDeDup cluster-blocked embedding pairs (vec i embeds doc i) —
+      // deduped by (src,dst) so a pair surfaced by several tiers enters
+      // CC once. Each tier keeps its own recall gate; this gate exercises
+      // the cross-tier transitive closure.
+      val docs = Tables.documents(s, d)
+      val minhash = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val simhash = Dedup.simhashNearDups(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      val semantic = Similarity.semanticDedupPairs(
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          "vec_id", "embedding", nlist = 16, threshold = 0.8)
+        .select("id_a", "id_b")
+      val edges = minhash.unionByName(simhash).unionByName(semantic).distinct()
+      Dedup.connectedComponents(edges, "id_a", "id_b")
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
     }),
     "dedup_clusters_exact" -> ((s, d) => {
-      // Connected components verified end to end by a second engine. The
-      // production form above keeps its minhash edges (hash edges have no
-      // DuckDB mirror); here the edge set is fully replayable: (a) organic
-      // exact-dup stars — each doc linked to the min-id doc sharing its
+      // Connected components verified end to end by a second engine over
+      // a UNION of replayable edge families — the exact companion to the
+      // multi-tier production form above (whose minhash/simhash/semantic
+      // edges have no DuckDB mirror): (a) organic exact-dup stars — each
+      // doc linked to the min-id doc sharing its
       // md5(normalizeTextNfc(text)), a hash groupBy + join on 16-byte
-      // keys, NO quadratic pair join — plus (b) a deterministic stress
-      // topology over synthetic ids (a 12-node chain and a 7-node star:
-      // multi-hop shapes pointer jumping must close in O(log n) rounds,
-      // present at every SF even when the corpus has no normalized dups).
-      // DuckDB replays the clustering itself as a recursive-CTE
-      // reachability closure + min-label GROUP BY.
+      // keys, NO quadratic pair join; (b) a second SIMILARITY tier —
+      // prefix-blocked word-3-shingle Jaccard >= 0.6 over the raw text
+      // (organic near-dup edges DuckDB rederives with list functions);
+      // (c) a deterministic stress topology over synthetic ids (a 12-node
+      // chain and a 7-node star: multi-hop shapes pointer jumping must
+      // close in O(log n) rounds, present at every SF even when the
+      // corpus has no normalized dups); (d) cross-tier BRIDGE edges
+      // joining a document cluster to the chain and the star to the
+      // chain — the multi-source risk is exactly cross-tier transitivity,
+      // so the closure must merge components across edge families. The
+      // union is deduped by (src,dst) before clustering, mirroring the
+      // production union's dedup. DuckDB replays the clustering itself as
+      // a recursive-CTE reachability closure + min-label GROUP BY.
       import s.implicits._
-      val h = Tables.documents(s, d).select(col("doc_id"),
+      val docs = Tables.documents(s, d)
+      val h = docs.select(col("doc_id"),
         md5(TextOps.normalizeTextNfc(col("text"))).as("h"))
       val organic = h.join(h.groupBy("h").agg(min("doc_id").as("id_a")), "h")
         .filter(col("doc_id") =!= col("id_a"))
         .select(col("id_a"), col("doc_id").as("id_b"))
+      val blocked = docs.select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 2)).as("__blk"))
+      val ngramEdges = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "__blk")
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"))
       val chain = (0 until 11).map(i => (10000L + i, 10001L + i))
       val star = (1 to 6).map(i => (20000L, 20000L + i))
       val synth = (chain ++ star).toDF("id_a", "id_b")
-      Dedup.connectedComponents(organic.unionByName(synth), "id_a", "id_b")
+      val bridges = Seq((0L, 10000L), (20000L, 10011L)).toDF("id_a", "id_b")
+      val edges = organic.unionByName(ngramEdges).unionByName(synth)
+        .unionByName(bridges).distinct()
+      Dedup.connectedComponents(edges, "id_a", "id_b")
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
     }),
     "novelty_check" -> ((s, d) => {
@@ -641,6 +672,39 @@ object SparkEntry {
       Dedup.novelDocs(docs.filter(col("doc_id") >= 250),
           docs.filter(col("doc_id") < 250), "text", "doc_id")
         .select("doc_id", "lang", "source")
+    }),
+    "novelty_near_dup" -> ((s, d) => {
+      // The NEAR-dup form of the incremental-crawl gate: a re-crawled page
+      // with a tweaked footer must NOT count as novel even though its
+      // content hash differs. Fresh batch = second half of the corpus
+      // plus planted probes: JITTERED copies of corpus docs 0-9 (four
+      // appended tokens → ~0.95 Jaccard vs their originals — the
+      // cross-batch near-dup the band-bucket probe must catch) and two
+      // genuinely novel docs (no corpus near-match — must pass). Output
+      // is the planted probes' verdicts (golden: the organic fresh docs'
+      // verdicts ride the LSH-banding recall the D2 gates already pin,
+      // and hash-derived bands have no DuckDB mirror).
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      val jittered = corpus.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" crawl jitter suffix pad")).as("text"))
+      val novel = Seq(
+        (4000000L, "wholly novel planted crawl document zyx about nothing" +
+          " previously indexed qqj in this corpus at all"),
+        (4000001L, "another genuinely novel planted document kvw carrying" +
+          " entirely fresh content pqz never crawled before"))
+        .toDF("doc_id", "text")
+      val fresh = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(jittered).unionByName(novel)
+      val novelOut = Dedup.novelNearDups(fresh, corpus, "doc_id", "text",
+        threshold = 0.7)
+      fresh.filter(col("doc_id") >= 3000000L)
+        .join(novelOut.select(col("doc_id"), lit(true).as("__novel")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__novel"), lit(false)).as("is_novel"))
     }),
     "seq_packing" -> ((s, d) => {
       // Token-budget sequence packing over the corpus' whitespace token
@@ -730,22 +794,47 @@ object SparkEntry {
     }),
     "corpus_pipeline" -> ((s, d) => {
       // The END-TO-END corpus chain (normalize → exact-dedup → filter →
-      // chunk → pack) as one conservation gate: stage survivor counts are
+      // near-dup-drop → span-scrub → chunk → pack) as one conservation
+      // gate: stage survivor counts AND the scrub token ledger are
       // replayed by DuckDB, and packed_tokens — summed off the PACKER's
       // output — must equal the chunk-stage token sum the oracle computes
-      // analytically, so a token dropped or double-packed anywhere between
-      // stages flips the row red. Docs 0-9 are planted as exact copies at
-      // id+1000000 (both engines replay the union) so the dedup stage has
-      // real work; the keep-ruleset drops the terminal-punctuation rule —
+      // analytically over the scrubbed survivors, so a token dropped or
+      // double-packed anywhere between stages flips the row red. Docs 0-9
+      // are planted as exact copies at id+1000000 (exact-dedup work) and
+      // docs 10-19 as JITTERED copies at id+2000000 (four appended
+      // tokens — near-dup work: ~0.95 Jaccard, caught and dropped by the
+      // keep-first rule); both engines replay the union. The near-dup
+      // block key is the first-2-token prefix (replayable; production
+      // callers pass a SimHash band — see ngram_jaccard's simband form)
+      // and the keep-ruleset drops the terminal-punctuation rule —
       // this corpus is word-soup, the other three rules split it 500→463.
-      val docs = Tables.documents(s, d).select("doc_id", "text")
+      // docs 20-39 get a planted 10-token boilerplate tail (kept under
+      // their own ids): its interior stride-1 8-windows repeat 20× across
+      // the corpus, so the scrub stage must cut exactly those 10 tokens
+      // from each — the nonzero, exactly-accountable scrub workload (the
+      // word-soup corpus has no organic repeated 8-spans left after
+      // dedup). Boundary windows straddling doc+tail are unique per doc
+      // and must NOT be cut.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id").between(20, 39),
+          concat(col("text"), lit(" common license boilerplate notice" +
+            " follows terms apply everywhere always more")))
+          .otherwise(col("text")).as("text"))
       val planted = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val jitter = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" nearline jitter marker pad")).as("text"))
       val rules = (t: Column) => TextOps.corpusFilterRules(t)
         .collect { case (name, rule) if name != "no_terminal_punct" => rule }
         .reduce(_ && _)
-      CorpusPipeline.summary(docs.unionByName(planted), "doc_id", "text",
-        maxTokens = 32, overlap = 8, budget = 256L, shards = 8, keep = rules)
+      CorpusPipeline.summary(
+        docs.unionByName(planted).unionByName(jitter), "doc_id", "text",
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 8, keep = rules,
+        nearDup = Some(CorpusPipeline.NearDup(
+          t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
+          n = 3, threshold = 0.6)),
+        scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))
     }),
     "pii_scrub" -> ((s, d) => {
       // Corpus PII redaction (the standard pre-training scrub): mask
@@ -1349,8 +1438,10 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
          FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id""",
     "dedup_clusters_exact" ->
-      // CC replayed by a second engine: same md5-of-normalized-text star
-      // edges + the synthetic chain/star topology, clustered via a
+      // CC replayed by a second engine over the UNIONED edge families:
+      // md5-of-normalized-text star edges + prefix-blocked 3-shingle
+      // Jaccard near-dup edges + the synthetic chain/star topology +
+      // cross-tier bridges, deduped by (src,dst), clustered via a
       // recursive-CTE reachability closure (every (node, seed-label) pair
       // in a component is eventually derived; min per node = the
       // component's min id, exactly connectedComponents' label policy).
@@ -1366,14 +1457,33 @@ object SparkEntry {
              SELECT m.id_a, d.doc_id AS id_b
              FROM hashes d JOIN minper m USING (h)
              WHERE d.doc_id <> m.id_a),
+           ksh AS (
+             SELECT doc_id, array_to_string(toks[1:2], ' ') AS blk,
+               list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 3, 0) + 2),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+             FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents)),
+           ngram AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ksh a JOIN ksh b
+               ON a.blk = b.blk AND a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
            synth AS (
              SELECT CAST(10000 + i AS BIGINT) AS id_a,
                     CAST(10001 + i AS BIGINT) AS id_b FROM range(0, 11) r(i)
              UNION ALL
              SELECT CAST(20000 AS BIGINT), CAST(20000 + i AS BIGINT)
              FROM range(1, 7) r(i)),
+           bridges AS (
+             SELECT CAST(0 AS BIGINT) AS id_a, CAST(10000 AS BIGINT) AS id_b
+             UNION ALL
+             SELECT CAST(20000 AS BIGINT), CAST(10011 AS BIGINT)),
            pairs AS (SELECT id_a, id_b FROM organic
-                     UNION ALL SELECT id_a, id_b FROM synth),
+                     UNION SELECT id_a, id_b FROM ngram
+                     UNION SELECT id_a, id_b FROM synth
+                     UNION SELECT id_a, id_b FROM bridges),
            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                      UNION SELECT id_b, id_a FROM pairs),
            reach(id, label) AS (
@@ -1827,6 +1937,17 @@ object SparkEntry {
          SELECT doc_id, list_max(cand).lang AS detected_lang,
            round(list_max(cand).score, 4) AS lang_score
          FROM s""",
+    "novelty_near_dup" ->
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      // planted-probe verdicts: every jittered cross-batch duplicate
+      // (ids 3000000-3000009) caught as non-novel, both genuinely novel
+      // plants (4000000-4000001) passed
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, is_novel FROM (VALUES
+           (3000000, FALSE), (3000001, FALSE), (3000002, FALSE),
+           (3000003, FALSE), (3000004, FALSE), (3000005, FALSE),
+           (3000006, FALSE), (3000007, FALSE), (3000008, FALSE),
+           (3000009, FALSE), (4000000, TRUE), (4000001, TRUE))
+           t(doc_id, is_novel)""",
     "novelty_check" ->
       // NOT EXISTS (not NOT IN): a NULL content hash must stay novel in
       // both engines — NOT IN drops it, the anti-join keeps it
@@ -1878,16 +1999,32 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM w WHERE b >= 0 AND bef < b GROUP BY lang""",
     "corpus_pipeline" ->
-      // full-chain replay: same planted union, same NFC+regex normalize
-      // chain, same min-id dedup rule, same three keep-rules, same chunk
-      // boundaries as the chunk_docs oracle. packed_tokens is the one
-      // column the oracle CANNOT take from graft's packer — it recomputes
-      // the chunk-stage token sum analytically, so the equality IS the
-      // conservation proof.
-      """WITH src AS (
-           SELECT doc_id, text FROM documents
+      // full-chain replay: same planted unions (exact copies +1e6,
+      // jittered copies +2e6), same NFC+regex normalize chain, same
+      // min-id dedup rule, same three keep-rules, same prefix-blocked
+      // 3-shingle Jaccard near-dup drop (keep-first), same stride-1
+      // 8-token span scrub (>=2 occurrences corpus-wide, covered
+      // positions cut, emptied docs dropped), same chunk boundaries as
+      // the chunk_docs oracle. packed_tokens is the one column the
+      // oracle CANNOT take from graft's packer — it recomputes the
+      // chunk-stage token sum analytically over the scrubbed survivors,
+      // so the equality IS the conservation proof, and the scrub ledger
+      // (tokens_before − tokens_removed entering chunking) pins the two
+      // new stage edges.
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 20 AND 39
+               THEN text || ' common license boilerplate notice follows' ||
+                    ' terms apply everywhere always more'
+               ELSE text END AS text
+           FROM documents),
+         src AS (
+           SELECT doc_id, text FROM base
            UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+           SELECT doc_id + 1000000, text FROM base WHERE doc_id < 10
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' nearline jitter marker pad'
+           FROM base WHERE doc_id >= 10 AND doc_id < 20),
          norm AS (
            SELECT doc_id,
              lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
@@ -1906,17 +2043,63 @@ object SparkEntry {
              AND length(regexp_replace(t, '\s+', '', 'g')) * 1.0
                  / greatest(len(string_split_regex(trim(t), '\s+')), 1)
                  BETWEEN 3 AND 12),
+         ksh AS (
+           SELECT doc_id, t, toks,
+             array_to_string(toks[1:2], ' ') AS blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, t,
+                   string_split_regex(trim(t), '\s+') AS toks FROM kept)),
+         nd_losers AS (
+           SELECT DISTINCT b.doc_id FROM ksh a JOIN ksh b
+             ON a.blk = b.blk AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+         nd AS (
+           SELECT doc_id, t, toks FROM ksh
+           WHERE doc_id NOT IN (SELECT doc_id FROM nd_losers)),
+         winstr AS (
+           SELECT doc_id, n, st, array_to_string(toks[st:st+7], ' ') AS wstr
+           FROM (SELECT doc_id, toks, len(toks) AS n,
+                   CAST(unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                     AS INT) AS st
+                 FROM nd)),
+         rep AS (SELECT wstr FROM winstr GROUP BY wstr HAVING count(*) >= 2),
+         repst AS (
+           SELECT doc_id, st, least(st + 7, n) AS en
+           FROM winstr WHERE wstr IN (SELECT wstr FROM rep)),
+         post AS (
+           SELECT doc_id, p, toks[p] AS tok
+           FROM (SELECT doc_id, toks,
+                   CAST(unnest(generate_series(1, len(toks))) AS INT) AS p
+                 FROM nd)),
+         covered AS (
+           SELECT DISTINCT x.doc_id, x.p FROM post x JOIN repst r
+             ON r.doc_id = x.doc_id AND x.p BETWEEN r.st AND r.en),
+         scrub AS (
+           SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.p) AS t
+           FROM post x LEFT JOIN covered cv
+             ON cv.doc_id = x.doc_id AND cv.p = x.p
+           WHERE cv.p IS NULL
+           GROUP BY x.doc_id),
          c AS (
            SELECT doc_id, toks,
              CAST(unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
                AS INT) AS st
            FROM (SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks
-                 FROM kept)),
+                 FROM scrub)),
          ch AS (SELECT len(toks[st:st+31])::BIGINT AS n FROM c)
          SELECT
            (SELECT count(*) FROM src) AS docs_in,
            (SELECT count(*) FROM ded WHERE rn = 1) AS docs_unique,
            (SELECT count(*) FROM kept) AS docs_kept,
+           (SELECT count(*) FROM nd) AS docs_after_neardup,
+           (SELECT CAST(sum(len(toks)) AS BIGINT) FROM nd)
+             AS tokens_before_scrub,
+           (SELECT CAST(count(*) AS BIGINT) FROM covered)
+             AS tokens_removed_scrub,
+           (SELECT count(*) FROM scrub) AS docs_after_scrub,
            count(*) AS n_chunks,
            CAST(sum(n) AS BIGINT) AS packed_tokens,
            TRUE AS budget_ok

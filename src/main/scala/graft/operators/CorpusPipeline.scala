@@ -5,16 +5,25 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-preparation pipeline a production training-data run
-  * actually executes: normalize → exact-dedup → quality-filter → chunk →
-  * pack, end to end over one documents table. The individual stages exist
-  * (and are gated) as standalone operators — [[TextOps.normalizeTextNfc]],
+  * actually executes: normalize → exact-dedup → quality-filter →
+  * near-dup-drop → span-scrub → chunk → pack, end to end over one
+  * documents table. The individual stages exist (and are gated) as
+  * standalone operators — [[TextOps.normalizeTextNfc]],
   * [[Dedup.exactByHash]], [[TextOps.corpusFilterRules]],
-  * [[TextOps.chunkDocs]], [[Packing.packSequences]] — but the composition
-  * is the product: what reaches the tokenizer is exactly the packed output
-  * of the whole chain, and a token lost between stages is a training bug
-  * no per-stage gate can see. (Reference analogue: the asset graph chains
-  * ingest → validate → transform the same way, base_assets.py:60+ — the
-  * edges between assets are the pipeline.)
+  * [[Dedup.ngramJaccardPairs]], [[Dedup.spanScrub]], [[TextOps.chunkDocs]],
+  * [[Packing.packSequences]] — but the composition is the product: what
+  * reaches the tokenizer is exactly the packed output of the whole chain,
+  * and a token lost between stages is a training bug no per-stage gate can
+  * see. (Reference analogue: the asset graph chains ingest → validate →
+  * transform the same way, base_assets.py:60+ — the edges between assets
+  * are the pipeline.)
+  *
+  * Stage order note: near-dup drop runs BEFORE span-scrub on purpose — a
+  * near-duplicate pair shares most of its stride-1 windows, so scrubbing
+  * first would count those windows twice, mark both documents as repeated
+  * end to end, and gut both; dropping the duplicate first leaves the
+  * survivor's text intact for genuine cross-document boilerplate
+  * detection.
   *
   * Scale shape, stage by stage:
   *   - normalize: pure codegen'd projection, no shuffle;
@@ -22,10 +31,14 @@ import org.apache.spark.sql.functions._
   *     never documents);
   *   - filter: row-local predicates fused into the same stage as the
   *     dedup window's output — no extra exchange;
+  *   - near-dup: blocked pair join (block key chosen by the caller — a
+  *     SimHash band at scale; |block|² pair space, never |corpus|²) plus
+  *     one left-anti join on the loser ids;
+  *   - scrub: spanScrub's one persisted tokenize pass + skinny-key
+  *     frequency aggregate + left-semi attach;
   *   - chunk: projection + explode, no shuffle;
   *   - pack: one repartition on the hash shard, greedy scan per shard.
-  * Total: two shuffles for the whole corpus pass, both on small keys, at
-  * any corpus size. Nothing is collected to the driver.
+  * Nothing is collected to the driver at any size.
   */
 object CorpusPipeline {
 
@@ -35,14 +48,26 @@ object CorpusPipeline {
   def defaultKeep(normText: Column): Column =
     TextOps.corpusFilterRules(normText).map(_._2).reduce(_ && _)
 
+  /** Near-dup stage configuration: `block` derives the blocking key from
+    * the NORMALIZED text (pairs are only compared within a block — pass a
+    * SimHash band derivation at scale, a replayable prefix key when a
+    * second engine must replay the stage); `n` is the word-shingle width
+    * and `threshold` the exact-Jaccard cut. Within a verified pair the
+    * HIGHER id is dropped (keep-first — deterministic, order-free). */
+  case class NearDup(block: Column => Column, n: Int = 3, threshold: Double = 0.6)
+
+  /** Span-scrub stage configuration: [[Dedup.spanScrub]]'s window width
+    * and corpus-wide occurrence floor; documents scrubbed to zero tokens
+    * are dropped from the pipeline (all-boilerplate docs). */
+  case class SpanScrub(window: Int = 8, minDf: Int = 2)
+
   /** One flagged frame carrying every stage's verdict per document:
     * (id, norm_text, is_canonical, passes_filters). Computing flags
     * instead of filtering lets [[summary]] count all stages in a single
-    * aggregate, and [[prepare]] filter once. [[summary]] evaluates the
-    * chain twice — once for the stage counts, once through the packer —
-    * deliberately uncached: at corpus scale two streaming passes beat
+    * aggregate, and [[prepare]] filter once. The chain is evaluated
+    * deliberately uncached: at corpus scale streaming passes beat
     * persisting a corpus-sized normalized intermediate, and each pass is
-    * a map-side projection plus one small-key shuffle. */
+    * a map-side projection plus small-key shuffles. */
   private def flagged(docs: DataFrame, idCol: String, textCol: String,
                       keep: Column => Column): DataFrame = {
     val norm = docs.select(
@@ -57,22 +82,56 @@ object CorpusPipeline {
       .withColumn("passes_filters", keep(col("norm_text")))
   }
 
-  /** Run the full chain and return the packed training chunks:
-    * (doc_id, chunk_id, n_tokens, shard, seq_id). Chunks are keyed by
-    * `doc_id * 1e6 + chunk_id` inside the packer (collision-free while a
-    * single document stays under a million chunks — 32M tokens at the
-    * default window; callers with longer docs split upstream). REQUIRES
-    * nonnegative doc ids below 2^63/1e6 ≈ 9.2e12: the key multiply
-    * overflows past that bound, and a negative id would make the integer
-    * div/pmod decode below disagree on which chunk a key names. */
-  def prepare(docs: DataFrame, idCol: String, textCol: String,
-              maxTokens: Int = 512, overlap: Int = 64,
-              budget: Long = 4096L, shards: Int = 64,
-              keep: Column => Column = defaultKeep): DataFrame = {
+  /** The staged lazy frames shared by [[prepare]] and [[summary]]:
+    * (filter survivors, near-dup survivors, scrub output over them,
+    * post-scrub docs that still have tokens). */
+  private def stages(docs: DataFrame, idCol: String, textCol: String,
+                     keep: Column => Column,
+                     nearDup: Option[NearDup], scrub: Option[SpanScrub])
+      : (DataFrame, DataFrame, Option[DataFrame], DataFrame) = {
     val survivors = flagged(docs, idCol, textCol, keep)
       .filter(col("is_canonical") && col("passes_filters"))
       .select(col("id"), col("norm_text"))
-    val chunks = TextOps.chunkDocs(survivors, "id", "norm_text", maxTokens, overlap)
+    val afterNearDup = nearDup match {
+      case None => survivors
+      case Some(cfg) =>
+        val blocked = survivors.withColumn("__block", cfg.block(col("norm_text")))
+        val losers = Dedup.ngramJaccardPairs(blocked, "id", "norm_text", "__block", cfg.n)
+          .filter(col("jaccard") >= cfg.threshold)
+          .select(col("id_b").as("id")).distinct()
+        survivors.join(losers, Seq("id"), "left_anti")
+    }
+    val scrubbed = scrub.map { cfg =>
+      Dedup.spanScrub(afterNearDup, "id", "norm_text", cfg.window, cfg.minDf)
+    }
+    val chunkInput = scrubbed match {
+      case None => afterNearDup
+      case Some(sc) => sc
+        .filter(col("n_tokens") - col("n_removed") > 0)
+        .select(col("id"), col("scrubbed_text").as("norm_text"))
+    }
+    (survivors, afterNearDup, scrubbed, chunkInput)
+  }
+
+  /** Run the full chain and return the packed training chunks:
+    * (doc_id, chunk_id, n_tokens, shard, seq_id). The near-dup and scrub
+    * stages are opt-in (None = stage off, prior behavior). Chunks are
+    * keyed by `doc_id * 1e6 + chunk_id` inside the packer
+    * (collision-free while a single document stays under a million
+    * chunks — 32M tokens at the default window; callers with longer docs
+    * split upstream). REQUIRES nonnegative doc ids below 2^63/1e6 ≈
+    * 9.2e12: the key multiply overflows past that bound, and a negative
+    * id would make the integer div/pmod decode below disagree on which
+    * chunk a key names. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              maxTokens: Int = 512, overlap: Int = 64,
+              budget: Long = 4096L, shards: Int = 64,
+              keep: Column => Column = defaultKeep,
+              nearDup: Option[NearDup] = None,
+              scrub: Option[SpanScrub] = None): DataFrame = {
+    val (_, _, _, chunkInput) =
+      stages(docs, idCol, textCol, keep, nearDup, scrub)
+    val chunks = TextOps.chunkDocs(chunkInput, "id", "norm_text", maxTokens, overlap)
       .withColumn("chunk_key", col("id") * lit(1000000L) + col("chunk_id"))
     Packing.packSequences(chunks, "chunk_key", "n_tokens", budget, shards)
       .select(
@@ -88,18 +147,42 @@ object CorpusPipeline {
     * token that leaves chunking must land in exactly one packed sequence
     * (`packed_tokens` = chunk-stage token sum, which a second engine can
     * replay analytically), every multi-chunk bin must respect the budget,
-    * and each stage's survivor count is pinned. Two jobs: one aggregate
-    * over the flagged frame, one over the packed output. */
+    * each stage's survivor count is pinned, and the scrub stage's token
+    * ledger balances exactly (tokens_before_scrub − tokens_removed_scrub
+    * tokens enter chunking). Each aggregate is a single-row frame; the
+    * final assembly is broadcast cross-joins of scalars. */
   def summary(docs: DataFrame, idCol: String, textCol: String,
               maxTokens: Int = 512, overlap: Int = 64,
               budget: Long = 4096L, shards: Int = 64,
-              keep: Column => Column = defaultKeep): DataFrame = {
-    val stages = flagged(docs, idCol, textCol, keep).agg(
+              keep: Column => Column = defaultKeep,
+              nearDup: Option[NearDup] = None,
+              scrub: Option[SpanScrub] = None): DataFrame = {
+    val stageCounts = flagged(docs, idCol, textCol, keep).agg(
       count(lit(1)).as("docs_in"),
       sum(when(col("is_canonical"), 1L).otherwise(0L)).as("docs_unique"),
       sum(when(col("is_canonical") && col("passes_filters"), 1L).otherwise(0L))
         .as("docs_kept"))
-    val packed = prepare(docs, idCol, textCol, maxTokens, overlap, budget, shards, keep)
+    val (_, afterNearDup, scrubbed, chunkInput) =
+      stages(docs, idCol, textCol, keep, nearDup, scrub)
+    val ndCount = afterNearDup.agg(count(lit(1)).as("docs_after_neardup"))
+    // scrub ledger: token counts before/removed come from spanScrub's own
+    // per-doc accounting; with the stage off the ledger reads
+    // (pre-chunk token sum, 0, docs_after_neardup) so the schema is stable
+    val scrubLedger = scrubbed match {
+      case Some(sc) => sc.agg(
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens_before_scrub"),
+        coalesce(sum("n_removed"), lit(0L)).as("tokens_removed_scrub"),
+        coalesce(sum(when(col("n_tokens") - col("n_removed") > 0, 1L)
+          .otherwise(0L)), lit(0L)).as("docs_after_scrub"))
+      case None => afterNearDup.agg(
+        coalesce(sum(size(split(trim(col("norm_text")), "\\s+"))
+          .cast("long")), lit(0L)).as("tokens_before_scrub"),
+        lit(0L).as("tokens_removed_scrub"),
+        count(lit(1)).as("docs_after_scrub"))
+    }
+    val chunks = TextOps.chunkDocs(chunkInput, "id", "norm_text", maxTokens, overlap)
+      .withColumn("chunk_key", col("id") * lit(1000000L) + col("chunk_id"))
+    val packed = Packing.packSequences(chunks, "chunk_key", "n_tokens", budget, shards)
     val bins = packed.groupBy("shard", "seq_id")
       .agg(sum("n_tokens").as("seq_tokens"), count(lit(1)).as("n_chunks"))
     // coalesce: a keep-predicate that rejects every document leaves the
@@ -111,9 +194,12 @@ object CorpusPipeline {
       coalesce(sum("seq_tokens"), lit(0L)).as("packed_tokens"),
       coalesce(min(when(col("seq_tokens") <= budget || col("n_chunks") === 1, 1)
         .otherwise(0)), lit(1)).as("__budget_ok"))
-    // two single-row frames → broadcast-joined scalar row, no real shuffle
-    stages.crossJoin(totals)
+    // four single-row frames → broadcast-joined scalar row, no real shuffle
+    stageCounts.crossJoin(ndCount).crossJoin(scrubLedger).crossJoin(totals)
       .select(col("docs_in"), col("docs_unique"), col("docs_kept"),
+        col("docs_after_neardup"),
+        col("tokens_before_scrub"), col("tokens_removed_scrub"),
+        col("docs_after_scrub"),
         col("n_chunks"), col("packed_tokens"),
         (col("__budget_ok") === 1).as("budget_ok"))
   }

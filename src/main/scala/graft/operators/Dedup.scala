@@ -308,6 +308,138 @@ object Dedup {
           .otherwise(lit(0.0)), 4).as("covered_fraction"))
   }
 
+  /** The SCRUB companion to [[spanDedup]]: CUT the repeated spans out and
+    * return the rebuilt text — what a curation pass actually applies after
+    * thresholding on spanDedup's stats. Same detection semantics (every
+    * stride-1 w-token window hash-counted corpus-wide, >= minDf occurrences
+    * marks its positions repeated, short docs get one truncated window),
+    * then per doc the covered positions are removed and the survivors
+    * rejoined with single spaces. Operates on the text VERBATIM (no case
+    * folding — callers scrub normalized text; [[spanDedup]]'s reporting
+    * form folds case itself).
+    *
+    * Returns (idCol, scrubbed_text, n_tokens, n_removed) — one row per
+    * input doc (n_removed = 0 when nothing repeats), so the caller can
+    * both filter emptied docs and account tokens across the stage edge:
+    * n_tokens - n_removed tokens enter the next stage, exactly.
+    *
+    * Scale shape: identical to spanDedup — one persisted tokenize pass,
+    * frequency aggregate map-side pre-collapsed and FILTERED to repeated
+    * hashes before a left-semi attach, rebuild from the doc's own token
+    * array via an interval-union fold (repeated starts merge into disjoint
+    * spans first, so the per-token coverage probe is over the few merged
+    * spans, not every repeated window). */
+  def spanScrub(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, minDf: Int = 2): DataFrame = {
+    require(window > 0 && minDf >= 2, "window > 0, minDf >= 2")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val wins = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col("__id"), size(col("__toks")).as("__n"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - (window - 1), lit(1))),
+          st => xxhash64(array_join(slice(col("__toks"), st, lit(window)), " ")))))
+      .select(col("__id"), col("pos").as("__start"), col("col").as("__h"))
+      .transform(persistTracked)
+    val repHashes = wins.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__h")
+    val perDocRep = wins.join(repHashes, Seq("__h"), "left_semi")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__start"))).as("__rep_starts"))
+    val src = df.select(col(idCol).as("__id"), toks.as("__toks"))
+      .join(perDocRep, Seq("__id"), "left")
+      .withColumn("__rep_starts",
+        coalesce(col("__rep_starts"), array().cast("array<int>")))
+    // merge overlapping/adjacent covered intervals [s, min(s+w-1, n-1)]
+    // (0-based starts, ascending) into disjoint spans — same interval
+    // union as spanDedup's fold, but KEEPING the spans for the rebuild
+    val emptySpans = array().cast("array<struct<st:int,en:int>>")
+    val spansCol = aggregate(
+      col("__rep_starts"), emptySpans,
+      (acc, s) => {
+        val en = least(s + lit(window - 1), size(col("__toks")) - 1).cast("int")
+        val last = element_at(acc, -1)
+        when(size(acc) === 0 || s > last.getField("en") + 1,
+          concat(acc, array(struct(s.cast("int").as("st"), en.as("en")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("st").as("st"),
+              greatest(last.getField("en"), en).as("en")))))
+      })
+    src
+      .withColumn("__spans", spansCol)
+      .select(
+        col("__id").as(idCol),
+        array_join(
+          transform(
+            filter(
+              zip_with(col("__toks"),
+                sequence(lit(0), size(col("__toks")) - 1),
+                (t, i) => struct(t.as("t"), i.as("i"))),
+              p => !exists(col("__spans"),
+                sp => p.getField("i") >= sp.getField("st") &&
+                  p.getField("i") <= sp.getField("en"))),
+            p => p.getField("t")),
+          " ").as("scrubbed_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__spans"), lit(0),
+          (acc, sp) => acc + sp.getField("en") - sp.getField("st") + 1)
+          .cast("long").as("n_removed"))
+  }
+
+  /** Incremental NEAR-dup novelty: which docs of a fresh crawl batch are
+    * genuinely novel against an existing corpus, where "seen before" means
+    * near-duplicate (band-bucket collision + exact-Jaccard verify), not
+    * just byte-identical — the incremental form of [[minhashNearDups]]
+    * and the near-dup upgrade of [[novelDocs]] (which only catches exact
+    * content-hash matches, so a crawler re-serving a page with a tweaked
+    * footer slips through it).
+    *
+    * Fresh docs are judged against the CORPUS only, not against each
+    * other (batch-internal dedup is a separate pass — [[minhashNearDups]]
+    * on the batch); a fresh doc with zero shingles is vacuously novel.
+    *
+    * Scale shape: the corpus side is a SIGNATURE INDEX — the banded
+    * (band, band_hash, id) projection an incremental pipeline computes
+    * once, persists, and reuses across probe batches (persisted here via
+    * the same tracked-cache discipline as the other dedup intermediates).
+    * The probe is a hash join on (band, band_hash) whose fresh side
+    * carries `bands` skinny rows per doc — never the corpus, never a
+    * pair explosion (the hot-bucket guard caps index buckets exactly like
+    * the self-join form). Only band-colliding candidates are re-joined to
+    * shingles for the exact verify, and the final novelty decision is one
+    * left-anti join against the matched ids. */
+  def novelNearDups(fresh: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
+                    threshold: Double = 0.7,
+                    maxBucket: Int = 100000): DataFrame = {
+    def baseOf(df: DataFrame) = df.select(col(idCol).as("id"),
+      graft.functions.TextHash.shingleHashesCol(col(textCol), shingleWidth).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val corpusBase = baseOf(corpus).transform(persistTracked)
+    val corpusIndex = {
+      val banded = bandedFrame(corpusBase, bands, rows)
+      val guarded =
+        if (maxBucket == Int.MaxValue) banded
+        else banded
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+          .filter(col("__n") <= maxBucket).drop("__n")
+      guarded.select(col("band"), col("band_hash"), col("id").as("cid"))
+    }
+    val freshBase = baseOf(fresh).transform(persistTracked)
+    val cand = bandedFrame(freshBase, bands, rows)
+      .join(corpusIndex, Seq("band", "band_hash"))
+      .select(col("id"), col("cid"))
+      .dropDuplicates("id", "cid")
+    val matched = cand
+      .join(freshBase.select(col("id"), col("shh").as("shh_f")), Seq("id"))
+      .join(corpusBase.select(col("id").as("cid"), col("shh").as("shh_c")), Seq("cid"))
+      .filter(size(array_intersect(col("shh_f"), col("shh_c"))).cast("double")
+        / size(array_union(col("shh_f"), col("shh_c"))) >= threshold)
+      .select("id").distinct()
+    fresh.join(matched.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
     * Native Catalyst expression (graft.functions.TextHash) — one tight JVM
     * loop per row inside whole-stage codegen, no per-token allocation. */

@@ -59,6 +59,61 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(packed.sortBy(p => (p._1, p._2)) === again.sortBy(p => (p._1, p._2)))
   }
 
+  test("near-dup drop: jittered copy dropped keep-first; scrub cuts shared boilerplate") {
+    // NON-cyclic bodies (a repeating "x y z w * 10" body would self-match
+    // its own stride-1 windows and scrub itself away entirely)
+    def pseudoWords(prefix: String) = (0 until 40)
+      .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}ph")
+      .mkString(" ")
+    val (body1, body2) = (pseudoWords("a"), pseudoWords("b"))
+    // 8 tokens, '.' attached so the terminal-punct default rule passes
+    val boiler = "shared license boilerplate sentence repeated across documents verbatim."
+    val corpus2 = Seq(
+      (1L, body1 + " " + boiler),
+      (2L, body2 + " " + boiler),
+      // near-dup of doc 1: same prefix block, four appended tokens
+      (3L, body1 + " " + boiler + " tiny appended jitter tail.")
+    ).toDF("doc_id", "text")
+    val nd = CorpusPipeline.NearDup(
+      t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
+      n = 3, threshold = 0.6)
+    val sc = CorpusPipeline.SpanScrub(window = 8, minDf = 2)
+    val row = CorpusPipeline.summary(corpus2, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2,
+      nearDup = Some(nd), scrub = Some(sc)).collect().head
+    assert(row.getAs[Long]("docs_kept") === 3L)
+    assert(row.getAs[Long]("docs_after_neardup") === 2L,
+      "doc 3 must be dropped as the higher id of a >=0.6 Jaccard pair")
+    // the 8-token boilerplate tail repeats across the two survivors →
+    // scrub removes exactly those 8 tokens from each (boundary windows
+    // straddling body+tail are unique per doc and must not be cut)
+    assert(row.getAs[Long]("tokens_removed_scrub") === 16L)
+    assert(row.getAs[Long]("docs_after_scrub") === 2L)
+    // conservation across the new edges: chunk input = before - removed
+    val expectedChunkInput =
+      row.getAs[Long]("tokens_before_scrub") - row.getAs[Long]("tokens_removed_scrub")
+    // replay chunking analytically over what the pipeline should emit
+    val survivors = Seq((1L, body1), (2L, body2)).toDF("id", "norm_text")
+    val chunkTokens = TextOps.chunkDocs(survivors, "id", "norm_text",
+        maxTokens = 32, overlap = 8)
+      .agg(sum("n_tokens")).as[Long].collect().head
+    assert(row.getAs[Long]("packed_tokens") === chunkTokens)
+    val survivorTokens = survivors
+      .select(size(split(col("norm_text"), " ")).cast("long")).as[Long]
+      .collect().sum
+    assert(expectedChunkInput === survivorTokens)
+  }
+
+  test("stages default to off: prepare/summary unchanged without configs") {
+    val withDefaults = CorpusPipeline.summary(corpus, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2).collect().head
+    assert(withDefaults.getAs[Long]("docs_after_neardup")
+      === withDefaults.getAs[Long]("docs_kept"))
+    assert(withDefaults.getAs[Long]("tokens_removed_scrub") === 0L)
+    assert(withDefaults.getAs[Long]("docs_after_scrub")
+      === withDefaults.getAs[Long]("docs_kept"))
+  }
+
   test("custom keep-predicate reaches the filter stage") {
     val none = CorpusPipeline.summary(corpus, "doc_id", "text",
       maxTokens = 32, overlap = 8, budget = 128L, shards = 2,

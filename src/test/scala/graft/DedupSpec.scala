@@ -152,6 +152,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(extra.isEmpty, s"still cached after unpersistIntermediates: $extra")
   }
 
+  test("novelNearDups: jittered cross-batch dup caught, novel passes, batch not self-compared") {
+    val corpus = Seq(
+      (1L, (1 to 30).map(i => s"corp_$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"other_$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // near-dup of corpus doc 1 (two appended tokens — different hash)
+      (10L, (1 to 30).map(i => s"corp_$i").mkString(" ") + " tweaked footer"),
+      // exact copy of corpus doc 2
+      (11L, (1 to 30).map(i => s"other_$i").mkString(" ")),
+      // genuinely novel
+      (12L, (1 to 30).map(i => s"fresh_$i").mkString(" ")),
+      // near-dup of ANOTHER FRESH doc but nothing in the corpus: stays
+      // novel — the batch is judged against the corpus only
+      (13L, (1 to 30).map(i => s"fresh_$i").mkString(" ") + " batch twin"),
+      // zero shingles → vacuously novel
+      (14L, "")
+    ).toDF("doc_id", "text")
+    val novel = Dedup.novelNearDups(fresh, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(novel === Array(12L, 13L, 14L))
+  }
+
   test("simhash: identical text → identical bits; small edit → small hamming") {
     val t1 = (1 to 60).map(i => s"word$i").mkString(" ")
     val t2 = t1.replace("word30", "EDITED")
@@ -396,6 +419,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert((rep3, spans3) === ((1L, 1L)))
     assert(cov3 === 2L, "coverage caps at the doc's token count")
     assert(frac3 === 1.0)
+  }
+
+  test("spanScrub: repeated spans cut, unique text kept verbatim, ledger balances") {
+    // the 4-token boilerplate "aa bb cc dd" opens both docs; each doc's
+    // tail is unique. window=4, minDf=2 → exactly the boilerplate
+    // positions are covered and removed.
+    val docs = Seq(
+      (1L, "aa bb cc dd own tail one alpha"),
+      (2L, "aa bb cc dd other tail two beta"),
+      (3L, "totally unrelated text here nothing repeats at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, "doc_id", "text", window = 4, minDf = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "own tail one alpha", 8L, 4L)))
+    assert(out(2L) === ((2L, "other tail two beta", 8L, 4L)))
+    assert(out(3L) === ((3L, "totally unrelated text here nothing repeats at all", 8L, 0L)),
+      "a doc with no repeated window passes through untouched")
+    // ledger: n_tokens - n_removed tokens survive, exactly
+    out.values.foreach { case (_, scrubbed, n, rem) =>
+      val kept = scrubbed.split("\\s+").count(_.nonEmpty)
+      assert(kept.toLong === n - rem)
+    }
+  }
+
+  test("spanScrub: fully-repeated doc scrubs to empty; overlapping spans merge") {
+    val docs = Seq(
+      (1L, "x y z w x y z w"),         // within-doc repeat: windows 0 and 4 identical
+      (2L, "x y z w q x y z w")        // overlapping occurrences across docs
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, "doc_id", "text", window = 4, minDf = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: "x y z w" at starts 0 and 4 (and cross-doc) → all 8 covered
+    assert(out(1L)._2 === "")
+    assert(out(1L)._4 === 8L)
+    // doc 2: starts 0 and 5 covered → q at position 4 survives
+    assert(out(2L)._2 === "q")
+    assert(out(2L)._4 === 8L)
   }
 
   test("paraDedup: normalization folds case/whitespace; short tail windows count") {
