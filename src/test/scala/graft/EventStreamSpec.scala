@@ -159,6 +159,70 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedupStream on RocksDB: exact state row count pinned per micro-batch") {
+    // The bounded-state claim as a REGRESSION BAR, not just a plateau
+    // assertion: four deterministic micro-batches on the production
+    // RocksDB tier, each batch's stateOperators.numRowsTotal pinned
+    // exactly. Any change to watermark arithmetic, dedup key handling, or
+    // eviction timing moves a number in this vector.
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    GraftSession.tuneStreaming(spark)
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("rocks_state_pin").start()
+    try {
+      val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+      def drain(): Unit = {
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators.head
+        assert(so.customMetrics.keySet.toString.contains("rocksdb"),
+          "this pin is for the RocksDB tier specifically")
+        stateRows += so.numRowsTotal
+      }
+      // batch 1: ids 1-10 at 10:00, ids 1 and 2 duplicated in-batch →
+      // 10 distinct keys in state
+      input.addData(((1 to 10) ++ Seq(1, 2)).map(i =>
+        ev(i.toLong, "2024-01-01 10:00:00")): _*)
+      drain()
+      // batch 2: ids 5-14 at 10:30 — 5-10 are cross-batch dups (dropped
+      // from output, keys already present), 11-14 are new → 14 keys
+      input.addData((5 to 14).map(i => ev(i.toLong, "2024-01-01 10:30:00")): _*)
+      drain()
+      // batch 3: event time jumps to 16:00 (watermark delay 2h). The
+      // post-batch metrics report AFTER eviction under the watermark the
+      // batch itself advanced (16:00 − 2h = 14:00), and every pre-jump
+      // key's expiry (event time + 2h ≤ 12:30) is behind it → only this
+      // batch's 5 keys remain in state
+      input.addData((100 to 104).map(i => ev(i.toLong, "2024-01-01 16:00:00")): _*)
+      drain()
+      // batch 4: one more 16:00-ish event joins the surviving keys
+      // (their expiry 18:00 is ahead of the 14:00 watermark) → 6
+      input.addData(ev(1000L, "2024-01-01 16:00:01"))
+      drain()
+      assert(stateRows.toSeq === Seq(10L, 14L, 5L, 6L),
+        s"state row vector drifted: $stateRows")
+      // output saw each distinct id exactly once
+      val out = spark.table("rocks_state_pin").select("event_id").as[Long].collect()
+      assert(out.length === out.distinct.length)
+      assert(out.length === 20, s"10 + 4 + 5 + 1 novel ids, got ${out.length}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    }
+  }
+
   test("sessionize: keyed state accumulates per-user session summaries") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
