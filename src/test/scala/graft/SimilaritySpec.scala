@@ -98,6 +98,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"cluster blocking recalled only ${planted.intersect(got).size}/5 planted pairs")
   }
 
+  test("semanticDedupPairs: pair space is LINEAR in n at fixed mean cluster size (nlist ∝ n)") {
+    // The 100×-scale contract behind the BASELINE third-decade row,
+    // pinned exactly: k well-separated clusters of m members each →
+    // emitted pairs = k·C(m,2). Scale the corpus 10× WITH nlist (k→10k,
+    // mean cluster size m constant): pairs grow exactly 10× — linear in
+    // n — where fixed nlist would grow them ~100×. Pre-fitted one-hot
+    // centroids (the production plug-in path) keep clustering exact.
+    def corpus(k: Int, m: Int): (Seq[(Long, Seq[Float])], Seq[Seq[Double]]) = {
+      val centroids = (0 until k).map(i =>
+        Seq.tabulate(k)(j => if (j == i) 1.0 else 0.0))
+      val vecs = for (i <- 0 until k; j <- 0 until m) yield {
+        val v = Array.fill(k)(0.0f)
+        v(i) = 1.0f
+        v((i + 1) % k) = 0.01f * (j + 1) // tiny per-member jitter axis
+        ((i.toLong * m + j), v.toSeq)
+      }
+      (vecs, centroids)
+    }
+    def pairCount(k: Int, m: Int): Long = {
+      val (vecs, cents) = corpus(k, m)
+      Similarity.semanticDedupPairs(vecs.toDF("id", "emb"), "id", "emb",
+          nlist = k, threshold = 0.95, centroids = Some(cents))
+        .count()
+    }
+    val m = 6
+    val small = pairCount(8, m)   // n = 48,  nlist = 8
+    val big = pairCount(80, m)    // n = 480, nlist = 80 (10× corpus, 10× nlist)
+    assert(small === 8L * m * (m - 1) / 2, s"expected k*C(m,2), got $small")
+    assert(big === 80L * m * (m - 1) / 2, s"expected k*C(m,2), got $big")
+    assert(big === 10L * small,
+      "10× corpus at 10× nlist must emit exactly 10× the pairs — linear, not n²")
+  }
+
   test("semanticDedupPairs: maxCluster guard drops a degenerate identical-vector flood") {
     // 30 identical vectors in one cluster → 435 quadratic pairs; with the
     // cap they vanish from candidate generation while a distinct planted
