@@ -89,9 +89,19 @@ object CorpusPipeline {
                      keep: Column => Column,
                      nearDup: Option[NearDup], scrub: Option[SpanScrub])
       : (DataFrame, DataFrame, Option[DataFrame], DataFrame) = {
-    val survivors = flagged(docs, idCol, textCol, keep)
+    // With either new stage on, the normalize+dedup-window chain feeds
+    // many consumers (pair generation, the anti-join probe, the scrub
+    // tokenize pass, three audit aggregates) — persist the skinny
+    // (id, norm_text) projection once instead of re-normalizing the
+    // corpus per consumer (tracked cache; callers drain via
+    // Dedup.unpersistIntermediates). With both stages off the chain has
+    // two consumers and the original two-streaming-passes trade stands.
+    val survivorsRaw = flagged(docs, idCol, textCol, keep)
       .filter(col("is_canonical") && col("passes_filters"))
       .select(col("id"), col("norm_text"))
+    val survivors =
+      if (nearDup.isEmpty && scrub.isEmpty) survivorsRaw
+      else Dedup.persistTracked(survivorsRaw)
     val afterNearDup = nearDup match {
       case None => survivors
       case Some(cfg) =>

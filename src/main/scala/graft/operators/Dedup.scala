@@ -25,7 +25,7 @@ object Dedup {
   private val persistedIntermediates =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  private[operators] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedIntermediates.add(p)
     p
