@@ -652,8 +652,8 @@ object SparkEntry {
         .select(col("id_a"), col("doc_id").as("id_b"))
       val blocked = docs.select(col("doc_id"), col("text"),
         concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 2)).as("__blk"))
-      val ngramEdges = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "__blk")
-        .filter(col("jaccard") >= 0.6)
+      val ngramEdges = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+          "__blk", threshold = 0.6)
         .select(col("id_a"), col("id_b"))
       val chain = (0 until 11).map(i => (10000L + i, 10001L + i))
       val star = (1 to 6).map(i => (20000L, 20000L + i))
@@ -834,6 +834,37 @@ object SparkEntry {
         nearDup = Some(CorpusPipeline.NearDup(
           t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
           n = 3, threshold = 0.6)),
+        scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))
+    }),
+    "corpus_pipeline_banded" -> ((s, d) => {
+      // The SCALE form of the same chain: near-dup candidates from MinHash
+      // LSH banding (NearDup.banded — bucket cardinality grows with the
+      // corpus, hot buckets guarded) instead of the replayable-but-
+      // |block|² prefix-block join. Same planted workload as
+      // corpus_pipeline; the whole summary row is deterministic (fixed
+      // xxhash64 seeds end to end), so it gates against GOLDEN values —
+      // the exact-form twin above is what a second engine replays
+      // analytically, and the planted jittered copies sit at Jaccard
+      // ~0.95 where the 8x4 banding S-curve is ~1, so both forms must
+      // reach the same stage counts on this corpus.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id").between(20, 39),
+          concat(col("text"), lit(" common license boilerplate notice" +
+            " follows terms apply everywhere always more")))
+          .otherwise(col("text")).as("text"))
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val jitter = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" nearline jitter marker pad")).as("text"))
+      val rules = (t: Column) => TextOps.corpusFilterRules(t)
+        .collect { case (name, rule) if name != "no_terminal_punct" => rule }
+        .reduce(_ && _)
+      CorpusPipeline.summary(
+        docs.unionByName(planted).unionByName(jitter), "doc_id", "text",
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 8, keep = rules,
+        nearDup = Some(CorpusPipeline.NearDup(
+          _ => lit("unused"), n = 3, threshold = 0.6, banded = true)),
         scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))
     }),
     "pii_scrub" -> ((s, d) => {
@@ -2104,6 +2135,21 @@ object SparkEntry {
            CAST(sum(n) AS BIGINT) AS packed_tokens,
            TRUE AS budget_ok
          FROM ch""",
+    "corpus_pipeline_banded" ->
+      // GOLDEN row: the banded (MinHash LSH) near-dup strategy has no
+      // DuckDB mirror (hash-derived band buckets), but every stage is
+      // deterministic (fixed xxhash64 seeds), so the whole summary row
+      // pins to literals — derived once via RunOne at sf0.01 and equal,
+      // column for column, to the exact-form corpus_pipeline row above:
+      // on this corpus the planted jittered copies are the only >=0.6
+      // pairs and they sit at Jaccard ~0.95, where 8x4 banding recall
+      // is ~1, so BOTH strategies must drop exactly the same 31 docs.
+      """SELECT 520::BIGINT AS docs_in, 510::BIGINT AS docs_unique,
+           473::BIGINT AS docs_kept, 442::BIGINT AS docs_after_neardup,
+           25625::BIGINT AS tokens_before_scrub,
+           208::BIGINT AS tokens_removed_scrub,
+           442::BIGINT AS docs_after_scrub, 1123::BIGINT AS n_chunks,
+           30865::BIGINT AS packed_tokens, TRUE AS budget_ok""",
     "contamination_check" ->
       // full replay over shingle STRINGS (the hash is injective up to
       // negligible collisions, so intersection counts agree) — same

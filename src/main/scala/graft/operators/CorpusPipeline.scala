@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   *     never documents);
   *   - filter: row-local predicates fused into the same stage as the
   *     dedup window's output — no extra exchange;
-  *   - near-dup: blocked pair join (block key chosen by the caller — a
-  *     SimHash band at scale; |block|² pair space, never |corpus|²) plus
-  *     one left-anti join on the loser ids;
+  *   - near-dup: candidate pairs + exact-Jaccard verify + one left-anti
+  *     join on the loser ids. Candidates come from the caller's block key
+  *     (|block|² pair space — replayable, right when a second engine must
+  *     replay the stage) or, with `banded = true`, from MinHash LSH
+  *     banding whose bucket cardinality grows with the corpus and whose
+  *     hot buckets are guarded — the 100 TB form;
   *   - scrub: spanScrub's one persisted tokenize pass + skinny-key
   *     frequency aggregate + left-semi attach;
   *   - chunk: projection + explode, no shuffle;
@@ -50,11 +53,22 @@ object CorpusPipeline {
 
   /** Near-dup stage configuration: `block` derives the blocking key from
     * the NORMALIZED text (pairs are only compared within a block — pass a
-    * SimHash band derivation at scale, a replayable prefix key when a
-    * second engine must replay the stage); `n` is the word-shingle width
-    * and `threshold` the exact-Jaccard cut. Within a verified pair the
-    * HIGHER id is dropped (keep-first — deterministic, order-free). */
-  case class NearDup(block: Column => Column, n: Int = 3, threshold: Double = 0.6)
+    * SimHash band derivation at moderate scale, a replayable prefix key
+    * when a second engine must replay the stage); `n` is the word-shingle
+    * width and `threshold` the exact-Jaccard cut. Within a verified pair
+    * the HIGHER id is dropped (keep-first — deterministic, order-free).
+    *
+    * `banded = true` switches candidate generation to MinHash LSH banding
+    * ([[Dedup.minhashNearDups]] — `block` is then unused): band-bucket
+    * cardinality grows WITH the corpus and hot buckets are guarded, so the
+    * pair space stays bounded at any size — the 100 TB strategy. The trade
+    * is LSH recall at the threshold boundary (the S-curve: ~1 for the
+    * near-identical pairs dedup exists for, <1 for pairs sitting exactly
+    * at t) against the block join's exact-but-|block|² pair space — at
+    * sf1 the exact prefix-block gate shape already costs 60+ s of pure
+    * pair join, and it is quadratic in the decade after that. */
+  case class NearDup(block: Column => Column, n: Int = 3, threshold: Double = 0.6,
+                     banded: Boolean = false)
 
   /** Span-scrub stage configuration: [[Dedup.spanScrub]]'s window width
     * and corpus-wide occurrence floor; documents scrubbed to zero tokens
@@ -105,10 +119,23 @@ object CorpusPipeline {
     val afterNearDup = nearDup match {
       case None => survivors
       case Some(cfg) =>
-        val blocked = survivors.withColumn("__block", cfg.block(col("norm_text")))
-        val losers = Dedup.ngramJaccardPairs(blocked, "id", "norm_text", "__block", cfg.n)
-          .filter(col("jaccard") >= cfg.threshold)
-          .select(col("id_b").as("id")).distinct()
+        val pairs =
+          if (cfg.banded)
+            Dedup.minhashNearDups(survivors, "id", "norm_text",
+              shingleWidth = cfg.n, threshold = cfg.threshold)
+          else {
+            val blocked =
+              survivors.withColumn("__block", cfg.block(col("norm_text")))
+            Dedup.ngramJaccardPairs(blocked, "id", "norm_text", "__block",
+              cfg.n, cfg.threshold)
+          }
+        // persisted: the anti-joined survivor frame feeds several
+        // consumers (the stage count, the scrub chain, chunking), and
+        // without this each one re-executes the whole pair generation —
+        // the single most expensive stage. The loser-id set is the
+        // skinniest thing that cuts that lineage (O(dropped docs) longs).
+        val losers = Dedup.persistTracked(
+          pairs.select(col("id_b").as("id")).distinct())
         survivors.join(losers, Seq("id"), "left_anti")
     }
     val scrubbed = scrub.map { cfg =>

@@ -104,6 +104,36 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(expectedChunkInput === survivorTokens)
   }
 
+  test("banded near-dup strategy: LSH candidates reach the same drop for " +
+       "near-identical pairs; block key unused") {
+    // same corpus as the exact-block test — the jittered copy sits at
+    // Jaccard ~0.93, where the 8x4 banding S-curve is ~1, so the banded
+    // strategy must reach the identical stage outcome the exact form pins
+    def pseudoWords(prefix: String) = (0 until 40)
+      .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}ph")
+      .mkString(" ")
+    val (body1, body2) = (pseudoWords("a"), pseudoWords("b"))
+    val boiler = "shared license boilerplate sentence repeated across documents verbatim."
+    val corpus2 = Seq(
+      (1L, body1 + " " + boiler),
+      (2L, body2 + " " + boiler),
+      (3L, body1 + " " + boiler + " tiny appended jitter tail.")
+    ).toDF("doc_id", "text")
+    val nd = CorpusPipeline.NearDup(
+      // a degenerate constant block key: banded generation must ignore it
+      _ => lit("unused"),
+      n = 3, threshold = 0.6, banded = true)
+    val row = CorpusPipeline.summary(corpus2, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2,
+      nearDup = Some(nd),
+      scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))
+      .collect().head
+    assert(row.getAs[Long]("docs_after_neardup") === 2L,
+      "banded LSH candidates must drop the jittered higher-id copy")
+    assert(row.getAs[Long]("tokens_removed_scrub") === 16L)
+    assert(row.getAs[Long]("docs_after_scrub") === 2L)
+  }
+
   test("stages default to off: prepare/summary unchanged without configs") {
     val withDefaults = CorpusPipeline.summary(corpus, "doc_id", "text",
       maxTokens = 32, overlap = 8, budget = 128L, shards = 2).collect().head

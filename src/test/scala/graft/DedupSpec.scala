@@ -232,6 +232,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array(("blk1", 1L, 2L, 1.0)))
   }
 
+  test("ngramJaccardPairs: prefix-filtered threshold form emits exactly the " +
+       "all-pairs form filtered at t") {
+    // one shared block so the all-pairs form is the full quadratic truth;
+    // a mix of exact dups, jittered near-dups (suffix + prefix jitter — the
+    // prefix jitter shifts every sorted-prefix token, the case a buggy
+    // prefix filter drops), borderline-similarity pairs around t, and
+    // unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail jitter"),
+      (4L, "front jitter alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon other words entirely now follow here"),
+      (6L, "completely unrelated document sharing no trigram with the others"),
+      (7L, "another fully distinct text with its own private vocabulary set")
+    ).toDF("id", "text").withColumn("blk", lit("b0"))
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8)) {
+      val allPairs = Dedup.ngramJaccardPairs(docs, "id", "text", "blk")
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val prefix = Dedup.ngramJaccardPairs(docs, "id", "text", "blk",
+          threshold = t, prefixFilter = true)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(prefix === allPairs, s"threshold $t (prefix-filtered)")
+      val fused = Dedup.ngramJaccardPairs(docs, "id", "text", "blk",
+          threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(fused === allPairs, s"threshold $t (fused block form)")
+    }
+    // sanity: the corpus actually exercises the filter (some pairs at 0.3,
+    // none vacuously)
+    val at03 = Dedup.ngramJaccardPairs(docs, "id", "text", "blk",
+      threshold = 0.3, prefixFilter = true)
+    assert(at03.count() >= 3)
+  }
+
   test("contamination: embedded benchmark passage flagged, short overlap is not") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val bench = Seq((900L, s"benchmark question about $passage and its answer"))
