@@ -959,6 +959,42 @@ object SparkEntry {
           .select(col("asset_id"), col("scale"),
             col("dst_width"), col("dst_height")), "asset_id")
     }),
+    "multimodal_audio" -> ((s, d) => {
+      // REAL audio decode under a FULL oracle: every payload is a rendered
+      // RIFF/WAVE PCM-16 asset whose CLAIMED parameters (rate by id%4,
+      // channels by id%2, frames from the UTF-8 byte length) are portable
+      // integer arithmetic, and javax.sound.sampled decodes the bytes
+      // back — the DECODED rate/channels/bits/frames and the duration
+      // must land on the very values DuckDB recomputes from (doc_id,
+      // text), so a drift anywhere in the WAV writer or the decoder
+      // flips the row red. The asset frame is persisted so the render
+      // runs once across the claim/decode branches of the join.
+      val au = Dedup.persistTracked(
+        Multimodal.asAudio(Tables.documents(s, d), "doc_id", "text"))
+      au.select(col("asset_id"), col("meta.mime").as("mime"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.bits").as("bits"), col("meta.n_frames").as("n_frames"))
+        .join(Multimodal.extractAudioFeatures(au).toDF()
+          .select(col("asset_id"), col("n_bytes"), col("decoded_rate"),
+            col("decoded_channels"), col("decoded_bits"),
+            col("decoded_frames"), col("duration_ms")), "asset_id")
+    }),
+    "multimodal_audio_golden" -> ((s, d) => {
+      // The PCM content itself (LCG stream) has no DuckDB mirror, so its
+      // per-channel statistics — RMS, peak, zero-crossing fraction, mean,
+      // computed off the DECODER's output — are pinned as golden rows for
+      // docs 0-9, like the image path's pixel-stat hash.
+      val au = Dedup.persistTracked(Multimodal.asAudio(
+        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text"))
+      au.select(col("asset_id"), col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"), col("meta.n_frames").as("n_frames"))
+        .join(Multimodal.extractAudioFeatures(au).toDF()
+          .select(col("asset_id"), col("n_bytes"), col("decoded_frames"),
+            col("duration_ms"),
+            xxhash64(col("features").cast("string")).as("feature_hash")),
+          "asset_id")
+    }),
 
     // ---- §C ML pipeline ------------------------------------------------
     "target_encode" -> ((s, d) =>
@@ -1231,6 +1267,49 @@ object SparkEntry {
         .start().awaitTermination()
       s.read.parquet(out).groupBy("lang", "is_corrupt")
         .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"))
+    }),
+    "stream_novelty" -> ((s, d) => {
+      // The incremental-crawl near-dup gate ACTUALLY STREAMING: the same
+      // planted probes as novelty_near_dup arrive as two parquet delivery
+      // waves, each drained by an AvailableNow run of the stream-static
+      // banded probe (maxFilesPerTrigger=1 forces real micro-batches; the
+      // checkpoint carries the cursor between runs). The corpus signature
+      // index is built and persisted ONCE before the drain — micro-batches
+      // pay only their own banding + the skinny probe join. Verdicts are
+      // per-doc functions of (doc, index), so the drained output must
+      // equal the batch form no matter the wave/batch split — the same
+      // golden planted-probe rows as novelty_near_dup.
+      import s.implicits._
+      val base = sinkPath(d, "stream_novelty")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      val index = Dedup.buildSignatureIndex(corpus, "doc_id", "text")
+      val jittered = corpus.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" crawl jitter suffix pad")).as("text"))
+      val novel = Seq(
+        (4000000L, "wholly novel planted crawl document zyx about nothing" +
+          " previously indexed qqj in this corpus at all"),
+        (4000001L, "another genuinely novel planted document kvw carrying" +
+          " entirely fresh content pqz never crawled before"))
+        .toDF("doc_id", "text")
+      // wave 1: half the jittered probes; wave 2: the rest + the novels —
+      // a cross-wave split of the SAME probe family, so a verdict that
+      // depended on wave composition would diverge from the golden rows
+      jittered.filter(col("doc_id") < 3000005L)
+        .repartition(2).write.mode("append").parquet(landing)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string")
+      EventStream.noveltyStream(s, landing, schema, index, "doc_id", "text",
+        out, ckpt, threshold = 0.7, maxFilesPerTrigger = 1).awaitTermination()
+      jittered.filter(col("doc_id") >= 3000005L).unionByName(novel)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.noveltyStream(s, landing, schema, index, "doc_id", "text",
+        out, ckpt, threshold = 0.7, maxFilesPerTrigger = 1).awaitTermination()
+      s.read.parquet(out).filter(col("doc_id") >= 3000000L)
+        .select("doc_id", "is_novel")
     })
   )
 
@@ -1342,6 +1421,60 @@ object SparkEntry {
            t(asset_id, mime, width, height, n_bytes, decoded_width,
              decoded_height, channels, feature_hash, scale, dst_width,
              dst_height)""",
+    "multimodal_audio" ->
+      // full replay: the WAV claim is portable integer arithmetic (rate
+      // by id%4, channels by id%2, frames from the UTF-8 byte length,
+      // container size 44 + 2*ch*frames) and the Spark side emits the
+      // DECODED values — so the decoder must land on exactly what this
+      // SQL recomputes from (doc_id, text)
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           'audio/wav' AS mime,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits,
+           CAST(200 + octet_length(encode(text)) % 800 AS INTEGER) AS n_frames,
+           CAST(44 + 2 * (1 + doc_id % 2)
+             * (200 + octet_length(encode(text)) % 800) AS INTEGER) AS n_bytes,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS decoded_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS decoded_channels,
+           CAST(16 AS INTEGER) AS decoded_bits,
+           CAST(200 + octet_length(encode(text)) % 800 AS INTEGER) AS decoded_frames,
+           CAST(floor((200 + octet_length(encode(text)) % 800) * 1000.0
+             / (CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END)) AS BIGINT) AS duration_ms
+         FROM documents""",
+    "multimodal_audio_golden" ->
+      // golden rows: the PCM content (LCG stream from the content hash)
+      // has no DuckDB mirror, so its per-channel decoded statistics —
+      // RMS, peak, zero-crossing fraction, mean — are pinned as a stat
+      // hash for docs 0-9, like the image path's pixel-stat hash
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT CAST(asset_id AS BIGINT) AS asset_id,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(decoded_frames AS INTEGER) AS decoded_frames,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(feature_hash AS BIGINT) AS feature_hash
+         FROM (VALUES
+           (0,  8000, 1, 357,  758, 357, 44,   815121319884340546),
+           (1, 16000, 2, 606, 2468, 606, 37, -3148908133331053719),
+           (2, 22050, 1, 446,  936, 446, 20, -5293170672678635246),
+           (3, 44100, 2, 347, 1432, 347,  7,  8559689264207827434),
+           (4,  8000, 1, 450,  944, 450, 56,  -400488883237690492),
+           (5, 16000, 2, 514, 2100, 514, 32, -5795136047979769872),
+           (6, 22050, 1, 278,  600, 278, 12,  3927127478119751467),
+           (7, 44100, 2, 602, 2452, 602, 13,  6416014312636385517),
+           (8,  8000, 1, 670, 1384, 670, 83,  3341146344092371091),
+           (9, 16000, 2, 591, 2408, 591, 36,  1440306457218818036))
+           t(asset_id, sample_rate, channels, n_frames, n_bytes,
+             decoded_frames, duration_ms, feature_hash)""",
     "fingerprint" ->
       // golden rows: the fingerprints are pure deterministic functions of
       // the (fixed, seed=42) corpus — pinned once, any drift in
@@ -1973,6 +2106,17 @@ object SparkEntry {
       // planted-probe verdicts: every jittered cross-batch duplicate
       // (ids 3000000-3000009) caught as non-novel, both genuinely novel
       // plants (4000000-4000001) passed
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, is_novel FROM (VALUES
+           (3000000, FALSE), (3000001, FALSE), (3000002, FALSE),
+           (3000003, FALSE), (3000004, FALSE), (3000005, FALSE),
+           (3000006, FALSE), (3000007, FALSE), (3000008, FALSE),
+           (3000009, FALSE), (4000000, TRUE), (4000001, TRUE))
+           t(doc_id, is_novel)""",
+    "stream_novelty" ->
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      // the STREAMING drain of the same probe family must land on the
+      // exact batch verdicts (batch-split independence): same golden rows
+      // as novelty_near_dup
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, is_novel FROM (VALUES
            (3000000, FALSE), (3000001, FALSE), (3000002, FALSE),
            (3000003, FALSE), (3000004, FALSE), (3000005, FALSE),

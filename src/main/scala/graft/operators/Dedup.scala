@@ -25,7 +25,7 @@ object Dedup {
   private val persistedIntermediates =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private[operators] def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedIntermediates.add(p)
     p
@@ -408,37 +408,71 @@ object Dedup {
     * the self-join form). Only band-colliding candidates are re-joined to
     * shingles for the exact verify, and the final novelty decision is one
     * left-anti join against the matched ids. */
-  def novelNearDups(fresh: DataFrame, corpus: DataFrame,
-                    idCol: String, textCol: String,
-                    shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
-                    threshold: Double = 0.7,
-                    maxBucket: Int = 100000): DataFrame = {
-    def baseOf(df: DataFrame) = df.select(col(idCol).as("id"),
+  /** A persisted corpus signature index: the banded (band, band_hash, cid)
+    * projection plus the per-doc shingle sets backing the exact verify —
+    * what an incremental pipeline computes ONCE and probes with every
+    * fresh batch ([[probeNovel]]), in batch or per streaming micro-batch
+    * (EventStream.noveltyStream). Both frames ride the tracked-cache
+    * discipline, released by [[unpersistIntermediates]]. */
+  case class SignatureIndex(corpusBase: DataFrame, corpusIndex: DataFrame,
+                            shingleWidth: Int, bands: Int, rows: Int)
+
+  private def shingleBase(df: DataFrame, idCol: String, textCol: String,
+                          shingleWidth: Int): DataFrame =
+    df.select(col(idCol).as("id"),
       graft.functions.TextHash.shingleHashesCol(col(textCol), shingleWidth).as("shh"))
       .filter(size(col("shh")) > 0)
-    val corpusBase = baseOf(corpus).transform(persistTracked)
-    val corpusIndex = {
-      val banded = bandedFrame(corpusBase, bands, rows)
-      val guarded =
-        if (maxBucket == Int.MaxValue) banded
-        else banded
-          .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-          .filter(col("__n") <= maxBucket).drop("__n")
+
+  def buildSignatureIndex(corpus: DataFrame, idCol: String, textCol: String,
+                          shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
+                          maxBucket: Int = 100000): SignatureIndex = {
+    val corpusBase = shingleBase(corpus, idCol, textCol, shingleWidth)
+      .transform(persistTracked)
+    val banded = bandedFrame(corpusBase, bands, rows)
+    val guarded =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    SignatureIndex(
+      corpusBase,
       guarded.select(col("band"), col("band_hash"), col("id").as("cid"))
-    }
-    val freshBase = baseOf(fresh).transform(persistTracked)
-    val cand = bandedFrame(freshBase, bands, rows)
-      .join(corpusIndex, Seq("band", "band_hash"))
+        .transform(persistTracked),
+      shingleWidth, bands, rows)
+  }
+
+  /** Judge one fresh batch against a prebuilt [[SignatureIndex]]: banded
+    * probe join, exact-Jaccard verify on colliding candidates only,
+    * left-anti to the novel survivors. Per-doc verdicts depend only on
+    * (doc, index) — never on how the fresh stream was split into batches
+    * — which is exactly what makes the streaming drain equal the batch
+    * run (batch-split independence, pinned in EventStreamSpec). */
+  def probeNovel(fresh: DataFrame, index: SignatureIndex,
+                 idCol: String, textCol: String,
+                 threshold: Double = 0.7): DataFrame = {
+    val freshBase = shingleBase(fresh, idCol, textCol, index.shingleWidth)
+      .transform(persistTracked)
+    val cand = bandedFrame(freshBase, index.bands, index.rows)
+      .join(index.corpusIndex, Seq("band", "band_hash"))
       .select(col("id"), col("cid"))
       .dropDuplicates("id", "cid")
     val matched = cand
       .join(freshBase.select(col("id"), col("shh").as("shh_f")), Seq("id"))
-      .join(corpusBase.select(col("id").as("cid"), col("shh").as("shh_c")), Seq("cid"))
+      .join(index.corpusBase.select(col("id").as("cid"), col("shh").as("shh_c")), Seq("cid"))
       .filter(size(array_intersect(col("shh_f"), col("shh_c"))).cast("double")
         / size(array_union(col("shh_f"), col("shh_c"))) >= threshold)
       .select("id").distinct()
     fresh.join(matched.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  def novelNearDups(fresh: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleWidth: Int = 3, bands: Int = 8, rows: Int = 4,
+                    threshold: Double = 0.7,
+                    maxBucket: Int = 100000): DataFrame =
+    probeNovel(fresh,
+      buildSignatureIndex(corpus, idCol, textCol, shingleWidth, bands, rows, maxBucket),
+      idCol, textCol, threshold)
 
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
     * Native Catalyst expression (graft.functions.TextHash) — one tight JVM

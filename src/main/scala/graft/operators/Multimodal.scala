@@ -194,4 +194,154 @@ object Multimodal {
         col("asset_id"),
         col("pos").as("frame_index"),
         (col("pos") * col("meta.n_bytes") / nFrames).cast("long").as("byte_offset"))
+
+  // ---- audio ---------------------------------------------------------
+
+  /** The four claimed sample rates; picked by `asset_id % 4` so the gate
+    * oracle can replay the claim with portable integer arithmetic. */
+  private[graft] val SampleRates = Array(8000, 16000, 22050, 44100)
+
+  case class AudioMeta(mime: String, sample_rate: Int, channels: Int,
+                       bits: Int, n_frames: Int, n_bytes: Int)
+  case class AudioAsset(asset_id: Long, payload: Array[Byte], meta: AudioMeta)
+
+  /** Encode interleaved PCM-16 frames as a real RIFF/WAVE payload: the
+    * canonical 44-byte PCM header followed by little-endian samples.
+    * Hand-rolled (not AudioSystem.write) so the byte layout is pinned —
+    * total length is exactly `44 + 2*channels*frames`, which the replay
+    * oracle recomputes from the claim. */
+  private def renderWav(seed: Long, sampleRate: Int, channels: Int,
+                        frames: Int): Array[Byte] = {
+    val dataSize = 2 * channels * frames
+    val out = new Array[Byte](44 + dataSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * 2)
+    le16(32, channels * 2 /* block align */); le16(34, 16 /* bits */)
+    tag(36, "data"); le32(40, dataSize)
+    var x = seed
+    var i = 44
+    while (i < out.length) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = (x >>> 48).toByte      // LE low byte of a 16-bit sample
+      out(i + 1) = (x >>> 56).toByte  // LE high byte
+      i += 2
+    }
+    out
+  }
+
+  /** Ingest a text corpus as an AUDIO asset table: each doc becomes a real
+    * RIFF/WAVE PCM-16 payload. The claimed parameters are derived
+    * portably — sample rate by `id % 4` over [[SampleRates]], channel
+    * count `1 + id % 2`, frame count `200 + utf8_len(text) % 800` — so a
+    * second engine replays the whole metadata struct from (doc_id, text)
+    * with integer arithmetic; only the PCM content itself (LCG from the
+    * content hash) is JVM-side, and the golden stats gate covers it.
+    * Render runs per-partition on executors, like the image path. */
+  def asAudio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val rate = SampleRates(posMod(id, 4))
+          val channels = 1 + posMod(id, 2)
+          val frames = 200 + posMod(text.getBytes("UTF-8").length.toLong, 800)
+          val wav = renderWav(contentSeed(text), rate, channels, frames)
+          AudioAsset(id, wav,
+            AudioMeta("audio/wav", rate, channels, 16, frames, wav.length))
+        }
+      }
+      .toDF()
+  }
+
+  case class AudioFeatures(asset_id: Long, n_bytes: Int,
+                           decoded_rate: Int, decoded_channels: Int,
+                           decoded_bits: Int, decoded_frames: Int,
+                           duration_ms: Long, features: Array[Float])
+
+  /** Batched per-partition audio feature extraction. The decode is REAL:
+    * `javax.sound.sampled.AudioSystem` (public JDK) parses the WAV
+    * container and reports the ACTUAL format — rate/channels/bits/frame
+    * count come from the decoder, not the metadata claim — then the PCM
+    * frames are read and summarized per channel: RMS, peak amplitude,
+    * zero-crossing fraction, mean (all on the decoder's output, integer
+    * accumulation, deterministic across JVMs). Feature layout:
+    * `[c*4+0]=rms, [c*4+1]=peak, [c*4+2]=zcr, [c*4+3]=mean` for channel
+    * `c` (mono payloads emit 4 slots). An unparsable payload fails
+    * loudly, same contract as the image decoder. */
+  def extractAudioFeatures(mm: DataFrame, batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val in = try {
+              javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(payload))
+            } catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"multimodal: undecodable audio payload for asset $id", e)
+            }
+            val fmt = in.getFormat
+            val channels = fmt.getChannels
+            val frames = in.getFrameLength.toInt
+            val pcm = in.readAllBytes()
+            in.close()
+            val rate = math.round(fmt.getSampleRate)
+            AudioFeatures(id, payload.length, rate, channels,
+              fmt.getSampleSizeInBits, frames,
+              frames.toLong * 1000L / rate, audioStats(pcm, channels, frames))
+          }
+        }
+      }
+  }
+
+  private def audioStats(pcm: Array[Byte], channels: Int, frames: Int): Array[Float] = {
+    val sumSq = new Array[Long](channels)
+    val sum = new Array[Long](channels)
+    val peak = new Array[Int](channels)
+    val crossings = new Array[Int](channels)
+    val prev = new Array[Int](channels)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * 2
+        // little-endian signed 16-bit
+        val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort.toInt
+        sumSq(c) += s.toLong * s
+        sum(c) += s
+        val a = math.abs(s)
+        if (a > peak(c)) peak(c) = a
+        if (f > 0 && ((s ^ prev(c)) < 0)) crossings(c) += 1
+        prev(c) = s
+        c += 1
+      }
+      f += 1
+    }
+    val out = new Array[Float](channels * 4)
+    var c = 0
+    while (c < channels) {
+      out(c * 4) = math.sqrt(sumSq(c).toDouble / frames).toFloat
+      out(c * 4 + 1) = peak(c).toFloat
+      out(c * 4 + 2) = (crossings(c).toDouble / math.max(frames - 1, 1)).toFloat
+      out(c * 4 + 3) = (sum(c).toDouble / frames).toFloat
+      c += 1
+    }
+    out
+  }
 }

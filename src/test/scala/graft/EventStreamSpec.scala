@@ -286,6 +286,45 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("noveltyStream: drained verdicts equal the batch probe, split-independent") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-novelty").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "red orange yellow green blue indigo violet ultraviolet rays")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildSignatureIndex(corpus, "doc_id", "text")
+    val fresh = Seq(
+      // near-dup of corpus doc 1 (one appended token)
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa pad"),
+      // genuinely novel
+      (102L, "completely unrelated fresh document about nothing indexed"),
+      // near-dup of corpus doc 3
+      (103L, "red orange yellow green blue indigo violet ultraviolet rays x"),
+      (104L, "another novel document with entirely new words throughout here")
+    ).toDF("doc_id", "text")
+    // batch reference run over the same index
+    val batchNovel = Dedup.probeNovel(fresh, index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchNovel === Set(102L, 104L), "batch probe sanity")
+    // stream the same docs in two waves with single-file micro-batches
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")
+    fresh.filter($"doc_id" <= 102L).repartition(2).write.mode("append").parquet(landing)
+    EventStream.noveltyStream(spark, landing, schema, index, "doc_id", "text",
+      out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    fresh.filter($"doc_id" > 102L).write.mode("append").parquet(landing)
+    EventStream.noveltyStream(spark, landing, schema, index, "doc_id", "text",
+      out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    val drained = spark.read.parquet(out).select("doc_id", "is_novel")
+      .as[(Long, Boolean)].collect()
+    assert(drained.length === 4, "each fresh doc judged exactly once across waves")
+    assert(drained.filter(_._2).map(_._1).toSet === batchNovel,
+      "streamed verdicts must equal the batch probe's")
+    Dedup.unpersistIntermediates()
+  }
+
   test("upsertStream replay: losing the offset commit re-runs the batch idempotently") {
     // Exactly-once failure injection: after a batch's sink merge lands but
     // before the engine records the commit, the driver "dies". On restart

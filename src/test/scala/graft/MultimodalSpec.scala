@@ -82,6 +82,98 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array((0, 0L), (1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("asAudio: payload is a real decodable RIFF/WAVE; meta matches the container") {
+    val au = Multimodal.asAudio(docs, "doc_id", "text")
+    val rows = au.select(col("asset_id"), col("payload"),
+        col("meta.sample_rate"), col("meta.channels"), col("meta.n_frames"),
+        col("meta.n_bytes"))
+      .as[(Long, Array[Byte], Int, Int, Int, Int)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (id, payload, rate, channels, frames, nBytes) =>
+      assert(new String(payload.slice(0, 4), "US-ASCII") === "RIFF")
+      assert(new String(payload.slice(8, 12), "US-ASCII") === "WAVE")
+      assert(nBytes === payload.length)
+      assert(nBytes === 44 + 2 * channels * frames,
+        s"asset $id: container size must be header + PCM data exactly")
+      assert(channels === 1 + (id % 2).toInt)
+      assert(Multimodal.SampleRates.contains(rate))
+      // the JDK's own WAV parser must agree with the claim
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      assert(math.round(in.getFormat.getSampleRate) === rate)
+      assert(in.getFormat.getChannels === channels)
+      assert(in.getFormat.getSampleSizeInBits === 16)
+      assert(in.getFrameLength.toInt === frames)
+      in.close()
+    }
+  }
+
+  test("extractAudioFeatures: real decode, per-channel stats, deterministic batching") {
+    val au = Multimodal.asAudio(docs, "doc_id", "text")
+    val f1 = Multimodal.extractAudioFeatures(au, batchSize = 2).collect()
+      .map(a => a.asset_id -> a).toMap
+    assert(f1.keySet === Set(1L, 2L, 3L))
+    val claimed = au.select(col("asset_id"), col("meta.sample_rate"),
+        col("meta.channels"), col("meta.n_frames"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    f1.values.foreach { a =>
+      val (rate, ch, frames) = claimed(a.asset_id)
+      assert(a.decoded_rate === rate && a.decoded_channels === ch &&
+        a.decoded_frames === frames, "decoded params must equal the claim")
+      assert(a.decoded_bits === 16)
+      assert(a.duration_ms === frames.toLong * 1000L / rate)
+      assert(a.features.length === ch * 4, "4 stat slots per channel")
+      (0 until ch).foreach { c =>
+        assert(a.features(c * 4) > 0f, "LCG PCM has nonzero RMS")
+        assert(a.features(c * 4 + 1) <= 32768f, "peak bounded by 16-bit range")
+        assert(a.features(c * 4 + 2) >= 0f && a.features(c * 4 + 2) <= 1f,
+          "zero-crossing fraction is a fraction")
+      }
+    }
+    val f2 = Multimodal.extractAudioFeatures(au, batchSize = 64).collect()
+      .map(a => a.asset_id -> a).toMap
+    assert(f1(3L).features.toSeq === f2(3L).features.toSeq)
+  }
+
+  test("extractAudioFeatures: stereo channels are de-interleaved, not mixed") {
+    // hand-rolled stereo WAV: channel 0 constant +1000 (zero crossings = 0),
+    // channel 1 alternating ±2000 (crossing every frame)
+    val frames = 100
+    val data = new Array[Byte](44 + 4 * frames)
+    def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i => data(off + i) = (v >>> (8 * i)).toByte)
+    def le16(off: Int, v: Int): Unit = { data(off) = v.toByte; data(off + 1) = (v >>> 8).toByte }
+    def tag(off: Int, s: String): Unit = (0 until 4).foreach(i => data(off + i) = s.charAt(i).toByte)
+    tag(0, "RIFF"); le32(4, 36 + 4 * frames); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 2)
+    le32(24, 8000); le32(28, 8000 * 4); le16(32, 4); le16(34, 16)
+    tag(36, "data"); le32(40, 4 * frames)
+    (0 until frames).foreach { f =>
+      le16(44 + f * 4, 1000)
+      le16(44 + f * 4 + 2, if (f % 2 == 0) 2000 else -2000)
+    }
+    val au = Seq((9L, data)).toDF("asset_id", "payload")
+    val a = Multimodal.extractAudioFeatures(au).collect().head
+    assert(a.decoded_channels === 2 && a.decoded_frames === frames)
+    assert(a.features(0) === 1000f && a.features(1) === 1000f,
+      "ch0: constant signal → rms == peak == 1000")
+    assert(a.features(2) === 0f, "ch0: constant signal never crosses zero")
+    assert(a.features(3) === 1000f, "ch0 mean")
+    assert(a.features(4 + 1) === 2000f, "ch1 peak")
+    assert(a.features(4 + 2) === 1f, "ch1: alternating sign crosses every frame")
+    assert(math.abs(a.features(4 + 3)) <= 20f, "ch1 mean ~0 for alternating signal")
+  }
+
+  test("extractAudioFeatures: an undecodable payload fails loudly") {
+    val bad = Seq((8L, "not a wav at all".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val ex = intercept[Exception] {
+      Multimodal.extractAudioFeatures(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("undecodable")), s"got: ${messages(ex)}")
+  }
+
   test("resizePlan: aspect-preserving fit, never upscaling") {
     val mm = Seq(
       (1L, 1000, 500),  // wide: limited by width → 512x256
