@@ -995,6 +995,52 @@ object SparkEntry {
             xxhash64(col("features").cast("string")).as("feature_hash")),
           "asset_id")
     }),
+    "multimodal_video" -> ((s, d) => {
+      // REAL video-frame decode under a FULL oracle: every payload is a
+      // rendered multi-frame animated GIF whose CLAIMED parameters
+      // (width/height by id arithmetic, frame count from the UTF-8 byte
+      // length, frame interval by id%3) are portable integer arithmetic,
+      // and ImageIO's GIF reader decodes the container back — the
+      // DECODED frame count, dimensions, and per-frame delay (from the
+      // GraphicControlExtension) must land on the very values DuckDB
+      // recomputes from (doc_id, text), and the per-frame sample count
+      // must equal the claimed frame count (stride=1 decodes every
+      // frame). The asset frame is persisted so the render runs once
+      // across the claim/decode branches of the join.
+      val vd = Dedup.persistTracked(
+        Multimodal.asVideo(Tables.documents(s, d), "doc_id", "text"))
+      vd.select(col("asset_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.frame_ms").as("frame_ms"))
+        .join(Multimodal.extractVideoFrames(vd).toDF()
+          .groupBy("asset_id")
+          .agg(max("decoded_frames").as("decoded_frames"),
+            count(lit(1)).cast("int").as("sampled_frames"),
+            max("decoded_width").as("decoded_width"),
+            max("decoded_height").as("decoded_height"),
+            max("decoded_frame_ms").as("decoded_frame_ms")), "asset_id")
+    }),
+    "multimodal_video_golden" -> ((s, d) => {
+      // The pixel content itself (LCG stream continuing across frames)
+      // has no DuckDB mirror, so the per-frame decoded statistics —
+      // mean/min/max gray through the decoded palette — are pinned as a
+      // stat hash per SAMPLED FRAME for docs 0-9, the video analogue of
+      // the image pixel-stat and audio PCM-stat goldens. One row per
+      // frame proves real frame-granular decode, not container metadata.
+      val vd = Dedup.persistTracked(Multimodal.asVideo(
+        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text"))
+      Multimodal.extractVideoFrames(vd).toDF()
+        .join(vd.select(col("asset_id"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.n_bytes").as("n_bytes")), "asset_id")
+        .select(col("asset_id"), col("frame_index"), col("n_frames"),
+          col("n_bytes"), col("decoded_width"), col("decoded_height"),
+          col("decoded_frame_ms"),
+          xxhash64(concat_ws(",", col("mean_gray").cast("string"),
+            col("min_gray").cast("string"),
+            col("max_gray").cast("string"))).as("stat_hash"))
+    }),
 
     // ---- §C ML pipeline ------------------------------------------------
     "target_encode" -> ((s, d) =>
@@ -1203,6 +1249,15 @@ object SparkEntry {
       // (EventStreamSpec); the gate runs it in batch against a DuckDB
       // spine-join oracle.
       EventStream.windowedCounts(Tables.events(s, d), slide = Some("30 minutes"))),
+    "stream_sessions" -> ((s, d) =>
+      // Declarative sessionization (session_window): per-user sessions
+      // that extend while events arrive within 4h of the last and close
+      // at last+4h. The gate runs the batch form; DuckDB replays it as
+      // gaps-and-islands SQL (LAG + cumulative session counter) — the
+      // window-merge semantics (touching windows MERGE; only a gap
+      // strictly larger than 4h breaks a session) must agree exactly. EventStreamSpec drives the same plan as a real
+      // watermarked stream and pins stream==batch on closed sessions.
+      EventStream.sessionWindows(Tables.events(s, d))),
     "stream_correlate" -> ((s, d) => {
       // Click→purchase attribution within 30 minutes per user — the
       // stream-stream interval join (sensors.py's correlation window) in
@@ -1475,6 +1530,79 @@ object SparkEntry {
            (9, 16000, 2, 591, 2408, 591, 36,  1440306457218818036))
            t(asset_id, sample_rate, channels, n_frames, n_bytes,
              decoded_frames, duration_ms, feature_hash)""",
+    "multimodal_video" ->
+      // full replay: the GIF claim is portable integer arithmetic
+      // (width/height from the id, frame count from the UTF-8 byte
+      // length, frame interval by id%3) and the Spark side emits the
+      // DECODED values plus the stride-1 sample count — so the GIF
+      // writer, the reader, and the GraphicControlExtension delay
+      // round-trip must all land on exactly what this SQL recomputes
+      // from (doc_id, text)
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           'image/gif' AS mime,
+           CAST(8 + doc_id % 24 AS INTEGER) AS width,
+           CAST(8 + (doc_id // 5) % 24 AS INTEGER) AS height,
+           CAST(2 + octet_length(encode(text)) % 6 AS INTEGER) AS n_frames,
+           CAST(40 * (1 + doc_id % 3) AS INTEGER) AS frame_ms,
+           CAST(2 + octet_length(encode(text)) % 6 AS INTEGER) AS decoded_frames,
+           CAST(2 + octet_length(encode(text)) % 6 AS INTEGER) AS sampled_frames,
+           CAST(8 + doc_id % 24 AS INTEGER) AS decoded_width,
+           CAST(8 + (doc_id // 5) % 24 AS INTEGER) AS decoded_height,
+           CAST(40 * (1 + doc_id % 3) AS INTEGER) AS decoded_frame_ms
+         FROM documents""",
+    "multimodal_video_golden" ->
+      // golden rows: the frame pixel content (LCG stream) has no DuckDB
+      // mirror, so the per-frame decoded gray statistics are pinned as a
+      // stat hash per sampled frame for docs 0-9
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT CAST(asset_id AS BIGINT) AS asset_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(decoded_width AS INTEGER) AS decoded_width,
+           CAST(decoded_height AS INTEGER) AS decoded_height,
+           CAST(decoded_frame_ms AS INTEGER) AS decoded_frame_ms,
+           CAST(stat_hash AS BIGINT) AS stat_hash
+         FROM (VALUES
+           (0, 0, 3, 1070, 8, 8, 40, -1159167218004833632),
+           (0, 1, 3, 1070, 8, 8, 40, -1546492509488213353),
+           (0, 2, 3, 1070, 8, 8, 40, -2010878157879447441),
+           (1, 0, 6, 1410, 9, 8, 80, -795829864584883893),
+           (1, 1, 6, 1410, 9, 8, 80, -866852766321976470),
+           (1, 2, 6, 1410, 9, 8, 80, 8413007321690067687),
+           (1, 3, 6, 1410, 9, 8, 80, -6344610664508507367),
+           (1, 4, 6, 1410, 9, 8, 80, -1240898395721868525),
+           (1, 5, 6, 1410, 9, 8, 80, -6213456460328992647),
+           (2, 0, 2, 1010, 10, 8, 120, -6633046815221518015),
+           (2, 1, 2, 1010, 10, 8, 120, 438822179085019751),
+           (3, 0, 5, 1397, 11, 8, 40, 5336018104013120779),
+           (3, 1, 5, 1397, 11, 8, 40, 5078118319221794239),
+           (3, 2, 5, 1397, 11, 8, 40, -6272666110155757850),
+           (3, 3, 5, 1397, 11, 8, 40, -2241848540913760882),
+           (3, 4, 5, 1397, 11, 8, 40, -835631986725216175),
+           (4, 0, 6, 1574, 12, 8, 80, 3476966573548996982),
+           (4, 1, 6, 1574, 12, 8, 80, -4703820412808631804),
+           (4, 2, 6, 1574, 12, 8, 80, -7469215199507856537),
+           (4, 3, 6, 1574, 12, 8, 80, -6277602869820142155),
+           (4, 4, 6, 1574, 12, 8, 80, 6081024030547605380),
+           (4, 5, 6, 1574, 12, 8, 80, -466405748612098353),
+           (5, 0, 4, 1402, 13, 9, 120, 3110912669842711912),
+           (5, 1, 4, 1402, 13, 9, 120, -9121203659895500952),
+           (5, 2, 4, 1402, 13, 9, 120, -6187311024440860274),
+           (5, 3, 4, 1402, 13, 9, 120, -1483987272763522223),
+           (6, 0, 2, 1112, 14, 9, 40, 8094966525662891366),
+           (6, 1, 2, 1112, 14, 9, 40, 8507218394217963570),
+           (7, 0, 2, 1134, 15, 9, 80, -4095237251491965018),
+           (7, 1, 2, 1134, 15, 9, 80, 4607388956285829518),
+           (8, 0, 4, 1525, 16, 9, 120, 7425530904890031179),
+           (8, 1, 4, 1525, 16, 9, 120, -4066688147968010318),
+           (8, 2, 4, 1525, 16, 9, 120, -7510166789537521340),
+           (8, 3, 4, 1525, 16, 9, 120, -1592461599722943787),
+           (9, 0, 3, 1370, 17, 9, 40, -604011673506681429),
+           (9, 1, 3, 1370, 17, 9, 40, -2152566729713050997),
+           (9, 2, 3, 1370, 17, 9, 40, -8073999650034763562))
+           t(asset_id, frame_index, n_frames, n_bytes, decoded_width,
+             decoded_height, decoded_frame_ms, stat_hash)""",
     "fingerprint" ->
       // golden rows: the fingerprints are pure deterministic functions of
       // the (fixed, seed=42) corpus — pinned once, any drift in
@@ -2485,6 +2613,27 @@ object SparkEntry {
            event_type, count(*) AS event_count, sum(value) AS total_value
          FROM events CROSS JOIN range(0, 2) t(i)
          GROUP BY 1, 2""",
+    "stream_sessions" ->
+      // gaps-and-islands replay of session_window: a session breaks only
+      // when the inter-event gap EXCEEDS 4h — windows that touch merge
+      // (an event at exactly last+4h still extends the session; verified
+      // against the engine); session_end = last event + 4h
+      """WITH gaps AS (
+           SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts > LAG(ts) OVER w + INTERVAL '4 hours'
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         islands AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM gaps)
+         SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '4 hours' AS session_end,
+           user_id, count(*) AS n_events, sum(value) AS total_value
+         FROM islands GROUP BY user_id, session_id""",
     "stream_correlate" ->
       """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
            l.ts AS l_ts, r.ts AS r_ts

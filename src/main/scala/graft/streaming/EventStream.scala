@@ -68,6 +68,29 @@ object EventStream {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Declarative session windows — the Catalyst-native sessionization
+    * (`session_window`, Spark 3.2+): per-key windows that extend while
+    * events keep arriving within `gap` of the last one and close at
+    * `last_event + gap`. Windows that TOUCH merge: an event at exactly
+    * `prev_ts + gap` still extends the session (verified against the
+    * engine — the gaps-and-islands oracle replays `ts > prev + gap` as
+    * the break condition, strictly greater). Prefer
+    * this over [[sessionize]]'s hand-rolled mapGroupsWithState when the
+    * summary is expressible as aggregates: the state store handles
+    * merge/expiry natively, the plan stays in whole-stage codegen, and
+    * the SAME query runs in batch (the correctness gate replays it as
+    * gaps-and-islands SQL) and as a stream with watermark-bounded state. */
+  def sessionWindows(events: DataFrame, gap: String = "4 hours",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   case class SessionUpdate(user_id: Long, n_events: Int, total_value: Double,
                            session_start: java.sql.Timestamp, closed: Boolean)
   // public: the state encoder's generated code must see the constructor

@@ -223,6 +223,89 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sessionWindows streams: sessions merge within the gap, close past the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.startMemorySink(
+      EventStream.sessionWindows(input.toDF(), gap = "30 minutes"), "sess_stream")
+    try {
+      // user 1: two events 20min apart (merge), then one 40min later (new
+      // session). user 2: a single event.
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", uid = 1, v = 1.0),
+        ev(2, "2024-01-01 10:20:00", uid = 1, v = 2.0),
+        ev(3, "2024-01-01 11:00:00", uid = 1, v = 4.0),
+        ev(4, "2024-01-01 10:10:00", uid = 2, v = 8.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() === 0,
+        "append mode must not emit sessions the watermark could still extend")
+      // advance the watermark far past every session's close
+      input.addData(ev(5, "2024-01-01 20:00:00", uid = 3))
+      q.processAllAvailable()
+      input.addData(ev(6, "2024-01-01 20:30:00", uid = 3))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().sortBy(r => (r._3, r._1.getTime))
+      val closed = rows.filter(_._3 <= 2)
+      assert(closed === Array(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 1L, 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00"), 1L, 1L, 4.0),
+        (ts("2024-01-01 10:10:00"), ts("2024-01-01 10:40:00"), 2L, 1L, 8.0)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionWindows: boundary semantics — touching windows MERGE, past-gap splits") {
+    // pins the engine behavior the gaps-and-islands oracle must mirror:
+    // an event at EXACTLY last+gap still extends the session (touching
+    // windows merge); only a strictly larger gap breaks it
+    val batch = Seq(
+      ev(1, "2024-01-01 10:00:00", uid = 1),
+      ev(2, "2024-01-01 10:30:00", uid = 1), // exactly gap later → merges
+      ev(3, "2024-01-01 11:00:01", uid = 1)  // 30:01 after → new session
+    ).toDF()
+    val got = EventStream.sessionWindows(batch, gap = "30 minutes")
+      .as[(Timestamp, Timestamp, Long, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(got.length === 2, s"got ${got.toSeq}")
+    assert(got(0)._1 === ts("2024-01-01 10:00:00") && got(0)._4 === 2L,
+      "the boundary event extends the first session")
+    assert(got(0)._2 === ts("2024-01-01 11:00:00"), "end = last event + gap")
+    assert(got(1)._1 === ts("2024-01-01 11:00:01") && got(1)._4 === 1L,
+      "past the gap opens a new session")
+  }
+
+  test("sessionWindows: stream drain equals the batch plan on closed sessions") {
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      ev(1, "2024-01-01 09:00:00", uid = 1, v = 1.0),
+      ev(2, "2024-01-01 09:10:00", uid = 1, v = 2.0),
+      ev(3, "2024-01-01 09:55:00", uid = 1, v = 3.0),
+      ev(4, "2024-01-01 09:05:00", uid = 2, v = 4.0),
+      ev(5, "2024-01-01 10:30:00", uid = 2, v = 5.0))
+    val input = MemoryStream[Ev]
+    val q = EventStream.startMemorySink(
+      EventStream.sessionWindows(input.toDF(), gap = "30 minutes"), "sess_eq")
+    try {
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      // watermark-advancing tail, far away so every real session closes
+      input.addData(ev(99, "2024-01-02 12:00:00", uid = 99))
+      q.processAllAvailable()
+      input.addData(ev(100, "2024-01-02 12:30:00", uid = 99))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq")
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect()
+        .filter(_._3 < 99).sortBy(r => (r._3, r._1.getTime))
+      val batch = EventStream.sessionWindows(events.toDF(), gap = "30 minutes")
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect()
+        .sortBy(r => (r._3, r._1.getTime))
+      assert(streamed === batch,
+        s"stream ${streamed.toSeq} must equal batch ${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize: keyed state accumulates per-user session summaries") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -174,6 +174,86 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(messages(ex).exists(_.contains("undecodable")), s"got: ${messages(ex)}")
   }
 
+  test("asVideo: payload is a real multi-frame animated GIF; meta matches the container") {
+    val vd = Multimodal.asVideo(docs, "doc_id", "text")
+    val rows = vd.select(col("asset_id"), col("payload"),
+        col("meta.mime"), col("meta.width"), col("meta.height"),
+        col("meta.n_frames"), col("meta.frame_ms"), col("meta.n_bytes"))
+      .as[(Long, Array[Byte], String, Int, Int, Int, Int, Int)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (id, payload, mime, w, h, nFrames, frameMs, nBytes) =>
+      assert(mime === "image/gif")
+      assert(nBytes === payload.length, s"asset $id: n_bytes must be the GIF length")
+      // GIF89a magic — a real container, not labeled text
+      assert(new String(payload.take(6), "US-ASCII") === "GIF89a")
+      assert(w === 8 + (id % 24).toInt && h === 8 + ((id / 5) % 24).toInt,
+        s"asset $id: claimed dims are id arithmetic")
+      assert(nFrames >= 2 && nFrames <= 7)
+      assert(frameMs === 40 * (1 + (id % 3).toInt))
+      // an independent JDK parse agrees on the frame count
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(ImageIO.createImageInputStream(
+        new ByteArrayInputStream(payload)), false)
+      assert(reader.getNumImages(true) === nFrames,
+        s"asset $id: container must hold the claimed frame count")
+      reader.dispose()
+    }
+  }
+
+  test("extractVideoFrames: real per-frame decode — claimed==decoded, lossless pixels") {
+    val vd = Multimodal.asVideo(docs, "doc_id", "text")
+    val frames = Multimodal.extractVideoFrames(vd, stride = 1, batchSize = 2)
+      .collect().groupBy(_.asset_id)
+    val claimed = vd.select(col("asset_id"), col("meta.width"),
+        col("meta.height"), col("meta.n_frames"), col("meta.frame_ms"))
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(frames.keySet === claimed.keySet)
+    frames.foreach { case (id, fs) =>
+      val (w, h, n, ms) = claimed(id)
+      assert(fs.length === n, s"asset $id: stride=1 decodes every frame")
+      assert(fs.map(_.frame_index).sorted === (0 until n).toArray)
+      fs.foreach { f =>
+        assert(f.decoded_frames === n)
+        assert((f.decoded_width, f.decoded_height) === ((w, h)))
+        assert(f.decoded_frame_ms === ms,
+          s"asset $id: GCE delay must round-trip through the container")
+        assert(f.min_gray <= f.max_gray)
+        assert(f.mean_gray >= f.min_gray && f.mean_gray <= f.max_gray)
+      }
+      // frames carry distinct content (the LCG stream advances) — a
+      // decoder returning frame 0 n times would pass the count check
+      assert(fs.map(_.mean_gray).distinct.length > 1 || fs.length == 1,
+        s"asset $id: per-frame stats must differ across frames")
+    }
+    // deterministic: a second render+decode gives identical stats
+    val again = Multimodal.extractVideoFrames(
+      Multimodal.asVideo(docs, "doc_id", "text"), stride = 1).collect()
+    assert(again.sortBy(f => (f.asset_id, f.frame_index)).toSeq ===
+      frames.values.flatten.toSeq.sortBy(f => (f.asset_id, f.frame_index)))
+  }
+
+  test("extractVideoFrames: stride sampling decodes every k-th frame only") {
+    val vd = Multimodal.asVideo(
+      Seq((101L, "a doc long enough to land on several frames ok")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val n = vd.select(col("meta.n_frames")).as[Int].head()
+    val sampled = Multimodal.extractVideoFrames(vd, stride = 2).collect()
+    assert(sampled.map(_.frame_index).sorted === (0 until n by 2).toArray)
+    assert(sampled.forall(_.decoded_frames === n),
+      "decoded_frames reports the FULL container count, not the sample size")
+  }
+
+  test("extractVideoFrames: an undecodable payload fails loudly") {
+    val bad = Seq((9L, "not a gif at all".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val ex = intercept[Exception] {
+      Multimodal.extractVideoFrames(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("undecodable")), s"got: ${messages(ex)}")
+  }
+
   test("resizePlan: aspect-preserving fit, never upscaling") {
     val mm = Seq(
       (1L, 1000, 500),  // wide: limited by width → 512x256
