@@ -591,6 +591,27 @@ object SparkEntry {
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "token_count" -> ((s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "quality_classifier_weights" -> ((s, d) => {
+      // The trained model itself as a golden gate (the bpe_merges
+      // pattern): deterministic driver-side gradient descent on a capped
+      // sample — real docs vs synthetic gibberish — must reproduce the
+      // exact 6dp weights every run; a drift in feature extraction, the
+      // negative generator, or the trainer flips the row red.
+      import s.implicits._
+      val w = QualityModel.train(Tables.documents(s, d), "doc_id", "text")
+      Seq((w.bias, w.w(0), w.w(1), w.w(2), w.w(3)))
+        .toDF("bias", "w_len", "w_stop", "w_wordlen", "w_punct")
+    }),
+    "quality_classifier" -> ((s, d) => {
+      // Model-based quality filtering (the CCNet/GPT-3 recipe): score
+      // the whole corpus with the trained weights. Scoring is ONE
+      // codegen'd projection — portable 4dp features, the weights as
+      // five plan literals, rounded linear logit, keep verdict — and the
+      // DuckDB oracle replays the entire pass with the pinned weights,
+      // so Spark's training AND scoring must both land exactly.
+      QualityModel.score(Tables.documents(s, d), "doc_id", "text",
+        QualityModel.train(Tables.documents(s, d), "doc_id", "text"))
+    }),
     "fingerprint" -> ((s, d) =>
       // Rolling polynomial + content-minhash fingerprints are fully
       // deterministic, so docs 0-9 gate against GOLDEN rows (xxhash64 has
@@ -2181,6 +2202,41 @@ object SparkEntry {
            round(n_stopwords * 1.0 / n_words, 4) AS stopword_ratio,
            round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / n_words, 4) AS avg_word_len,
            round(least(n_words / 100.0, 1.0) * (1.0 - round(n_stopwords * 1.0 / n_words, 4)), 4) AS quality_score
+         FROM documents""",
+    "quality_classifier_weights" ->
+      // golden trained weights (the bpe_merges pattern): deterministic
+      // gradient descent on the gate corpus vs its synthetic negatives
+      // must reproduce these exact 6dp values every run
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      """SELECT CAST(bias AS DOUBLE) AS bias,
+           CAST(w_len AS DOUBLE) AS w_len,
+           CAST(w_stop AS DOUBLE) AS w_stop,
+           CAST(w_wordlen AS DOUBLE) AS w_wordlen,
+           CAST(w_punct AS DOUBLE) AS w_punct
+         FROM (VALUES (6.423447, 2.151676, 1.776349, -10.556339, 0.0))
+           t(bias, w_len, w_stop, w_wordlen, w_punct)""",
+    "quality_classifier" ->
+      // FULL replay of the scoring pass: the 4dp features are the same
+      // engine-portable forms the quality_score oracle proved, the
+      // weights are the pinned 6dp golden values above, and the logit is
+      // the same left-associated multiply-add both engines evaluate in
+      // IEEE doubles — training OR scoring drift flips rows red
+      // [weights GOLDEN @ gate corpus: sf0.01, seed=42]
+      """SELECT doc_id,
+           round(least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0,
+             1.0), 4) AS f_len,
+           round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'
+                 OR t = 'to' OR t = 'in')) * 1.0
+             / len(regexp_split_to_array(trim(text), '\s+')), 4) AS f_stop,
+           round(least(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+             / len(regexp_split_to_array(trim(text), '\s+')) / 10.0,
+             1.0), 4) AS f_wordlen,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS f_punct,
+           round(6.423447 + 2.151676 * f_len + 1.776349 * f_stop
+             + (-10.556339) * f_wordlen + 0.0 * f_punct, 4) AS logit,
+           logit > 0 AS keep
          FROM documents""",
     "token_count" ->
       """SELECT doc_id,
