@@ -53,7 +53,12 @@ object Multimodal {
       i += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    // explicit memory-cached stream: the ImageIO default (useCache=true)
+    // backs non-file streams with a TEMP FILE per call — per-asset disk
+    // churn a 100 TB render fleet must not pay
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    ImageIO.write(img, "png", ios)
+    ios.close()
     bos.toByteArray
   }
 
@@ -119,7 +124,9 @@ object Multimodal {
           // batch boundary = where a vectorized decoder runs; each batch
           // decodes together, mirroring an arrow-batch UDF's unit of work
           batch.iterator.map { case (id, payload) =>
-            val img = ImageIO.read(new ByteArrayInputStream(payload))
+            // memory-cached stream, not ImageIO's temp-file default
+            val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new ByteArrayInputStream(payload)))
             if (img == null)
               throw new IllegalArgumentException(
                 s"multimodal: undecodable image payload for asset $id")
@@ -342,7 +349,7 @@ object Multimodal {
     val icm = grayPalette()
     val bos = new ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
-    val ios = ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var x = seed
@@ -443,7 +450,7 @@ object Multimodal {
           batch.iterator.flatMap { case (id, payload) =>
             val reader = ImageIO.getImageReadersByFormatName("gif").next()
             try {
-              reader.setInput(ImageIO.createImageInputStream(
+              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
                 new ByteArrayInputStream(payload)), false)
               val nFrames =
                 try reader.getNumImages(true)

@@ -93,12 +93,12 @@ object QualityModel {
   def train(docs: DataFrame, idCol: String, textCol: String,
             maxSample: Int = 65536, iters: Int = 400, step: Double = 1.0): Weights = {
     val spark = docs.sparkSession
-    val pos = docs.orderBy(col(idCol)).limit(maxSample)
+    val posRows = docs.orderBy(col(idCol)).limit(maxSample)
       .select(featureCols(col(textCol)): _*)
-    val nPos = pos.count().toInt
-    val neg = syntheticNegatives(spark, nPos)
+      .collect() // one action; the id-sorted limit runs as TakeOrdered
+    val neg = syntheticNegatives(spark, posRows.length)
       .select(featureCols(col("text")): _*)
-    val xs = (pos.collect().map(r => (featureRow(r), 1.0))
+    val xs = (posRows.map(r => (featureRow(r), 1.0))
       ++ neg.collect().map(r => (featureRow(r), 0.0)))
     val dim = featureNames.length
     val w = new Array[Double](dim + 1) // [bias, w1..w4]
