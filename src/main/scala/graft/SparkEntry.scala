@@ -846,11 +846,29 @@ object SparkEntry {
       val jitter = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" nearline jitter marker pad")).as("text"))
+      // Model-filter composition (final r10): 20 planted docs at id+3e6
+      // that PASS every heuristic rule (letter-only 10-char words, no
+      // digits, length and word-length in range) but FAIL the trained
+      // classifier (zero stopwords + maxed word-length feature → logit
+      // ≈ −3.3) — the filter work only a model can do. Their text is
+      // portable arithmetic (translate over lpad'ed ids) so DuckDB
+      // regenerates it; every word is corpus-unique so the span stage
+      // is untouched. The keep predicate composes the heuristic rules
+      // AND the pinned-weight logit — QualityModel.logitCol is plain
+      // Column arithmetic, so the composition costs no extra stage.
+      val modelBad = s.range(20).select(
+        (col("id") + 3000000L).as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("qz"), translate(
+            lpad((col("id") * 100 + i).cast("string"), 8, "0"),
+            "0123456789", "abcdefghij"))): _*).as("text"))
+      val wts = QualityModel.train(Tables.documents(s, d), "doc_id", "text")
       val rules = (t: Column) => TextOps.corpusFilterRules(t)
         .collect { case (name, rule) if name != "no_terminal_punct" => rule }
-        .reduce(_ && _)
+        .reduce(_ && _) && QualityModel.logitCol(t, wts) > 0
       CorpusPipeline.summary(
-        docs.unionByName(planted).unionByName(jitter), "doc_id", "text",
+        docs.unionByName(planted).unionByName(jitter).unionByName(modelBad),
+        "doc_id", "text",
         maxTokens = 32, overlap = 8, budget = 256L, shards = 8, keep = rules,
         nearDup = Some(CorpusPipeline.NearDup(
           t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
@@ -878,11 +896,19 @@ object SparkEntry {
       val jitter = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" nearline jitter marker pad")).as("text"))
+      val modelBad = s.range(20).select(
+        (col("id") + 3000000L).as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("qz"), translate(
+            lpad((col("id") * 100 + i).cast("string"), 8, "0"),
+            "0123456789", "abcdefghij"))): _*).as("text"))
+      val wts = QualityModel.train(Tables.documents(s, d), "doc_id", "text")
       val rules = (t: Column) => TextOps.corpusFilterRules(t)
         .collect { case (name, rule) if name != "no_terminal_punct" => rule }
-        .reduce(_ && _)
+        .reduce(_ && _) && QualityModel.logitCol(t, wts) > 0
       CorpusPipeline.summary(
-        docs.unionByName(planted).unionByName(jitter), "doc_id", "text",
+        docs.unionByName(planted).unionByName(jitter).unionByName(modelBad),
+        "doc_id", "text",
         maxTokens = 32, overlap = 8, budget = 256L, shards = 8, keep = rules,
         nearDup = Some(CorpusPipeline.NearDup(
           _ => lit("unused"), n = 3, threshold = 0.6, banded = true)),
@@ -2359,8 +2385,10 @@ object SparkEntry {
          FROM w WHERE b >= 0 AND bef < b GROUP BY lang""",
     "corpus_pipeline" ->
       // full-chain replay: same planted unions (exact copies +1e6,
-      // jittered copies +2e6), same NFC+regex normalize chain, same
-      // min-id dedup rule, same three keep-rules, same prefix-blocked
+      // jittered copies +2e6, model-bad translate-generated docs +3e6),
+      // same NFC+regex normalize chain, same min-id dedup rule, same
+      // three keep-rules AND the composed pinned-weight model filter,
+      // same prefix-blocked
       // 3-shingle Jaccard near-dup drop (keep-first), same stride-1
       // 8-token span scrub (>=2 occurrences corpus-wide, covered
       // positions cut, emptied docs dropped), same chunk boundaries as
@@ -2377,13 +2405,21 @@ object SparkEntry {
                     ' terms apply everywhere always more'
                ELSE text END AS text
            FROM documents),
+         mb AS (
+           SELECT CAST(3000000 + k AS BIGINT) AS doc_id,
+             string_agg('qz' || translate(lpad(CAST(k * 100 + i AS VARCHAR),
+               8, '0'), '0123456789', 'abcdefghij'), ' ' ORDER BY i) AS text
+           FROM range(0, 20) a(k) CROSS JOIN range(0, 40) b(i)
+           GROUP BY k),
          src AS (
            SELECT doc_id, text FROM base
            UNION ALL
            SELECT doc_id + 1000000, text FROM base WHERE doc_id < 10
            UNION ALL
            SELECT doc_id + 2000000, text || ' nearline jitter marker pad'
-           FROM base WHERE doc_id >= 10 AND doc_id < 20),
+           FROM base WHERE doc_id >= 10 AND doc_id < 20
+           UNION ALL
+           SELECT doc_id, text FROM mb),
          norm AS (
            SELECT doc_id,
              lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
@@ -2401,7 +2437,22 @@ object SparkEntry {
                  / greatest(length(t), 1) <= 0.2
              AND length(regexp_replace(t, '\s+', '', 'g')) * 1.0
                  / greatest(len(string_split_regex(trim(t), '\s+')), 1)
-                 BETWEEN 3 AND 12),
+                 BETWEEN 3 AND 12
+             -- composed model filter: the pinned quality_classifier
+             -- weights applied to the normalized text (same 4dp feature
+             -- forms, same left-associated multiply-add)
+             AND round(6.423447
+               + 2.151676 * round(least(len(string_split_regex(trim(t),
+                   '\s+')) / 100.0, 1.0), 4)
+               + 1.776349 * round(len(list_filter(string_split_regex(trim(t),
+                     '\s+'), x -> x = 'the' OR x = 'a' OR x = 'of'
+                     OR x = 'and' OR x = 'to' OR x = 'in')) * 1.0
+                 / len(string_split_regex(trim(t), '\s+')), 4)
+               + (-10.556339) * round(least(length(regexp_replace(t, '\s+',
+                   '', 'g')) * 1.0
+                 / len(string_split_regex(trim(t), '\s+')) / 10.0, 1.0), 4)
+               + 0.0 * round(length(regexp_replace(t, '[A-Za-z0-9\s]', '',
+                   'g')) * 1.0 / greatest(length(t), 1), 4), 4) > 0),
          ksh AS (
            SELECT doc_id, t, toks,
              array_to_string(toks[1:2], ' ') AS blk,
@@ -2472,7 +2523,10 @@ object SparkEntry {
       // on this corpus the planted jittered copies are the only >=0.6
       // pairs and they sit at Jaccard ~0.95, where 8x4 banding recall
       // is ~1, so BOTH strategies must drop exactly the same 31 docs.
-      """SELECT 520::BIGINT AS docs_in, 510::BIGINT AS docs_unique,
+      // (final r10: +20 docs_in/docs_unique for the planted model-bad
+      // docs the composed classifier filter must drop before near-dup —
+      // kept and every downstream count unchanged.)
+      """SELECT 540::BIGINT AS docs_in, 530::BIGINT AS docs_unique,
            473::BIGINT AS docs_kept, 442::BIGINT AS docs_after_neardup,
            25625::BIGINT AS tokens_before_scrub,
            208::BIGINT AS tokens_removed_scrub,

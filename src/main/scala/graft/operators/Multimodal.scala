@@ -449,9 +449,10 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, payload) =>
             val reader = ImageIO.getImageReadersByFormatName("gif").next()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new ByteArrayInputStream(payload))
             try {
-              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-                new ByteArrayInputStream(payload)), false)
+              reader.setInput(iis, false)
               val nFrames =
                 try reader.getNumImages(true)
                 catch {
@@ -469,7 +470,7 @@ object Multimodal {
                 VideoFrame(id, f, nFrames, img.getWidth, img.getHeight,
                   delayMs, stats._1, stats._2, stats._3)
               }
-            } finally reader.dispose()
+            } finally { reader.dispose(); iis.close() }
           }
         }
       }

@@ -98,6 +98,8 @@ object QualityModel {
       .collect() // one action; the id-sorted limit runs as TakeOrdered
     val neg = syntheticNegatives(spark, posRows.length)
       .select(featureCols(col("text")): _*)
+    require(posRows.nonEmpty,
+      "quality_classifier: cannot train on an empty corpus")
     val xs = (posRows.map(r => (featureRow(r), 1.0))
       ++ neg.collect().map(r => (featureRow(r), 0.0)))
     val dim = featureNames.length
@@ -130,6 +132,19 @@ object QualityModel {
     var i = 0
     while (i < out.length) { out(i) = r.getDouble(i); i += 1 }
     out
+  }
+
+  /** The rounded linear logit over a text column — pure Column
+    * arithmetic with the weights as literals, so it composes anywhere a
+    * predicate fits (e.g. CorpusPipeline's `keep`) and stays inside
+    * whole-stage codegen. Left-associated multiply-add, matching the
+    * oracle's SQL evaluation order exactly. */
+  def logitCol(textCol: Column, wts: Weights): Column = {
+    val fs = featureCols(textCol)
+    val logit = fs.indices.foldLeft(lit(wts.bias): Column) { (acc, i) =>
+      acc + lit(wts.w(i)) * fs(i)
+    }
+    round(logit, 4)
   }
 
   /** Score a corpus with trained weights: one codegen'd projection —

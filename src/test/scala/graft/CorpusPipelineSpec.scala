@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CorpusPipeline, TextOps}
+import graft.operators.{CorpusPipeline, QualityModel, TextOps}
 
 class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -154,5 +154,29 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(none.getAs[Long]("n_chunks") === 0L)
     assert(none.getAs[Long]("packed_tokens") === 0L)
     assert(none.getAs[Boolean]("budget_ok"), "empty packing is vacuously within budget")
+  }
+
+  test("model filter composes into keep: drops heuristic-passing gibberish only") {
+    // a doc that PASSES the default heuristic rules (length, digits, word
+    // length in range, terminal punctuation) but has zero stopwords and
+    // maxed word-length — exactly the doc only a trained model rejects
+    val modelBad = (100L, (1 to 40).map(i => f"qzxwvutsrq")
+      .zipWithIndex.map { case (w, i) => w.dropRight(2) + ('b' + i % 24).toChar + "m" }
+      .mkString(" ") + " closing.")
+    val wts = QualityModel.Weights(6.423447,
+      Array(2.151676, 1.776349, -10.556339, 0.0))
+    val base = CorpusPipeline.summary(corpus, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2).collect().head
+    val withDoc = corpus.unionByName(Seq(modelBad).toDF("doc_id", "text"))
+    val heuristicOnly = CorpusPipeline.summary(withDoc, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2).collect().head
+    assert(heuristicOnly.getAs[Long]("docs_kept") === base.getAs[Long]("docs_kept") + 1,
+      "the gibberish doc passes every heuristic rule")
+    val composed = CorpusPipeline.summary(withDoc, "doc_id", "text",
+      maxTokens = 32, overlap = 8, budget = 128L, shards = 2,
+      keep = t => CorpusPipeline.defaultKeep(t) && QualityModel.logitCol(t, wts) > 0)
+      .collect().head
+    assert(composed.getAs[Long]("docs_kept") === base.getAs[Long]("docs_kept"),
+      "the composed model predicate drops the gibberish doc and nothing else")
   }
 }
