@@ -34,15 +34,27 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
     System.gc()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = ordered.map { case (name, fn) =>
-      // quiesce the heap before each timer starts so a query is never
-      // billed for garbage the previous 72 queries left behind
+      // release every cache the previous query left behind (dedup-tier
+      // MEMORY_AND_DISK frames, cached model predictions) and quiesce the
+      // heap, so a query is billed for its own cost — not the storage
+      // pressure of the 70 queries before it. Mirrors the warmup reset.
+      graft.operators.Dedup.unpersistIntermediates()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output InternalRow — a plain
       // .count() lets Catalyst prune the projections under test.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch {
+        case e: Throwable =>
+          // a failed query must be visibly broken in the artifact, never a
+          // small "fast" timing: record the error keyed by query name
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
@@ -53,8 +65,10 @@ object Bench {
     // `parsed` was null). The file is the durable record.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson}"""
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
@@ -77,7 +91,7 @@ object Bench {
     val line2 = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{\"metric\":\"total\",\"value\":" + fmt(total) +
         ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"n_queries\":" +
-        results.size + ",\"queries\":{", ",", "}}")
+        results.size + ",\"n_errors\":" + errors.size + ",\"queries\":{", ",", "}}")
     println(line1)
     println(line2)
     spark.stop()

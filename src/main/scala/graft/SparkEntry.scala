@@ -1055,7 +1055,8 @@ object SparkEntry {
       // frame). The asset frame is persisted so the render runs once
       // across the claim/decode branches of the join.
       val vd = Dedup.persistTracked(
-        Multimodal.asVideo(Tables.documents(s, d), "doc_id", "text"))
+        Multimodal.asVideo(Tables.documents(s, d), "doc_id", "text"),
+        Multimodal.persistLevel(s))
       vd.select(col("asset_id"), col("meta.mime").as("mime"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.n_frames").as("n_frames"),
@@ -2993,4 +2994,21 @@ object SparkEntry {
              WHERE event_id % 100 = 0 AND day(ts) <= 7) u) t
          WHERE rn = 1"""
   )
+
+  /** Queries with NO `oracleSql` entry, by design — each is rows-only at
+    * the driver but carries an oracle'd companion gate or a ScalaTest spec
+    * pinning its semantics (EntrySurfaceSpec enforces this list stays
+    * deliberate: any query missing an oracle AND absent here fails CI).
+    *
+    *  - minhash_dedup / simhash_dedup / ngram_jaccard / dedup_clusters /
+    *    seq_packing / multimodal_meta: probabilistic or binary-payload
+    *    outputs not SQL-expressible; each gated through a deterministic
+    *    companion (`*_planted_pairs`, `*_exact`, `*_check`, `*_golden`).
+    *  - fatality_model / prediction_perf / risk_crosstab: GBT fit outputs;
+    *    pinned by FatalityModelSpec on deterministic seeds.
+    */
+  val rowsOnly: Set[String] = Set(
+    "minhash_dedup", "simhash_dedup", "ngram_jaccard", "dedup_clusters",
+    "seq_packing", "multimodal_meta",
+    "fatality_model", "prediction_perf", "risk_crosstab")
 }

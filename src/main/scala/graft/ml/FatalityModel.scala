@@ -123,7 +123,19 @@ object FatalityModel {
     * scale with the winning params — then predict on the held-out fold and
     * compute the reference's evaluation surface (ml.py:424-441): RMSE,
     * MAE, R², error-tolerance buckets, plus the chosen hyperparameters. */
-  def trainAndEvaluate(events: DataFrame, seed: Long = 42L): ModelResult = {
+  /** Seeded random sample of `nIter` param maps from a full grid — the
+    * reference's RandomizedSearchCV `n_iter` cost-bounding (ml.py:408-411):
+    * sweep cost is O(nIter) regardless of grid size, while the fixed seed
+    * keeps the chosen configs (and thus the winning model) reproducible
+    * run-over-run. nIter >= grid size → the full grid, order untouched. */
+  private[graft] def sampleGrid(
+      grid: Array[org.apache.spark.ml.param.ParamMap],
+      nIter: Int, seed: Long): Array[org.apache.spark.ml.param.ParamMap] =
+    if (nIter >= grid.length) grid
+    else new scala.util.Random(seed).shuffle(grid.toIndexedSeq).take(nIter).toArray
+
+  def trainAndEvaluate(events: DataFrame, seed: Long = 42L,
+      sweepNIter: Int = Int.MaxValue): ModelResult = {
     val feats = prepareFeatures(events).na.fill(0.0)
     val indexer = new StringIndexer()
       .setInputCol("event_type").setOutputCol("event_type_idx")
@@ -165,7 +177,8 @@ object FatalityModel {
       .build()
     val tvs = new TrainValidationSplit()
       .setEstimator(gbt).setEvaluator(evalRmse)
-      .setEstimatorParamMaps(grid).setTrainRatio(0.8).setSeed(seed)
+      .setEstimatorParamMaps(sampleGrid(grid, sweepNIter, seed))
+      .setTrainRatio(0.8).setSeed(seed)
       .setParallelism(4) // grid points train concurrently on the sample
     val t0 = System.nanoTime()
     val best = tvs.fit(sweepSample).bestModel.asInstanceOf[GBTRegressionModel]

@@ -25,8 +25,12 @@ object Dedup {
   private val persistedIntermediates =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private[graft] def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[graft] def persistTracked(df: DataFrame): DataFrame =
+    persistTracked(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private[graft] def persistTracked(
+      df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val p = df.persist(level)
     persistedIntermediates.add(p)
     p
   }

@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Storage level for decoded-asset persists, read from
+    * `spark.graft.multimodal.persistLevel` (any `StorageLevel` name:
+    * `DISK_ONLY`, `MEMORY_AND_DISK_SER`, ...). Default MEMORY_AND_DISK.
+    * Relief valve for single-host runs where a large decoded-frame persist
+    * (e.g. ~700 MB at sf10) pressures the unified memory pool: on a real
+    * cluster the frames shard across executors, but a local[] run can pin
+    * the persist to disk or serialized storage without touching code. */
+  def persistLevel(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.storage.StorageLevel =
+    s.conf.getOption("spark.graft.multimodal.persistLevel")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Deterministic 64-bit content hash (FNV-1a over UTF-8 bytes) — the
     * per-doc seed for rendered dimensions and pixel content. Self-contained
     * so render and re-render agree across runs and JVMs. */

@@ -22,16 +22,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events feed carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. Read them as raw nanos longs and
-    * truncate to microsecond timestamps — exactly what engines with µs
-    * timestamps (DuckDB, Spark itself) store, so downstream date math is
-    * bit-identical with the oracle. Projection happens in the scan's
-    * codegen stage; no extra pass. */
+  /** The events feed's `ts` column has shipped in two parquet encodings:
+    * native `timestamp[us]` (current testdata — arrives as TIMESTAMP or
+    * TIMESTAMP_NTZ depending on isAdjustedToUTC) and legacy
+    * TIMESTAMP(NANOS), which Spark's vectorized reader only accepts as a
+    * raw nanos long (`spark.sql.legacy.parquet.nanosAsLong`). Branch on
+    * the scanned type: native timestamps are normalized to session-local
+    * TimestampType (identity under the UTC session timezone GraftSession
+    * pins), legacy nanos are truncated to microseconds. Either way the
+    * projection rides the scan's codegen stage; no extra pass. */
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant (session tz is UTC)
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Guarded fallback for externally-built sessions (the driver's bare
@@ -47,25 +56,33 @@ object Tables {
         !s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Events bounded to [start, end) with the predicate applied ON THE RAW
-    * NANOS LONG, before the µs conversion: a plain long comparison reaches
-    * the parquet scan (`PushedFilters` → row-group/file pruning), where the
-    * same bound written against `timestamp_micros(ts div 1000)` stays a
-    * post-scan filter — the difference between reading a week and scanning
-    * 100 TB. Bounds are UTC `yyyy-MM-dd[ HH:mm:ss]` strings; because both
-    * bounds are whole microseconds, the long predicate is exactly
-    * equivalent to the post-truncation timestamp predicate. */
+  /** Events bounded to [start, end) with the predicate applied ON THE
+    * SCANNED COLUMN, before any normalizing projection: a comparison
+    * against a literal of the scan's own type reaches the parquet reader
+    * (`PushedFilters` → row-group/file pruning), where the same bound
+    * written against a converted column stays a post-scan filter — the
+    * difference between reading a week and scanning 100 TB. Bounds are UTC
+    * `yyyy-MM-dd[ HH:mm:ss]` strings; both bounds are whole seconds, so
+    * the typed predicates are exactly equivalent across encodings. */
   def eventsWindowed(s: SparkSession, d: String, start: String, end: String): DataFrame = {
     ensureNanosAsLong(s)
-    def nanos(x: String): Long = {
-      val ldt =
-        if (x.length == 10) java.time.LocalDate.parse(x).atStartOfDay()
-        else java.time.LocalDateTime.parse(x.replace(' ', 'T'))
-      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    def ldt(x: String): java.time.LocalDateTime =
+      if (x.length == 10) java.time.LocalDate.parse(x).atStartOfDay()
+      else java.time.LocalDateTime.parse(x.replace(' ', 'T'))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        def nanos(x: String): Long =
+          ldt(x).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+        raw.filter(col("ts") >= lit(nanos(start)) && col("ts") < lit(nanos(end)))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        def inst(x: String) = java.sql.Timestamp.from(ldt(x).toInstant(java.time.ZoneOffset.UTC))
+        raw.filter(col("ts") >= lit(inst(start)) && col("ts") < lit(inst(end)))
+      case _ => // TIMESTAMP_NTZ: LocalDateTime literals keep the pushdown typed
+        raw.filter(col("ts") >= lit(ldt(start)) && col("ts") < lit(ldt(end)))
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
-    load(s, d, "events")
-      .filter(col("ts") >= lit(nanos(start)) && col("ts") < lit(nanos(end)))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -77,4 +77,25 @@ class FatalityModelSpec extends AnyFunSuite with SparkSpec {
     assert(Set(10, 20).contains(m.getAs[Int]("best_max_iter")))
     assert(r.predictions.count() === m.getAs[Long]("n_test"))
   }
+
+  test("sampleGrid: seeded n_iter sampling is deterministic and cost-bounding") {
+    import org.apache.spark.ml.param.ParamMap
+    import org.apache.spark.ml.regression.GBTRegressor
+    import org.apache.spark.ml.tuning.ParamGridBuilder
+    val gbt = new GBTRegressor()
+    val grid: Array[ParamMap] = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, Array(2, 3, 4, 5, 6))
+      .addGrid(gbt.maxIter, Array(5, 10, 20, 40))
+      .build() // 20 configs
+    val a = FatalityModel.sampleGrid(grid, 6, seed = 99L)
+    val b = FatalityModel.sampleGrid(grid, 6, seed = 99L)
+    assert(a.length === 6, "n_iter bounds the sweep cost")
+    assert(a.toSeq === b.toSeq, "same seed → same sampled configs")
+    assert(a.toSet.subsetOf(grid.toSet), "samples come from the grid, no invention")
+    assert(a.distinct.length === 6, "sampling without replacement")
+    val c = FatalityModel.sampleGrid(grid, 6, seed = 100L)
+    assert(a.toSeq !== c.toSeq, "different seed → different draw")
+    assert(FatalityModel.sampleGrid(grid, 25, seed = 1L).toSeq === grid.toSeq,
+      "n_iter >= |grid| degrades to the exhaustive sweep untouched")
+  }
 }
