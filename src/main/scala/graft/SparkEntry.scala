@@ -211,6 +211,16 @@ object SparkEntry {
         Seq(get_json_object(col("props"), "$.k").cast("double") -> "avg_prop",
             col("user_id").cast("double") -> "avg_user"),
         topN = 20, topMin = 10.0)),
+    "report_heatmap" -> ((s, d) =>
+      // The heatmap artifact (report.py:553-624 acled_ua_heatmap +
+      // io_manager.py:127 ReportsS3IOManager): bounded-window region
+      // counts → PNG render → publish to the artifact path → decode the
+      // PUBLISHED bytes back. The oracle recomputes counts AND the
+      // integer shade per region and asserts shade = decoded_shade, so
+      // the whole render/publish/read chain is inside the gate.
+      Report.heatmapArtifact(s,
+        Tables.eventsWindowed(s, d, "2024-01-08", "2024-01-15"),
+        sinkPath(d, "heatmap") + "/region_heatmap.png")),
     "salted_agg" -> ((s, d) =>
       // Same stats as a direct groupBy (the oracle is the direct form) but
       // computed via the two-phase salted plan — the skew-safe variant for
@@ -2051,6 +2061,21 @@ object SparkEntry {
                          CAST(ts - INTERVAL 1 HOUR AS DATE) THEN 1 END) = 0
            AS ok
          FROM events GROUP BY 1""",
+    "report_heatmap" ->
+      // recompute the windowed region counts AND the integer shade math;
+      // decoded_shade uses the same expression, so the published artifact
+      // must decode back to exactly the values the SQL predicts
+      """WITH g AS (
+           SELECT CAST(user_id % 10 AS INT) AS region,
+                  count(*) AS event_count
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+           GROUP BY 1),
+         m AS (SELECT max(event_count) AS mx FROM g)
+         SELECT region, event_count,
+           CAST(255 - (event_count * 255) // mx AS INT) AS shade,
+           CAST(255 - (event_count * 255) // mx AS INT) AS decoded_shade
+         FROM g, m""",
     "report_bundle" ->
       // same GROUPING SETS pass, same per-column GROUPING() section tags,
       // same presence counters, same top-20 row section (value >= 10,
