@@ -254,6 +254,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(messages(ex).exists(_.contains("undecodable")), s"got: ${messages(ex)}")
   }
 
+  test("persistLevel: session conf selects the decoded-asset storage level") {
+    import org.apache.spark.storage.StorageLevel
+    val key = "spark.graft.multimodal.persistLevel"
+    assert(spark.conf.getOption(key).isEmpty, "precondition: knob unset")
+    assert(Multimodal.persistLevel(spark) === StorageLevel.MEMORY_AND_DISK)
+    try {
+      spark.conf.set(key, "DISK_ONLY")
+      assert(Multimodal.persistLevel(spark) === StorageLevel.DISK_ONLY)
+      spark.conf.set(key, "MEMORY_AND_DISK_SER")
+      assert(Multimodal.persistLevel(spark) === StorageLevel.MEMORY_AND_DISK_SER)
+    } finally spark.conf.unset(key)
+  }
+
   test("resizePlan: aspect-preserving fit, never upscaling") {
     val mm = Seq(
       (1L, 1000, 500),  // wide: limited by width → 512x256
