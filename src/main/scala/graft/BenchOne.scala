@@ -23,6 +23,8 @@ object BenchOne {
     try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
     catch { case _: Throwable => () }
     val times = (1 to iters).map { _ =>
+      // mirror Bench's per-query isolation exactly, incl. the dedup queue
+      graft.operators.Dedup.unpersistIntermediates()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
