@@ -1221,6 +1221,32 @@ object SparkEntry {
           round(sum("value"), 2).as("total_value"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
     }),
+    "zorder_layout" -> ((s, d) => {
+      // Z-ordered lake layout (Sink.writeZOrdered — Delta/Iceberg's
+      // OPTIMIZE ZORDER as plain Spark): events clustered on the Morton
+      // interleave of (day index, user_id), so every file/row group
+      // covers a small tile of the (time, user) plane and carries tight
+      // min/max on BOTH natural columns — a query bounding time, user,
+      // or both skips at scan time where the 1-D sorted layout only
+      // serves its single sort key. The gate verifies layout/write/read
+      // fidelity: a two-dimensional bounded aggregate off the z-ordered
+      // copy must match the oracle reading the source directly.
+      // SinkSpec measures the two-dimensional skipping itself.
+      val path = sinkPath(d, "zorder")
+      Sink.writeZOrdered(
+        Tables.events(s, d).select(
+          col("event_id"), col("ts"), col("user_id"), col("value")),
+        path,
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+        col("user_id"), files = 16)
+      s.read.parquet(path)
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("user_id") >= 100 && col("user_id") < 300)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("value"), 2).as("total_value"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
     "partitioned_sorted" -> ((s, d) => {
       // The composed production layout (Sink.writePartitionedSorted):
       // daily partition dirs (coarse prune) + ts-sorted rows within each
@@ -2855,6 +2881,13 @@ object SparkEntry {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "zorder_layout" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'
+           AND user_id >= 100 AND user_id < 300""",
     "partitioned_sorted" ->
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total_value,
            min(event_id) AS min_id, max(event_id) AS max_id

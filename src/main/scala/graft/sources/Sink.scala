@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
@@ -248,6 +248,45 @@ object Sink {
     val cols = sortCols.map(df.col)
     df.repartitionByRange(files, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** 2-D Morton (Z-order) key: interleaves the low 16 bits of two
+    * non-negative integer columns (classic magic-mask bit spread — five
+    * codegen'd bitwise ops per dimension, no UDF, no custom expression)
+    * so rows close in BOTH dimensions land close in ONE sort order.
+    * Callers quantize their natural domains to 16 bits first (a day
+    * index, a user bucket); the z-value itself is never stored or
+    * filtered on — it only drives layout, the scan still prunes on the
+    * NATURAL columns' row-group min/max. */
+  def zValue2(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered layout: the multi-dimensional extension of [[writeSorted]]
+    * (Delta/Iceberg's OPTIMIZE ZORDER re-expressed as plain Spark).
+    * A 1-D range sort gives ONE column tight row-group min/max; a query
+    * bounding a DIFFERENT column skips nothing. Z-order clusters on the
+    * Morton interleave of two quantized dimensions, so every file/row
+    * group covers a small TILE of the (a, b) plane and carries tight
+    * stats on BOTH natural columns — a predicate on either (or both)
+    * skips at scan time. The z-expression drives `repartitionByRange` +
+    * `sortWithinPartitions` directly and is never materialized into the
+    * output. At 100 TB this is the difference between "time-bounded
+    * queries are cheap" and "time-OR-key-bounded queries are cheap"
+    * from one copy of the table. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: Column, dimB: Column,
+                    files: Int = 32): Unit = {
+    val z = zValue2(dimA, dimB)
+    df.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
 

@@ -267,4 +267,59 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(sorted < plain / 5,
       s"sorted layout should skip most row groups: sorted=$sorted plain=$plain")
   }
+
+  test("zValue2: Morton interleave bit math") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (65535L, 0L), (0L, 65535L))
+      .toDF("a", "b")
+    val got = df.select(Sink.zValue2(col("a"), col("b"))).as[Long].collect()
+    assert(got === Array(0L, 1L, 2L, 15L, 0x55555555L, 0xAAAAAAAAL.toLong))
+  }
+
+  test("writeZOrdered: predicates on EITHER dimension skip row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    // two independent, equal-width (8-bit) dimensions in hash-shuffled
+    // order — 256 "days" x 256 "users", deliberately uncorrelated, so the
+    // Morton interleave alternates meaningful bits and file-range cuts
+    // constrain BOTH dimensions' high bits symmetrically
+    val df = spark.range(n).select(
+      col("id").as("event_id"),
+      (xxhash64(col("id")).bitwiseAND(lit(255L))).as("day"),
+      (xxhash64(col("id"), lit(7)).bitwiseAND(lit(255L))).as("user"))
+    val zPath = tmp()
+    val oneDPath = tmp()
+    Sink.writeZOrdered(df, zPath, col("day"), col("user"), files = 64)
+    Sink.writeSorted(df, oneDPath, Seq("day"), files = 64) // 1-D rival
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      val qe = q.queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+        .sum
+    }
+    val dayPred = col("day") < 32          // 1/8 of the day domain
+    val userPred = col("user") < 32        // 1/8 of the user domain
+    // answers must match the source regardless of layout
+    assert(spark.read.parquet(zPath).filter(dayPred && userPred).count() ===
+      df.filter(dayPred && userPred).count())
+    // the z layout serves BOTH dimensions; the 1-D sort serves only `day`
+    val zUser = scanned(zPath, userPred)
+    val oneDUser = scanned(oneDPath, userPred)
+    assert(zUser < oneDUser / 2,
+      s"z-order should skip on the second dimension too: z=$zUser 1d=$oneDUser")
+    val zBoth = scanned(zPath, dayPred && userPred)
+    assert(zBoth < n / 8,
+      s"combined two-dimensional cut should touch a small tile set: $zBoth of $n")
+    // and the z layout keeps serving the first dimension comparably
+    val zDay = scanned(zPath, dayPred)
+    assert(zDay < n / 2, s"z-order should still skip on day: $zDay of $n")
+  }
 }
