@@ -36,6 +36,12 @@ class EntrySurfaceSpec extends AnyFunSuite with SparkSpec {
         failures.mkString("\n  "))
   }
 
+  test("entry: the flagship query returns rows on the smallest SF") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    assert(SparkEntry.entry(spark).limit(1).count() === 1L,
+      "driver smoke-check would fail: entry() returned no rows")
+  }
+
   test("every query has an oracleSql entry or is a documented rows-only check") {
     // rows-only queries (no SQL-expressible oracle) — keep this list short
     // and deliberate; everything else must carry a DuckDB oracle.
