@@ -35,7 +35,7 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = ordered.map { case (name, fn) =>
+    val timed = ordered.map { case (name, fn) =>
       // release every cache the previous query left behind (dedup-tier
       // MEMORY_AND_DISK frames, cached model predictions) and quiesce the
       // heap, so a query is billed for its own cost — not the storage
@@ -52,20 +52,35 @@ object Bench {
         case e: Throwable =>
           // a failed query must be visibly broken in the artifact, never a
           // small "fast" timing: record the error keyed by query name
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // a failed query's elapsed time is meaningless (analysis bailed early)
+    // and must never masquerade as a per-query cost or shrink the total —
+    // only successes carry timings; failures live in the errors map
+    val results = timed.filterNot { case (name, _) => errors.contains(name) }
     val total = results.map(_._2).sum
     // Full-precision record → file, COMMITTED per round (BENCH_LAST.json).
     // The capture pipeline keeps only the LAST ~2000 chars of stdout, and
     // 90+ query names alone exceed that — no single full-precision stdout
     // line can survive it (r1-r7 all lost their head, every round's
     // `parsed` was null). The file is the durable record.
+    // full JSON string escaping (mirrors Verify.q): exception messages can
+    // carry any control character, and one raw U+0000-001F would make the
+    // whole committed artifact unparseable
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson}"""

@@ -1027,7 +1027,8 @@ object SparkEntry {
       // flips the row red. The asset frame is persisted so the render
       // runs once across the claim/decode branches of the join.
       val au = Dedup.persistTracked(
-        Multimodal.asAudio(Tables.documents(s, d), "doc_id", "text"))
+        Multimodal.asAudio(Tables.documents(s, d), "doc_id", "text"),
+        Multimodal.persistLevel(s))
       au.select(col("asset_id"), col("meta.mime").as("mime"),
           col("meta.sample_rate").as("sample_rate"),
           col("meta.channels").as("channels"),
@@ -1043,7 +1044,8 @@ object SparkEntry {
       // computed off the DECODER's output — are pinned as golden rows for
       // docs 0-9, like the image path's pixel-stat hash.
       val au = Dedup.persistTracked(Multimodal.asAudio(
-        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text"))
+        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text"),
+        Multimodal.persistLevel(s))
       au.select(col("asset_id"), col("meta.sample_rate").as("sample_rate"),
           col("meta.channels").as("channels"), col("meta.n_frames").as("n_frames"))
         .join(Multimodal.extractAudioFeatures(au).toDF()
@@ -1087,7 +1089,8 @@ object SparkEntry {
       // the image pixel-stat and audio PCM-stat goldens. One row per
       // frame proves real frame-granular decode, not container metadata.
       val vd = Dedup.persistTracked(Multimodal.asVideo(
-        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text"))
+        Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text"),
+        Multimodal.persistLevel(s))
       Multimodal.extractVideoFrames(vd).toDF()
         .join(vd.select(col("asset_id"),
           col("meta.n_frames").as("n_frames"),

@@ -43,13 +43,19 @@ object Report {
   def shadeOf(count: Long, maxCount: Long): Int =
     255 - (count * 255L / math.max(1L, maxCount)).toInt
 
+  /** The single source of the raster layout: regions ordered by id (cell
+    * index = position in this order) and the max count the shade scale is
+    * normalized to. Render and decode-verify both derive from HERE, so
+    * the cell-index↔region mapping cannot drift between them. */
+  private def layout(grid: Seq[(Int, Long)]): (Seq[(Int, Long)], Long) =
+    (grid.sortBy(_._1), grid.map(_._2).foldLeft(1L)(math.max))
+
   /** Rasterize a (region → count) grid as a horizontal strip of gray
     * cells, one `cell`×`cell` square per region ordered by region id.
     * Deterministic bytes for a given grid (PNG encode of a fixed raster). */
   private[graft] def renderHeatmap(
       grid: Seq[(Int, Long)], cell: Int): Array[Byte] = {
-    val maxCount = grid.map(_._2).foldLeft(1L)(math.max)
-    val ordered = grid.sortBy(_._1)
+    val (ordered, maxCount) = layout(grid)
     val img = new BufferedImage(cell * ordered.size, cell, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
     try {
@@ -69,13 +75,19 @@ object Report {
     * `(region, event_count, shade, decoded_shade)` — `decoded_shade` is
     * sampled from the written image at the region's cell center, so any
     * corruption anywhere in the render/publish/read chain breaks the
-    * `shade = decoded_shade` equality the oracle asserts. */
+    * `shade = decoded_shade` equality the oracle asserts. An empty window
+    * returns the empty frame and publishes nothing (a zero-width raster
+    * is not a representable PNG). */
   def heatmapArtifact(spark: SparkSession, events: DataFrame, path: String,
       cell: Int = 32): DataFrame = {
+    import spark.implicits._
     val grid = regionCounts(events)
       .collect() // bounded: one row per region
       .map(r => (r.getInt(0), r.getLong(1)))
       .toSeq
+    if (grid.isEmpty)
+      return Seq.empty[(Int, Long, Int, Int)]
+        .toDF("region", "event_count", "shade", "decoded_shade")
     val png = renderHeatmap(grid, cell)
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -83,13 +95,11 @@ object Report {
 
     val published = ImageIO.read(new java.io.ByteArrayInputStream(
       java.nio.file.Files.readAllBytes(p)))
-    val maxCount = grid.map(_._2).foldLeft(1L)(math.max)
-    val ordered = grid.sortBy(_._1)
+    val (ordered, maxCount) = layout(grid)
     val rows = ordered.zipWithIndex.map { case ((region, n), i) =>
       val decoded = published.getRGB(i * cell + cell / 2, cell / 2) & 0xff
       (region, n, shadeOf(n, maxCount), decoded)
     }
-    import spark.implicits._
     rows.toDF("region", "event_count", "shade", "decoded_shade")
   }
 }

@@ -281,10 +281,26 @@ object Sink {
     * `sortWithinPartitions` directly and is never materialized into the
     * output. At 100 TB this is the difference between "time-bounded
     * queries are cheap" and "time-OR-key-bounded queries are cheap"
-    * from one copy of the table. */
+    * from one copy of the table.
+    *
+    * Dimensions are RANGE-QUANTIZED to the 16-bit Morton domain from
+    * their actual min/max (one map-side-combined agg + a two-value
+    * driver collect — the same stats pass Delta's OPTIMIZE runs), so
+    * callers pass natural columns and the layout is correct at ANY
+    * domain width. Passing a raw wide column through [[zValue2]]'s
+    * `& 0xFFFF` would alias distant values into the same tile and
+    * silently void the clustering — exactly the failure mode the
+    * quantization exists to prevent. */
   def writeZOrdered(df: DataFrame, path: String, dimA: Column, dimB: Column,
                     files: Int = 32): Unit = {
-    val z = zValue2(dimA, dimB)
+    val Array(loA, hiA, loB, hiB) = df
+      .agg(min(dimA).cast("double"), max(dimA).cast("double"),
+        min(dimB).cast("double"), max(dimB).cast("double"))
+      .collect()(0).toSeq.map(v => Option(v).fold(0.0)(_.asInstanceOf[Double])).toArray
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else floor((c.cast("double") - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long")
+    val z = zValue2(quant(dimA, loA, hiA), quant(dimB, loB, hiB))
     df.repartitionByRange(files, z)
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver testdata layout
@@ -34,14 +34,34 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
     val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant (session tz is UTC)
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    tsCodec(raw).normalize(raw)
   }
+
+  /** The ONE dispatch on the scanned `ts` type. Both events entry points
+    * route through it, so a new encoding (or a fix to an existing one)
+    * lands in `events` and `eventsWindowed` in lockstep — round 10 showed
+    * what a divergence here costs (47 queries silently unrunnable).
+    * `bound` produces a literal OF THE SCANNED TYPE so window predicates
+    * stay in `PushedFilters`; `normalize` is the post-filter projection to
+    * session-local TimestampType (identity under the pinned UTC zone). */
+  private final case class TsCodec(
+      bound: java.time.LocalDateTime => Column,
+      normalize: DataFrame => DataFrame)
+  private def tsCodec(raw: DataFrame): TsCodec =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy TIMESTAMP(NANOS)
+        TsCodec(
+          ldt => lit(ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L),
+          df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      case org.apache.spark.sql.types.TimestampType =>
+        TsCodec(
+          ldt => lit(java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))),
+          identity)
+      case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant (session tz is UTC)
+        TsCodec(
+          ldt => lit(ldt),
+          df => df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+    }
 
   /** Guarded fallback for externally-built sessions (the driver's bare
     * smoke session): GraftSession asserts the nanos-as-long reader mapping
@@ -70,19 +90,10 @@ object Tables {
       if (x.length == 10) java.time.LocalDate.parse(x).atStartOfDay()
       else java.time.LocalDateTime.parse(x.replace(' ', 'T'))
     val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        def nanos(x: String): Long =
-          ldt(x).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
-        raw.filter(col("ts") >= lit(nanos(start)) && col("ts") < lit(nanos(end)))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampType =>
-        def inst(x: String) = java.sql.Timestamp.from(ldt(x).toInstant(java.time.ZoneOffset.UTC))
-        raw.filter(col("ts") >= lit(inst(start)) && col("ts") < lit(inst(end)))
-      case _ => // TIMESTAMP_NTZ: LocalDateTime literals keep the pushdown typed
-        raw.filter(col("ts") >= lit(ldt(start)) && col("ts") < lit(ldt(end)))
-          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    val codec = tsCodec(raw)
+    codec.normalize(
+      raw.filter(col("ts") >= codec.bound(ldt(start)) &&
+        col("ts") < codec.bound(ldt(end))))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

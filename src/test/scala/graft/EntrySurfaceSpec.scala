@@ -49,5 +49,12 @@ class EntrySurfaceSpec extends AnyFunSuite with SparkSpec {
     val known = missing.filter(n => SparkEntry.rowsOnly.contains(n))
     assert(missing == known,
       s"queries missing BOTH oracleSql and rowsOnly justification: ${(missing -- known).toSeq.sorted.mkString(", ")}")
+    // the exemption list itself must not rot: every entry names a live
+    // query, and none shadows a query that HAS an oracle
+    val dead = SparkEntry.rowsOnly -- SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"rowsOnly entries naming no live query: ${dead.toSeq.sorted.mkString(", ")}")
+    val shadowed = SparkEntry.rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(shadowed.isEmpty,
+      s"rowsOnly entries that actually have oracles (stale exemption): ${shadowed.toSeq.sorted.mkString(", ")}")
   }
 }
