@@ -12,7 +12,7 @@ import graft.sources.Tables
 class IngestSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("eventsWindowed: raw-nanos window equals the post-conversion filter AND pushes down") {
+  test("eventsWindowed: scan-typed window equals the post-normalization filter AND pushes down") {
     val d = "/root/testdata/sf0.001"
     val windowed = Tables.eventsWindowed(spark, d, "2024-01-10", "2024-01-17")
     val want = Tables.events(spark, d)
