@@ -1250,6 +1250,27 @@ object SparkEntry {
           round(sum("value"), 2).as("total_value"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
     }),
+    "zorder3_layout" -> ((s, d) => {
+      // Three-dimensional Z-order (Sink.writeZOrdered3): time × user ×
+      // value — the clustering a production fact table wants when its
+      // reports bound all three. The read-back stacks predicates on all
+      // three natural columns; the oracle replays them on the source.
+      val path = sinkPath(d, "zorder3")
+      Sink.writeZOrdered3(
+        Tables.events(s, d).select(
+          col("event_id"), col("ts"), col("user_id"), col("value")),
+        path,
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+        col("user_id"), col("value"), files = 16)
+      s.read.parquet(path)
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("user_id") >= 100 && col("user_id") < 300 &&
+          col("value") >= 10.0 && col("value") < 60.0)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("value"), 2).as("total_value"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
     "partitioned_sorted" -> ((s, d) => {
       // The composed production layout (Sink.writePartitionedSorted):
       // daily partition dirs (coarse prune) + ts-sorted rows within each
@@ -2891,6 +2912,14 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 00:00:00'
            AND user_id >= 100 AND user_id < 300""",
+    "zorder3_layout" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'
+           AND user_id >= 100 AND user_id < 300
+           AND value >= 10.0 AND value < 60.0""",
     "partitioned_sorted" ->
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total_value,
            min(event_id) AS min_id, max(event_id) AS max_id

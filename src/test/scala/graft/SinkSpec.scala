@@ -276,6 +276,49 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array(0L, 1L, 2L, 15L, 0x55555555L, 0xAAAAAAAAL.toLong))
   }
 
+  test("zValue3: 3-way Morton interleave bit math") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (7L, 7L, 7L),
+      (0x1FFFFFL, 0L, 0L)).toDF("a", "b", "c")
+    val got = df.select(Sink.zValue3(col("a"), col("b"), col("c"))).as[Long].collect()
+    assert(got === Array(1L, 2L, 4L, 511L, 0x1249249249249249L))
+  }
+
+  test("writeZOrdered3: each of three dimensions skips on its own predicate") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    val df = spark.range(n).select(
+      col("id").as("event_id"),
+      (xxhash64(col("id")).bitwiseAND(lit(63L))).as("d1"),
+      (xxhash64(col("id"), lit(7)).bitwiseAND(lit(63L))).as("d2"),
+      (xxhash64(col("id"), lit(11)).bitwiseAND(lit(63L))).as("d3"))
+    val zPath = tmp()
+    Sink.writeZOrdered3(df, zPath, col("d1"), col("d2"), col("d3"), files = 64)
+    def scanned(pred: org.apache.spark.sql.Column): Long = {
+      val qe = spark.read.parquet(zPath).filter(pred).queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+        .sum
+    }
+    // top-quarter cut on EACH dimension independently: 64 z-range files
+    // fix the top two quantized bits of every dimension, so each cut
+    // prunes to ~1/4 of the data — no dimension is a second-class citizen
+    Seq(col("d1") < 16, col("d2") < 16, col("d3") < 16).foreach { p =>
+      val rows = scanned(p)
+      assert(rows < n / 2, s"predicate $p should skip most row groups: $rows of $n")
+    }
+    // answers stay correct
+    assert(spark.read.parquet(zPath).filter(col("d2") < 16).count() ===
+      df.filter(col("d2") < 16).count())
+  }
+
   test("writeZOrdered: predicates on EITHER dimension skip row groups") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
