@@ -808,6 +808,25 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
     }),
+    "temperature_mixture" -> ((s, d) => {
+      // Temperature-flattened mixture (p_s ∝ mass_s^(1/τ), τ=2): budgets
+      // derived from the corpus's own per-language token mass, then the
+      // same deterministic budget draw as token_budget_sample. τ=2 rides
+      // IEEE sqrt so DuckDB replays budget derivation AND draw exactly;
+      // low-resource langs get visibly more than their natural share.
+      val df = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val budgets = Sample.temperatureBudgets(
+        df, col("lang"), col("n_tokens"), totalTokens = 6000L, temperature = 2.0)
+      val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+        case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
+      }
+      Sample.tokenBudgetSample(df, col("lang"), col("doc_id"), col("n_tokens"),
+          budgets, orderKey = Some(md5(col("doc_id").cast("string"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .withColumn("budget", budgetCol)
+    }),
     "contamination_check" -> ((s, d) => {
       // Benchmark decontamination: docs 0-4 play the eval set; a 12-token
       // probe sentence is appended to them AND to training docs 10-12
@@ -2459,6 +2478,31 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM w WHERE b >= 0 AND bef < b GROUP BY lang""",
+    "temperature_mixture" ->
+      // budget derivation (per-lang token mass → sqrt flatten → floor
+      // allocation) AND the md5-ordered exclusive-running-sum draw, both
+      // replayed; sqrt is IEEE-correctly-rounded in both engines so the
+      // budgets agree bit-for-bit
+      """WITH t AS (
+           SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ok
+           FROM documents),
+         m AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS mass
+               FROM t GROUP BY lang),
+         wt AS (SELECT lang, sqrt(mass) AS w FROM m),
+         z AS (SELECT sum(w) AS z FROM wt),
+         b AS (SELECT lang, CAST(floor(6000 * w / z) AS BIGINT) AS budget
+               FROM wt, z),
+         w2 AS (
+           SELECT t.*, b.budget,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY t.lang ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+           FROM t JOIN b ON t.lang = b.lang)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens, budget
+         FROM w2 WHERE bef < budget GROUP BY lang, budget""",
     "corpus_pipeline" ->
       // full-chain replay: same planted unions (exact copies +1e6,
       // jittered copies +2e6, model-bad translate-generated docs +3e6),

@@ -50,6 +50,37 @@ object Sample {
     * One shuffle (the per-stratum window); hash order makes the draw
     * reproducible and incremental — re-running on a grown corpus keeps
     * every previously-kept doc whose hash position still fits the budget. */
+  /** Temperature-flattened mixture budgets — the multilingual/LLM
+    * sampling recipe (draw stratum s with p_s ∝ mass_s^(1/τ), the
+    * XLM-R/mBERT exponential-smoothing rule; τ=1 keeps natural
+    * proportions, τ>1 flattens toward uniform and lifts low-resource
+    * strata, τ→∞ is uniform). One map-side-combined agg computes each
+    * stratum's token mass (bounded driver collect: one row per stratum);
+    * `totalTokens` is then allocated as floor(total·w_s/Σw). Feed the
+    * result straight to [[tokenBudgetSample]].
+    *
+    * τ=2 routes through IEEE-correctly-rounded `sqrt` (not `pow`), so an
+    * external engine replaying the allocation with SQRT reproduces the
+    * budgets bit-for-bit — the gate runs at τ=2 for exactly this reason. */
+  def temperatureBudgets(df: DataFrame, stratumCol: Column, tokensCol: Column,
+                         totalTokens: Long, temperature: Double): Map[String, Long] = {
+    require(temperature > 0, "temperature must be positive")
+    val invTau = 1.0 / temperature
+    def flat(m: Double): Double =
+      if (invTau == 0.5) math.sqrt(m)
+      else if (invTau == 1.0) m
+      else math.pow(m, invTau)
+    val weights = df.groupBy(stratumCol.as("__stratum"))
+      .agg(sum(tokensCol).cast("double").as("__mass"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> flat(r.getDouble(1)))
+      .sortBy(_._1) // deterministic summation order
+    val z = weights.map(_._2).sum
+    weights.map { case (s, w) =>
+      s -> math.floor(totalTokens * w / z).toLong
+    }.toMap
+  }
+
   def tokenBudgetSample(df: DataFrame, stratumCol: Column, keyCol: Column,
                         tokensCol: Column, budgets: Map[String, Long],
                         salt: Long = 0L,

@@ -214,6 +214,32 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("temperatureBudgets: τ flattens the mixture toward uniform, mass-exact at τ=1") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("en", 9000L), ("de", 900L), ("fr", 100L))
+      .flatMap { case (l, m) => Seq((l, m)) } // one row per stratum, mass as tokens
+      .toDF("lang", "n_tokens")
+    val total = 10000L
+    val natural = graft.operators.Sample.temperatureBudgets(
+      df, col("lang"), col("n_tokens"), total, temperature = 1.0)
+    // τ=1: budgets are the natural proportions (floor of exact shares)
+    assert(natural("en") === 9000L && natural("de") === 900L && natural("fr") === 100L)
+    val flat = graft.operators.Sample.temperatureBudgets(
+      df, col("lang"), col("n_tokens"), total, temperature = 2.0)
+    // τ=2: sqrt flattening — low-resource strata gain share, order preserved
+    assert(flat("fr") > natural("fr") && flat("de") > natural("de"))
+    assert(flat("en") < natural("en"))
+    assert(flat("en") > flat("de") && flat("de") > flat("fr"), "ordering by mass survives")
+    // exact sqrt allocation: weights 94.868/30/10, z=134.868
+    assert(flat("en") === math.floor(total * math.sqrt(9000.0) /
+      (math.sqrt(9000.0) + math.sqrt(900.0) + math.sqrt(100.0))).toLong)
+    // total conservation within rounding: floors lose < #strata tokens
+    assert(flat.values.sum > total - 3 && flat.values.sum <= total)
+    // determinism
+    assert(flat === graft.operators.Sample.temperatureBudgets(
+      df, col("lang"), col("n_tokens"), total, temperature = 2.0))
+  }
+
   test("corpusFilterRules: each rule fires on its designed pathology") {
     import org.apache.spark.sql.functions.col
     val ok = ("the quick brown fox jumps over the lazy dog and keeps going " * 3) + "done."
