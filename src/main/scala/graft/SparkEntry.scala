@@ -1151,6 +1151,30 @@ object SparkEntry {
       val pred = trainedModel(s, d).predictions
       FatalityModel.riskCrosstab(pred, "value", "predicted_value")
     }),
+    "model_feature_importance" -> ((s, d) =>
+      // GBT feature-importance surface (ml.py:446-469; importance_pct
+      // normalization ml.py:515): one row per assembled feature slot from
+      // the memoized fit — importance desc, feature-name tiebreak. Rounded
+      // for the artifact; rows-only (rides the GBT fit, like C3/C5/C6),
+      // with model_feature_importance_check as the second-engine gate.
+      FatalityModel.featureImportance(trainedModel(s, d))
+        .select(col("feature"), round(col("importance"), 6).as("importance"),
+          round(col("importance_pct"), 1).as("importance_pct"))),
+    "model_feature_importance_check" -> ((s, d) => {
+      // The SQL-checkable structural surface of the importance table:
+      // DuckDB independently derives the expected slot count (one one-hot
+      // slot per distinct event_type — handleInvalid=keep adds a reserved
+      // slot, dropLast removes it — plus the 7 numeric features), and the
+      // invariants are pinned TRUE: importances non-negative, pct
+      // normalization sums to 100 within fp tolerance.
+      val fi = FatalityModel.featureImportance(trainedModel(s, d))
+      fi.agg(count(lit(1)).as("n_features"),
+          min("importance").as("__min"),
+          sum("importance_pct").as("__pct"))
+        .select(col("n_features"),
+          (col("__min") >= 0.0).as("nonneg_ok"),
+          (abs(col("__pct") - 100.0) < 0.001).as("pct_total_ok"))
+    }),
 
     // ---- §F sources & sinks --------------------------------------------
     "compact_partitions" -> ((s, d) => {
@@ -2491,7 +2515,11 @@ object SparkEntry {
          m AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS mass
                FROM t GROUP BY lang),
          wt AS (SELECT lang, sqrt(mass) AS w FROM m),
-         z AS (SELECT sum(w) AS z FROM wt),
+         -- z accumulated over a lang-ordered list, NOT a bare sum(w):
+         -- the engine sums weights in sorted-stratum order, and a
+         -- hash-aggregate-order fp sum could differ by an ulp — enough
+         -- to flip a floor() budget at an exact boundary
+         z AS (SELECT list_sum(list(w ORDER BY lang)) AS z FROM wt),
          b AS (SELECT lang, CAST(floor(6000 * w / z) AS BIGINT) AS budget
                FROM wt, z),
          w2 AS (
@@ -2829,6 +2857,17 @@ object SparkEntry {
                      ELSE 'Low' END AS risk_level,
            count(*) AS cnt
          FROM events GROUP BY 1""",
+    "model_feature_importance_check" ->
+      // DuckDB's half: the assembled slot count is derivable from the data
+      // alone — one one-hot slot per distinct non-null event_type (the
+      // indexer's keep-slot is dropped by dropLast) + the 7 numeric
+      // features (target_encoded, cohort, hour_of_day, day_of_week, month,
+      // prop_k, dist_from_center). The two invariant booleans are pinned
+      // TRUE: a fitted GBT's importances are a non-negative simplex, so
+      // the percent normalization must close to 100.
+      """SELECT CAST(count(DISTINCT event_type) + 7 AS BIGINT) AS n_features,
+           true AS nonneg_ok, true AS pct_total_ok
+         FROM events""",
     "stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS event_count, sum(value) AS total_value

@@ -112,7 +112,13 @@ object FatalityModel {
     targetEncode(withDist, "event_type", "value")
   }
 
-  case class ModelResult(predictions: DataFrame, metrics: DataFrame)
+  /** `prep` (feature pipeline) + `model` (fitted GBT) ride along so the
+    * importance surface and artifact persistence work off the SAME fit the
+    * metrics came from — never a second training pass. */
+  case class ModelResult(predictions: DataFrame, metrics: DataFrame,
+                         prep: org.apache.spark.ml.PipelineModel,
+                         model: GBTRegressionModel,
+                         featureNames: Array[String])
 
   private val FeatureCols = Array("event_type_oh", "event_type_target_encoded",
     "cohort", "hour_of_day", "day_of_week", "month", "prop_k", "dist_from_center")
@@ -210,8 +216,63 @@ object FatalityModel {
       avg("abs_error").as("mae_check"))
       .crossJoin(Seq((evalOn("rmse"), evalOn("mae"), evalOn("r2"), bestDepth, bestIter))
         .toDF("rmse", "mae", "r2", "best_max_depth", "best_max_iter"))
-    ModelResult(pred, metrics)
+    ModelResult(pred, metrics, prep, model, slotNames(train, "features"))
   }
+
+  /** Per-slot feature names of an assembled vector column, read from its ML
+    * attribute metadata (one-hot slots carry their category label, numeric
+    * slots their column name) — the Spark twin of `X_train.columns` in the
+    * reference (ml.py:446-447). Falls back to positional `f<i>` names only
+    * if metadata was stripped. */
+  private def slotNames(df: DataFrame, featuresCol: String): Array[String] = {
+    val group = org.apache.spark.ml.attribute.AttributeGroup
+      .fromStructField(df.schema(featuresCol))
+    group.attributes match {
+      case Some(attrs) =>
+        attrs.map(a => a.name.getOrElse("f" + a.index.getOrElse(-1)))
+      case None =>
+        Array.tabulate(group.size max 0)(i => s"f$i")
+    }
+  }
+
+  /** Feature-importance table from the fitted GBT (ml.py:446-469; the
+    * dashboard's percent normalization at ml.py:515): one row per assembled
+    * feature slot, `(feature, importance, importance_pct)`, ordered
+    * importance-descending with the feature name as the deterministic
+    * tiebreak. All driver-side — `featureImportances` is a property of the
+    * already-fitted model; nothing rescans data. */
+  def featureImportance(result: ModelResult): DataFrame = {
+    val spark = result.predictions.sparkSession
+    import spark.implicits._
+    val imps = result.model.featureImportances.toArray
+    val names =
+      if (result.featureNames.length == imps.length) result.featureNames
+      else Array.tabulate(imps.length)(i => s"f$i")
+    val total = imps.sum
+    names.zip(imps).toSeq
+      .map { case (f, imp) =>
+        (f, imp, if (total == 0.0) 0.0 else imp / total * 100.0) }
+      .sortBy { case (f, imp, _) => (-imp, f) }
+      .toDF("feature", "importance", "importance_pct")
+  }
+
+  /** Persist the fitted artifact — feature pipeline + GBT — to the lake
+    * (the reference pickles its model package through the IO manager,
+    * io_manager.py:55 handle_output; MLlib's native writer is the
+    * Spark-shaped equivalent: a directory of parquet + JSON metadata that
+    * any executor can reload without the driver shipping bytes). */
+  def saveModel(result: ModelResult, path: String): Unit = {
+    result.prep.write.overwrite().save(path + "/prep")
+    result.model.write.overwrite().save(path + "/gbt")
+  }
+
+  /** Reload a persisted artifact. `transform` of the returned pair over the
+    * same prepared-feature frame must reproduce the in-memory model's
+    * predictions bit-for-bit (FatalityModelSpec pins this). */
+  def loadModel(path: String):
+      (org.apache.spark.ml.PipelineModel, GBTRegressionModel) =
+    (org.apache.spark.ml.PipelineModel.load(path + "/prep"),
+      GBTRegressionModel.load(path + "/gbt"))
 
   /** Risk-level thresholds on a (predicted) value column (ml.py:687-694). */
   def riskLevel(v: Column): Column =

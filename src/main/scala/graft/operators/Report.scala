@@ -85,9 +85,13 @@ object Report {
       .collect() // bounded: one row per region
       .map(r => (r.getInt(0), r.getLong(1)))
       .toSeq
-    if (grid.isEmpty)
+    if (grid.isEmpty) {
+      // drop any previously-published PNG: a stale artifact must not
+      // outlive the (empty) verification frame that supersedes it
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
       return Seq.empty[(Int, Long, Int, Int)]
         .toDF("region", "event_count", "shade", "decoded_shade")
+    }
     val png = renderHeatmap(grid, cell)
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

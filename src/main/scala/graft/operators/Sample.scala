@@ -70,7 +70,11 @@ object Sample {
       if (invTau == 0.5) math.sqrt(m)
       else if (invTau == 1.0) m
       else math.pow(m, invTau)
-    val weights = df.groupBy(stratumCol.as("__stratum"))
+    // null strata are excluded up front: tokenBudgetSample's stratum
+    // equality can never match a null row, so a null-keyed budget would
+    // only inflate z and silently shrink every real stratum's allocation
+    val weights = df.filter(stratumCol.isNotNull)
+      .groupBy(stratumCol.as("__stratum"))
       .agg(sum(tokensCol).cast("double").as("__mass"))
       .collect()
       .map(r => String.valueOf(r.get(0)) -> flat(r.getDouble(1)))

@@ -57,10 +57,18 @@ object Tables {
         TsCodec(
           ldt => lit(java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))),
           identity)
-      case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant (session tz is UTC)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // reinterpret as UTC instant (session tz is UTC)
         TsCodec(
           ldt => lit(ldt),
           df => df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case other =>
+        // Fail FAST and by name: a silently-mishandled ts encoding is the
+        // exact divergence class behind the round-10 incident (47 queries
+        // unrunnable). A new testdata encoding must land here explicitly.
+        throw new IllegalStateException(
+          s"events.ts scanned as unsupported type $other — add an explicit " +
+            "TsCodec arm (known: LongType nanos, TimestampType, TimestampNTZType)")
     }
 
   /** Guarded fallback for externally-built sessions (the driver's bare

@@ -61,7 +61,9 @@ class FatalityModelSpec extends AnyFunSuite with SparkSpec {
       ("Low", "High", 1L)))
   }
 
-  test("trainAndEvaluate: end-to-end GBT with sweep on a small frame") {
+  // One fit shared by the e2e, feature-importance, and save/load gates —
+  // three tests, one training pass.
+  private lazy val sharedFit: FatalityModel.ModelResult = {
     val rnd = new scala.util.Random(7)
     val events = (1 to 400).map { i =>
       val et = Seq("click", "view", "purchase")(i % 3)
@@ -69,13 +71,72 @@ class FatalityModelSpec extends AnyFunSuite with SparkSpec {
       (i.toLong, new java.sql.Timestamp(1704067200000L + i * 3600000L),
         (i % 50).toLong, et, base + rnd.nextGaussian(), s"""{"k": ${i % 9}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val r = FatalityModel.trainAndEvaluate(events)
+    FatalityModel.trainAndEvaluate(events)
+  }
+
+  test("trainAndEvaluate: end-to-end GBT with sweep on a small frame") {
+    val r = sharedFit
     val m = r.metrics.collect()(0)
     assert(m.getAs[Long]("n_test") > 0L)
     assert(m.getAs[Double]("rmse") < 10.0, "model should beat a wild guess on separable data")
     assert(Set(3, 4).contains(m.getAs[Int]("best_max_depth")))
     assert(Set(10, 20).contains(m.getAs[Int]("best_max_iter")))
     assert(r.predictions.count() === m.getAs[Long]("n_test"))
+  }
+
+  test("featureImportance: named slots, simplex normalization, ordered") {
+    val fi = FatalityModel.featureImportance(sharedFit)
+      .as[(String, Double, Double)].collect()
+    // 3 one-hot slots (3 event types; keep-slot dropped by dropLast) + 7
+    // numeric features
+    assert(fi.length === 10)
+    val names = fi.map(_._1).toSet
+    assert(Set("cohort", "hour_of_day", "day_of_week", "month", "prop_k",
+      "dist_from_center", "event_type_target_encoded").subsetOf(names))
+    assert(names.count(_.startsWith("event_type_oh_")) === 3,
+      "one-hot slots carry their category label")
+    assert(fi.forall(_._2 >= 0.0), "importances are non-negative")
+    assert(math.abs(fi.map(_._3).sum - 100.0) < 1e-6, "pct sums to 100")
+    assert(fi.map(-_._2).toSeq === fi.map(-_._2).toSeq.sorted,
+      "rows ordered importance-descending")
+    // the event type IS the signal in this frame (value = f(event_type) + noise):
+    // its slots must dominate the importance mass
+    val etMass = fi.filter(f => f._1.startsWith("event_type")).map(_._3).sum
+    assert(etMass > 50.0, s"event_type features should dominate, got $etMass%")
+  }
+
+  test("saveModel/loadModel: reload reproduces predictions bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    try {
+      FatalityModel.saveModel(sharedFit, dir)
+      val (prep, gbt) = FatalityModel.loadModel(dir)
+      // gate frame: the shared fit's own test fold, re-prepared by the
+      // RELOADED pipeline and scored by the RELOADED GBT
+      val gate = sharedFit.predictions.select("event_id").limit(50)
+      def score(p: org.apache.spark.ml.PipelineModel,
+                m: org.apache.spark.ml.regression.GBTRegressionModel) = {
+        val rnd = new scala.util.Random(7)
+        val events = (1 to 400).map { i =>
+          val et = Seq("click", "view", "purchase")(i % 3)
+          val base = Map("click" -> 5.0, "view" -> 15.0, "purchase" -> 30.0)(et)
+          (i.toLong, new java.sql.Timestamp(1704067200000L + i * 3600000L),
+            (i % 50).toLong, et, base + rnd.nextGaussian(), s"""{"k": ${i % 9}}""")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val feats = FatalityModel.prepareFeatures(events).na.fill(0.0)
+        m.transform(p.transform(feats))
+          .select(col("event_id"), col("prediction"))
+      }
+      val a = score(sharedFit.prep, sharedFit.model)
+        .as[(Long, Double)].collect().toMap
+      val b = score(prep, gbt).as[(Long, Double)].collect().toMap
+      assert(a.keySet === b.keySet)
+      // bit-identical: same trees, same thresholds, same arithmetic
+      a.foreach { case (id, v) => assert(v === b(id), s"event $id diverged") }
+      assert(gate.count() > 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(): Unit
+    }
   }
 
   test("sampleGrid: seeded n_iter sampling is deterministic and cost-bounding") {
