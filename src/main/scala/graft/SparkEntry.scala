@@ -737,6 +737,32 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("__novel"), lit(false)).as("is_novel"))
     }),
+    "corpus_snapshot_diff" -> ((s, d) => {
+      // Incremental-curation bookkeeping: the row-level delta between two
+      // corpus versions. Gate versions are deterministic slices of the
+      // documents table — prev = docs <400, curr = docs >=100 with every
+      // 50th doc's text rewritten (a re-crawl edit) — so the output is
+      // 100 added + 100 removed + the planted changed docs, replayable
+      // exactly. The join ships (id, 16-byte hash), never text, and the
+      // unchanged mass never materializes.
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") < 400)
+      val curr = docs.filter(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Snapshot.diff(prev, curr, "doc_id", "text")
+    }),
+    "corpus_snapshot_summary" -> ((s, d) => {
+      // The per-refresh census a pipeline pins to catch step changes
+      // (a crawler rewriting 40% of the corpus is an incident): same gate
+      // versions, one full-outer hash join + one aggregate.
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") < 400)
+      val curr = docs.filter(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Snapshot.diffSummary(prev, curr, "doc_id", "text")
+    }),
     "seq_packing" -> ((s, d) => {
       // Token-budget sequence packing over the corpus' whitespace token
       // counts: per-sequence fill statistics (greedy shard-local packing).
@@ -2462,6 +2488,43 @@ object SparkEntry {
          corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250)
          SELECT doc_id, lang, source FROM dedup d
          WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = d.h)""",
+    "corpus_snapshot_diff" ->
+      """WITH prev AS (
+           SELECT doc_id, md5(text) AS prev_hash
+           FROM documents WHERE doc_id < 400),
+         curr AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END)
+               AS curr_hash
+           FROM documents WHERE doc_id >= 100)
+         SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN prev_hash IS NULL THEN 'added'
+                WHEN curr_hash IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           prev_hash, curr_hash
+         FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+         WHERE prev_hash IS NULL OR curr_hash IS NULL
+            OR prev_hash <> curr_hash""",
+    "corpus_snapshot_summary" ->
+      """WITH prev AS (
+           SELECT doc_id, md5(text) AS prev_hash
+           FROM documents WHERE doc_id < 400),
+         curr AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END)
+               AS curr_hash
+           FROM documents WHERE doc_id >= 100)
+         SELECT
+           CAST(sum(CASE WHEN prev_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN curr_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN prev_hash IS NOT NULL AND curr_hash IS NOT NULL
+                          AND prev_hash <> curr_hash THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(CASE WHEN prev_hash = curr_hash THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged
+         FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id""",
     "text_normalize" ->
       """SELECT doc_id,
            md5(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
@@ -3183,5 +3246,9 @@ object SparkEntry {
   val rowsOnly: Set[String] = Set(
     "minhash_dedup", "simhash_dedup", "ngram_jaccard", "dedup_clusters",
     "seq_packing", "multimodal_meta",
-    "fatality_model", "prediction_perf", "risk_crosstab")
+    "fatality_model", "prediction_perf", "risk_crosstab",
+    // per-slot GBT importances ride the same fit as C3/C5/C6 (float
+    // goldens would flake); model_feature_importance_check is the
+    // SQL-checkable companion gate
+    "model_feature_importance")
 }

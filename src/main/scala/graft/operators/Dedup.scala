@@ -554,7 +554,16 @@ object Dedup {
     * Returns (id, component) with component = min id of the cluster.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * fixpoint took — the observable a skew/worst-case gate pins (a round
+    * is the expensive unit: one O(E) neighborhood shuffle + one O(V)
+    * pointer jump, so "rounds stayed O(log n) on a mega-component" is the
+    * scale contract worth a spec, not just a comment). */
+  def connectedComponentsStats(pairs: DataFrame, aCol: String, bCol: String,
+                               maxIter: Int = 20): (DataFrame, Int) = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Bidirectional edges via ONE explode pass, not a two-leg union: union
     // legs are independent plan subtrees, so the union form EXECUTES the
@@ -620,7 +629,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.withColumnRenamed("label", "component")
+    (labels.withColumnRenamed("label", "component"), iter)
   }
 
   /** Deterministic storage release for an eagerly checkpointed frame
