@@ -596,6 +596,30 @@ object SparkEntry {
           size(filter(split(col("text"), "\\s+"), w => w =!= ""))
             .cast("long").as("n_words"))
     }),
+    "bpe_encode" -> ((s, d) => {
+      // The ENCODE half of the tokenizer story: actual token-ID sequences
+      // (GPT-2 id convention — bytes 0-255, merge rank r mints 256+r),
+      // not just counts. This is what a training-export writes; exploded
+      // to (doc_id, pos, token_id) rows so the full sequence is
+      // second-engine-checked: the oracle replays merge application per
+      // distinct word (the bpe_token_count recursion), then maps final
+      // symbols to ids (byte value, or 256+min producing rank) and
+      // reassembles per-doc order. Same planted non-ASCII docs — CJK/
+      // accented text must encode to its UTF-8 byte ids, not vanish.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", 16)
+      val planted = Seq(
+        (9000001L, "café déjà naïve entrée"),
+        (9000002L, "über straße größer"),
+        (9000003L, "模型 训练 数据"))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          posexplode(Bpe.encodeCol(col("text"), merges)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+    }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "quality_score" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
@@ -702,6 +726,18 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.novelDocs(docs.filter(col("doc_id") >= 250),
           docs.filter(col("doc_id") < 250), "text", "doc_id")
+        .select("doc_id", "lang", "source")
+    }),
+    "novelty_bloom" -> ((s, d) => {
+      // The 100 TB form of the novelty gate: a Bloom filter built once per
+      // corpus refresh answers "definitely novel" map-only for the fresh
+      // majority; only bloom positives pay the exact anti-join. No false
+      // negatives ⇒ the verdicts equal novelty_check's exactly, so the
+      // oracle is the SAME SQL — the equality IS the gate.
+      val docs = Tables.documents(s, d)
+      Bloom.novelDocsBloom(docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text", "doc_id",
+          bitsPerShard = 4096, k = 5, shards = 2)
         .select("doc_id", "lang", "source")
     }),
     "novelty_near_dup" -> ((s, d) => {
@@ -1262,6 +1298,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("total_value"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))),
+    "shard_export" -> ((s, d) => {
+      // Training-shard export: deterministic md5-keyed global shuffle of
+      // the documents corpus into 8 shards, one file each, manifest read
+      // back from the WRITTEN tree. The oracle recomputes the manifest
+      // from the source table with the same key arithmetic — shard
+      // assignment, token totals, and the modular content checksum must
+      // all survive the write→read roundtrip.
+      val path = sinkPath(d, "shards")
+      Sink.reset(path)
+      Sink.exportShards(s, Tables.documents(s, d).select("doc_id", "text"),
+        path, 8, "doc_id", "text")
+    }),
     "partitioned_sink" -> ((s, d) => {
       // Daily-partitioned lake write (base_assets.py:150 S3 daily objects):
       // write events partitioned by day, read the table back, and aggregate
@@ -2478,6 +2526,18 @@ object SparkEntry {
            (3000006, FALSE), (3000007, FALSE), (3000008, FALSE),
            (3000009, FALSE), (4000000, TRUE), (4000001, TRUE))
            t(doc_id, is_novel)""",
+    "novelty_bloom" ->
+      // identical to novelty_check's oracle BY DESIGN: the Bloom tier's
+      // contract is verdict equality with the exact gate (no false
+      // negatives; positives exact-verified), so the second engine replays
+      // the exact semantics and the bloom path must land on them
+      """WITH dedup AS (
+           SELECT doc_id, lang, source, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents WHERE doc_id >= 250),
+         corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250)
+         SELECT doc_id, lang, source FROM dedup d
+         WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = d.h)""",
     "novelty_check" ->
       // NOT EXISTS (not NOT IN): a NULL content hash must stay novel in
       // both engines — NOT IN drops it, the anti-join keeps it
@@ -3041,6 +3101,19 @@ object SparkEntry {
            round(sum(value), 2) AS total_value,
            min(id) AS min_id, max(id) AS max_id
          FROM rows_ GROUP BY page""",
+    "shard_export" ->
+      // same key arithmetic as Sink.shardAssign/exportShards: first 4 md5
+      // hex digits route the shard, first 8 (mod 1e9+7) feed the
+      // order-insensitive checksum; token totals recount the source text
+      """SELECT
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+             % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             w -> w <> ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000007) AS BIGINT) AS checksum
+         FROM documents GROUP BY 1""",
     "partitioned_sink" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
          sum(value) AS total_value
@@ -3206,6 +3279,81 @@ object SparkEntry {
            CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
            CAST(coalesce(p.n_w, 0) AS BIGINT) AS n_words
          FROM corpus c LEFT JOIN perdoc p USING (doc_id)""",
+    "bpe_encode" ->
+      // full second-engine replay of byte-level BPE ENCODING: the
+      // bpe_token_count recursion produces each distinct word's final
+      // symbol string; symbols then map to ids — a 2-hex-digit symbol is
+      // its byte value (char-position arithmetic, no hex-cast dependence),
+      // a merged symbol is 256 + the smallest rank whose concatenation
+      // matches (the engine's idMap rule). generate_subscripts+unnest
+      // expand in lockstep, and per-doc positions rebuild from
+      // (word index, symbol index) — so the COMPLETE id sequence of every
+      // doc, planted non-ASCII included, is checked token for token
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'caf' || chr(233) || ' d' || chr(233) || 'j' ||
+                       chr(224) || ' na' || chr(239) || 've entr' ||
+                       chr(233) || 'e'),
+             (9000002, chr(252) || 'ber stra' || chr(223) || 'e gr' ||
+                       chr(246) || chr(223) || 'er'),
+             (9000003, chr(27169) || chr(22411) || ' ' || chr(35757) ||
+                       chr(32451) || ' ' || chr(25968) || chr(25454))
+           ) AS t(doc_id, text)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM corpus),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows)
+         SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+             AS pos,
+           CAST(token_id AS BIGINT) AS token_id
+         FROM wordpos JOIN ids USING (w)""",
     "minhash_guard_stats" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       // bucket census of the seeded banding chain at cap 1: 3828 band

@@ -227,6 +227,95 @@ object Bpe {
     total
   }
 
+  /** Per-thread memo for ENCODING: the symbol→id vocabulary derived from
+    * the merge table plus a bounded word→ids cache (same Zipf argument as
+    * the count memo). Vocabulary ids follow the public GPT-2 convention:
+    * ids 0-255 are the base bytes; merge rank r mints id 256+r for its
+    * concatenated symbol. If two merges produce the same concatenation
+    * (possible: ("ab","c") and ("a","bc") both yield "abc"), the SMALLEST
+    * rank's id wins — a total, engine-replayable rule (the oracle takes
+    * min(rank) too). */
+  private val encMemo = new ThreadLocal[
+    (ArrayData, mutable.HashMap[String, Long], mutable.HashMap[String, Array[Long]])]
+
+  private def encodeState(merges: ArrayData)
+      : (Array[(String, String)], mutable.HashMap[String, Long],
+         mutable.HashMap[String, Array[Long]]) = {
+    val pairs = parsePairs(merges)._1
+    val hit = encMemo.get()
+    if (hit != null && (hit._1 eq merges)) return (pairs, hit._2, hit._3)
+    val idMap = mutable.HashMap.empty[String, Long]
+    var r = 0
+    while (r < pairs.length) {
+      val sym = pairs(r)._1 + pairs(r)._2
+      if (!idMap.contains(sym)) idMap.update(sym, 256L + r)
+      r += 1
+    }
+    val wordMemo = mutable.HashMap.empty[String, Array[Long]]
+    encMemo.set((merges, idMap, wordMemo))
+    (pairs, idMap, wordMemo)
+  }
+
+  private def encodeWord(w: String, pairs: Array[(String, String)],
+                         idMap: mutable.HashMap[String, Long]): Array[Long] = {
+    var syms: Array[String] = hexSyms(w)
+    var r = 0
+    while (r < pairs.length && syms.length > 1) {
+      syms = mergePair(syms, pairs(r))
+      r += 1
+    }
+    val out = new Array[Long](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val s = syms(i)
+      out(i) =
+        if (s.length == 2) java.lang.Integer.parseInt(s, 16).toLong
+        else idMap(s)
+      i += 1
+    }
+    out
+  }
+
+  /** Kernel: byte-level BPE token-ID SEQUENCE of `text` under `merges` —
+    * the encode half of the tokenizer story (tokenCount = its length).
+    * Ids: base byte value for single-byte symbols, 256+rank for merged
+    * symbols. Called from codegen via StaticInvoke. */
+  def encode(text: UTF8String, merges: ArrayData): ArrayData = {
+    val (pairs, idMap, wordMemo) = encodeState(merges)
+    val out = mutable.ArrayBuilder.make[Long]
+    val words = text.toString.split("\\s+")
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var ids = wordMemo.getOrElse(w, null)
+        if (ids == null) {
+          ids = encodeWord(w, pairs, idMap)
+          if (wordMemo.size >= memoCap) wordMemo.clear()
+          wordMemo.update(w, ids)
+        }
+        out ++= ids
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  /** Column form of [[encode]]: array<long> of token ids, merge table as
+    * one plan literal. `length(encodeCol(...)) == tokenCountCol(...)` by
+    * construction — spec-pinned. */
+  def encodeCol(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) => isHexSymbol(a) && isHexSymbol(b) },
+      "bpe merges must be hex byte symbols (one or more [0-9a-f] pairs per side)")
+    val arrS = ArrayType(StringType, containsNull = false)
+    GraftExpressionBridge.column(StaticInvoke(
+      Bpe.getClass, ArrayType(LongType, containsNull = false), "encode",
+      Seq(GraftExpressionBridge.expression(text),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          merges.map { case (a, b) => s"$a $b" }, arrS)),
+      Seq(StringType, arrS), propagateNull = true, returnNullable = false))
+  }
+
   /** Column form: `merges` ships as one plan literal (validated at plan
     * build to the same hex-pair alphabet the kernel enforces). */
   def tokenCountCol(text: Column, merges: Seq[(String, String)]): Column = {

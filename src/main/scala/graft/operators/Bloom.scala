@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-only Bloom filter over a key column — the constant-size
+  * pre-filter that makes the incremental-crawl novelty gate (D15,
+  * Dedup.novelDocs) cheap at 100 TB. The plain gate anti-joins every
+  * fresh batch against the corpus's content-hash projection: correct, but
+  * each refresh shuffles O(|corpus|) 16-byte keys to re-answer mostly
+  * "never seen". A Bloom filter built ONCE per corpus refresh answers
+  * "definitely novel" for the overwhelming majority of fresh docs with a
+  * broadcast-attach + k bit tests (map-only, no shuffle); only the
+  * bloom-POSITIVE sliver pays the exact anti-join, and Bloom's no-false-
+  * negative guarantee means the combined verdicts equal the exact gate's.
+  *
+  * Everything is DataFrame/Column — no UDF, no sketch-library driver
+  * object in the hot path. The filter is materialized as S rows of
+  * (shard, array<long> bit words): build explodes each key into its k bit
+  * positions (seeded xxhash64), groupBy (shard, word index) bit_or's the
+  * masks (map-side combined — the shuffle carries at most S·words rows
+  * regardless of corpus size), and one small aggregate assembles the word
+  * arrays. Probe joins the S-row frame (broadcast) on the shard key and
+  * tests the k bits with element_at + shift arithmetic inside codegen.
+  *
+  * Sizing: bits/key ≈ 10 gives ~1% false positives at k=5 (standard
+  * Bloom math, n·10 bits). `shards` bounds the per-row array so a
+  * 100 TB-corpus filter (tens of GB of bits) never needs a single giant
+  * array: each probe row touches exactly one shard's words. At that scale
+  * the S-row frame is still data, not driver material — only the probe's
+  * broadcast ships it.
+  */
+object Bloom {
+
+  /** Bit positions of `key` (string) for hash seed `i` within a
+    * `bitsPerShard`-bit shard: pmod(xxhash64(key, i), bits). Seeds > 0;
+    * seed -1 is reserved for shard routing so position hashes and the
+    * shard hash are independent. */
+  private def bitPos(key: Column, i: Int, bitsPerShard: Long): Column =
+    pmod(xxhash64(key, lit(i)), lit(bitsPerShard))
+
+  private def shardOf(key: Column, shards: Int): Column =
+    if (shards == 1) lit(0L) else pmod(xxhash64(key, lit(-1)), lit(shards))
+
+  /** Build a sharded Bloom filter over `df`'s `keyCol`: returns S rows of
+    * (__shard, __words: array<long>), each array `bitsPerShard/64` words.
+    * `bitsPerShard` must be a multiple of 64. */
+  def build(df: DataFrame, keyCol: String, bitsPerShard: Long, k: Int,
+            shards: Int = 1): DataFrame = {
+    require(bitsPerShard > 0 && bitsPerShard % 64 == 0,
+      s"bitsPerShard must be a positive multiple of 64, got $bitsPerShard")
+    require(k >= 1 && shards >= 1, "k and shards must be >= 1")
+    val nWords = bitsPerShard / 64
+    val key = col(keyCol)
+    val positions = df
+      .select(shardOf(key, shards).as("__shard"),
+        explode(array((0 until k).map(i => bitPos(key, i, bitsPerShard)): _*))
+          .as("__pos"))
+      // word index / bit offset via shifts-and-masks (no fp division);
+      // functions.shiftleft only takes a constant distance, so the
+      // variable-distance mask goes through call_function
+      .select(col("__shard"), shiftright(col("__pos"), 6).as("__w"),
+        call_function("shiftleft", lit(1L),
+          col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__mask"))
+      .groupBy("__shard", "__w").agg(bit_or(col("__mask")).as("__word"))
+    positions
+      .groupBy("__shard")
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__word"))))
+        .as("__wm"))
+      .select(col("__shard"),
+        // try_element_at, not element_at: ANSI mode throws on a missing
+        // map key, and most word slots of a sparse filter are unset
+        transform(sequence(lit(0L), lit(nWords - 1)),
+          i => coalesce(try_element_at(col("__wm"), i), lit(0L))).as("__words"))
+  }
+
+  /** Attach the filter to `df` and add `outCol` = might-contain verdict
+    * for `keyCol`. The S-row filter frame joins broadcast on the shard
+    * key (S=1 collapses to a single-row attach); the verdict is k
+    * element_at + shift + bit-test steps, all codegen'd. */
+  def probe(df: DataFrame, filter: DataFrame, keyCol: String,
+            bitsPerShard: Long, k: Int, shards: Int = 1,
+            outCol: String = "__might_contain"): DataFrame = {
+    val key = col(keyCol)
+    val tests = (0 until k).map { i =>
+      val pos = bitPos(key, i, bitsPerShard)
+      val word = element_at(col("__words"),
+        (shiftright(pos, 6) + 1).cast("int")) // element_at is 1-based
+      (call_function("shiftright", word,
+        pos.bitwiseAND(lit(63L)).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
+    }.reduce(_ && _)
+    df.withColumn("__shard", shardOf(key, shards))
+      .join(broadcast(filter), Seq("__shard"), "left")
+      .withColumn(outCol,
+        // an empty corpus builds an empty filter frame: no __words row
+        // means no bits set — definitely not contained
+        when(col("__words").isNull, lit(false)).otherwise(tests))
+      .drop("__shard", "__words")
+  }
+
+  /** The D15 novelty gate behind a Bloom pre-filter: verdict-identical to
+    * [[Dedup.novelDocs]] (no false negatives ⇒ nothing novel is lost;
+    * bloom false positives are caught by the exact verify), but the
+    * definitely-novel majority never joins the corpus — it flows scan →
+    * hash → k bit tests → out, map-only. Only bloom positives (true dups
+    * + ~1% fp) pay the anti-join, whose left side is now a sliver. */
+  def novelDocsBloom(fresh: DataFrame, corpus: DataFrame, contentCol: String,
+                     idCol: String, bitsPerShard: Long = 1L << 20, k: Int = 5,
+                     shards: Int = 1): DataFrame = {
+    val seen = corpus.select(md5(col(contentCol)).as("__h")).distinct()
+    val filter = build(seen, "__h", bitsPerShard, k, shards)
+    // same batch-self-dedup as the exact gate, then hash once
+    val batch = Dedup.exactByHash(fresh, contentCol, idCol)
+      .withColumn("__h", md5(col(contentCol)))
+    val probed = probe(batch, filter, "__h", bitsPerShard, k, shards)
+    val definitelyNovel = probed.filter(!col("__might_contain"))
+    val positives = probed.filter(col("__might_contain"))
+      .join(seen, Seq("__h"), "left_anti")
+    definitelyNovel.unionByName(positives)
+      .drop("__might_contain", "__h")
+  }
+}

@@ -370,6 +370,66 @@ object Sink {
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
   }
 
+  /** Deterministic shard assignment for [[exportShards]]: the first 4 hex
+    * digits of md5(id) mod nShards — pure key arithmetic, so it replays
+    * bit-for-bit in any engine (the same trick as the token_budget_sample
+    * draw order) and re-running the export moves NOTHING. */
+  def shardAssign(idCol: Column, nShards: Int): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % nShards
+
+  /** Training-shard export — the last step of a curation pipeline: a
+    * DETERMINISTIC global shuffle of the corpus into `nShards` fixed
+    * shards, one file per shard, each shard internally ordered by the
+    * md5 draw key (documents that sat adjacent in the lake end up spread
+    * across shards and positions — the "shuffle your training data"
+    * contract, reproducible run over run because the permutation is pure
+    * key arithmetic, not an RNG).
+    *
+    * Writes `partitionBy(shard)` parquet and returns the MANIFEST read
+    * back from the WRITTEN tree (never from the input plan): per shard,
+    * doc count, whitespace-token count, and an order-insensitive content
+    * checksum (sum of md5-prefix values mod 1e9+7 — modular so a
+    * billion-row shard cannot overflow the Long sum under ANSI). A
+    * training job consumes shards by manifest; the checksum pins that
+    * what landed on disk is what the source held.
+    *
+    * Scale shape: one hash shuffle on the shard id (every row of a shard
+    * lands in one task — `repartition(col)` guarantees co-location, so
+    * each shard directory gets exactly one file), one sort within each
+    * task, and the manifest aggregation map-side-combines to nShards
+    * rows. nShards bounds file count AND per-task memory: size it so
+    * corpus/nShards fits a task's spill budget (at 100 TB and 4096
+    * shards that's ~25 GB/shard — an external sort, which Spark's task
+    * sort handles by spilling; push nShards up to trade file count for
+    * task memory). */
+  def exportShards(spark: SparkSession, df: DataFrame, path: String,
+                   nShards: Int, idCol: String, textCol: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = df
+      .withColumn("shard", shardAssign(col(idCol), nShards))
+      .withColumn("__order", md5(col(idCol).cast("string")))
+    // sort leads with the partition column: FileFormatWriter REQUIRES
+    // task rows ordered by partition cols (a hash task can hold several
+    // shards) and injects its own non-order-preserving sort when the
+    // incoming order doesn't already satisfy that — leading with `shard`
+    // makes the one sort here serve both the writer's requirement and
+    // the draw order
+    keyed
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__order"))
+      .drop("__order")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col(textCol), "\\s+"), w => w =!= "")))
+          .cast("long").as("n_tokens"),
+        sum(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000007L).as("checksum"))
+  }
+
   /** Drop a sink table (scratch/test lifecycles). Routed through the
     * session's Hadoop FileSystem so scheme-qualified lake paths work the
     * same as local ones; falls back to a default Hadoop configuration when

@@ -105,4 +105,46 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().head
     assert(counts._1 >= counts._2)
   }
+
+  test("encode: hand-checked id sequence — bytes 0-255, merge rank r mints 256+r") {
+    // merges: rank0 = (65,72) 'er' → id 256; rank1 = (69,6e) 'in' → 257.
+    // "er in inert" → er=[256], in=[257], inert=[696e,6572,74]=[257,256,116]
+    val merges = Seq(("65", "72"), ("69", "6e"))
+    val got = Seq("er in inert").toDF("text")
+      .select(Bpe.encodeCol(col("text"), merges))
+      .as[Seq[Long]].collect().head
+    assert(got === Seq(256L, 257L, 257L, 256L, 116L))
+  }
+
+  test("encode length equals tokenCount on every doc, whitespace edge cases included") {
+    val merges = Seq(("65", "72"), ("69", "6e"), ("6572", "69"))
+    val docs = Seq("er in inert", "", "   ", "é 模型 erin", "one")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = docs.select(
+        size(Bpe.encodeCol(col("text"), merges)).cast("long").as("n_ids"),
+        Bpe.tokenCountCol(col("text"), merges).as("n_tok"))
+      .as[(Long, Long)].collect()
+    assert(rows.forall { case (a, b) => a == b })
+  }
+
+  test("encode: unmerged multi-byte chars come out as their UTF-8 byte ids") {
+    // 模 = e6 a8 a1 — with no applicable merges each byte is its own id
+    val got = Seq("模").toDF("text")
+      .select(Bpe.encodeCol(col("text"), Seq(("65", "72"))))
+      .as[Seq[Long]].collect().head
+    assert(got === Seq(0xe6L, 0xa8L, 0xa1L))
+  }
+
+  test("encode is deterministic across batching and agrees after memo churn") {
+    val merges = Seq(("61", "61"), ("6161", "61"))
+    val docs = Seq.tabulate(300)(i => (i.toLong, "a" * (1 + i % 7))).toDF("doc_id", "text")
+    val a = docs.select(col("doc_id"), Bpe.encodeCol(col("text"), merges).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = docs.repartition(7).select(col("doc_id"),
+        Bpe.encodeCol(col("text"), merges).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a === b)
+    // "aaa" under (61,61)+(6161,61): [61,61,61]→[6161,61]→[616161] = id 257
+    assert(a(2L) === Seq(257L))
+  }
 }
