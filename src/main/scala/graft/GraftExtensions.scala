@@ -74,6 +74,14 @@ object GraftExtensions {
         Seq(args.head, Cast(args(1), ArrayType(StringType))),
         Seq(StringType, ArrayType(StringType)),
         propagateNull = true, returnNullable = false)
+    },
+    fn("bpe_encode",
+       "bpe_encode(text, merges) — byte-level trained-merge BPE token-ID sequence (ids: bytes 0-255, merge rank r = 256+r)") {
+      args => StaticInvoke(graft.functions.Bpe.getClass,
+        ArrayType(LongType, containsNull = false), "encode",
+        Seq(args.head, Cast(args(1), ArrayType(StringType))),
+        Seq(StringType, ArrayType(StringType)),
+        propagateNull = true, returnNullable = false)
     })
 
   /** Imperative registration on an existing session (tests, notebooks). */

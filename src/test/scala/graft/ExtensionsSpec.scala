@@ -56,6 +56,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(viaCol === viaSql)
   }
 
+  test("bpe_encode SQL function agrees with the Column API") {
+    GraftExtensions.register(spark)
+    val merges = Seq(("61", "62"), ("6162", "63"))
+    val viaSql = spark.sql(
+      "SELECT bpe_encode('abc xy', array('61 62', '6162 63')) AS ids")
+      .as[Seq[Long]].collect().head
+    // abc → ab,c → abc = merge rank 1 → id 257; x,y = bytes 0x78,0x79
+    assert(viaSql === Seq(257L, 0x78L, 0x79L))
+    val viaCol = Seq("abc xy").toDF("text")
+      .select(graft.functions.Bpe.encodeCol(col("text"), merges).as("ids"))
+      .as[Seq[Long]].collect().head
+    assert(viaCol === viaSql)
+  }
+
   test("vec_dot: a null array element is rejected, never silently read as 0.0") {
     GraftExtensions.register(spark)
     val ex = intercept[Throwable] {
