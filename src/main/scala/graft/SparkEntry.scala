@@ -620,6 +620,43 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("token_id"))
     }),
+    "packed_token_stream" -> ((s, d) => {
+      // The END-TO-END training last mile: documents → trained-BPE token
+      // ids → greedy sequence packing (budget 512, 4 shards) → the packed
+      // TOKEN STREAM (shard, seq_id, pos, token_id) a training job would
+      // memory-map. Every stage is replayed in the oracle: encode via the
+      // bpe_encode recursion, shard routing via md5-prefix arithmetic
+      // (the replayable shardOn override), the greedy first-fit scan as a
+      // row-by-row recursive CTE, and stream positions from the packing
+      // offsets + per-doc token order. Scale shape: encode is map-only;
+      // packing shuffles one skinny (id, n_tokens, shard) row per doc;
+      // the stream rebuild pays one window over doc-level rows and one
+      // broadcast-sized join back to the id arrays per shard — no stage
+      // touches more than O(corpus tokens) rows once.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", 16)
+      val withIds = docs
+        .select(col("doc_id"), Bpe.encodeCol(col("text"), merges).as("ids"))
+        .withColumn("n_tokens", size(col("ids")).cast("long"))
+        .filter(col("n_tokens") > 0)
+      val shardCol = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 4
+      val assigned = Packing.packSequences(
+        withIds.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        budget = 512, shards = 4, shardOn = Some(shardCol))
+      val w = Window.partitionBy("shard", "seq_id").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      assigned
+        .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .join(withIds.select(col("doc_id").as("id"), col("ids")), Seq("id"))
+        .select(col("shard").cast("long").as("shard"),
+          col("seq_id"), col("offset"),
+          posexplode(col("ids")))
+        .select(col("shard"), col("seq_id"),
+          (col("offset") + col("pos")).cast("long").as("pos"),
+          col("col").as("token_id"))
+    }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "quality_score" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
@@ -857,6 +894,19 @@ object SparkEntry {
           maxTokens = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
           md5(col("chunk_text")).as("chunk_hash"))),
+    "dataset_split" -> ((s, d) => {
+      // Deterministic 80/10/10 train/val/test carve (Sample.hashSplit):
+      // split is a pure function of doc_id, so the deal never reshuffles
+      // as the corpus grows. Gate: per (split, lang) census with a
+      // modular content checksum — membership itself is checked, not
+      // just the counts.
+      Sample.hashSplit(Tables.documents(s, d), col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000000007L).as("checksum"))
+    }),
     "token_budget_sample" -> ((s, d) => {
       // Mixture draw by TOKEN budget per language (how a training mix is
       // specified), deterministic by hash order with at-most-one-doc
@@ -2608,6 +2658,20 @@ object SparkEntry {
            len(toks[st:st+31])::BIGINT AS n_tokens,
            md5(array_to_string(toks[st:st+31], ' ')) AS chunk_hash
          FROM c""",
+    "dataset_split" ->
+      // same md5-prefix bucket arithmetic as Sample.hashSplit: bucket in
+      // [0,100), boundaries at 80/90
+      """SELECT
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000007) AS BIGINT) AS checksum
+         FROM documents GROUP BY 1, 2""",
     "token_budget_sample" ->
       // same md5 draw order, same exclusive running sum, same budgets
       """WITH t AS (
@@ -3354,6 +3418,99 @@ object SparkEntry {
              AS pos,
            CAST(token_id AS BIGINT) AS token_id
          FROM wordpos JOIN ids USING (w)""",
+    "packed_token_stream" ->
+      // end-to-end replay of the training last mile: the bpe_encode
+      // recursion yields each doc's token stream and count; md5-prefix
+      // arithmetic reroutes the engine's shardOn override; the greedy
+      // first-fit packer re-runs as a row-by-row recursive CTE whose
+      // state transition is copied from Packing.packSequences (raw-n
+      // overflow test, LEAST(n, budget) increment); window offsets plus
+      // per-doc token order rebuild every stream position. 92k tokens,
+      // checked token for token
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n > 512 THEN LEAST(o.n, 512)
+                  ELSE p.used + LEAST(o.n, 512) END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, seq,
+             coalesce(sum(n) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pack)
+         SELECT CAST(o.shard AS BIGINT) AS shard,
+           CAST(o.seq AS BIGINT) AS seq_id,
+           CAST(o.off + t.dpos AS BIGINT) AS pos,
+           CAST(t.token_id AS BIGINT) AS token_id
+         FROM offs o JOIN doctok t USING (doc_id)""",
     "minhash_guard_stats" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       // bucket census of the seeded banding chain at cap 1: 3828 band

@@ -20,17 +20,26 @@ object Packing {
   /** Pack `(idCol, tokenCol)` rows into sequences of at most `budget`
     * tokens within `shards` hash shards. Output: (id, n_tokens, shard,
     * seq_id) with seq_id unique per shard, deterministic for a given
-    * (input, shards, budget). */
+    * (input, shards, budget).
+    *
+    * `shardOn` overrides the default xxhash64 shard routing with a
+    * caller-supplied int expression in [0, shards) — pass md5-prefix
+    * arithmetic when the assignment itself must replay in a second
+    * engine (the packed_token_stream gate), or a metadata column when
+    * shards must align with an existing layout. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-                    budget: Long, shards: Int): DataFrame = {
+                    budget: Long, shards: Int,
+                    shardOn: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    val shardExpr = shardOn
+      .getOrElse(pmod(xxhash64(col(idCol)), lit(shards.toLong)))
     val prepped = df
       .select(
         col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("n_tokens"),
-        pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int").as("shard"))
+        shardExpr.cast("int").as("shard"))
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Long, Int)]

@@ -23,6 +23,31 @@ object Sample {
     df.filter(pmod(xxhash64(keyCol), lit(10000L)) < lit((fraction * 10000).toLong))
   }
 
+  /** Deterministic train/val/test split — the held-out-set carve every
+    * training pipeline runs exactly once and must never re-deal: a doc's
+    * split is a pure function of its key (md5-prefix bucket in
+    * [0, Σweights)), so re-running on a grown corpus keeps every old
+    * doc's assignment (no eval-set contamination from reshuffling), the
+    * same predicate reproduces the split in any engine, and membership
+    * survives repartitioning. Adds a `split` column; weights are integer
+    * parts-per-total (e.g. train→80, val→10, test→10). */
+  def hashSplit(df: DataFrame, keyCol: Column,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % total
+    var acc = 0
+    var expr: Column = null
+    splits.foreach { case (name, w) =>
+      acc += w
+      val cond = bucket < acc
+      expr = if (expr == null) when(cond, lit(name)) else expr.when(cond, lit(name))
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Stratified sample: an independent hash sample per stratum, with
     * per-stratum fractions (class rebalancing: downsample the dominant
     * event types, keep the rare ones whole). Strata missing from `fractions`

@@ -49,4 +49,27 @@ class SketchSampleSpec extends AnyFunSuite with SparkSpec {
     assert(byCls("rare") === rareTotal, "fraction 1.0 keeps the stratum whole")
     assert(math.abs(byCls("common") - commonTotal * 0.1) < commonTotal * 0.03)
   }
+
+  test("hashSplit: complete disjoint cover at the declared proportions") {
+    val df = spark.range(10000).toDF("id")
+    val got = Sample.hashSplit(df, col("id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(got.count() === 10000L)
+    val sizes = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sizes.keySet === Set("train", "val", "test"))
+    // binomial 3-sigma bands around 8000/1000/1000
+    assert(math.abs(sizes("train") - 8000L) < 3 * math.sqrt(10000 * 0.8 * 0.2))
+    assert(math.abs(sizes("val") - 1000L) < 3 * math.sqrt(10000 * 0.1 * 0.9))
+  }
+
+  test("hashSplit: assignment is per-key stable — a grown corpus never re-deals") {
+    val small = spark.range(1000).toDF("id")
+    val big = spark.range(5000).toDF("id")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val a = Sample.hashSplit(small, col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    val b = Sample.hashSplit(big, col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    a.foreach { case (id, s) => assert(b(id) === s, s"id $id re-dealt") }
+  }
 }
