@@ -42,9 +42,25 @@ object Bloom {
   private def shardOf(key: Column, shards: Int): Column =
     if (shards == 1) lit(0L) else pmod(xxhash64(key, lit(-1)), lit(shards))
 
+  /** Words per shard at which the assembly stays cheap: the dense word
+    * array is expanded by indexing an ArrayBasedMapData, whose lookup is
+    * a LINEAR scan — words×lookup is QUADRATIC in words-per-shard (a 19.5k
+    * -word shard measured ~50 s of pure assembly at sf10). Capping a shard
+    * at 1024 words (65,536 bits) and scaling the SHARD COUNT instead keeps
+    * assembly linear in total bits: shards × 1024 × O(≤1024). */
+  val maxBitsPerShard: Long = 65536L
+
+  /** Filter sizing for `nKeys` keys at `bitsPerKey` (10 ≈ 1% fp at k=5):
+    * fixed 65,536-bit shards, however many it takes. */
+  def sized(nKeys: Long, bitsPerKey: Int = 10): (Long, Int) =
+    (maxBitsPerShard,
+      math.max(1L, (nKeys * bitsPerKey + maxBitsPerShard - 1) / maxBitsPerShard).toInt)
+
   /** Build a sharded Bloom filter over `df`'s `keyCol`: returns S rows of
     * (__shard, __words: array<long>), each array `bitsPerShard/64` words.
-    * `bitsPerShard` must be a multiple of 64. */
+    * `bitsPerShard` must be a multiple of 64 — and should stay at
+    * [[maxBitsPerShard]] (use [[sized]]) so assembly never goes quadratic;
+    * grow `shards` for bigger corpora, not the per-shard array. */
   def build(df: DataFrame, keyCol: String, bitsPerShard: Long, k: Int,
             shards: Int = 1): DataFrame = {
     require(bitsPerShard > 0 && bitsPerShard % 64 == 0,
@@ -105,18 +121,35 @@ object Bloom {
     * hash → k bit tests → out, map-only. Only bloom positives (true dups
     * + ~1% fp) pay the anti-join, whose left side is now a sliver. */
   def novelDocsBloom(fresh: DataFrame, corpus: DataFrame, contentCol: String,
-                     idCol: String, bitsPerShard: Long = 1L << 20, k: Int = 5,
-                     shards: Int = 1): DataFrame = {
-    val seen = corpus.select(md5(col(contentCol)).as("__h")).distinct()
-    val filter = build(seen, "__h", bitsPerShard, k, shards)
+                     idCol: String, bitsPerShard: Long = 0L, k: Int = 5,
+                     shards: Int = 0): DataFrame = {
+    // the hash projection feeds the build, the positive verify, and (when
+    // auto-sizing) a count — persist it once, released by the shared
+    // Dedup.unpersistIntermediates discipline
+    val seen = Dedup.persistTracked(
+      corpus.select(md5(col(contentCol)).as("__h")).distinct())
+    // auto-size (bitsPerShard/shards = 0): one counting pass over the
+    // hash projection per refresh — trivially amortized, and it keeps the
+    // per-shard array inside the linear-assembly cap as the corpus grows
+    val (bps, s) =
+      if (bitsPerShard > 0 && shards > 0) (bitsPerShard, shards)
+      else sized(seen.count())
+    val filter = build(seen, "__h", bps, k, s)
     // same batch-self-dedup as the exact gate, then hash once
     val batch = Dedup.exactByHash(fresh, contentCol, idCol)
       .withColumn("__h", md5(col(contentCol)))
-    val probed = probe(batch, filter, "__h", bitsPerShard, k, shards)
+    val probed = probe(batch, filter, "__h", bps, k, s)
     val definitelyNovel = probed.filter(!col("__might_contain"))
+    // verify the positive sliver with the join FLIPPED: semi-join the
+    // corpus projection against the tiny broadcast positive-hash set, so
+    // the big side streams map-only (no corpus shuffle per batch — the
+    // structural point of the tier); `matched` is ≤ |positives| rows and
+    // broadcasts back for the final anti
     val positives = probed.filter(col("__might_contain"))
-      .join(seen, Seq("__h"), "left_anti")
-    definitelyNovel.unionByName(positives)
+    val matched = seen.join(
+      broadcast(positives.select("__h").distinct()), Seq("__h"), "left_semi")
+    val falsePositives = positives.join(broadcast(matched), Seq("__h"), "left_anti")
+    definitelyNovel.unionByName(falsePositives)
       .drop("__might_contain", "__h")
   }
 }
