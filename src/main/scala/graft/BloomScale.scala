@@ -88,7 +88,7 @@ object BloomScale {
     // fixed 65,536-bit shards, however many the corpus needs — growing
     // the shard count (not the per-shard array) keeps assembly linear
     val (bitsPerShard, shards) = Bloom.sized(nCorpus, bitsPerKey = 10)
-    val (bloomCounts, bloomSec, bloomShuffle) = time {
+    def bloomArm(probeGateBits: Long): Seq[Long] = {
       val seen = corpus.select(md5(col("text")).as("__h")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val filter = Bloom.build(seen, "__h", bitsPerShard, k = 5, shards)
@@ -97,7 +97,7 @@ object BloomScale {
       val counts = batchDfs.map { b =>
         val probed = Bloom.probe(
           Dedup.exactByHash(b, "text", "doc_id").withColumn("__h", md5(col("text"))),
-          filter, "__h", bitsPerShard, 5, shards)
+          filter, "__h", bitsPerShard, 5, shards, broadcastMaxBits = probeGateBits)
         val definitely = probed.filter(!col("__might_contain"))
         // flipped verify, as in novelDocsBloom: corpus side streams
         // map-only against the broadcast positive-hash sliver
@@ -110,13 +110,20 @@ object BloomScale {
       seen.unpersist(); filter.unpersist()
       counts
     }
+    val (bloomCounts, bloomSec, bloomShuffle) = time { bloomArm(Long.MaxValue) }
+    // the over-threshold probe path (filter too big to broadcast — the
+    // 100 TB shape, forced here with a 1-bit gate): batch shuffles by
+    // shard, shuffled-hash join against the filter-as-data
+    val (joinCounts, joinSec, joinShuffle) = time { bloomArm(1L) }
 
-    val agree = exactCounts == bloomCounts
+    val agree = exactCounts == bloomCounts && bloomCounts == joinCounts
     println(s"""{"probe":"bloom_scale","sf":"$sfDir","n_corpus":$nCorpus,""" +
       s""""batches":$batches,"exact_sec":${f"$exactSec%.2f"},""" +
-      s""""bloom_sec":${f"$bloomSec%.2f"},"exact_shuffle_records":$exactShuffle,""" +
-      s""""bloom_shuffle_records":$bloomShuffle,"bits_per_shard":$bitsPerShard,""" +
-      s""""shards":$shards,""" +
+      s""""bloom_sec":${f"$bloomSec%.2f"},"bloom_join_sec":${f"$joinSec%.2f"},""" +
+      s""""exact_shuffle_records":$exactShuffle,""" +
+      s""""bloom_shuffle_records":$bloomShuffle,""" +
+      s""""bloom_join_shuffle_records":$joinShuffle,""" +
+      s""""bits_per_shard":$bitsPerShard,"shards":$shards,""" +
       s""""verdicts_agree":$agree,"novel_per_batch":${exactCounts.head}}""")
     spark.stop()
   }

@@ -32,6 +32,19 @@ object SparkEntry {
       r.copy(predictions = r.predictions.cache())
     })
 
+  /** One BPE merge-table training per (session, dir, numMerges): training
+    * is a full-corpus explode+groupBy+collect pass, and four registered
+    * queries (bpe_merges, bpe_token_count, bpe_encode, packed_token_stream)
+    * need the SAME deterministic table — each paying an independent train
+    * pass is a corpus scan apiece at scale. Same memo discipline as the
+    * GBT fit above; the cached value is the skinny driver-side merge list
+    * (≤ numMerges pairs), not a Spark cache. */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Seq[(String, String)]]
+  private def trainedMerges(s: SparkSession, d: String, numMerges: Int): Seq[(String, String)] =
+    bpeMergeCache.getOrElseUpdate((s, d, numMerges),
+      Bpe.train(Tables.documents(s, d), "text", numMerges))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §A core relational engine -----------------------------------
     "q1_pricing_summary" -> ((s, d) => {
@@ -565,7 +578,7 @@ object SparkEntry {
       // 2-hex-digit UTF-8 bytes, so the table is ASCII whatever the
       // corpus script.
       import s.implicits._
-      Bpe.train(Tables.documents(s, d), "text", 16)
+      trainedMerges(s, d, 16)
         .zipWithIndex
         .map { case ((a, b), r) => (r.toLong, s"$a $b") }
         .toDF("rank", "pair")
@@ -584,7 +597,7 @@ object SparkEntry {
       // both train (bpe_merges) and apply are second-engine-checked.
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val merges = Bpe.train(docs, "text", 16)
+      val merges = trainedMerges(s, d, 16)
       val planted = Seq(
         (9000001L, "café déjà naïve entrée"),
         (9000002L, "über straße größer"),
@@ -608,7 +621,7 @@ object SparkEntry {
       // accented text must encode to its UTF-8 byte ids, not vanish.
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val merges = Bpe.train(docs, "text", 16)
+      val merges = trainedMerges(s, d, 16)
       val planted = Seq(
         (9000001L, "café déjà naïve entrée"),
         (9000002L, "über straße größer"),
@@ -635,7 +648,7 @@ object SparkEntry {
       // touches more than O(corpus tokens) rows once.
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val merges = Bpe.train(docs, "text", 16)
+      val merges = trainedMerges(s, d, 16)
       val withIds = docs
         .select(col("doc_id"), Bpe.encodeCol(col("text"), merges).as("ids"))
         .withColumn("n_tokens", size(col("ids")).cast("long"))

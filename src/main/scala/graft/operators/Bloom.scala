@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * positions (seeded xxhash64), groupBy (shard, word index) bit_or's the
   * masks (map-side combined — the shuffle carries at most S·words rows
   * regardless of corpus size), and one small aggregate assembles the word
-  * arrays. Probe joins the S-row frame (broadcast) on the shard key and
-  * tests the k bits with element_at + shift arithmetic inside codegen.
+  * arrays. Probe joins the S-row frame on the shard key — broadcast while
+  * the filter fits ([[maxBroadcastBits]]), shuffled-hash above that so a
+  * 100 TB-corpus filter never materializes on the driver — and tests the
+  * k bits with element_at + shift arithmetic inside codegen.
   *
   * Sizing: bits/key ≈ 10 gives ~1% false positives at k=5 (standard
   * Bloom math, n·10 bits). `shards` bounds the per-row array so a
@@ -90,13 +92,30 @@ object Bloom {
           i => coalesce(try_element_at(col("__wm"), i), lit(0L))).as("__words"))
   }
 
+  /** Filter size above which [[probe]] stops broadcasting: a broadcast
+    * materializes the WHOLE filter on the driver and again on every
+    * executor, so a 100 TB-corpus filter (tens of GB of bits — ~1B docs at
+    * 10 bits/key is already 1.25 GB) would kill the driver at exactly the
+    * corpus scale the tier exists for. 2^28 bits = 32 MiB of words (~26M
+    * keys) still broadcasts comfortably; past that the S-row filter frame
+    * is treated as DATA — the batch shuffles by `__shard` and equi-joins
+    * it shuffled-hash (S is then ≥ 4096 shards, so the join key
+    * distributes across partitions; the batch-side shuffle is the price of
+    * not shipping tens of GB to every node, and it ships 16-byte hashes,
+    * never documents). */
+  val maxBroadcastBits: Long = 1L << 28
+
   /** Attach the filter to `df` and add `outCol` = might-contain verdict
-    * for `keyCol`. The S-row filter frame joins broadcast on the shard
-    * key (S=1 collapses to a single-row attach); the verdict is k
-    * element_at + shift + bit-test steps, all codegen'd. */
+    * for `keyCol`. Below `broadcastMaxBits` total filter bits the S-row
+    * filter frame joins broadcast on the shard key (S=1 collapses to a
+    * single-row attach — the map-only fast path); above it the join runs
+    * shuffled-hash with the filter as build side (see [[maxBroadcastBits]]).
+    * Either way the verdict is k element_at + shift + bit-test steps, all
+    * codegen'd. */
   def probe(df: DataFrame, filter: DataFrame, keyCol: String,
             bitsPerShard: Long, k: Int, shards: Int = 1,
-            outCol: String = "__might_contain"): DataFrame = {
+            outCol: String = "__might_contain",
+            broadcastMaxBits: Long = maxBroadcastBits): DataFrame = {
     val key = col(keyCol)
     val tests = (0 until k).map { i =>
       val pos = bitPos(key, i, bitsPerShard)
@@ -105,8 +124,16 @@ object Bloom {
       (call_function("shiftright", word,
         pos.bitwiseAND(lit(63L)).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
     }.reduce(_ && _)
+    // shards is an Int and bitsPerShard is capped in practice at 65,536,
+    // so the product cannot overflow Long (< 2^47)
+    val filterSide =
+      if (bitsPerShard * shards <= broadcastMaxBits) broadcast(filter)
+      // explicit shuffle_hash hint: stats on a small test frame would
+      // otherwise let the planner broadcast anyway, and a sort-merge join
+      // would pay a pointless sort on both sides for a pure hash probe
+      else filter.hint("shuffle_hash")
     df.withColumn("__shard", shardOf(key, shards))
-      .join(broadcast(filter), Seq("__shard"), "left")
+      .join(filterSide, Seq("__shard"), "left")
       .withColumn(outCol,
         // an empty corpus builds an empty filter frame: no __words row
         // means no bits set — definitely not contained

@@ -75,6 +75,34 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() === 10L)
   }
 
+  test("probe size gate: broadcast below the bits threshold, shuffled-hash above") {
+    val filter = Bloom.build(keys(500, "corpus"), "k", 8192, 5, shards = 4)
+    val fresh = keys(100, "fresh")
+    // below threshold (default gate): the filter frame must broadcast
+    val below = Bloom.probe(fresh, filter, "k", 8192, 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(below.contains("BroadcastHashJoin"),
+      s"below-threshold probe must broadcast the filter:\n$below")
+    // above threshold (forced with a 1-bit gate): no broadcast anywhere —
+    // the filter is data, the batch shuffles by shard, shuffled-hash join
+    val above = Bloom.probe(fresh, filter, "k", 8192, 5, 4, broadcastMaxBits = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!above.contains("BroadcastHashJoin"),
+      s"above-threshold probe must NOT materialize the filter driver-side:\n$above")
+    assert(above.contains("ShuffledHashJoin"),
+      s"above-threshold probe joins shuffled-hash on the shard key:\n$above")
+  }
+
+  test("probe verdicts are identical through the broadcast and join paths") {
+    val filter = Bloom.build(keys(400, "corpus"), "k", 8192, 5, shards = 4)
+    val mixed = keys(200, "corpus").unionByName(keys(200, "other"))
+    def verdicts(gate: Long) = Bloom.probe(
+        mixed, filter, "k", 8192, 5, 4, broadcastMaxBits = gate)
+      .select(col("k"), col("__might_contain"))
+      .as[(String, Boolean)].collect().sortBy(_._1)
+    assert(verdicts(Long.MaxValue) === verdicts(1L))
+  }
+
   test("build emits exactly one row per non-empty shard with the declared word count") {
     val filter = Bloom.build(keys(500, "c"), "k", 8192, 5, shards = 4).collect()
     assert(filter.length === 4)
