@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus preparation — the loop [[Snapshot]] exists to feed.
+  * A production corpus refreshes continuously (the reference's sensor
+  * polls for new data and re-materializes stale partitions,
+  * sensors.py:21-57); at 100 TB the unit of rework must be the DOCUMENT
+  * DELTA, not the partition: re-running the batch chain over the whole
+  * lake because 0.1% of it changed re-pays normalize/hash/chunk on the
+  * 99.9% that didn't.
+  *
+  * This operator runs the default curation chain
+  * (normalize → exact-dedup → filter → chunk → pack — the
+  * [[CorpusPipeline.prepare]] default stages) INCREMENTALLY, with an
+  * output provably equal to the full rebuild over the new corpus
+  * version. The contract rests on three observations:
+  *
+  *   1. Normalize / hash / filter are per-document pure functions, so
+  *      only `added`/`changed` docs (the [[Snapshot.diff]] delta) need
+  *      the text work — everything else reuses the carried [[ledger]]
+  *      row, a skinny (id, norm_hash, passes) triple.
+  *   2. Exact-dedup's canonical rule (lowest id per content hash) is a
+  *      function of the LEDGER alone; recomputing it is one hash shuffle
+  *      over 24-byte rows at any corpus size, never over text. The
+  *      recompute also catches the cross-document ripples a naive
+  *      delta-only pass misses: removing a canonical doc PROMOTES its
+  *      lowest surviving duplicate, and a changed doc colliding with an
+  *      existing lower-id doc DEMOTES nobody but itself — membership
+  *      changes are read off `survivors(prev) Δ survivors(new)`.
+  *   3. Packing is deterministic per shard (greedy first-fit over
+  *      id-sorted chunks, [[Packing.packSequences]]), so shards whose
+  *      chunk set did not change keep their packed rows VERBATIM; only
+  *      shards touched by the delta re-run the greedy scan. With
+  *      doc-keyed sharding (a doc's chunks colocate — the layout a
+  *      training job wants anyway for contiguous reads) the affected
+  *      shard count is bounded by the touched-doc count, independent of
+  *      corpus size.
+  *
+  * Scale shape per refresh: text work O(|delta| docs); ledger union +
+  * canonical window, one skinny shuffle O(corpus · 24 B); survivor set
+  * diffs O(corpus ids); chunking O(touched docs); repack O(chunks in
+  * affected shards) ≤ O(|touch| · chunks/doc + collateral shard mass);
+  * everything else is a shard-anti-join passthrough of the previous
+  * packed table. Nothing corpus-sized is re-normalized, re-hashed, or
+  * re-packed.
+  *
+  * Near-dup and span-scrub stages are deliberately out of scope here:
+  * their incremental forms need frequency-delta state (a window-hash df
+  * table updated by the delta) rather than a per-doc ledger — a
+  * different state contract. Callers needing them run
+  * [[CorpusPipeline.prepare]] over the (much smaller) post-incremental
+  * survivor delta or rebuild on a slower cadence.
+  */
+object Incremental {
+
+  /** The skinny per-document state the incremental loop carries between
+    * refreshes: (id, norm_hash, passes) — 24 bytes + a boolean per doc,
+    * the whole corpus's curation verdict without a byte of text. */
+  def ledger(docs: DataFrame, idCol: String, textCol: String,
+             keep: Column => Column): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        TextOps.normalizeTextNfc(col(textCol)).as("__norm"))
+      .select(col("id"), md5(col("__norm")).as("norm_hash"),
+        keep(col("__norm")).as("passes"))
+
+  /** Survivor ids of a ledger: the canonical (lowest-id) row per content
+    * hash that also passes the keep rules — [[CorpusPipeline]]'s
+    * `is_canonical && passes_filters` computed off state alone. */
+  def survivorIds(led: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("norm_hash")).orderBy(col("id").asc)
+    led.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("passes"))
+      .select("id")
+  }
+
+  private def chunksOf(docs: DataFrame, maxTokens: Int, overlap: Int)
+      : DataFrame =
+    TextOps.chunkDocs(docs, "id", "__norm", maxTokens, overlap)
+      .select(
+        (col("id") * lit(1000000L) + col("chunk_id")).as("chunk_key"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("id").as("__doc"))
+
+  private def packChunks(chunks: DataFrame, budget: Long, shards: Int,
+                         docShard: Column => Column): DataFrame =
+    Packing.packSequences(chunks, "chunk_key", "n_tokens", budget, shards,
+        shardOn = Some(docShard(col("__doc"))))
+      .select(
+        expr("id div 1000000").as("doc_id"),
+        pmod(col("id"), lit(1000000L)).cast("int").as("chunk_id"),
+        col("n_tokens"), col("shard"), col("seq_id"))
+
+  /** The batch form of the chain this operator increments — identical
+    * semantics to [[CorpusPipeline.prepare]] with both optional stages
+    * off, except chunks shard by DOCUMENT id (`docShard`) so a doc's
+    * chunks colocate. Runs once to bootstrap `prevPacked`, and in specs
+    * as the rebuild the incremental path must equal. */
+  def batch(docs: DataFrame, idCol: String, textCol: String,
+            keep: Column => Column,
+            maxTokens: Int, overlap: Int, budget: Long, shards: Int,
+            docShard: Column => Column): DataFrame = {
+    val c = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val surv = survivorIds(ledger(c, "id", "__text", keep))
+    val normDocs = c.join(surv, Seq("id"), "left_semi")
+      .select(col("id"), TextOps.normalizeTextNfc(col("__text")).as("__norm"))
+    packChunks(chunksOf(normDocs, maxTokens, overlap), budget, shards, docShard)
+  }
+
+  /** One incremental refresh: given the previous run's state (`prevLedger`
+    * from [[ledger]], `prevPacked` from [[batch]] or a prior [[repack]]),
+    * the new corpus version `curr`, and the [[Snapshot.diff]] `delta`
+    * between the versions, return the packed table the full rebuild over
+    * `curr` would produce — paying text work only for the delta and
+    * repacking only the shards it touches.
+    *
+    * `docShard` maps a document id to its shard in [0, shards) and MUST
+    * match the one `prevPacked` was built with — shard identity is what
+    * makes the untouched mass reusable. */
+  def repack(prevLedger: DataFrame, prevPacked: DataFrame,
+             curr: DataFrame, delta: DataFrame,
+             idCol: String, textCol: String,
+             keep: Column => Column,
+             maxTokens: Int, overlap: Int, budget: Long, shards: Int,
+             docShard: Column => Column): DataFrame = {
+    val c = curr.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val dIds = delta.select(col(idCol).as("id"))
+
+    // 1. text work, delta-only: removed ids drop out via the semi join
+    //    (they are not in curr), added/changed get fresh ledger rows
+    val deltaLedger =
+      ledger(c.join(dIds, Seq("id"), "left_semi"), "id", "__text", keep)
+    val newLedger = prevLedger.join(dIds, Seq("id"), "left_anti")
+      .unionByName(deltaLedger)
+
+    // 2. membership off state alone: canonical recompute over skinny rows;
+    //    promotions/demotions are the survivor-set symmetric difference
+    val prevSurv = survivorIds(prevLedger)
+    val newSurv = Dedup.persistTracked(survivorIds(newLedger))
+    val touch = Dedup.persistTracked(
+      dIds
+        .unionByName(newSurv.join(prevSurv, Seq("id"), "left_anti"))
+        .unionByName(prevSurv.join(newSurv, Seq("id"), "left_anti"))
+        .distinct())
+
+    // 3. chunk only touched survivors (their text is in curr by
+    //    construction: removed docs cannot be new survivors)
+    val rechunk = c.join(newSurv, Seq("id"), "left_semi")
+      .join(touch, Seq("id"), "left_semi")
+      .select(col("id"), TextOps.normalizeTextNfc(col("__text")).as("__norm"))
+    val newChunks =
+      Dedup.persistTracked(chunksOf(rechunk, maxTokens, overlap))
+
+    // 4. shard-granular rework: a shard is affected iff it gains a new
+    //    chunk or loses a touched doc's old one; everything else is a
+    //    verbatim passthrough of the previous packed rows
+    val keptPrev = prevPacked.join(touch,
+      prevPacked("doc_id") === touch("id"), "left_anti")
+    val affected =
+      newChunks.select(docShard(col("__doc")).cast("int").as("shard"))
+        .unionByName(prevPacked.join(touch,
+            prevPacked("doc_id") === touch("id"), "left_semi")
+          .select(col("shard")))
+        .distinct()
+    val untouched = keptPrev.join(broadcast(affected), Seq("shard"), "left_anti")
+    val repackInput = keptPrev
+      .join(broadcast(affected), Seq("shard"), "left_semi")
+      .select(
+        (col("doc_id") * lit(1000000L) + col("chunk_id")).as("chunk_key"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("doc_id").as("__doc"))
+      .unionByName(newChunks)
+    untouched.select("doc_id", "chunk_id", "n_tokens", "shard", "seq_id")
+      .unionByName(packChunks(repackInput, budget, shards, docShard))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Incremental, Snapshot}
+
+/** Incremental corpus preparation (Incremental.repack): the refresh loop
+  * must produce EXACTLY the batch rebuild's packed table while paying
+  * text work only for the delta and repacking only touched shards. The
+  * planted two-version corpus exercises every membership ripple a naive
+  * delta-only pass gets wrong: promotion (removing a canonical doc hands
+  * its content to the lowest surviving dup), demotion (a changed doc
+  * colliding with a higher-id doc's content steals its canonical slot),
+  * a changed doc leaving the survivor set via the keep rules, and an
+  * added exact dup the dedup stage must drop. */
+class IncrementalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ~40 whitespace tokens each, > 100 chars, digit-free: pass every rule
+  private def body(seed: String): String =
+    (1 to 40).map(i => s"$seed word$i token").mkString(" ").take(400) +
+      " tail marker closing words here"
+
+  private val keep: Column => Column = t =>
+    graft.operators.TextOps.corpusFilterRules(t)
+      .collect { case (n, r) if n != "no_terminal_punct" => r }
+      .reduce(_ && _)
+  private val docShard: Column => Column = k =>
+    conv(substring(md5(k.cast("string")), 1, 4), 16, 10).cast("long") % 16
+
+  private def pack(docs: DataFrame): DataFrame =
+    Incremental.batch(docs, "doc_id", "text", keep,
+      maxTokens = 8, overlap = 2, budget = 24L, shards = 16, docShard)
+
+  private def incr(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val led = Incremental.ledger(prev, "doc_id", "text", keep)
+    Incremental.repack(led, pack(prev), curr,
+      Snapshot.diff(prev, curr, "doc_id", "text"),
+      "doc_id", "text", keep,
+      maxTokens = 8, overlap = 2, budget = 24L, shards = 16, docShard)
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Int, Long, Int, Long)] =
+    df.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("shard"), col("seq_id"))
+      .as[(Long, Int, Long, Int, Long)].collect().toSet
+
+  private val prevDocs = ((0L until 30L).map(i => (i, body(s"doc$i"))) ++
+    // dup partners: same content as 3 and 4 at higher ids (dedup losers)
+    Seq((1003L, body("doc3")), (1004L, body("doc4")))).toDF("doc_id", "text")
+
+  private val currDocs = (
+    (0L until 30L).filterNot(i => i == 3 || i == 7)  // 3, 7 removed
+      .map {
+        case 5L => (5L, "short 123")                  // changed → fails keep
+        case 8L => (8L, body("doc9"))                 // collides with 9 → 9 demoted
+        case 11L => (11L, body("doc11") + " rev two") // plain edit
+        case i  => (i, body(s"doc$i"))
+      } ++
+    Seq((1003L, body("doc3")),                        // promoted: 3 removed
+        (1004L, body("doc4")),                        // still a loser (4 stays)
+        (2000L, body("freshadded")),                  // added
+        (2001L, body("doc12")))                       // added exact dup → dropped
+  ).toDF("doc_id", "text")
+
+  test("incremental refresh equals the batch rebuild, ripple cases included") {
+    try {
+      val got = rows(incr(prevDocs, currDocs))
+      val want = rows(pack(currDocs))
+      assert(got === want)
+      val docs = got.map(_._1)
+      assert(docs.contains(1003L), "promoted dup partner must re-enter")
+      assert(!docs.contains(9L), "demoted doc 9 must drop (8 took its content)")
+      assert(!docs.contains(5L), "changed doc 5 fails the keep rules")
+      assert(!docs.contains(2001L), "added exact dup of 12 must dedup away")
+      assert(docs.contains(2000L) && docs.contains(11L))
+    } finally Dedup.unpersistIntermediates()
+  }
+
+  test("empty delta: output IS the previous packed table, shard for shard") {
+    try {
+      val prevPacked = pack(prevDocs)
+      val led = Incremental.ledger(prevDocs, "doc_id", "text", keep)
+      val out = Incremental.repack(led, prevPacked, prevDocs,
+        Snapshot.diff(prevDocs, prevDocs, "doc_id", "text"),
+        "doc_id", "text", keep,
+        maxTokens = 8, overlap = 2, budget = 24L, shards = 16, docShard)
+      assert(rows(out) === rows(prevPacked))
+    } finally Dedup.unpersistIntermediates()
+  }
+
+  test("one-doc edit repacks only that doc's shard; the rest pass through verbatim") {
+    try {
+      val curr = prevDocs.withColumn("text",
+        when(col("doc_id") === 20L, lit(body("doc20") + " edited"))
+          .otherwise(col("text")))
+      val led = Incremental.ledger(prevDocs, "doc_id", "text", keep)
+      val prevPacked = pack(prevDocs)
+      val out = Incremental.repack(led, prevPacked, curr,
+        Snapshot.diff(prevDocs, curr, "doc_id", "text"),
+        "doc_id", "text", keep,
+        maxTokens = 8, overlap = 2, budget = 24L, shards = 16, docShard)
+      assert(rows(out) === rows(pack(curr)))
+      // the touched shard is doc 20's; every other shard's rows must be
+      // the previous run's rows VERBATIM (the reuse contract at scale)
+      val touchedShard = prevPacked.filter(col("doc_id") === 20L)
+        .select("shard").as[Int].collect().toSet
+      assert(touchedShard.size === 1)
+      val reused = rows(out).filterNot(r => touchedShard.contains(r._4))
+      val prevRows = rows(prevPacked).filterNot(r => touchedShard.contains(r._4))
+      assert(reused === prevRows)
+    } finally Dedup.unpersistIntermediates()
+  }
+}

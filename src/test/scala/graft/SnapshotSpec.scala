@@ -43,4 +43,27 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
   test("diff of identical snapshots is empty") {
     assert(Snapshot.diff(prev, prev, "doc_id", "text").count() === 0L)
   }
+
+  test("diff over id-bucketed lakes: the full-outer join plans with no Exchange") {
+    // the Snapshot scale claim, proven at the plan level: with both
+    // versions bucketed by id (Sink.writeBucketed), the hash-projection
+    // full-outer join inherits the bucket partitioning through the
+    // (doc_id → id, md5 projection) alias and the one shuffle per side
+    // disappears — at 100 TB the diff is then a zip of co-located files
+    val bigPrev = (0L until 2000L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val bigCurr = (100L until 2100L).map(i =>
+      (i, if (i % 50 == 0) s"doc $i body v2" else s"doc $i body")).toDF("doc_id", "text")
+    graft.sources.Sink.writeBucketed(bigPrev, "snap_prev", Seq("doc_id"), buckets = 8)
+    graft.sources.Sink.writeBucketed(bigCurr, "snap_curr", Seq("doc_id"), buckets = 8)
+    val diff = Snapshot.diff(
+      spark.table("snap_prev"), spark.table("snap_curr"), "doc_id", "text")
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed snapshot diff must be exchange-free:\n$plan")
+    // and the answer is the unbucketed one
+    val want = Snapshot.diff(bigPrev, bigCurr, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toSet
+    val got = diff.select("doc_id", "status").as[(Long, String)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
 }
