@@ -23,13 +23,15 @@ import org.apache.spark.sql.functions._
   *      the text work — everything else reuses the carried [[ledger]]
   *      row, a skinny (id, norm_hash, passes) triple.
   *   2. Exact-dedup's canonical rule (lowest id per content hash) is a
-  *      function of the LEDGER alone; recomputing it is one hash shuffle
-  *      over 24-byte rows at any corpus size, never over text. The
-  *      recompute also catches the cross-document ripples a naive
-  *      delta-only pass misses: removing a canonical doc PROMOTES its
-  *      lowest surviving duplicate, and a changed doc colliding with an
-  *      existing lower-id doc DEMOTES nobody but itself — membership
-  *      changes are read off `survivors(prev) Δ survivors(new)`.
+  *      function of the LEDGER alone, and membership can only change
+  *      inside a hash group the delta touched — so the canonical
+  *      recompute runs over the AFFECTED GROUPS only (delta-bound),
+  *      reached by map-only broadcast probes of the skinny ledger. The
+  *      recompute catches the cross-document ripples a naive delta-only
+  *      pass misses: removing a canonical doc PROMOTES its lowest
+  *      surviving duplicate, and a changed doc colliding with an
+  *      existing lower-id doc DEMOTES the higher id — membership changes
+  *      are read off the affected slices' symmetric difference.
   *   3. Packing is deterministic per shard (greedy first-fit over
   *      id-sorted chunks, [[Packing.packSequences]]), so shards whose
   *      chunk set did not change keep their packed rows VERBATIM; only
@@ -39,13 +41,17 @@ import org.apache.spark.sql.functions._
   *      shard count is bounded by the touched-doc count, independent of
   *      corpus size.
   *
-  * Scale shape per refresh: text work O(|delta| docs); ledger union +
-  * canonical window, one skinny shuffle O(corpus · 24 B); survivor set
-  * diffs O(corpus ids); chunking O(touched docs); repack O(chunks in
-  * affected shards) ≤ O(|touch| · chunks/doc + collateral shard mass);
-  * everything else is a shard-anti-join passthrough of the previous
-  * packed table. Nothing corpus-sized is re-normalized, re-hashed, or
-  * re-packed.
+  * Scale shape per refresh: text work O(|delta| docs); the ledger and
+  * packed state are scanned MAP-ONLY (broadcast semi/anti probes — no
+  * corpus-sized shuffle anywhere); the canonical window, survivor diffs,
+  * chunking, and repack are all delta-bound; everything else is a
+  * shard-anti-join passthrough of the previous packed table. Nothing
+  * corpus-sized is re-normalized, re-hashed, re-shuffled, or re-packed;
+  * the only O(corpus) terms left are the caller's Snapshot.diff scan
+  * (content-change detection is a corpus read by definition) and
+  * materializing the output table itself (write only affected shard
+  * directories to drop that term too — the packed rows carry `shard`
+  * precisely so a partition-overwrite sink can).
   *
   * Near-dup and span-scrub stages are deliberately out of scope here:
   * their incremental forms need frequency-delta state (a window-hash df
@@ -127,29 +133,55 @@ object Incremental {
              maxTokens: Int, overlap: Int, budget: Long, shards: Int,
              docShard: Column => Column): DataFrame = {
     val c = curr.select(col(idCol).as("id"), col(textCol).as("__text"))
-    val dIds = delta.select(col(idCol).as("id"))
+    // persisted: dIds is read by three consumers and its lineage is the
+    // full-outer corpus diff — without the cut each consumer re-runs the
+    // diff. Broadcast wherever it joins a corpus-sized side: the frames
+    // are delta-bound by construction, so the corpus side stays map-only
+    // (a delta so large it won't broadcast is a delta so large the
+    // caller should rebuild — the crossover is measured in IncrScale).
+    val dIds = Dedup.persistTracked(delta.select(col(idCol).as("id")))
 
     // 1. text work, delta-only: removed ids drop out via the semi join
     //    (they are not in curr), added/changed get fresh ledger rows
-    val deltaLedger =
-      ledger(c.join(dIds, Seq("id"), "left_semi"), "id", "__text", keep)
-    val newLedger = prevLedger.join(dIds, Seq("id"), "left_anti")
+    val deltaLedger = Dedup.persistTracked(
+      ledger(c.join(broadcast(dIds), Seq("id"), "left_semi"),
+        "id", "__text", keep))
+    val newLedger = prevLedger.join(broadcast(dIds), Seq("id"), "left_anti")
       .unionByName(deltaLedger)
 
-    // 2. membership off state alone: canonical recompute over skinny rows;
-    //    promotions/demotions are the survivor-set symmetric difference
-    val prevSurv = survivorIds(prevLedger)
-    val newSurv = Dedup.persistTracked(survivorIds(newLedger))
+    // 2. membership off state alone — restricted to AFFECTED HASH GROUPS:
+    //    survivor membership can only change inside a content-hash group
+    //    the delta touched (a removed/changed doc's OLD hash, an added/
+    //    changed doc's NEW hash); everywhere else prev and new ledgers
+    //    hold identical rows, so the survivor-set symmetric difference is
+    //    exactly the affected slices' difference. This keeps the window
+    //    and the diff joins delta-bound — no O(corpus) survivor set is
+    //    ever materialized. (Null-hash rows — null-content docs — can
+    //    never pass the keep rules, so dropping them from the plain
+    //    equi-join probe cannot change membership.)
+    val affectedHashes = Dedup.persistTracked(
+      prevLedger.join(broadcast(dIds), Seq("id"), "left_semi")
+        .select("norm_hash")
+        .unionByName(deltaLedger.select("norm_hash"))
+        .distinct())
+    val prevSurvAff = Dedup.persistTracked(survivorIds(
+      prevLedger.join(broadcast(affectedHashes), Seq("norm_hash"), "left_semi")))
+    val newSurvAff = Dedup.persistTracked(survivorIds(
+      newLedger.join(broadcast(affectedHashes), Seq("norm_hash"), "left_semi")))
     val touch = Dedup.persistTracked(
       dIds
-        .unionByName(newSurv.join(prevSurv, Seq("id"), "left_anti"))
-        .unionByName(prevSurv.join(newSurv, Seq("id"), "left_anti"))
+        .unionByName(newSurvAff.join(prevSurvAff, Seq("id"), "left_anti"))
+        .unionByName(prevSurvAff.join(newSurvAff, Seq("id"), "left_anti"))
         .distinct())
 
     // 3. chunk only touched survivors (their text is in curr by
-    //    construction: removed docs cannot be new survivors)
-    val rechunk = c.join(newSurv, Seq("id"), "left_semi")
-      .join(touch, Seq("id"), "left_semi")
+    //    construction: removed docs cannot be new survivors). touch cuts
+    //    FIRST — a broadcast semi join keeps the corpus scan map-only and
+    //    leaves only delta-many rows for the survivor check
+    // (every touch doc that survives sits in an affected hash group, so
+    // the affected survivor slice IS the survivor filter for rechunk)
+    val rechunk = c.join(broadcast(touch), Seq("id"), "left_semi")
+      .join(broadcast(newSurvAff), Seq("id"), "left_semi")
       .select(col("id"), TextOps.normalizeTextNfc(col("__text")).as("__norm"))
     val newChunks =
       Dedup.persistTracked(chunksOf(rechunk, maxTokens, overlap))
@@ -157,11 +189,11 @@ object Incremental {
     // 4. shard-granular rework: a shard is affected iff it gains a new
     //    chunk or loses a touched doc's old one; everything else is a
     //    verbatim passthrough of the previous packed rows
-    val keptPrev = prevPacked.join(touch,
+    val keptPrev = prevPacked.join(broadcast(touch),
       prevPacked("doc_id") === touch("id"), "left_anti")
     val affected =
       newChunks.select(docShard(col("__doc")).cast("int").as("shard"))
-        .unionByName(prevPacked.join(touch,
+        .unionByName(prevPacked.join(broadcast(touch),
             prevPacked("doc_id") === touch("id"), "left_semi")
           .select(col("shard")))
         .distinct()

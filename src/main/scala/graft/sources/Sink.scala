@@ -430,6 +430,40 @@ object Sink {
           .cast("long") % 1000000007L).as("checksum"))
   }
 
+  /** Packed-token-stream export — the seam between curation and training
+    * closed: the (shard, seq_id, pos, token_id) stream a training job
+    * memory-maps, landed as one parquet file per shard with rows in
+    * stream order, plus a MANIFEST recomputed from the WRITTEN tree
+    * (the [[exportShards]] contract: what the manifest pins is what is
+    * on disk, not what the input plan promised).
+    *
+    * The manifest checksum is position-weighted — Σ (pos+1)·token_id
+    * mod 1e9+7 — so it pins every token to its stream position: a
+    * swapped pair, a shifted sequence, or a dropped token each flip it.
+    * Per-row mod keeps the running Long sum safe under ANSI to ~1e9
+    * rows per shard (same bound as [[exportShards]]'s checksum; size
+    * nShards to stay under it).
+    *
+    * Scale shape: one hash shuffle on the shard id (repartition by the
+    * column guarantees each shard directory gets exactly one file), one
+    * in-task sort leading with the partition column so FileFormatWriter
+    * injects no second sort, and the manifest aggregation
+    * map-side-combines to nShards rows. */
+  def exportTokenStream(spark: SparkSession, stream: DataFrame,
+                        path: String): DataFrame = {
+    stream
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_tokens"),
+        sum((col("pos") + 1L) * col("token_id") % 1000000007L)
+          .cast("long").as("checksum"))
+  }
+
   /** Drop a sink table (scratch/test lifecycles). Routed through the
     * session's Hadoop FileSystem so scheme-qualified lake paths work the
     * same as local ones; falls back to a default Hadoop configuration when

@@ -84,4 +84,42 @@ class ExportSpec extends AnyFunSuite with SparkSpec {
       .orderBy("shard").collect().map(_.toSeq)
     assert(manifest.toSeq === direct.toSeq)
   }
+
+  test("exportTokenStream: one file per shard, rows in stream order, manifest pins positions") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_tokstream"
+    Sink.reset(path)
+    // 3 shards, 2 sequences each, deterministic token ids
+    val stream = (for {
+      shard <- 0L until 3L; seq <- 0L until 2L; pos <- 0L until 20L
+    } yield (shard, seq, pos, ((shard * 7 + seq * 3 + pos) % 270).toInt))
+      .toDF("shard", "seq_id", "pos", "token_id")
+    val manifest = Sink.exportTokenStream(spark, stream.repartition(11), path)
+      .orderBy("shard").collect()
+    assert(shardDirs(path).size === 3)
+    shardDirs(path).foreach { d =>
+      assert(dataFiles(d).size === 1,
+        s"${d.getName}: one memory-mappable file per shard")
+      // one small file = one split: collect preserves written order,
+      // which must be the (seq_id, pos) stream order
+      val rows = spark.read.parquet(dataFiles(d).head.getPath)
+        .select("seq_id", "pos").as[(Long, Long)].collect().toSeq
+      assert(rows === rows.sortBy(identity),
+        s"${d.getName}: rows not in stream order")
+    }
+    manifest.foreach { r =>
+      val shard = r.getLong(0)
+      assert(r.getLong(1) === 2L && r.getLong(2) === 40L)
+      val want = (for (seq <- 0L until 2L; pos <- 0L until 20L)
+        yield (pos + 1) * ((shard * 7 + seq * 3 + pos) % 270) % 1000000007L).sum
+      assert(r.getLong(3) === want, s"shard $shard checksum")
+    }
+    // the checksum is position-sensitive: swapping two distinct tokens flips it
+    val swapped = stream.withColumn("token_id",
+      when(col("shard") === 0L && col("seq_id") === 0L && col("pos") === 0L,
+        lit(99)).otherwise(col("token_id")))
+    Sink.reset(path)
+    val m2 = Sink.exportTokenStream(spark, swapped, path)
+      .filter(col("shard") === 0L).collect().head
+    assert(m2.getLong(3) !== manifest.head.getLong(3))
+  }
 }
