@@ -132,6 +132,25 @@ object Incremental {
              keep: Column => Column,
              maxTokens: Int, overlap: Int, budget: Long, shards: Int,
              docShard: Column => Column): DataFrame = {
+    val parts = plan(prevLedger, prevPacked, curr, delta, idCol, textCol,
+      keep, maxTokens, overlap, budget, shards, docShard)
+    parts.untouched.select("doc_id", "chunk_id", "n_tokens", "shard", "seq_id")
+      .unionByName(parts.repacked)
+  }
+
+  /** The refresh frames [[repack]] and [[refreshInPlace]] assemble from:
+    * previous packed rows in unaffected shards (verbatim), freshly packed
+    * rows for affected shards, the affected shard-id frame, and the new
+    * ledger to carry into the next refresh. */
+  private case class Refresh(untouched: DataFrame, repacked: DataFrame,
+                             affected: DataFrame, newLedger: DataFrame)
+
+  private def plan(prevLedger: DataFrame, prevPacked: DataFrame,
+                   curr: DataFrame, delta: DataFrame,
+                   idCol: String, textCol: String,
+                   keep: Column => Column,
+                   maxTokens: Int, overlap: Int, budget: Long, shards: Int,
+                   docShard: Column => Column): Refresh = {
     val c = curr.select(col(idCol).as("id"), col(textCol).as("__text"))
     // persisted: dIds is read by three consumers and its lineage is the
     // full-outer corpus diff — without the cut each consumer re-runs the
@@ -205,7 +224,68 @@ object Incremental {
         col("n_tokens").cast("long").as("n_tokens"),
         col("doc_id").as("__doc"))
       .unionByName(newChunks)
-    untouched.select("doc_id", "chunk_id", "n_tokens", "shard", "seq_id")
-      .unionByName(packChunks(repackInput, budget, shards, docShard))
+    Refresh(untouched, packChunks(repackInput, budget, shards, docShard),
+      affected, newLedger)
+  }
+
+  /** Write a packed table as a shard-partitioned lake
+    * (`path/shard=N/...`, one file per shard) — the layout
+    * [[refreshInPlace]] refreshes without touching unaffected
+    * directories. */
+  def writePacked(packed: DataFrame, path: String): Unit =
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq_id"), col("chunk_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** One refresh applied IN PLACE to a [[writePacked]] lake: only the
+    * AFFECTED shard directories are rewritten (dynamic partition
+    * overwrite), unaffected directories are not opened, rewritten, or
+    * even listed by the write — closing the one O(corpus) term [[repack]]
+    * keeps (materializing the untouched mass into a new table). Affected
+    * shards whose repack came back EMPTY (every doc gone) are deleted
+    * explicitly — dynamic overwrite only replaces partitions present in
+    * the written data, and a stale directory would resurrect dropped
+    * documents on the next read.
+    *
+    * Returns the new ledger — the state to carry into the next refresh
+    * (persist it beside the lake; the packed state IS the lake now). */
+  def refreshInPlace(prevLedger: DataFrame, packedPath: String,
+                     curr: DataFrame, delta: DataFrame,
+                     idCol: String, textCol: String,
+                     keep: Column => Column,
+                     maxTokens: Int, overlap: Int, budget: Long, shards: Int,
+                     docShard: Column => Column): DataFrame = {
+    val spark = curr.sparkSession
+    val prevPacked = spark.read.parquet(packedPath)
+    val parts = plan(prevLedger, prevPacked, curr, delta, idCol, textCol,
+      keep, maxTokens, overlap, budget, shards, docShard)
+    val affectedIds = parts.affected.collect().map(_.getInt(0)) // O(|touch|)
+    // eager localCheckpoint, not persist: the write targets the same path
+    // the plan reads (prevPacked), and Spark's self-overwrite guard
+    // inspects the LOGICAL plan — only cutting the lineage clears it.
+    // The frame is delta-bound, so materializing it is cheap.
+    val repacked = parts.repacked.localCheckpoint()
+    // the shard set actually in the written data, read off the frame
+    // BEFORE trusting the tree: an emptied shard's stale directory would
+    // still be on disk and must not mask itself
+    val written = repacked.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      repacked
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("seq_id"), col("chunk_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(packedPath)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    affectedIds.filterNot(written).foreach { s =>
+      val dir = new org.apache.hadoop.fs.Path(s"$packedPath/shard=$s")
+      dir.getFileSystem(conf).delete(dir, true): Unit
+    }
+    parts.newLedger
   }
 }

@@ -113,4 +113,60 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
       assert(reused === prevRows)
     } finally Dedup.unpersistIntermediates()
   }
+
+  test("refreshInPlace: only affected shard dirs rewritten, emptied shards deleted, table = rebuild") {
+    import java.io.File
+    val path = s"${sys.props("java.io.tmpdir")}/graft_incr_lake"
+    graft.sources.Sink.reset(path)
+    try {
+      Incremental.writePacked(pack(prevDocs), path)
+      def dirFiles(): Map[String, Set[String]] =
+        new File(path).listFiles().filter(_.getName.startsWith("shard="))
+          .map(d => d.getName ->
+            d.listFiles().map(f => s"${f.getName}:${f.length}").toSet).toMap
+      val before = dirFiles()
+      // delta: edit doc 20, and empty one whole shard — remove every doc
+      // packed into shard 3, plus the dup partner of any removed doc so
+      // no promotion can refill the shard from the side
+      val inShard3 = pack(prevDocs).filter(col("shard") === 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(inShard3.nonEmpty)
+      val victims = inShard3 ++
+        inShard3.collect { case v if v == 3L || v == 4L => v + 1000L }
+      val curr = prevDocs
+        .filter(!col("doc_id").isin(victims.toSeq: _*))
+        .withColumn("text",
+          when(col("doc_id") === 20L, lit(body("doc20") + " edited"))
+            .otherwise(col("text")))
+      val newLedger = Incremental.refreshInPlace(
+        Incremental.ledger(prevDocs, "doc_id", "text", keep), path,
+        curr, Snapshot.diff(prevDocs, curr, "doc_id", "text"),
+        "doc_id", "text", keep,
+        maxTokens = 8, overlap = 2, budget = 24L, shards = 16, docShard)
+      val after = dirFiles()
+      // the refreshed lake IS the batch rebuild
+      val want = rows(pack(curr))
+      assert(rows(spark.read.parquet(path)) === want)
+      // only shards whose CONTENT changed may have been rewritten
+      // (file lists are compared as name:length — a rewrite cannot
+      // reproduce the write-UUID file names)
+      val prevR = rows(pack(prevDocs))
+      val changedDirs = ((prevR diff want) ++ (want diff prevR))
+        .map(r => s"shard=${r._4}")
+      val touched = before.keySet.filterNot(k => after.get(k).contains(before(k)))
+      assert(touched.subsetOf(changedDirs),
+        s"rewrote unaffected dirs: ${touched -- changedDirs}")
+      // the emptied shard's directory is gone, not resurrecting old rows
+      assert(!want.exists(_._4 == 3), "test setup: shard 3 must empty")
+      assert(!after.contains("shard=3"),
+        s"stale dir survived: ${after.get("shard=3")}")
+      // returned state is the next refresh's ledger
+      val wantLedger = Incremental.ledger(curr, "doc_id", "text", keep)
+        .collect().map(_.toSeq).toSet
+      assert(newLedger.collect().map(_.toSeq).toSet === wantLedger)
+    } finally {
+      Dedup.unpersistIntermediates()
+      graft.sources.Sink.reset(path)
+    }
+  }
 }
