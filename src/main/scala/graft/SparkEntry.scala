@@ -902,6 +902,55 @@ object SparkEntry {
         "doc_id", "text", keep,
         maxTokens = 32, overlap = 8, budget = 256L, shards = 64, docShard)
     }),
+    "incremental_scrub" -> ((s, d) => {
+      // The frequency-delta scrub refresh (IncrementalScrub): the stage
+      // whose state is NOT per-document — a window's verdict is its
+      // corpus-wide df, so a delta can change the scrub output of docs
+      // nobody touched. Planted version-2 work exercises both ripple
+      // directions: tailB sits on docs 30+31 (df=2, scrubbed); removing
+      // 31 drops it to 1 and RESTORES untouched doc 30. tailC sits on
+      // doc 40 alone (df=1, kept); an added re-crawl (7000001 = doc 80's
+      // body + tailC) lifts it to 2 and CUTS untouched doc 40. tailA on
+      // 20-29 loses one holder (25's edit) without crossing — only 25
+      // reworks. The oracle replays the BATCH spanScrub over version 2
+      // in DuckDB (string-grouped window frequencies, interval cover,
+      // token rebuild), so equality proves refresh ≡ batch — the same
+      // verdict-equality pattern as incremental_pipeline, for the one
+      // stage a per-doc ledger cannot increment.
+      val tailA = lit(" alpha boiler plate marker tokens repeat" +
+        " across many docs here")
+      val tailB = lit(" beta shared footer appears exactly twice" +
+        " in the whole corpus")
+      val tailC = lit(" gamma unique notice present once until" +
+        " the refresh adds another")
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val prev = base.select(col("doc_id"),
+        when(col("doc_id").between(20, 29), concat(col("text"), tailA))
+          .when(col("doc_id") === 30 || col("doc_id") === 31,
+            concat(col("text"), tailB))
+          .when(col("doc_id") === 40, concat(col("text"), tailC))
+          .otherwise(col("text")).as("text"))
+      val curr = base.filter(col("doc_id") =!= 31).select(col("doc_id"),
+        when(col("doc_id").between(20, 29) && col("doc_id") =!= 25,
+            concat(col("text"), tailA))
+          .when(col("doc_id") === 30, concat(col("text"), tailB))
+          .when(col("doc_id") === 40, concat(col("text"), tailC))
+          .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") === 80)
+          .select(lit(7000001L).as("doc_id"),
+            concat(col("text"), tailC).as("text")))
+        .unionByName(base.filter(col("doc_id") === 81)
+          .select(lit(7000002L).as("doc_id"),
+            concat(col("text"), lit(" plain fresh addition suffix"))
+              .as("text")))
+      val st = IncrementalScrub.state(prev, "doc_id", "text", 8, 2)
+      val next = IncrementalScrub.refresh(st, curr,
+        Snapshot.diff(prev, curr, "doc_id", "text"),
+        "doc_id", "text", 8, 2)
+      next.scrubbed.select(col("id").as("doc_id"),
+        md5(col("scrubbed_text")).as("scrub_hash"),
+        col("n_tokens"), col("n_removed"))
+    }),
     "seq_packing" -> ((s, d) => {
       // Token-budget sequence packing over the corpus' whitespace token
       // counts: per-sequence fill statistics (greedy shard-local packing).
@@ -2815,6 +2864,65 @@ object SparkEntry {
            CAST(chunk_key % 1000000 AS INT) AS chunk_id,
            n_tokens, CAST(shard AS INT) AS shard, seq AS seq_id
          FROM pack""",
+    "incremental_scrub" ->
+      // the BATCH spanScrub replayed over corpus version 2 (same planted
+      // tails/removal/edit/additions), string-grouped window frequencies
+      // standing in for the engine's xxhash64 grouping (the span_dedup
+      // equivalence), interval cover, per-doc token rebuild — equality
+      // proves the frequency-delta refresh IS the batch rebuild
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         curr AS (
+           SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 20 AND 29 AND doc_id <> 25
+                    THEN text || ' alpha boiler plate marker tokens' ||
+                      ' repeat across many docs here'
+                  WHEN doc_id = 30
+                    THEN text || ' beta shared footer appears exactly' ||
+                      ' twice in the whole corpus'
+                  WHEN doc_id = 40
+                    THEN text || ' gamma unique notice present once' ||
+                      ' until the refresh adds another'
+                  ELSE text END AS text
+           FROM base WHERE doc_id <> 31
+           UNION ALL
+           SELECT 7000001, text || ' gamma unique notice present once' ||
+             ' until the refresh adds another'
+           FROM base WHERE doc_id = 80
+           UNION ALL
+           SELECT 7000002, text || ' plain fresh addition suffix'
+           FROM base WHERE doc_id = 81),
+         t AS (SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS toks FROM curr),
+         winstr AS (
+           SELECT doc_id, n, st, array_to_string(toks[st:st+7], ' ') AS wstr
+           FROM (SELECT doc_id, toks, len(toks) AS n,
+                   CAST(unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                     AS INT) AS st
+                 FROM t)),
+         rep AS (SELECT wstr FROM winstr GROUP BY wstr HAVING count(*) >= 2),
+         repst AS (
+           SELECT doc_id, st, least(st + 7, n) AS en
+           FROM winstr WHERE wstr IN (SELECT wstr FROM rep)),
+         post AS (
+           SELECT doc_id, p, toks[p] AS tok
+           FROM (SELECT doc_id, toks,
+                   CAST(unnest(generate_series(1, len(toks))) AS INT) AS p
+                 FROM t)),
+         covered AS (
+           SELECT DISTINCT x.doc_id, x.p FROM post x JOIN repst r
+             ON r.doc_id = x.doc_id AND x.p BETWEEN r.st AND r.en),
+         scrub AS (
+           SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.p) AS s
+           FROM post x LEFT JOIN covered cv
+             ON cv.doc_id = x.doc_id AND cv.p = x.p
+           WHERE cv.p IS NULL
+           GROUP BY x.doc_id),
+         nrem AS (SELECT doc_id, count(*) AS nr FROM covered GROUP BY doc_id)
+         SELECT t.doc_id, md5(coalesce(s.s, '')) AS scrub_hash,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nr.nr, 0) AS BIGINT) AS n_removed
+         FROM t LEFT JOIN scrub s USING (doc_id)
+           LEFT JOIN nrem nr USING (doc_id)""",
     "text_normalize" ->
       """SELECT doc_id,
            md5(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),

@@ -354,6 +354,16 @@ object Dedup {
       .join(perDocRep, Seq("__id"), "left")
       .withColumn("__rep_starts",
         coalesce(col("__rep_starts"), array().cast("array<int>")))
+    scrubFromStarts(src, idCol, window)
+  }
+
+  /** The rebuild half of [[spanScrub]], shared with the incremental form
+    * (IncrementalScrub): given (__id, __toks, __rep_starts) — the doc's
+    * token array plus the sorted 0-based starts of its repeated windows,
+    * however those starts were derived — merge covered intervals and emit
+    * (id, scrubbed_text, n_tokens, n_removed). */
+  private[graft] def scrubFromStarts(src: DataFrame, idCol: String,
+                                     window: Int): DataFrame = {
     // merge overlapping/adjacent covered intervals [s, min(s+w-1, n-1)]
     // (0-based starts, ascending) into disjoint spans — same interval
     // union as spanDedup's fold, but KEEPING the spans for the rebuild
