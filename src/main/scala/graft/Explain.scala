@@ -20,8 +20,18 @@ object Explain {
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           println(s"\n========== $name ==========")
-          try println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
-          catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+          // deep DAG-reuse queries (the incremental tier) expand to 60k+
+          // lines under the tree PRINTER (the runtime plan is shared via
+          // InMemoryRelation); cap the dump so the audit stays reviewable
+          // — the numbered node tree and scan details land first
+          try {
+            val s = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+            val lines = s.linesIterator.toSeq
+            if (lines.size <= 4000) println(s)
+            else println(lines.take(4000).mkString("\n") +
+              s"\n... [${lines.size - 4000} more lines truncated — " +
+              "printer expansion of a shared DAG, not plan size]")
+          } catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
         case None => println(s"\n========== $name ========== (unknown query)")
       }
     }

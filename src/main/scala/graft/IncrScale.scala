@@ -25,14 +25,18 @@ import graft.operators.{Dedup, Incremental, Snapshot, TextOps}
   * near the touched-doc count while the untouched fraction → 100%.
   *
   * Usage: runMain graft.IncrScale [sfDir] [shards] [iters]
-  * Prints one JSON line: per-arm best seconds, delta size, shards whose
-  * content actually changed, and arm-equality.
+  * Prints two JSON lines — `incr_scale` (pipeline repack) and
+  * `scrub_scale` (frequency-delta scrub, same fixed delta): per-arm best
+  * seconds AND shuffle-write records (the BloomScale discipline — on a
+  * cluster the corpus-wide shuffle is network, and records is the cost a
+  * 1000-executor run actually pays), changed-shard census, arm-equality.
   */
 object IncrScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val shards = if (args.length > 1) args(1).toInt else 1024
     val iters = if (args.length > 2) args(2).toInt else 3
+    val probes = if (args.length > 3) args(3) else "all" // all|pipeline|scrub
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,26 +85,50 @@ object IncrScale {
     val prevLedger = spark.read.parquet(s"$stateDir/ledger")
     val prevPacked = spark.read.parquet(s"$stateDir/packed")
 
-    def timed(f: => Long): (Double, Long) = {
+    // wall time AND shuffle-write records (the BloomScale discipline): on
+    // a cluster the corpus-wide shuffle is network, and records is the
+    // cost a 1000-executor run actually pays
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = ev.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleAcc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          }
+        }
+      })
+    def timed(f: => Long): (Double, Long, Long, Long) = {
       val runs = (1 to iters).map { _ =>
         Dedup.unpersistIntermediates()
         spark.catalog.clearCache()
         System.gc()
+        Thread.sleep(500) // drain pending listener events
+        val s0 = shuffleAcc.get(); val b0 = shuffleBytes.get()
         val t0 = System.nanoTime()
         val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        (sec, n, shuffleAcc.get() - s0, shuffleBytes.get() - b0)
       }
-      (runs.map(_._1).min, runs.head._2)
+      (runs.map(_._1).min, runs.head._2, runs.map(_._3).min,
+        runs.map(_._4).min)
     }
 
+    if (probes == "all" || probes == "pipeline") {
     def rebuild() = Incremental.batch(curr, "doc_id", "text", keep,
       mt, ov, budget, shards, docShard)
     def incremental() = Incremental.repack(prevLedger, prevPacked, curr,
       Snapshot.diff(prev, curr, "doc_id", "text"),
       "doc_id", "text", keep, mt, ov, budget, shards, docShard)
 
-    val (tRebuild, nRebuild) = timed(rebuild().queryExecution.toRdd.count())
-    val (tIncr, nIncr) = timed(incremental().queryExecution.toRdd.count())
+    val (tRebuild, nRebuild, shRebuild, sbRebuild) =
+      timed(rebuild().queryExecution.toRdd.count())
+    val (tIncr, nIncr, shIncr, sbIncr) =
+      timed(incremental().queryExecution.toRdd.count())
 
     // untimed: arm equality + the census of shards whose content CHANGED
     // relative to the previous packed table (the rework bound)
@@ -112,7 +140,43 @@ object IncrScale {
     val deltaN = Snapshot.diff(prev, curr, "doc_id", "text").count()
     Dedup.unpersistIntermediates()
     println(
-      f"""{"probe":"incr_scale","corpus":$nCorpus,"delta":$deltaN,"shards":$shards,"rebuild_sec":$tRebuild%.2f,"incremental_sec":$tIncr%.2f,"rows_rebuild":$nRebuild,"rows_incremental":$nIncr,"changed_shards":$changedShards,"equal":$equal,"sf":"$sfDir"}""")
+      f"""{"probe":"incr_scale","corpus":$nCorpus,"delta":$deltaN,"shards":$shards,"rebuild_sec":$tRebuild%.2f,"incremental_sec":$tIncr%.2f,"rows_rebuild":$nRebuild,"rows_incremental":$nIncr,"shuffle_recs_rebuild":$shRebuild,"shuffle_recs_incremental":$shIncr,"shuffle_mb_rebuild":${sbRebuild / 1048576},"shuffle_mb_incremental":${sbIncr / 1048576},"changed_shards":$changedShards,"equal":$equal,"sf":"$sfDir"}""")
+    }
+
+    if (probes == "all" || probes == "scrub") {
+    // same probe for the frequency-delta scrub tier: state (window index,
+    // df table, scrub lake) landed as parquet once, then batch spanScrub
+    // vs IncrementalScrub.refresh on the same fixed delta
+    import graft.operators.IncrementalScrub
+    val sDir = s"$stateDir/scrub"
+    val st0 = IncrementalScrub.state(prev, "doc_id", "text", 8, 2)
+    st0.wins.write.mode("overwrite").parquet(s"$sDir/wins")
+    st0.df.write.mode("overwrite").parquet(s"$sDir/df")
+    st0.scrubbed.write.mode("overwrite").parquet(s"$sDir/scrubbed")
+    Dedup.unpersistIntermediates()
+    val stP = IncrementalScrub.State(
+      spark.read.parquet(s"$sDir/wins"),
+      spark.read.parquet(s"$sDir/df"),
+      spark.read.parquet(s"$sDir/scrubbed"))
+    val (tScrubBatch, _, shScrubBatch, sbScrubBatch) = timed {
+      Dedup.spanScrub(curr, "doc_id", "text", 8, 2)
+        .queryExecution.toRdd.count()
+    }
+    val (tScrubIncr, _, shScrubIncr, sbScrubIncr) = timed {
+      IncrementalScrub.refresh(stP, curr,
+        Snapshot.diff(prev, curr, "doc_id", "text"),
+        "doc_id", "text", 8, 2).scrubbed.queryExecution.toRdd.count()
+    }
+    val sb = Dedup.spanScrub(curr, "doc_id", "text", 8, 2)
+      .withColumnRenamed("doc_id", "id")
+    val si = IncrementalScrub.refresh(stP, curr,
+      Snapshot.diff(prev, curr, "doc_id", "text"),
+      "doc_id", "text", 8, 2).scrubbed
+    val scrubEqual = sb.exceptAll(si).isEmpty && si.exceptAll(sb).isEmpty
+    Dedup.unpersistIntermediates()
+    println(
+      f"""{"probe":"scrub_scale","corpus":$nCorpus,"delta":${Snapshot.diff(prev, curr, "doc_id", "text").count()},"batch_sec":$tScrubBatch%.2f,"refresh_sec":$tScrubIncr%.2f,"shuffle_recs_batch":$shScrubBatch,"shuffle_recs_refresh":$shScrubIncr,"shuffle_mb_batch":${sbScrubBatch / 1048576},"shuffle_mb_refresh":${sbScrubIncr / 1048576},"equal":$scrubEqual,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -861,46 +861,42 @@ object SparkEntry {
       // removing 60-62 PROMOTES partners 1000060-62 from dup losers to
       // canonical survivors; 10 fresh docs added at id+2e6 plus one
       // exact dup of doc 90 the dedup stage must drop.
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val partners = base.filter(col("doc_id").between(60, 64))
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val prev = base.unionByName(partners)
-      val t66 = base.filter(col("doc_id") === 66)
-        .select(col("text").as("__t66"))
-      val currBase = base
-        .filter(!col("doc_id").between(40, 49) &&
-          !col("doc_id").between(60, 62))
-        .crossJoin(broadcast(t66))
-        .select(col("doc_id"),
-          when(col("doc_id") === 55, lit("short 1234"))
-            .when(col("doc_id") === 35, col("__t66"))
-            .when(col("doc_id").between(50, 59),
-              concat(col("text"), lit(" updated revision marker")))
-            .otherwise(col("text")).as("text"))
-      val added = base.filter(col("doc_id").between(80, 89))
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(col("text"), lit(" fresh addition marker")).as("text"))
-      val addedDup = base.filter(col("doc_id") === 90)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      val curr = currBase.unionByName(partners).unionByName(added)
-        .unionByName(addedDup)
-      // word-soup corpus: same three keep rules as corpus_pipeline
-      val keep = (t: Column) => TextOps.corpusFilterRules(t)
-        .collect { case (n, r) if n != "no_terminal_punct" => r }
-        .reduce(_ && _)
-      // doc-keyed md5 sharding: a doc's chunks colocate (contiguous
-      // training reads) and the affected-shard count is bounded by the
-      // touched-doc count; md5-prefix arithmetic so DuckDB replays it
-      val docShard = (k: Column) =>
-        conv(substring(md5(k.cast("string")), 1, 4), 16, 10)
-          .cast("long") % 64
-      val prevLedger = Incremental.ledger(prev, "doc_id", "text", keep)
-      val prevPacked = Incremental.batch(prev, "doc_id", "text", keep,
-        maxTokens = 32, overlap = 8, budget = 256L, shards = 64, docShard)
+      val (prev, curr) = incrCorpus(s, d)
+      val prevLedger = Incremental.ledger(prev, "doc_id", "text", incrKeep)
+      val prevPacked = Incremental.batch(prev, "doc_id", "text", incrKeep,
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 64, incrShard)
       val delta = Snapshot.diff(prev, curr, "doc_id", "text")
       Incremental.repack(prevLedger, prevPacked, curr, delta,
-        "doc_id", "text", keep,
-        maxTokens = 32, overlap = 8, budget = 256L, shards = 64, docShard)
+        "doc_id", "text", incrKeep,
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 64, incrShard)
+    }),
+    "incremental_sink" -> ((s, d) => {
+      // The WRITE-path twin of incremental_pipeline: the same planted
+      // two-version corpus, but the refresh is applied IN PLACE to a
+      // writePacked lake (Incremental.refreshInPlace — only affected
+      // shard directories rewritten via dynamic partition overwrite,
+      // emptied dirs deleted) and the gate reads the TREE back. Same
+      // full-rebuild oracle: equality proves what is ON DISK after the
+      // partial rewrite is the batch rebuild — write→read fidelity for
+      // the refresh path, the partitioned_sink pattern applied to the
+      // incremental lake.
+      val (prev, curr) = incrCorpus(s, d)
+      val path = sinkPath(d, "incr_lake")
+      Sink.reset(path)
+      Incremental.writePacked(
+        Incremental.batch(prev, "doc_id", "text", incrKeep,
+          maxTokens = 32, overlap = 8, budget = 256L, shards = 64, incrShard),
+        path)
+      // the write happens eagerly inside refreshInPlace; the returned
+      // next-refresh ledger is not this gate's output
+      Incremental.refreshInPlace(
+        Incremental.ledger(prev, "doc_id", "text", incrKeep), path,
+        curr, Snapshot.diff(prev, curr, "doc_id", "text"),
+        "doc_id", "text", incrKeep,
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 64, incrShard): Unit
+      s.read.parquet(path).select(
+        col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("shard").cast("int").as("shard"), col("seq_id"))
     }),
     "incremental_scrub" -> ((s, d) => {
       // The frequency-delta scrub refresh (IncrementalScrub): the stage
@@ -1762,6 +1758,126 @@ object SparkEntry {
     * deterministically-jittered near-copies of each query vector (ids
     * q+1M/q+2M/q+3M, per-component hash noise ±0.005) — planted true
     * neighbors the ANN tiers must recover. Returns (corpus, queries). */
+  /** The full batch rebuild over corpus version 2, replayed end-to-end
+    * in DuckDB (normalize chain, min-id dedup, three keep rules, chunk
+    * boundaries, md5 doc-sharding, the greedy packer as a recursive
+    * CTE) — the oracle BOTH incremental gates must equal: the repack
+    * frame (`incremental_pipeline`) and the refreshed lake tree
+    * (`incremental_sink`). */
+  private val incrRebuildSql: String =
+    """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents),
+         curr AS (
+           SELECT doc_id,
+             CASE WHEN doc_id = 55 THEN 'short 1234'
+                  WHEN doc_id = 35 THEN
+                    (SELECT text FROM base WHERE doc_id = 66)
+                  WHEN doc_id BETWEEN 50 AND 59
+                    THEN text || ' updated revision marker'
+                  ELSE text END AS text
+           FROM base
+           WHERE NOT (doc_id BETWEEN 40 AND 49)
+             AND NOT (doc_id BETWEEN 60 AND 62)
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM base
+           WHERE doc_id BETWEEN 60 AND 64
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' fresh addition marker'
+           FROM base WHERE doc_id BETWEEN 80 AND 89
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM base WHERE doc_id = 90),
+         norm AS (
+           SELECT doc_id,
+             lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+               '\s+', ' ', 'g'), '[\x00-\x1f]', '', 'g'))) AS t
+           FROM curr),
+         ded AS (
+           SELECT doc_id, t,
+             row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+           FROM norm),
+         kept AS (
+           SELECT doc_id, t FROM ded
+           WHERE rn = 1
+             AND length(t) >= 100
+             AND length(regexp_replace(t, '[^0-9]', '', 'g')) * 1.0
+                 / greatest(length(t), 1) <= 0.2
+             AND length(regexp_replace(t, '\s+', '', 'g')) * 1.0
+                 / greatest(len(string_split_regex(trim(t), '\s+')), 1)
+                 BETWEEN 3 AND 12),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
+               AS INT) AS st
+           FROM (SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks
+                 FROM kept)),
+         ch AS (
+           SELECT doc_id * 1000000 + CAST((st - 1) / 24 AS INT) AS chunk_key,
+             len(toks[st:st+31])::BIGINT AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 64
+               AS shard
+           FROM c),
+         ordered AS (
+           SELECT shard, chunk_key, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY chunk_key) AS rnp
+           FROM ch),
+         pack AS (
+           SELECT shard, chunk_key, n_tokens, rnp,
+             CAST(0 AS BIGINT) AS seq, LEAST(n_tokens, 256) AS used
+           FROM ordered WHERE rnp = 1
+           UNION ALL
+           SELECT o.shard, o.chunk_key, o.n_tokens, o.rnp,
+             CASE WHEN p.used + o.n_tokens > 256 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n_tokens > 256 THEN LEAST(o.n_tokens, 256)
+                  ELSE p.used + LEAST(o.n_tokens, 256) END
+           FROM pack p JOIN ordered o
+             ON o.shard = p.shard AND o.rnp = p.rnp + 1)
+         SELECT CAST(chunk_key // 1000000 AS BIGINT) AS doc_id,
+           CAST(chunk_key % 1000000 AS INT) AS chunk_id,
+           n_tokens, CAST(shard AS INT) AS shard, seq AS seq_id
+         FROM pack"""
+
+  /** The planted two-version corpus shared by `incremental_pipeline`
+    * (frame form) and `incremental_sink` (lake form) — removals, edits,
+    * a filter-failing edit, a content-collision demotion, dup-partner
+    * promotions, fresh adds, an added exact dup; both engines replay the
+    * construction from the documents table. */
+  private def incrCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val partners = base.filter(col("doc_id").between(60, 64))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val prev = base.unionByName(partners)
+    val t66 = base.filter(col("doc_id") === 66)
+      .select(col("text").as("__t66"))
+    val currBase = base
+      .filter(!col("doc_id").between(40, 49) &&
+        !col("doc_id").between(60, 62))
+      .crossJoin(broadcast(t66))
+      .select(col("doc_id"),
+        when(col("doc_id") === 55, lit("short 1234"))
+          .when(col("doc_id") === 35, col("__t66"))
+          .when(col("doc_id").between(50, 59),
+            concat(col("text"), lit(" updated revision marker")))
+          .otherwise(col("text")).as("text"))
+    val added = base.filter(col("doc_id").between(80, 89))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh addition marker")).as("text"))
+    val addedDup = base.filter(col("doc_id") === 90)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    (prev, currBase.unionByName(partners).unionByName(added)
+      .unionByName(addedDup))
+  }
+
+  /** word-soup corpus: same three keep rules as corpus_pipeline */
+  private val incrKeep: Column => Column = t => TextOps.corpusFilterRules(t)
+    .collect { case (n, r) if n != "no_terminal_punct" => r }
+    .reduce(_ && _)
+
+  /** doc-keyed md5 sharding: a doc's chunks colocate (contiguous training
+    * reads), the affected-shard count is bounded by the touched-doc
+    * count, and md5-prefix arithmetic lets DuckDB replay the routing */
+  private val incrShard: Column => Column = k =>
+    conv(substring(md5(k.cast("string")), 1, 4), 16, 10).cast("long") % 64
+
   /** The D29 packed token stream (documents → trained-BPE ids → greedy
     * packing → (shard, seq_id, pos, token_id)), shared by the
     * `packed_token_stream` gate and the `token_stream_export` sink
@@ -2782,88 +2898,13 @@ object SparkEntry {
              AS n_unchanged
          FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id""",
     "incremental_pipeline" ->
-      // the FULL REBUILD over corpus version 2, end to end: same planted
-      // version-2 edits (removals, revision-marker edits, the failing
-      // doc-55 rewrite, the doc-35→doc-66 content collision, dup
-      // partners, additions, the added exact dup), same NFC+regex
-      // normalize chain, same min-id dedup rule, same three keep rules,
-      // same chunk boundaries, same md5 doc-shard arithmetic, and the
-      // greedy first-fit packer replayed as a row-by-row recursive CTE
-      // (the packed_token_stream state transition: raw-n overflow test,
-      // LEAST(n, budget) increment). The engine runs the INCREMENTAL
-      // path — delta-only text work, ledger-recomputed membership,
-      // shard-granular repack with verbatim passthrough — so row/hash
-      // equality here proves incremental ≡ batch rebuild.
-      """WITH RECURSIVE
-         base AS (SELECT doc_id, text FROM documents),
-         curr AS (
-           SELECT doc_id,
-             CASE WHEN doc_id = 55 THEN 'short 1234'
-                  WHEN doc_id = 35 THEN
-                    (SELECT text FROM base WHERE doc_id = 66)
-                  WHEN doc_id BETWEEN 50 AND 59
-                    THEN text || ' updated revision marker'
-                  ELSE text END AS text
-           FROM base
-           WHERE NOT (doc_id BETWEEN 40 AND 49)
-             AND NOT (doc_id BETWEEN 60 AND 62)
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM base
-           WHERE doc_id BETWEEN 60 AND 64
-           UNION ALL
-           SELECT doc_id + 2000000, text || ' fresh addition marker'
-           FROM base WHERE doc_id BETWEEN 80 AND 89
-           UNION ALL
-           SELECT doc_id + 2000000, text FROM base WHERE doc_id = 90),
-         norm AS (
-           SELECT doc_id,
-             lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
-               '\s+', ' ', 'g'), '[\x00-\x1f]', '', 'g'))) AS t
-           FROM curr),
-         ded AS (
-           SELECT doc_id, t,
-             row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
-           FROM norm),
-         kept AS (
-           SELECT doc_id, t FROM ded
-           WHERE rn = 1
-             AND length(t) >= 100
-             AND length(regexp_replace(t, '[^0-9]', '', 'g')) * 1.0
-                 / greatest(length(t), 1) <= 0.2
-             AND length(regexp_replace(t, '\s+', '', 'g')) * 1.0
-                 / greatest(len(string_split_regex(trim(t), '\s+')), 1)
-                 BETWEEN 3 AND 12),
-         c AS (
-           SELECT doc_id, toks,
-             CAST(unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
-               AS INT) AS st
-           FROM (SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks
-                 FROM kept)),
-         ch AS (
-           SELECT doc_id * 1000000 + CAST((st - 1) / 24 AS INT) AS chunk_key,
-             len(toks[st:st+31])::BIGINT AS n_tokens,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 64
-               AS shard
-           FROM c),
-         ordered AS (
-           SELECT shard, chunk_key, n_tokens,
-             row_number() OVER (PARTITION BY shard ORDER BY chunk_key) AS rnp
-           FROM ch),
-         pack AS (
-           SELECT shard, chunk_key, n_tokens, rnp,
-             CAST(0 AS BIGINT) AS seq, LEAST(n_tokens, 256) AS used
-           FROM ordered WHERE rnp = 1
-           UNION ALL
-           SELECT o.shard, o.chunk_key, o.n_tokens, o.rnp,
-             CASE WHEN p.used + o.n_tokens > 256 THEN p.seq + 1 ELSE p.seq END,
-             CASE WHEN p.used + o.n_tokens > 256 THEN LEAST(o.n_tokens, 256)
-                  ELSE p.used + LEAST(o.n_tokens, 256) END
-           FROM pack p JOIN ordered o
-             ON o.shard = p.shard AND o.rnp = p.rnp + 1)
-         SELECT CAST(chunk_key // 1000000 AS BIGINT) AS doc_id,
-           CAST(chunk_key % 1000000 AS INT) AS chunk_id,
-           n_tokens, CAST(shard AS INT) AS shard, seq AS seq_id
-         FROM pack""",
+      // the FULL REBUILD over corpus version 2 (shared with
+      // incremental_sink — frame form and lake form must both equal it)
+      incrRebuildSql,
+    "incremental_sink" ->
+      // same rebuild: the gate read the refreshed TREE back, so this
+      // equality is write->read fidelity for the partial-rewrite path
+      incrRebuildSql,
     "incremental_scrub" ->
       // the BATCH spanScrub replayed over corpus version 2 (same planted
       // tails/removal/edit/additions), string-grouped window frequencies
