@@ -261,14 +261,18 @@ object Incremental {
     val parts = plan(prevLedger, prevPacked, curr, delta, idCol, textCol,
       keep, maxTokens, overlap, budget, shards, docShard)
     val affectedIds = parts.affected.collect().map(_.getInt(0)) // O(|touch|)
-    // eager localCheckpoint, not persist: the write targets the same path
-    // the plan reads (prevPacked), and Spark's self-overwrite guard
-    // inspects the LOGICAL plan — only cutting the lineage clears it.
-    // The frame is delta-bound, so materializing it is cheap.
-    val repacked = parts.repacked.localCheckpoint()
-    // the shard set actually in the written data, read off the frame
-    // BEFORE trusting the tree: an emptied shard's stale directory would
-    // still be on disk and must not mask itself
+    // stage the repacked rows through a temp directory: the final write
+    // targets the same path the plan reads (prevPacked) and Spark's
+    // self-overwrite guard inspects the LOGICAL plan, so the lineage
+    // must be cut — a parquet hop does that, materializes the
+    // (delta-bound) frame exactly once, and unlike localCheckpoint
+    // survives an executor loss mid-refresh
+    val staging = s"$packedPath.refresh-staging"
+    parts.repacked.write.mode("overwrite").parquet(staging)
+    val repacked = spark.read.parquet(staging)
+    // the shard set actually in the written data, read off the staged
+    // frame BEFORE trusting the tree: an emptied shard's stale directory
+    // would still be on disk and must not mask itself
     val written = repacked.select("shard").distinct()
       .collect().map(_.getInt(0)).toSet
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -281,6 +285,7 @@ object Incremental {
     } finally {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
+    graft.sources.Sink.reset(staging)
     val conf = spark.sessionState.newHadoopConf()
     affectedIds.filterNot(written).foreach { s =>
       val dir = new org.apache.hadoop.fs.Path(s"$packedPath/shard=$s")
