@@ -152,17 +152,28 @@ object Incremental {
                    maxTokens: Int, overlap: Int, budget: Long, shards: Int,
                    docShard: Column => Column): Refresh = {
     val c = curr.select(col(idCol).as("id"), col(textCol).as("__text"))
-    // persisted: dIds is read by three consumers and its lineage is the
-    // full-outer corpus diff — without the cut each consumer re-runs the
-    // diff. Broadcast wherever it joins a corpus-sized side: the frames
-    // are delta-bound by construction, so the corpus side stays map-only
-    // (a delta so large it won't broadcast is a delta so large the
-    // caller should rebuild — the crossover is measured in IncrScale).
-    val dIds = Dedup.persistTracked(delta.select(col(idCol).as("id")))
+    // Every delta-bound state frame is EAGERLY localCheckpoint'd, not
+    // persist'd: each layer here broadcasts the previous layers into 2-3
+    // consumers, so a cache-only cut leaves the LOGICAL tree duplicating
+    // the whole upstream DAG per consumer — exponential in the layer
+    // count. Execution would still hit the caches, but the driver pays
+    // optimizer passes and plan stringification (SQLExecution renders the
+    // executed plan per action) over a 100k-node tree: measured 35-55 s
+    // of pure driver time on a 300-doc delta, all in generateTreeString/
+    // FoldablePropagation, zero jobs over 0.5 s. Checkpointing truncates
+    // lineage, so every downstream tree stays shallow. The frames are
+    // delta-bound (the whole point of the operator), so materializing
+    // them is cheap; on executor loss mid-refresh the refresh re-runs
+    // from the caller's durable inputs. Broadcast wherever they join a
+    // corpus-sized side: the corpus side stays map-only (a delta so
+    // large it won't broadcast is a delta so large the caller should
+    // rebuild — the crossover is measured in IncrScale).
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    val dIds = pin(delta.select(col(idCol).as("id")))
 
     // 1. text work, delta-only: removed ids drop out via the semi join
     //    (they are not in curr), added/changed get fresh ledger rows
-    val deltaLedger = Dedup.persistTracked(
+    val deltaLedger = pin(
       ledger(c.join(broadcast(dIds), Seq("id"), "left_semi"),
         "id", "__text", keep))
     val newLedger = prevLedger.join(broadcast(dIds), Seq("id"), "left_anti")
@@ -178,16 +189,16 @@ object Incremental {
     //    ever materialized. (Null-hash rows — null-content docs — can
     //    never pass the keep rules, so dropping them from the plain
     //    equi-join probe cannot change membership.)
-    val affectedHashes = Dedup.persistTracked(
+    val affectedHashes = pin(
       prevLedger.join(broadcast(dIds), Seq("id"), "left_semi")
         .select("norm_hash")
         .unionByName(deltaLedger.select("norm_hash"))
         .distinct())
-    val prevSurvAff = Dedup.persistTracked(survivorIds(
+    val prevSurvAff = pin(survivorIds(
       prevLedger.join(broadcast(affectedHashes), Seq("norm_hash"), "left_semi")))
-    val newSurvAff = Dedup.persistTracked(survivorIds(
+    val newSurvAff = pin(survivorIds(
       newLedger.join(broadcast(affectedHashes), Seq("norm_hash"), "left_semi")))
-    val touch = Dedup.persistTracked(
+    val touch = pin(
       dIds
         .unionByName(newSurvAff.join(prevSurvAff, Seq("id"), "left_anti"))
         .unionByName(prevSurvAff.join(newSurvAff, Seq("id"), "left_anti"))
@@ -203,7 +214,7 @@ object Incremental {
       .join(broadcast(newSurvAff), Seq("id"), "left_semi")
       .select(col("id"), TextOps.normalizeTextNfc(col("__text")).as("__norm"))
     val newChunks =
-      Dedup.persistTracked(chunksOf(rechunk, maxTokens, overlap))
+      pin(chunksOf(rechunk, maxTokens, overlap))
 
     // 4. shard-granular rework: a shard is affected iff it gains a new
     //    chunk or loses a touched doc's old one; everything else is a

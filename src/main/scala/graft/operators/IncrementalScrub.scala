@@ -93,18 +93,27 @@ object IncrementalScrub {
               idCol: String, textCol: String,
               window: Int = 8, minDf: Int = 2): State = {
     val c = curr.select(col(idCol).as("id"), col(textCol).as("__text"))
-    val dIds = Dedup.persistTracked(delta.select(col(idCol).as("id")))
+    // delta-bound state frames are eagerly localCheckpoint'd, not
+    // persist'd: each layer broadcasts the previous layers into multiple
+    // consumers, and a cache-only cut leaves the logical tree duplicating
+    // the upstream DAG per consumer — the driver then pays optimizer +
+    // plan-stringification passes over the blown-up tree on every action
+    // (see Incremental.plan for the measured pathology). The posting
+    // index (prev.wins) stays persist-only: it is O(corpus tokens) and
+    // its lineage is one window pass, not a layered delta DAG.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    val dIds = pin(delta.select(col(idCol).as("id")))
 
     // 1. delta windows: new text windowed fresh, old text read off the
     //    posting index (map-only probe — the index is what remembers
     //    removed/changed docs' windows)
-    val newDeltaWins = Dedup.persistTracked(
+    val newDeltaWins = pin(
       windowsOf(c.join(broadcast(dIds), Seq("id"), "left_semi"), window))
     val oldDeltaWins = prev.wins.join(broadcast(dIds), Seq("id"), "left_semi")
 
     // 2. per-hash net adjustment (delta-bound), folded into the frequency
     //    table with a broadcast join; crossed = qualifying verdict flipped
-    val adj = Dedup.persistTracked(
+    val adj = pin(
       newDeltaWins.groupBy("whash").agg(count(lit(1)).as("__a"))
         .join(oldDeltaWins.groupBy("whash").agg(count(lit(1)).as("__r")),
           Seq("whash"), "full_outer")
@@ -123,7 +132,7 @@ object IncrementalScrub {
     val newDfState = merged.filter(col("__ndf") > 0)
       .select(col("whash"), col("__ndf").as("df"))
       .unionByName(newOnly.select(col("whash"), col("adj").as("df")))
-    val crossed = Dedup.persistTracked(
+    val crossed = pin(
       merged.filter(col("__hit") &&
           ((col("df") >= minDf) =!= (col("__ndf") >= minDf)))
         .select("whash")
@@ -131,14 +140,14 @@ object IncrementalScrub {
 
     // 3. affected docs: holders of crossed windows (index probe) plus the
     //    surviving delta docs; removed docs are in dIds and excluded
-    val affectedUnchanged = Dedup.persistTracked(
+    val affectedUnchanged = pin(
       prev.wins.join(broadcast(crossed), Seq("whash"), "left_semi")
         .select("id").distinct()
         .join(broadcast(dIds), Seq("id"), "left_anti"))
     // ALL surviving delta ids, not just those that produced windows: a
     // null-text doc explodes to zero window rows but the batch form
     // still emits its scrub row
-    val affectedIds = Dedup.persistTracked(
+    val affectedIds = pin(
       affectedUnchanged
         .unionByName(c.join(broadcast(dIds), Seq("id"), "left_semi")
           .select("id"))

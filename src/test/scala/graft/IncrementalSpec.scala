@@ -169,4 +169,28 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
       graft.sources.Sink.reset(path)
     }
   }
+
+  test("refresh plan stays shallow: state frames are lineage-cut, not just cached") {
+    // the r13 pathology gate: with persist-only state frames the refresh
+    // output's LOGICAL tree duplicates the whole upstream DAG once per
+    // broadcast consumer — exponential in the ~8 state layers, and the
+    // driver pays optimizer + plan-stringification over it on EVERY
+    // action (50-76 s measured at sf0.1 with all caches hot, zero jobs
+    // over 0.5 s). Eager localCheckpoint truncates lineage; this pins
+    // that property structurally: the output tree must stay small and
+    // must not contain the Snapshot.diff full-outer join (its frames
+    // enter only as checkpointed leaves).
+    val out = incr(prevDocs, currDocs)
+    try {
+      val nodes = out.queryExecution.analyzed.collect { case p => p }.size
+      assert(nodes < 200,
+        s"refresh logical plan has $nodes nodes — the lineage cut regressed")
+      val joinTypes = out.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.joinType.sql
+      }
+      assert(!joinTypes.exists(_.toLowerCase.contains("full")),
+        s"diff's full-outer join leaked into the refresh tree: $joinTypes")
+    } finally Dedup.unpersistIntermediates()
+  }
 }
