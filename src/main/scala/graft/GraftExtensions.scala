@@ -82,6 +82,14 @@ object GraftExtensions {
         Seq(args.head, Cast(args(1), ArrayType(StringType))),
         Seq(StringType, ArrayType(StringType)),
         propagateNull = true, returnNullable = false)
+    },
+    fn("bpe_decode",
+       "bpe_decode(ids, merges) — text of a BPE token-ID sequence (inverse of bpe_encode up to whitespace: no end-of-word marker)") {
+      args => StaticInvoke(graft.functions.Bpe.getClass, StringType, "decode",
+        Seq(Cast(args.head, ArrayType(LongType)),
+          Cast(args(1), ArrayType(StringType))),
+        Seq(ArrayType(LongType), ArrayType(StringType)),
+        propagateNull = true, returnNullable = false)
     })
 
   /** Imperative registration on an existing session (tests, notebooks). */

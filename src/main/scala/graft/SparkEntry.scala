@@ -633,6 +633,48 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("token_id"))
     }),
+    "bpe_vocab" -> ((s, d) => {
+      // The VOCABULARY artifact a tokenizer consumer ships beside the
+      // merge table (the vocab.json half of the GPT-2 pair): one row per
+      // mintable id — 0-255 the base bytes, 256+r for each merge rank
+      // whose concatenation is a FIRST occurrence (a duplicate
+      // concatenation never mints; encode resolves it to the min rank).
+      // Derived deterministically from the trained merges, so the oracle
+      // rebuilds it from the same pinned VALUES table bpe_merges gates.
+      import s.implicits._
+      val merges = trainedMerges(s, d, 16)
+      val base = (0 until 256).map(b => (b.toLong, f"$b%02x"))
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val minted = merges.zipWithIndex.flatMap { case ((a, b), r) =>
+        val sym = a + b
+        if (seen.add(sym)) Some((256L + r, sym)) else None
+      }
+      (base ++ minted).toDF("token_id", "symbol_hex")
+    }),
+    "bpe_decode" -> ((s, d) => {
+      // The DECODE half closing the tokenizer roundtrip: ids → UTF-8
+      // bytes → text. encode keeps no end-of-word marker (documented
+      // deviation), so the roundtrip contract is decode(encode(text)) ==
+      // text with every \s+ run deleted, byte for byte — which is what
+      // the oracle computes INDEPENDENTLY (regexp_replace over the raw
+      // corpus, no BPE machinery at all): any byte lost or invented
+      // anywhere in train→encode→decode breaks equality. Same planted
+      // non-ASCII docs — multi-byte UTF-8 must survive the id roundtrip,
+      // and the decoded CJK/accented STRINGS (not just ids) cross the
+      // engine-vs-DuckDB hash compare.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = trainedMerges(s, d, 16)
+      val planted = Seq(
+        (9000001L, "café déjà naïve entrée"),
+        (9000002L, "über straße größer"),
+        (9000003L, "模型 训练 数据"))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          Bpe.decodeCol(Bpe.encodeCol(col("text"), merges), merges)
+            .as("decoded"))
+    }),
     "packed_token_stream" -> ((s, d) => {
       // The END-TO-END training last mile: documents → trained-BPE token
       // ids → greedy sequence packing (budget 512, 4 shards) → the packed
@@ -3747,6 +3789,47 @@ object SparkEntry {
              AS pos,
            CAST(token_id AS BIGINT) AS token_id
          FROM wordpos JOIN ids USING (w)""",
+    "bpe_vocab" ->
+      // rebuilt from the same pinned merge table bpe_merges gates: 256
+      // base-byte rows plus one row per FIRST-occurrence concatenation
+      // (min-rank rule — a duplicate concatenation never mints an id)
+      """WITH m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b))
+         SELECT CAST(i AS BIGINT) AS token_id, printf('%02x', i) AS symbol_hex
+         FROM range(0, 256) t(i)
+         UNION ALL
+         SELECT CAST(256 + rank AS BIGINT) AS token_id, a || b AS symbol_hex
+         FROM m
+         WHERE rank = (SELECT min(m2.rank) FROM m m2
+                       WHERE m2.a || m2.b = m.a || m.b)""",
+    "bpe_decode" ->
+      // the roundtrip oracle computes the EXPECTED decode output with no
+      // BPE machinery at all: decode(encode(text)) must equal text with
+      // every \s+ run deleted (encode splits on \s+ and keeps no
+      // end-of-word marker), byte for byte. The explicit class
+      // [ \t\n\x0B\f\r] is exactly Java's \s (the kernel's split), spelled
+      // out so RE2-vs-Java class differences can't leak in; planted
+      // non-ASCII docs (chr() codepoints) prove multi-byte UTF-8 survives
+      // the id roundtrip as STRINGS, not just ids
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'caf' || chr(233) || ' d' || chr(233) || 'j' ||
+                       chr(224) || ' na' || chr(239) || 've entr' ||
+                       chr(233) || 'e'),
+             (9000002, chr(252) || 'ber stra' || chr(223) || 'e gr' ||
+                       chr(246) || chr(223) || 'er'),
+             (9000003, chr(27169) || chr(22411) || ' ' || chr(35757) ||
+                       chr(32451) || ' ' || chr(25968) || chr(25454))
+           ) AS t(doc_id, text))
+         SELECT doc_id,
+           regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g') AS decoded
+         FROM corpus""",
     "packed_token_stream" ->
       // end-to-end replay of the training last mile: the bpe_encode
       // recursion yields each doc's token stream and count; md5-prefix

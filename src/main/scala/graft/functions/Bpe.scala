@@ -301,6 +301,102 @@ object Bpe {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
   }
 
+  /** Per-thread memo for DECODING: merge rank → UTF-8 bytes of its
+    * concatenated symbol (same literal-identity discipline as the other
+    * two memos). */
+  private val decMemo = new ThreadLocal[(ArrayData, Array[Array[Byte]])]
+
+  private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else c - 'a' + 10
+
+  /** Bytes of a validated hex-symbol string ("6a6f" → [0x6a, 0x6f]). */
+  private[graft] def hexToBytes(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) =
+        ((hexVal(s.charAt(2 * i)) << 4) | hexVal(s.charAt(2 * i + 1))).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def decodeState(merges: ArrayData): Array[Array[Byte]] = {
+    val hit = decMemo.get()
+    if (hit != null && (hit._1 eq merges)) return hit._2
+    val pairs = parsePairs(merges)._1
+    val syms = new Array[Array[Byte]](pairs.length)
+    var r = 0
+    while (r < pairs.length) {
+      syms(r) = hexToBytes(pairs(r)._1 + pairs(r)._2)
+      r += 1
+    }
+    decMemo.set((merges, syms))
+    syms
+  }
+
+  /** Kernel: UTF-8 text of a token-ID sequence under `merges` — the
+    * inverse of [[encode]] up to whitespace: encode splits on `\s+` and
+    * keeps no end-of-word marker (the documented `</w>` deviation), so
+    * `decode(encode(text)) == text` with every `\s+` run deleted, byte
+    * for byte — the roundtrip contract the bpe_decode gate replays.
+    * Ids 0-255 are raw bytes; 256+r is merge rank r's concatenated
+    * symbol (a duplicate-concatenation rank decodes to the same bytes as
+    * the min-rank id [[encode]] actually emits, so the inverse is total
+    * over the whole id range). Null or out-of-range ids fail loudly by
+    * name — a stream corrupted by an upstream bug must not decode to
+    * silently-wrong text. */
+  def decode(ids: ArrayData, merges: ArrayData): UTF8String = {
+    val syms = decodeState(merges)
+    val n = ids.numElements()
+    // size pass first so the output buffer allocates exactly once
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"bpe_decode: null token id at position $i")
+      val id = ids.getLong(i)
+      if (id < 0L || id >= 256L + syms.length)
+        throw new IllegalArgumentException(
+          s"bpe_decode: token id $id at position $i outside [0, " +
+            s"${256 + syms.length}) for a ${syms.length}-merge table")
+      total += (if (id < 256L) 1 else syms((id - 256L).toInt).length)
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val id = ids.getLong(i)
+      if (id < 256L) {
+        out(o) = id.toByte
+        o += 1
+      } else {
+        val b = syms((id - 256L).toInt)
+        System.arraycopy(b, 0, out, o, b.length)
+        o += b.length
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Column form of [[decode]]: string from an array<long> id column,
+    * merge table as one plan literal. */
+  def decodeCol(ids: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) => isHexSymbol(a) && isHexSymbol(b) },
+      "bpe merges must be hex byte symbols (one or more [0-9a-f] pairs per side)")
+    val arrS = ArrayType(StringType, containsNull = false)
+    GraftExpressionBridge.column(StaticInvoke(
+      Bpe.getClass, StringType, "decode",
+      Seq(GraftExpressionBridge.expression(ids),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          merges.map { case (a, b) => s"$a $b" }, arrS)),
+      Seq(ArrayType(LongType), arrS), propagateNull = true,
+      returnNullable = false))
+  }
+
   /** Column form of [[encode]]: array<long> of token ids, merge table as
     * one plan literal. `length(encodeCol(...)) == tokenCountCol(...)` by
     * construction — spec-pinned. */

@@ -135,6 +135,45 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(0xe6L, 0xa8L, 0xa1L))
   }
 
+  test("decode inverts encode up to whitespace, byte for byte, scripts included") {
+    val docs = Seq(
+      (1L, "low lower lowest"), (2L, "café déjà 模型 训练"),
+      (3L, ""), (4L, "  spaced\tout \n lines  "), (5L, "a-b!c"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    val got = docs.select(col("doc_id"),
+        Bpe.decodeCol(Bpe.encodeCol(col("text"), merges), merges).as("d"))
+      .as[(Long, String)].collect().toMap
+    val expected = Map(
+      1L -> "lowlowerlowest", 2L -> "cafédéjà模型训练",
+      3L -> "", 4L -> "spacedoutlines", 5L -> "a-b!c")
+    assert(got === expected)
+  }
+
+  test("decode: merged symbols expand to their concatenated bytes by rank") {
+    // rank0 (65,72) → id 256 = "er"; rank1 (69,6e) → 257 = "in";
+    // rank2 (6572,69) → 258 = "eri"; raw byte ids pass through
+    val merges = Seq(("65", "72"), ("69", "6e"), ("6572", "69"))
+    val got = Seq(Seq(258L, 257L, 116L, 33L)).toDF("ids")
+      .select(Bpe.decodeCol(col("ids"), merges))
+      .as[String].collect().head
+    assert(got === "eriint!")
+  }
+
+  test("decode: out-of-range and null ids fail loudly by name") {
+    val merges = Seq(("65", "72"))
+    val bad = Seq(Seq(257L)).toDF("ids")
+      .select(Bpe.decodeCol(col("ids"), merges))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("bpe_decode") ||
+      Option(e.getCause).exists(_.getMessage.contains("bpe_decode")))
+    val neg = Seq(Seq(-1L)).toDF("ids")
+      .select(Bpe.decodeCol(col("ids"), merges))
+    val e2 = intercept[Exception] { neg.collect() }
+    assert(e2.getMessage.contains("bpe_decode") ||
+      Option(e2.getCause).exists(_.getMessage.contains("bpe_decode")))
+  }
+
   test("encode is deterministic across batching and agrees after memo churn") {
     val merges = Seq(("61", "61"), ("6161", "61"))
     val docs = Seq.tabulate(300)(i => (i.toLong, "a" * (1 + i % 7))).toDF("doc_id", "text")
