@@ -7,7 +7,7 @@ import graft.functions.Bpe
 import graft.ml.FatalityModel
 import graft.operators._
 import graft.sources.{Jsonl, Sink, Tables}
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, IncrementalStream}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, with matching DuckDB `oracleSql` where the semantics are
@@ -1751,6 +1751,52 @@ object SparkEntry {
       s.read.parquet(out).groupBy("lang", "is_corrupt")
         .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"))
     }),
+    "stream_incremental" -> ((s, d) => {
+      // The incremental refresh loop ACTUALLY STREAMING — the production
+      // shape: the planted two-version delta arrives as two crawler
+      // waves (doc_id, op, text) in a landing dir, each drained by an
+      // AvailableNow run (maxFilesPerTrigger=1, checkpointed cursor —
+      // the E7 delivery discipline), and each micro-batch advances ALL
+      // the carried state delta-bound: raw corpus lake (touched shard
+      // dirs only), packed lake (Incremental.refreshInPlace), ledger
+      // rollforward. Every refresh equals the batch rebuild over its
+      // intermediate version by the Incremental contract, so the final
+      // lake equals the rebuild over version 2 NO MATTER how the delta
+      // splits into waves — the same incrRebuildSql oracle as
+      // incremental_pipeline/incremental_sink, now proving the
+      // STREAMING write path.
+      val (prev, curr) = incrCorpus(s, d)
+      val base = sinkPath(d, "stream_incremental")
+      val (landing, raw, packed, ledger, ckpt) =
+        (s"$base/landing", s"$base/raw", s"$base/packed",
+          s"$base/ledger", s"$base/ckpt")
+      Sink.reset(base)
+      IncrementalStream.bootstrap(prev, raw, packed, ledger,
+        "doc_id", "text", incrKeep,
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 64, incrShard)
+      val waves = Snapshot.diff(prev, curr, "doc_id", "text")
+        .select(col("doc_id"),
+          when(col("status") === "removed", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+        .join(curr.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("op"), col("text"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, op string, text string")
+      def drain(): Unit =
+        IncrementalStream.refreshStream(s, landing, schema, raw, packed,
+          ledger, ckpt, "doc_id", "text", incrKeep,
+          maxTokens = 32, overlap = 8, budget = 256L, shards = 64,
+          incrShard).awaitTermination()
+      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(landing)
+      drain()
+      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(landing)
+      drain()
+      s.read.parquet(packed).select(
+        col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("shard").cast("int").as("shard"), col("seq_id"))
+    }),
     "stream_novelty" -> ((s, d) => {
       // The incremental-crawl near-dup gate ACTUALLY STREAMING: the same
       // planted probes as novelty_near_dup arrive as two parquet delivery
@@ -2946,6 +2992,11 @@ object SparkEntry {
     "incremental_sink" ->
       // same rebuild: the gate read the refreshed TREE back, so this
       // equality is write->read fidelity for the partial-rewrite path
+      incrRebuildSql,
+    "stream_incremental" ->
+      // same rebuild again, now through the STREAMING write path: two
+      // checkpointed micro-batch waves of the same delta must land the
+      // same final lake (wave-split independence of the refresh loop)
       incrRebuildSql,
     "incremental_scrub" ->
       // the BATCH spanScrub replayed over corpus version 2 (same planted

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Incremental
+import graft.sources.Sink
+
+/** The incremental corpus refresh ACTUALLY STREAMING — the production
+  * shape of the [[Incremental]] loop: a crawler emits delta waves
+  * (doc_id, op, text; op ∈ upsert|delete) as files into a landing
+  * directory, and each micro-batch advances THREE pieces of carried
+  * state, all delta-bound:
+  *
+  *   1. the RAW corpus lake (`rawPath`, shard-partitioned by the same
+  *      doc-keyed routing as the packed lake): only shard directories
+  *      the wave touches are rewritten (dynamic partition overwrite,
+  *      emptied dirs deleted) — the wave's upserts replace, its deletes
+  *      drop, everyone else's directory is never opened;
+  *   2. the PACKED lake (`packedPath`): [[Incremental.refreshInPlace]] —
+  *      delta-only text work, ledger-recomputed membership, affected
+  *      shards only;
+  *   3. the LEDGER (`ledgerPath`): the returned next-refresh state,
+  *      rolled forward through a staging hop (it reads its own path).
+  *
+  * The file-source checkpoint carries the cursor, so a re-run drains
+  * only unseen waves (exactly-once per wave); `Trigger.AvailableNow`
+  * with `maxFilesPerTrigger = 1` forces each delivery file through its
+  * own micro-batch. Because every refresh provably equals the batch
+  * rebuild over its corpus version (the [[Incremental]] contract), the
+  * final lake is the batch rebuild over the final version NO MATTER how
+  * the delta was split into waves — which is exactly what the
+  * `stream_incremental` gate's oracle (the incremental_sink rebuild
+  * replay) checks.
+  *
+  * Scale shape per micro-batch: everything [[Incremental.refreshInPlace]]
+  * guarantees, plus raw-lake maintenance bounded by the wave's touched
+  * shards. No stage anywhere re-reads, re-shuffles, or rewrites the
+  * untouched corpus mass.
+  */
+object IncrementalStream {
+
+  /** Bootstrap the three state locations from corpus version 0: raw lake
+    * shard-partitioned by `docShard`, packed lake via
+    * [[Incremental.writePacked]], ledger as plain parquet. */
+  def bootstrap(docs: DataFrame, rawPath: String, packedPath: String,
+                ledgerPath: String, idCol: String, textCol: String,
+                keep: Column => Column, maxTokens: Int, overlap: Int,
+                budget: Long, shards: Int, docShard: Column => Column): Unit = {
+    docs.select(col(idCol), col(textCol),
+        docShard(col(idCol)).cast("int").as("__shard"))
+      .repartition(col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(rawPath)
+    Incremental.writePacked(
+      Incremental.batch(docs, idCol, textCol, keep,
+        maxTokens, overlap, budget, shards, docShard),
+      packedPath)
+    Incremental.ledger(docs, idCol, textCol, keep)
+      .write.mode("overwrite").parquet(ledgerPath)
+  }
+
+  /** Advance the raw corpus lake by one wave: rewrite ONLY the shard
+    * directories the wave touches (upserts replace by id, deletes drop),
+    * delete the ones the wave emptied. Mirrors
+    * [[Incremental.refreshInPlace]]'s write discipline. */
+  private def advanceRaw(spark: SparkSession, rawPath: String,
+                         wave: DataFrame, idCol: String, textCol: String,
+                         docShard: Column => Column): Unit = {
+    val prev = spark.read.parquet(rawPath)
+    val ids = wave.select(col(idCol)).distinct()
+    val touched = wave
+      .select(docShard(col(idCol)).cast("int").as("__shard")).distinct()
+      .collect().map(_.getInt(0))
+    val newRows = prev
+      .filter(col("__shard").isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(ids), Seq(idCol), "left_anti")
+      .unionByName(wave.filter(col("op") =!= "delete")
+        .select(col(idCol), col(textCol),
+          docShard(col(idCol)).cast("int").as("__shard")))
+    val staging = s"$rawPath.wave-staging"
+    newRows.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val written = staged.select("__shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      staged.repartition(col("__shard"))
+        .write.mode("overwrite").partitionBy("__shard").parquet(rawPath)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    Sink.reset(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    touched.filterNot(written).foreach { s =>
+      val dir = new org.apache.hadoop.fs.Path(s"$rawPath/__shard=$s")
+      dir.getFileSystem(conf).delete(dir, true): Unit
+    }
+  }
+
+  /** Drain the landing directory: one micro-batch per delivery file, each
+    * applying one wave to (raw, packed, ledger). `schema` must carry
+    * (idCol, op, textCol). */
+  def refreshStream(spark: SparkSession, landingDir: String,
+                    schema: StructType, rawPath: String, packedPath: String,
+                    ledgerPath: String, checkpointDir: String,
+                    idCol: String, textCol: String,
+                    keep: Column => Column, maxTokens: Int, overlap: Int,
+                    budget: Long, shards: Int, docShard: Column => Column,
+                    maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the wave is read several times (raw advance, delta ids) and
+        // must not re-pull from the stream source mid-handler
+        val wave = batch.localCheckpoint()
+        if (!wave.isEmpty) {
+          advanceRaw(spark, rawPath, wave, idCol, textCol, docShard)
+          val curr = spark.read.parquet(rawPath)
+            .select(col(idCol), col(textCol))
+          val prevLedger = spark.read.parquet(ledgerPath)
+          val newLedger = Incremental.refreshInPlace(
+            prevLedger, packedPath, curr, wave.select(col(idCol)),
+            idCol, textCol, keep, maxTokens, overlap, budget, shards,
+            docShard)
+          // the ledger reads its own path — stage-hop the rollforward
+          val lst = s"$ledgerPath.staging"
+          newLedger.write.mode("overwrite").parquet(lst)
+          spark.read.parquet(lst)
+            .write.mode("overwrite").parquet(ledgerPath)
+          Sink.reset(lst)
+        }
+      }
+      .start()
+}
