@@ -94,6 +94,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(messages(ex).exists(_.contains("dimension mismatch")), s"got: ${messages(ex)}")
   }
 
+  test("bpe_decode SQL function inverts bpe_encode up to whitespace") {
+    val got = spark.sql(
+      "SELECT bpe_decode(bpe_encode('abc xy', array('61 62', '6162 63'))," +
+        " array('61 62', '6162 63')) AS t")
+      .collect().head.getString(0)
+    assert(got === "abcxy")
+  }
+
   test("bpe_token_count: malformed or null merge entries fail loudly, not with raw NPEs") {
     GraftExtensions.register(spark)
     def messages(t: Throwable): Seq[String] =
