@@ -170,6 +170,34 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a stale staging dir from a crashed refresh cannot corrupt the next one") {
+    // crash model: a previous refreshInPlace died after writing
+    // $path.refresh-staging but before (or during) the final overwrite —
+    // the lake itself is intact (the dynamic overwrite is the LAST step),
+    // and the orphaned staging dir must be ignored: the next refresh
+    // overwrites it wholesale, applies cleanly, and removes it.
+    val path = s"${sys.props("java.io.tmpdir")}/graft_incr_stale_staging"
+    graft.sources.Sink.reset(path)
+    try {
+      Incremental.writePacked(pack(prevDocs), path)
+      // plant junk where the staging hop writes — wrong schema, wrong data
+      Seq((999L, "junk")).toDF("a", "b")
+        .write.mode("overwrite").parquet(s"$path.refresh-staging")
+      val led = Incremental.ledger(prevDocs, "doc_id", "text", keep)
+      Incremental.refreshInPlace(led, path, currDocs,
+        Snapshot.diff(prevDocs, currDocs, "doc_id", "text"),
+        "doc_id", "text", keep,
+        maxTokens = 8, overlap = 2, budget = 24L, shards = 16, docShard): Unit
+      assert(rows(spark.read.parquet(path)) === rows(pack(currDocs)))
+      assert(!new java.io.File(s"$path.refresh-staging").exists(),
+        "staging dir must be removed after a successful refresh")
+    } finally {
+      Dedup.unpersistIntermediates()
+      graft.sources.Sink.reset(path)
+      graft.sources.Sink.reset(s"$path.refresh-staging")
+    }
+  }
+
   test("refresh plan stays shallow: state frames are lineage-cut, not just cached") {
     // the r13 pathology gate: with persist-only state frames the refresh
     // output's LOGICAL tree duplicates the whole upstream DAG once per
