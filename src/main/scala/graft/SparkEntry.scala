@@ -955,32 +955,7 @@ object SparkEntry {
       // token rebuild), so equality proves refresh ≡ batch — the same
       // verdict-equality pattern as incremental_pipeline, for the one
       // stage a per-doc ledger cannot increment.
-      val tailA = lit(" alpha boiler plate marker tokens repeat" +
-        " across many docs here")
-      val tailB = lit(" beta shared footer appears exactly twice" +
-        " in the whole corpus")
-      val tailC = lit(" gamma unique notice present once until" +
-        " the refresh adds another")
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val prev = base.select(col("doc_id"),
-        when(col("doc_id").between(20, 29), concat(col("text"), tailA))
-          .when(col("doc_id") === 30 || col("doc_id") === 31,
-            concat(col("text"), tailB))
-          .when(col("doc_id") === 40, concat(col("text"), tailC))
-          .otherwise(col("text")).as("text"))
-      val curr = base.filter(col("doc_id") =!= 31).select(col("doc_id"),
-        when(col("doc_id").between(20, 29) && col("doc_id") =!= 25,
-            concat(col("text"), tailA))
-          .when(col("doc_id") === 30, concat(col("text"), tailB))
-          .when(col("doc_id") === 40, concat(col("text"), tailC))
-          .otherwise(col("text")).as("text"))
-        .unionByName(base.filter(col("doc_id") === 80)
-          .select(lit(7000001L).as("doc_id"),
-            concat(col("text"), tailC).as("text")))
-        .unionByName(base.filter(col("doc_id") === 81)
-          .select(lit(7000002L).as("doc_id"),
-            concat(col("text"), lit(" plain fresh addition suffix"))
-              .as("text")))
+      val (prev, curr) = scrubCorpus(s, d)
       val st = IncrementalScrub.state(prev, "doc_id", "text", 8, 2)
       val next = IncrementalScrub.refresh(st, curr,
         Snapshot.diff(prev, curr, "doc_id", "text"),
@@ -1797,6 +1772,51 @@ object SparkEntry {
         col("doc_id"), col("chunk_id"), col("n_tokens"),
         col("shard").cast("int").as("shard"), col("seq_id"))
     }),
+    "stream_scrub" -> ((s, d) => {
+      // The frequency-delta scrub refresh ACTUALLY STREAMING (ScrubStream)
+      // — the four-lake loop: the same planted scrub delta arrives as two
+      // crawler waves, and each checkpointed micro-batch rewrites ONLY
+      // the touched partitions of the raw corpus lake, the window
+      // posting index (doc-keyed shards), the frequency table (whash
+      // buckets), and the scrub output lake. Every replacement row-set
+      // is staged before any lake overwrite (the refresh plan reads the
+      // pre-wave lakes). The waves split the delta by id parity, so
+      // BOTH df-crossing ripples land in different micro-batches than
+      // some of their holders — and the drained scrub lake must still
+      // equal the batch spanScrub over version 2: the same oracle as
+      // incremental_scrub, now through the streaming four-lake path.
+      val (prev, curr) = scrubCorpus(s, d)
+      val base = sinkPath(d, "stream_scrub")
+      val (landing, raw, wins, dfl, scrub, ckpt) =
+        (s"$base/landing", s"$base/raw", s"$base/wins",
+          s"$base/df", s"$base/scrub", s"$base/ckpt")
+      Sink.reset(base)
+      val shardOf: Column => Column = k =>
+        conv(substring(md5(k.cast("string")), 1, 4), 16, 10).cast("long") % 64
+      graft.streaming.ScrubStream.bootstrap(prev, raw, wins, dfl, scrub,
+        "doc_id", "text", window = 8, minDf = 2, hashBuckets = 32, shardOf)
+      val waves = Snapshot.diff(prev, curr, "doc_id", "text")
+        .select(col("doc_id"),
+          when(col("status") === "removed", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+        .join(curr.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("op"), col("text"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, op string, text string")
+      def drain(): Unit =
+        graft.streaming.ScrubStream.refreshStream(s, landing, schema, raw,
+          wins, dfl, scrub, ckpt, "doc_id", "text", window = 8, minDf = 2,
+          hashBuckets = 32, shardOf).awaitTermination()
+      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(landing)
+      drain()
+      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(landing)
+      drain()
+      s.read.parquet(scrub).select(col("id").as("doc_id"),
+        md5(col("scrubbed_text")).as("scrub_hash"),
+        col("n_tokens"), col("n_removed"))
+    }),
     "stream_novelty" -> ((s, d) => {
       // The incremental-crawl near-dup gate ACTUALLY STREAMING: the same
       // planted probes as novelty_near_dup arrive as two parquet delivery
@@ -1852,6 +1872,65 @@ object SparkEntry {
     * CTE) — the oracle BOTH incremental gates must equal: the repack
     * frame (`incremental_pipeline`) and the refreshed lake tree
     * (`incremental_sink`). */
+  /** The batch spanScrub replayed over scrub corpus version 2 in DuckDB
+    * — the oracle BOTH scrub refresh gates must equal: the frame form
+    * (`incremental_scrub`) and the streamed four-lake form
+    * (`stream_scrub`). */
+  private val oracleSqlScrubBatch: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+         curr AS (
+           SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 20 AND 29 AND doc_id <> 25
+                    THEN text || ' alpha boiler plate marker tokens' ||
+                      ' repeat across many docs here'
+                  WHEN doc_id = 30
+                    THEN text || ' beta shared footer appears exactly' ||
+                      ' twice in the whole corpus'
+                  WHEN doc_id = 40
+                    THEN text || ' gamma unique notice present once' ||
+                      ' until the refresh adds another'
+                  ELSE text END AS text
+           FROM base WHERE doc_id <> 31
+           UNION ALL
+           SELECT 7000001, text || ' gamma unique notice present once' ||
+             ' until the refresh adds another'
+           FROM base WHERE doc_id = 80
+           UNION ALL
+           SELECT 7000002, text || ' plain fresh addition suffix'
+           FROM base WHERE doc_id = 81),
+         t AS (SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS toks FROM curr),
+         winstr AS (
+           SELECT doc_id, n, st, array_to_string(toks[st:st+7], ' ') AS wstr
+           FROM (SELECT doc_id, toks, len(toks) AS n,
+                   CAST(unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                     AS INT) AS st
+                 FROM t)),
+         rep AS (SELECT wstr FROM winstr GROUP BY wstr HAVING count(*) >= 2),
+         repst AS (
+           SELECT doc_id, st, least(st + 7, n) AS en
+           FROM winstr WHERE wstr IN (SELECT wstr FROM rep)),
+         post AS (
+           SELECT doc_id, p, toks[p] AS tok
+           FROM (SELECT doc_id, toks,
+                   CAST(unnest(generate_series(1, len(toks))) AS INT) AS p
+                 FROM t)),
+         covered AS (
+           SELECT DISTINCT x.doc_id, x.p FROM post x JOIN repst r
+             ON r.doc_id = x.doc_id AND x.p BETWEEN r.st AND r.en),
+         scrub AS (
+           SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.p) AS s
+           FROM post x LEFT JOIN covered cv
+             ON cv.doc_id = x.doc_id AND cv.p = x.p
+           WHERE cv.p IS NULL
+           GROUP BY x.doc_id),
+         nrem AS (SELECT doc_id, count(*) AS nr FROM covered GROUP BY doc_id)
+         SELECT t.doc_id, md5(coalesce(s.s, '')) AS scrub_hash,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nr.nr, 0) AS BIGINT) AS n_removed
+         FROM t LEFT JOIN scrub s USING (doc_id)
+           LEFT JOIN nrem nr USING (doc_id)"""
+
   private val incrRebuildSql: String =
     """WITH RECURSIVE
          base AS (SELECT doc_id, text FROM documents),
@@ -1953,6 +2032,42 @@ object SparkEntry {
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     (prev, currBase.unionByName(partners).unionByName(added)
       .unionByName(addedDup))
+  }
+
+  /** The planted two-version scrub corpus shared by `incremental_scrub`
+    * (frame form) and `stream_scrub` (streamed four-lake form): tailA on
+    * 20-29 (df 10, one holder edited away — no crossing), tailB on 30+31
+    * (df 2; removing 31 RESTORES untouched 30), tailC on 40 (df 1; an
+    * added re-crawl lifts it to 2 and CUTS untouched 40), plus a plain
+    * fresh addition. */
+  private def scrubCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val tailA = lit(" alpha boiler plate marker tokens repeat" +
+      " across many docs here")
+    val tailB = lit(" beta shared footer appears exactly twice" +
+      " in the whole corpus")
+    val tailC = lit(" gamma unique notice present once until" +
+      " the refresh adds another")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val prev = base.select(col("doc_id"),
+      when(col("doc_id").between(20, 29), concat(col("text"), tailA))
+        .when(col("doc_id") === 30 || col("doc_id") === 31,
+          concat(col("text"), tailB))
+        .when(col("doc_id") === 40, concat(col("text"), tailC))
+        .otherwise(col("text")).as("text"))
+    val curr = base.filter(col("doc_id") =!= 31).select(col("doc_id"),
+      when(col("doc_id").between(20, 29) && col("doc_id") =!= 25,
+          concat(col("text"), tailA))
+        .when(col("doc_id") === 30, concat(col("text"), tailB))
+        .when(col("doc_id") === 40, concat(col("text"), tailC))
+        .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") === 80)
+        .select(lit(7000001L).as("doc_id"),
+          concat(col("text"), tailC).as("text")))
+      .unionByName(base.filter(col("doc_id") === 81)
+        .select(lit(7000002L).as("doc_id"),
+          concat(col("text"), lit(" plain fresh addition suffix"))
+            .as("text")))
+    (prev, curr)
   }
 
   /** word-soup corpus: same three keep rules as corpus_pipeline */
@@ -2998,65 +3113,18 @@ object SparkEntry {
       // checkpointed micro-batch waves of the same delta must land the
       // same final lake (wave-split independence of the refresh loop)
       incrRebuildSql,
+    "stream_scrub" ->
+      // the batch spanScrub replay over scrub version 2 — the SAME SQL
+      // as incremental_scrub, now gating the streamed four-lake path
+      // (wave-split independence of the frequency-delta refresh)
+      oracleSqlScrubBatch,
     "incremental_scrub" ->
       // the BATCH spanScrub replayed over corpus version 2 (same planted
       // tails/removal/edit/additions), string-grouped window frequencies
       // standing in for the engine's xxhash64 grouping (the span_dedup
       // equivalence), interval cover, per-doc token rebuild — equality
       // proves the frequency-delta refresh IS the batch rebuild
-      """WITH base AS (SELECT doc_id, text FROM documents),
-         curr AS (
-           SELECT doc_id,
-             CASE WHEN doc_id BETWEEN 20 AND 29 AND doc_id <> 25
-                    THEN text || ' alpha boiler plate marker tokens' ||
-                      ' repeat across many docs here'
-                  WHEN doc_id = 30
-                    THEN text || ' beta shared footer appears exactly' ||
-                      ' twice in the whole corpus'
-                  WHEN doc_id = 40
-                    THEN text || ' gamma unique notice present once' ||
-                      ' until the refresh adds another'
-                  ELSE text END AS text
-           FROM base WHERE doc_id <> 31
-           UNION ALL
-           SELECT 7000001, text || ' gamma unique notice present once' ||
-             ' until the refresh adds another'
-           FROM base WHERE doc_id = 80
-           UNION ALL
-           SELECT 7000002, text || ' plain fresh addition suffix'
-           FROM base WHERE doc_id = 81),
-         t AS (SELECT doc_id,
-                 string_split_regex(trim(text), '\s+') AS toks FROM curr),
-         winstr AS (
-           SELECT doc_id, n, st, array_to_string(toks[st:st+7], ' ') AS wstr
-           FROM (SELECT doc_id, toks, len(toks) AS n,
-                   CAST(unnest(generate_series(1, greatest(len(toks) - 7, 1)))
-                     AS INT) AS st
-                 FROM t)),
-         rep AS (SELECT wstr FROM winstr GROUP BY wstr HAVING count(*) >= 2),
-         repst AS (
-           SELECT doc_id, st, least(st + 7, n) AS en
-           FROM winstr WHERE wstr IN (SELECT wstr FROM rep)),
-         post AS (
-           SELECT doc_id, p, toks[p] AS tok
-           FROM (SELECT doc_id, toks,
-                   CAST(unnest(generate_series(1, len(toks))) AS INT) AS p
-                 FROM t)),
-         covered AS (
-           SELECT DISTINCT x.doc_id, x.p FROM post x JOIN repst r
-             ON r.doc_id = x.doc_id AND x.p BETWEEN r.st AND r.en),
-         scrub AS (
-           SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.p) AS s
-           FROM post x LEFT JOIN covered cv
-             ON cv.doc_id = x.doc_id AND cv.p = x.p
-           WHERE cv.p IS NULL
-           GROUP BY x.doc_id),
-         nrem AS (SELECT doc_id, count(*) AS nr FROM covered GROUP BY doc_id)
-         SELECT t.doc_id, md5(coalesce(s.s, '')) AS scrub_hash,
-           CAST(len(t.toks) AS BIGINT) AS n_tokens,
-           CAST(coalesce(nr.nr, 0) AS BIGINT) AS n_removed
-         FROM t LEFT JOIN scrub s USING (doc_id)
-           LEFT JOIN nrem nr USING (doc_id)""",
+      oracleSqlScrubBatch,
     "text_normalize" ->
       """SELECT doc_id,
            md5(lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),

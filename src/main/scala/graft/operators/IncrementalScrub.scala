@@ -86,12 +86,34 @@ object IncrementalScrub {
     State(wins, dfState, Dedup.scrubFromStarts(src, "id", window))
   }
 
+  /** The delta-bound pieces of one refresh, alongside the assembled full
+    * state frames: what a PARTITIONED state lake needs to rewrite only
+    * the directories a wave touches ([[graft.streaming.ScrubStream]]) —
+    * `dIds` names the posting-index/scrub shards to rework,
+    * `newDeltaWins` and `rescrubbed` are their replacement rows,
+    * `dfTouched`/`dfUpdated` the frequency-table rows that change
+    * (everything delta-bound; the unchanged state mass never
+    * materializes through these). `state` is exactly [[refresh]]'s
+    * output. */
+  case class RefreshParts(dIds: DataFrame, newDeltaWins: DataFrame,
+                          dfTouched: DataFrame, dfUpdated: DataFrame,
+                          gone: DataFrame, rescrubbed: DataFrame,
+                          state: State)
+
   /** One refresh: the new state, with `scrubbed` provably equal to the
     * batch `spanScrub(curr)`. `delta` is the [[Snapshot.diff]] of the two
     * corpus versions. */
   def refresh(prev: State, curr: DataFrame, delta: DataFrame,
               idCol: String, textCol: String,
-              window: Int = 8, minDf: Int = 2): State = {
+              window: Int = 8, minDf: Int = 2): State =
+    refreshParts(prev, curr, delta, idCol, textCol, window, minDf).state
+
+  /** [[refresh]] with its delta-bound parts exposed (see
+    * [[RefreshParts]]); the full-frame `state` member is byte-identical
+    * to what [[refresh]] returns. */
+  def refreshParts(prev: State, curr: DataFrame, delta: DataFrame,
+                   idCol: String, textCol: String,
+                   window: Int = 8, minDf: Int = 2): RefreshParts = {
     val c = curr.select(col(idCol).as("id"), col(textCol).as("__text"))
     // delta-bound state frames are eagerly localCheckpoint'd, not
     // persist'd: each layer broadcasts the previous layers into multiple
@@ -182,11 +204,19 @@ object IncrementalScrub {
 
     // assemble: verbatim passthrough for everyone else, fresh state
     val gone = dIds.unionByName(affectedIds).distinct()
-    State(
-      prev.wins.join(broadcast(dIds), Seq("id"), "left_anti")
-        .unionByName(newDeltaWins),
-      newDfState,
-      prev.scrubbed.join(broadcast(gone), Seq("id"), "left_anti")
-        .unionByName(rescrubbed))
+    // the frequency-table rows that actually change: adj hashes that
+    // remain (new df value) — dfTouched minus these are the hashes whose
+    // row disappears (df fell to 0)
+    val dfUpdated = merged.filter(col("__hit") && col("__ndf") > 0)
+      .select(col("whash"), col("__ndf").as("df"))
+      .unionByName(newOnly.select(col("whash"), col("adj").as("df")))
+    RefreshParts(dIds, newDeltaWins,
+      adj.select("whash"), dfUpdated, gone, rescrubbed,
+      State(
+        prev.wins.join(broadcast(dIds), Seq("id"), "left_anti")
+          .unionByName(newDeltaWins),
+        newDfState,
+        prev.scrubbed.join(broadcast(gone), Seq("id"), "left_anti")
+          .unionByName(rescrubbed)))
   }
 }

@@ -468,6 +468,33 @@ object Sink {
     * session's Hadoop FileSystem so scheme-qualified lake paths work the
     * same as local ones; falls back to a default Hadoop configuration when
     * no session is alive (test teardown after spark.stop()). */
+  /** Dynamic-partition overwrite of `staged` (already materialized — its
+    * plan must NOT read `path`) into a `partCol`-partitioned lake, then
+    * delete the `touched` partition directories the staged data emptied:
+    * dynamic overwrite only replaces partitions PRESENT in the written
+    * data, so an emptied partition's stale directory would otherwise
+    * resurrect dropped rows on the next read. The partial-rewrite
+    * primitive the incremental state lakes share (refreshInPlace's write
+    * discipline, factored). */
+  private[graft] def overwritePartitions(spark: SparkSession, path: String,
+      partCol: String, touched: Iterable[Int], staged: DataFrame): Unit = {
+    val written = staged.select(partCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      staged.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    touched.filterNot(written).foreach { v =>
+      val dir = new Path(s"$path/$partCol=$v")
+      dir.getFileSystem(conf).delete(dir, true): Unit
+    }
+  }
+
   def reset(path: String): Unit = {
     val conf = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)

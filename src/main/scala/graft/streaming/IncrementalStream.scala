@@ -65,7 +65,7 @@ object IncrementalStream {
     * directories the wave touches (upserts replace by id, deletes drop),
     * delete the ones the wave emptied. Mirrors
     * [[Incremental.refreshInPlace]]'s write discipline. */
-  private def advanceRaw(spark: SparkSession, rawPath: String,
+  private[streaming] def advanceRaw(spark: SparkSession, rawPath: String,
                          wave: DataFrame, idCol: String, textCol: String,
                          docShard: Column => Column): Unit = {
     val prev = spark.read.parquet(rawPath)
