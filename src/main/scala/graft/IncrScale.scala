@@ -58,7 +58,7 @@ object IncrScale {
     val prev = sources.Tables.documents(spark, sfDir).select("doc_id", "text")
     val nCorpus = prev.count()
     val added = spark.range(100)
-      .select((col("id") + 900000000L).as("doc_id"),
+      .select((col("id") + 20000000000L).as("doc_id"),
         concat(lit("freshly crawled document number "), col("id"),
           lit(" carrying entirely new body content with plenty of plain" +
             " ordinary words filling out the minimum length and keeping" +

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Dedup, Incremental}
+import graft.streaming.{IncrementalStream, ScrubStream}
+
+/** Scale probe for the STREAMING refresh loops (E9/E10): the claim is
+  * that driving a wave through the checkpointed stream costs the
+  * underlying lake refresh plus a CONSTANT (file-source listing,
+  * checkpoint commit, foreachBatch dispatch) — independent of corpus
+  * size. Measures, per corpus decade, the same fixed 300-doc delta
+  * (IncrScale's recipe) applied
+  *
+  *   direct: [[Incremental.refreshInPlace]] on parquet-landed state
+  *   stream: one delivery file drained by
+  *           [[IncrementalStream.refreshStream]] (AvailableNow,
+  *           checkpointed), same state layout
+  *
+  * plus the scrub stream's wave ([[ScrubStream.refreshStream]], four
+  * lakes). Arms are row-equal by construction (both are the refresh
+  * contract); the probe records equality against the batch rebuild.
+  *
+  * Usage: runMain graft.StreamScale [sfDir] [shards]
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val shards = if (args.length > 1) args(1).toInt else 1024
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val keep: Column => Column = t => operators.TextOps.corpusFilterRules(t)
+      .collect { case (n, r) if n != "no_terminal_punct" => r }
+      .reduce(_ && _)
+    val docShard: Column => Column = k =>
+      conv(substring(md5(k.cast("string")), 1, 4), 16, 10)
+        .cast("long") % shards
+    val mt = 256; val ov = 32; val budget = 2048L
+
+    val prev = sources.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nCorpus = prev.count()
+    val added = spark.range(100)
+      .select((col("id") + 20000000000L).as("doc_id"),
+        concat(lit("freshly crawled document number "), col("id"),
+          lit(" carrying entirely new body content with plenty of plain" +
+            " ordinary words filling out the minimum length and keeping" +
+            " the digit ratio low and the word shapes inside the bounds" +
+            " the keep ruleset demands of every surviving document"))
+          .as("text"))
+    val curr = prev
+      .filter(!col("doc_id").between(100, 199))
+      .select(col("doc_id"),
+        when(col("doc_id") < 100,
+          concat(col("text"), lit(" refreshed crawl edit")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(added)
+    // the crawler-feed form of the same delta, derived from the diff so
+    // the wave is exactly the 300 changed/removed/added ids whatever the
+    // corpus' id layout (copies land at k*10^7; added ids at 2*10^10 are
+    // collision-free for any factor ScaleGen produces)
+    val wave = operators.Snapshot.diff(prev, curr, "doc_id", "text")
+      .select(col("doc_id"),
+        when(col("status") === "removed", lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+      .join(curr.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("op"), col("text"))
+
+    val base = s"${sys.props("java.io.tmpdir")}/graft_streamscale"
+    sources.Sink.reset(base)
+    def timed(f: => Unit): Double = {
+      Dedup.unpersistIntermediates()
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val schema = StructType.fromDDL("doc_id long, op string, text string")
+
+    // ---- pipeline: direct refreshInPlace vs one streamed wave --------
+    Incremental.ledger(prev, "doc_id", "text", keep)
+      .write.mode("overwrite").parquet(s"$base/direct/ledger")
+    Incremental.writePacked(Incremental.batch(prev, "doc_id", "text", keep,
+      mt, ov, budget, shards, docShard), s"$base/direct/packed")
+    // each arm runs TWICE and reports the second (warm) time: re-applying
+    // the same wave is idempotent refresh work (same delta ids, same
+    // curr), so the second run is identical compute with JIT/codegen paid
+    def directOnce(): Unit =
+      Incremental.refreshInPlace(
+        spark.read.parquet(s"$base/direct/ledger"), s"$base/direct/packed",
+        curr, wave.select("doc_id"), "doc_id", "text", keep,
+        mt, ov, budget, shards, docShard)
+        .write.mode("overwrite").parquet(s"$base/direct/ledger_next")
+    timed(directOnce()): Unit
+    val tDirect = timed(directOnce())
+    IncrementalStream.bootstrap(prev, s"$base/stream/raw",
+      s"$base/stream/packed", s"$base/stream/ledger",
+      "doc_id", "text", keep, mt, ov, budget, shards, docShard)
+    def streamOnce(): Unit = {
+      wave.coalesce(1).write.mode("append").parquet(s"$base/stream/landing")
+      IncrementalStream.refreshStream(spark, s"$base/stream/landing", schema,
+        s"$base/stream/raw", s"$base/stream/packed", s"$base/stream/ledger",
+        s"$base/stream/ckpt", "doc_id", "text", keep,
+        mt, ov, budget, shards, docShard).awaitTermination()
+    }
+    timed(streamOnce()): Unit
+    val tStream = timed(streamOnce())
+    val a = spark.read.parquet(s"$base/direct/packed")
+    val b = spark.read.parquet(s"$base/stream/packed")
+      .select(a.columns.map(col): _*)
+    val equalPipe = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    // ---- scrub: one streamed wave through the four-lake loop ---------
+    ScrubStream.bootstrap(prev, s"$base/scrub/raw", s"$base/scrub/wins",
+      s"$base/scrub/df", s"$base/scrub/scrub",
+      "doc_id", "text", window = 8, minDf = 2, hashBuckets = 256, docShard)
+    def scrubOnce(): Unit = {
+      wave.coalesce(1).write.mode("append").parquet(s"$base/scrub/landing")
+      ScrubStream.refreshStream(spark, s"$base/scrub/landing", schema,
+        s"$base/scrub/raw", s"$base/scrub/wins", s"$base/scrub/df",
+        s"$base/scrub/scrub", s"$base/scrub/ckpt", "doc_id", "text",
+        window = 8, minDf = 2, hashBuckets = 256, docShard)
+        .awaitTermination()
+    }
+    timed(scrubOnce()): Unit
+    val tScrubStream = timed(scrubOnce())
+    val gotScrub = spark.read.parquet(s"$base/scrub/scrub")
+      .select("id", "scrubbed_text", "n_tokens", "n_removed")
+    val wantScrub = Dedup.spanScrub(curr, "doc_id", "text", 8, 2)
+      .select(col("doc_id").as("id"), col("scrubbed_text"),
+        col("n_tokens"), col("n_removed"))
+    val equalScrub = gotScrub.exceptAll(wantScrub).isEmpty &&
+      wantScrub.exceptAll(gotScrub).isEmpty
+    Dedup.unpersistIntermediates()
+    println(
+      f"""{"probe":"stream_scale","corpus":$nCorpus,"delta":${wave.count()},"shards":$shards,"pipeline_direct_sec":$tDirect%.2f,"pipeline_stream_sec":$tStream%.2f,"scrub_stream_sec":$tScrubStream%.2f,"equal_pipeline":$equalPipe,"equal_scrub":$equalScrub,"sf":"$sfDir"}""")
+    sources.Sink.reset(base)
+    spark.stop()
+  }
+}
