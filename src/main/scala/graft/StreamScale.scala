@@ -29,6 +29,7 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val shards = if (args.length > 1) args(1).toInt else 1024
+    val probes = if (args.length > 2) args(2) else "all" // all|pipeline|scrub
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,6 +89,8 @@ object StreamScale {
     val schema = StructType.fromDDL("doc_id long, op string, text string")
 
     // ---- pipeline: direct refreshInPlace vs one streamed wave --------
+    var (tDirect, tStream, equalPipe) = (-1.0, -1.0, true)
+    if (probes == "all" || probes == "pipeline") {
     Incremental.ledger(prev, "doc_id", "text", keep)
       .write.mode("overwrite").parquet(s"$base/direct/ledger")
     Incremental.writePacked(Incremental.batch(prev, "doc_id", "text", keep,
@@ -102,7 +105,7 @@ object StreamScale {
         mt, ov, budget, shards, docShard)
         .write.mode("overwrite").parquet(s"$base/direct/ledger_next")
     timed(directOnce()): Unit
-    val tDirect = timed(directOnce())
+    tDirect = timed(directOnce())
     IncrementalStream.bootstrap(prev, s"$base/stream/raw",
       s"$base/stream/packed", s"$base/stream/ledger",
       "doc_id", "text", keep, mt, ov, budget, shards, docShard)
@@ -114,13 +117,16 @@ object StreamScale {
         mt, ov, budget, shards, docShard).awaitTermination()
     }
     timed(streamOnce()): Unit
-    val tStream = timed(streamOnce())
+    tStream = timed(streamOnce())
     val a = spark.read.parquet(s"$base/direct/packed")
     val b = spark.read.parquet(s"$base/stream/packed")
       .select(a.columns.map(col): _*)
-    val equalPipe = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    equalPipe = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    }
 
     // ---- scrub: one streamed wave through the four-lake loop ---------
+    var (tScrubStream, equalScrub) = (-1.0, true)
+    if (probes == "all" || probes == "scrub") {
     ScrubStream.bootstrap(prev, s"$base/scrub/raw", s"$base/scrub/wins",
       s"$base/scrub/df", s"$base/scrub/scrub",
       "doc_id", "text", window = 8, minDf = 2, hashBuckets = 256, docShard)
@@ -133,14 +139,15 @@ object StreamScale {
         .awaitTermination()
     }
     timed(scrubOnce()): Unit
-    val tScrubStream = timed(scrubOnce())
+    tScrubStream = timed(scrubOnce())
     val gotScrub = spark.read.parquet(s"$base/scrub/scrub")
       .select("id", "scrubbed_text", "n_tokens", "n_removed")
     val wantScrub = Dedup.spanScrub(curr, "doc_id", "text", 8, 2)
       .select(col("doc_id").as("id"), col("scrubbed_text"),
         col("n_tokens"), col("n_removed"))
-    val equalScrub = gotScrub.exceptAll(wantScrub).isEmpty &&
+    equalScrub = gotScrub.exceptAll(wantScrub).isEmpty &&
       wantScrub.exceptAll(gotScrub).isEmpty
+    }
     Dedup.unpersistIntermediates()
     println(
       f"""{"probe":"stream_scale","corpus":$nCorpus,"delta":${wave.count()},"shards":$shards,"pipeline_direct_sec":$tDirect%.2f,"pipeline_stream_sec":$tStream%.2f,"scrub_stream_sec":$tScrubStream%.2f,"equal_pipeline":$equalPipe,"equal_scrub":$equalScrub,"sf":"$sfDir"}""")
