@@ -740,6 +740,31 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") < 10), "doc_id", "text")),
     "tfidf_top_terms" -> ((s, d) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", topN = 3)),
+    "ngram_lm_perplexity" -> ((s, d) =>
+      // CCNet-style LM quality gate: bigram model (add-1 smoothing)
+      // trained on the corpus, every doc scored for avg NLL + perplexity,
+      // keep = NLL ≤ 6 nats. Map-only bigram build (zip_with, no window),
+      // vocab-bounded model aggregations, one stream-to-model shuffle
+      // join — the oracle replays the whole model + scoring in SQL.
+      NgramLm.score(Tables.documents(s, d), "doc_id", "text")),
+    "ngram_lm_top_bigrams" -> ((s, d) =>
+      // the trained model's head — dashboard query; TakeOrdered, never a
+      // global sort of the model table
+      NgramLm.topBigrams(Tables.documents(s, d), "doc_id", "text", topN = 20)),
+    "domain_cap" -> ((s, d) =>
+      // RefinedWeb-style per-source diversity cap, exact two-phase
+      // salted ranking (no mega-domain window partition); priority is
+      // md5(source:id) so the oracle's single window replays it exactly
+      Sample.domainCap(Tables.documents(s, d), "doc_id", "source", cap = 10)
+        .select("doc_id", "source", "rk")),
+    "domain_cap_stats" -> ((s, d) =>
+      Sample.domainCapStats(Tables.documents(s, d), "doc_id", "source", cap = 10)),
+    "gopher_quality_rules" -> ((s, d) =>
+      // the full Gopher §A2.1 rule bitmap per doc — every ratio compared
+      // in cross-multiplied integer form, so the oracle is float-free
+      TextOps.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")),
+    "gopher_rule_stats" -> ((s, d) =>
+      TextOps.gopherRuleStats(Tables.documents(s, d), "doc_id", "text")),
     "dedup_clusters" -> ((s, d) => {
       // Pairs → transitive clusters → size distribution: the step that
       // makes pairwise near-dup output actionable (keep one per cluster).
@@ -2998,6 +3023,173 @@ object SparkEntry {
                         tf.term) AS rank
            FROM tf JOIN dfreq USING (term) CROSS JOIN n) s
          WHERE rank <= 3""",
+    "ngram_lm_perplexity" ->
+      // full model replay: same tokenization, same add-1 smoothing, same
+      // round-the-SUM-then-derive discipline (avg_nll/ppl divide the
+      // already-rounded sum, so both engines operate on identical doubles)
+      """WITH ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM ws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         sc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             round(sum(logp), 4) AS logprob_sum
+           FROM bi JOIN model USING (w1, w2) GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           sc.logprob_sum,
+           round(-sc.logprob_sum / sc.n_bigrams, 4) AS avg_nll,
+           round(exp(round(-sc.logprob_sum / sc.n_bigrams, 4)), 4) AS ppl,
+           coalesce(round(-sc.logprob_sum / sc.n_bigrams, 4) <= 6.0, false) AS keep
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN sc USING (doc_id)""",
+    "ngram_lm_top_bigrams" ->
+      """WITH ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM ws) u)
+         SELECT rank, w1, w2, c12, logp FROM (
+           SELECT row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rank,
+             w1, w2, c12,
+             round(ln((c12 + 1.0) / (c1 + 1.0 * v)), 6) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v) h
+         WHERE rank <= 20""",
+    "domain_cap" ->
+      // the exact single-window form of the two-phase salted ranking —
+      // equal because both phases order by the same (md5 priority, id)
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(source || ':' || cast(doc_id AS varchar)),
+                        doc_id) AS rk
+           FROM documents) c
+         WHERE rk <= 10""",
+    "domain_cap_stats" ->
+      """WITH kept AS (
+           SELECT source, count(*) AS n_kept FROM (
+             SELECT source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(source || ':' || cast(doc_id AS varchar)),
+                          doc_id) AS rk
+             FROM documents) c
+           WHERE rk <= 10 GROUP BY 1)
+         SELECT d.source, count(*) AS n_docs,
+           coalesce(any_value(kept.n_kept), 0) AS n_kept,
+           count(*) > 10 AS capped
+         FROM documents d LEFT JOIN kept ON d.source = kept.source
+         GROUP BY 1""",
+    "gopher_quality_rules" ->
+      // every ratio in cross-multiplied integer form — no float anywhere
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+             len(list_intersect(list_distinct(ws),
+               ['the','be','to','of','and','that','have','with'])) AS stop_hits
+           FROM t)
+         SELECT doc_id,
+           n_words >= 50 AND n_words <= 100000 AS word_count,
+           n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS mean_word_len,
+           (hashes + ellipses) * 10 <= n_words AS symbol_ratio,
+           bullets * 10 <= n_lines * 9 AS bullet_lines,
+           ell_lines * 10 <= n_lines * 3 AS ellipsis_lines,
+           alpha_w * 5 >= n_words * 4 AS alpha_words,
+           stop_hits >= 2 AS stop_words,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+             AND ((hashes + ellipses) * 10 <= n_words)
+             AND (bullets * 10 <= n_lines * 9)
+             AND (ell_lines * 10 <= n_lines * 3)
+             AND (alpha_w * 5 >= n_words * 4)
+             AND (stop_hits >= 2) AS pass_all
+         FROM m""",
+    "gopher_rule_stats" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+             len(list_intersect(list_distinct(ws),
+               ['the','be','to','of','and','that','have','with'])) AS stop_hits
+           FROM t),
+         flags AS (
+           SELECT
+             n_words >= 50 AND n_words <= 100000 AS word_count,
+             n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS mean_word_len,
+             (hashes + ellipses) * 10 <= n_words AS symbol_ratio,
+             bullets * 10 <= n_lines * 9 AS bullet_lines,
+             ell_lines * 10 <= n_lines * 3 AS ellipsis_lines,
+             alpha_w * 5 >= n_words * 4 AS alpha_words,
+             stop_hits >= 2 AS stop_words
+           FROM m),
+         agg AS (
+           SELECT count(*) AS n_docs,
+             cast(sum(CASE WHEN word_count THEN 1 ELSE 0 END) AS bigint) AS word_count,
+             cast(sum(CASE WHEN mean_word_len THEN 1 ELSE 0 END) AS bigint) AS mean_word_len,
+             cast(sum(CASE WHEN symbol_ratio THEN 1 ELSE 0 END) AS bigint) AS symbol_ratio,
+             cast(sum(CASE WHEN bullet_lines THEN 1 ELSE 0 END) AS bigint) AS bullet_lines,
+             cast(sum(CASE WHEN ellipsis_lines THEN 1 ELSE 0 END) AS bigint) AS ellipsis_lines,
+             cast(sum(CASE WHEN alpha_words THEN 1 ELSE 0 END) AS bigint) AS alpha_words,
+             cast(sum(CASE WHEN stop_words THEN 1 ELSE 0 END) AS bigint) AS stop_words,
+             cast(sum(CASE WHEN word_count AND mean_word_len AND symbol_ratio
+                   AND bullet_lines AND ellipsis_lines AND alpha_words
+                   AND stop_words THEN 1 ELSE 0 END) AS bigint) AS pass_all
+           FROM flags)
+         SELECT rule, n_pass, n_docs - n_pass AS n_fail FROM (
+           SELECT n_docs, 'word_count' AS rule, word_count AS n_pass FROM agg
+           UNION ALL SELECT n_docs, 'mean_word_len', mean_word_len FROM agg
+           UNION ALL SELECT n_docs, 'symbol_ratio', symbol_ratio FROM agg
+           UNION ALL SELECT n_docs, 'bullet_lines', bullet_lines FROM agg
+           UNION ALL SELECT n_docs, 'ellipsis_lines', ellipsis_lines FROM agg
+           UNION ALL SELECT n_docs, 'alpha_words', alpha_words FROM agg
+           UNION ALL SELECT n_docs, 'stop_words', stop_words FROM agg
+           UNION ALL SELECT n_docs, 'pass_all', pass_all FROM agg) u""",
     "lang_id" ->
       // same stopword-profile scores + lexicographic (score, lang) argmax
       // as TextOps.langId: struct comparison via list_max mirrors Spark's

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model perplexity scoring — the CCNet/KenLM-style
+  * quality gate every web-scale curation pipeline runs: train a cheap
+  * n-gram LM on the corpus (or a trusted slice of it), score each
+  * document's per-token negative log-likelihood, and drop the
+  * high-perplexity tail (boilerplate, lorem-ipsum, OCR noise, wrong
+  * language). The reference's quality tier stops at rule counts
+  * (checks:730-860); an LM score is the standard next rung and is a pure
+  * corpus-statistics computation, so it belongs in the engine.
+  *
+  * Model: word bigrams with add-k smoothing,
+  * p(w2 | w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), k = 1, V = corpus
+  * vocabulary size. Scored on the training corpus itself — the standard
+  * self-scoring setup for outlier detection (a doc unlike the corpus
+  * scores high-NLL even though it contributed its own counts).
+  *
+  * Scale shape (the reason this is Spark-shaped and not a driver loop):
+  * bigram construction is MAP-ONLY — `zip_with` over the per-doc token
+  * array, no window, no per-doc shuffle. The model is two hash
+  * aggregations over the exploded bigram stream — (w1,w2) counts and
+  * w1-margin counts — both map-side-combinable, both bounded by the
+  * OBSERVED bigram vocabulary (zipfian: sublinear in corpus bytes, e.g.
+  * ~billions of rows at 100 TB while the stream is trillions). Scoring
+  * re-joins the stream to the model on the bigram key: a plain shuffle
+  * join — the model side is NOT broadcast by design (at corpus scale it
+  * exceeds driver memory; at gate scale AQE turns it into a broadcast on
+  * its own stats) — with hot bigrams ("the the") handled by AQE skew
+  * splitting since the model side carries one row per key. The per-doc
+  * reduce is an ordinary partial-aggregating groupBy. Nothing touches
+  * the driver; every stage is O(token stream) with sublinear state.
+  *
+  * Determinism across engines: per-doc log-prob SUMS are rounded to 4dp
+  * (the q3 revenue pattern — accumulation order differs, the rounded sum
+  * doesn't), and avg-NLL / perplexity derive from the ALREADY-ROUNDED
+  * sum so both engines divide identical doubles.
+  */
+object NgramLm {
+
+  /** Lowercased whitespace tokens as an array, empties filtered (the
+    * tfidf/BPE tokenization regime — oracle-replayable verbatim). */
+  private def toks(text: org.apache.spark.sql.Column) =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** (doc_id, w1, w2) bigram stream — map-only. */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = greatest(size(col("__ws")) - 1, lit(0))
+    df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("__ws"), lit(1), n), slice(col("__ws"), lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+  }
+
+  /** The trained model: one row per observed bigram with its smoothed
+    * log-probability. `v` (vocab size) attaches as a broadcast 1-row
+    * scalar; the margin join is model-to-model (tiny vs the stream). */
+  def model(df: DataFrame, idCol: String, textCol: String,
+            k: Double = 1.0): DataFrame = {
+    val bi = bigrams(df, idCol, textCol)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = df.select(explode(toks(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    c12.join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))))
+  }
+
+  /** Per-document LM score: bigram count, rounded log-prob sum, average
+    * NLL, perplexity, and the keep verdict (avg NLL ≤ `nllKeep` nats).
+    * Docs with < 2 tokens are unscoreable: n_bigrams 0, null scores,
+    * keep = false (a one-token doc is not trainable text). */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            k: Double = 1.0, nllKeep: Double = 6.0): DataFrame = {
+    val m = model(df, idCol, textCol, k).select("w1", "w2", "logp")
+    val scored = bigrams(df, idCol, textCol)
+      .join(m, Seq("w1", "w2")) // inner: every stream bigram is in the model
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp")), 4).as("logprob_sum"))
+      .withColumn("avg_nll", round(-col("logprob_sum") / col("n_bigrams"), 4))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logprob_sum"), col("avg_nll"), col("ppl"),
+        coalesce(col("avg_nll") <= lit(nllKeep), lit(false)).as("keep"))
+  }
+
+  /** The model's head — top-N bigrams by count (ties broken (w1, w2)):
+    * the inspection query a pipeline dashboards to sanity-check what the
+    * LM actually learned. orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition heaps, never a global sort of the model); the rank
+    * window then runs over the N surviving rows only. */
+  def topBigrams(df: DataFrame, idCol: String, textCol: String,
+                 topN: Int = 20, k: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = model(df, idCol, textCol, k)
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+    val w = Window.orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+    head.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"),
+        round(col("logp"), 6).as("logp"))
+  }
+}

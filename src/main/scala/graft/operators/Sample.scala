@@ -128,4 +128,51 @@ object Sample {
       .filter(col("__budget") >= 0 && col("__before") < col("__budget"))
       .drop("__budget", "__before")
   }
+
+  /** Per-domain cap — the RefinedWeb-style diversity guard: keep at most
+    * `cap` documents per domain/source so no single host dominates the
+    * training mix. Priority is a uniform deterministic hash
+    * (md5(domain:id), tie-break id), so the kept set is an unbiased,
+    * reproducible, engine-replayable subsample of each domain.
+    *
+    * Scale shape: a single `row_number` window per domain is a
+    * skew bomb at corpus scale — one mega-domain (a crawl is zipfian
+    * over hosts) becomes one window partition on one task. This runs the
+    * exact two-phase form instead: phase 1 ranks within
+    * (domain, salt) — `salts` ways, bounding every window partition at
+    * |domain|/salts rows — and keeps `cap` per salt; phase 2 re-ranks
+    * only the ≤ salts·cap survivors per domain. Both phases order by the
+    * SAME (priority, id) key, so phase 1 can never evict a global
+    * top-`cap` row: the result is exactly the single-window answer. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                cap: Int, salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0 && salts > 0, "cap and salts must be positive")
+    val pri = md5(concat_ws(":", col(domainCol), col(idCol).cast("string")))
+    val local = Window
+      .partitionBy(col(domainCol), pmod(hash(col(idCol)), lit(salts)))
+      .orderBy(pri.asc, col(idCol).asc)
+    val global = Window.partitionBy(col(domainCol))
+      .orderBy(pri.asc, col(idCol).asc)
+    df.withColumn("__lrk", row_number().over(local))
+      .filter(col("__lrk") <= cap)
+      .drop("__lrk")
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Per-domain cap audit: how much each domain holds vs keeps under the
+    * cap — the mix report a curation run publishes. Counts aggregate
+    * map-side; rows are O(|domains|). */
+  def domainCapStats(df: DataFrame, idCol: String, domainCol: String,
+                     cap: Int, salts: Int = 64): DataFrame = {
+    val kept = domainCap(df, idCol, domainCol, cap, salts)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n_kept"))
+    df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq(domainCol), "left")
+      .select(col(domainCol),
+        col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") > lit(cap.toLong)).as("capped"))
+  }
 }

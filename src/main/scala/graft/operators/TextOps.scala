@@ -117,6 +117,85 @@ object TextOps {
       })
   }
 
+  /** Stopword list for the Gopher "contains real function words" rule —
+    * the paper's canonical eight (Rae et al. 2021, §A2.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher repetition-free rule bundle (Rae et al. 2021, §A2.1
+    * — public knowledge; the reference's own quality tier stops at the
+    * four [[corpusFilterRules]]): word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, bullet-line and ellipsis-line ratios,
+    * alphabetic-word fraction, and the function-word requirement.
+    *
+    * Every ratio threshold is compared in CROSS-MULTIPLIED INTEGER form
+    * (`10·symbols ≤ words` instead of `symbols/words ≤ 0.1`): the
+    * predicate stays exact in any engine — no float division, no
+    * rounding, no libm. All bounds inclusive. Pure map over the corpus;
+    * everything here pushes into one codegen'd projection. */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(trim(lower(text)))
+    val nWords = size(filter(ws, w => w =!= "")).cast("long")
+    val nCharsNoWs = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipses = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(ws),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    Seq(
+      // 50 ≤ words ≤ 100,000
+      "word_count" -> (nWords >= 50L && nWords <= 100000L),
+      // 3 ≤ mean word length ≤ 10  ⇔  3·words ≤ chars ≤ 10·words
+      "mean_word_len" -> (nCharsNoWs >= nWords * 3L && nCharsNoWs <= nWords * 10L),
+      // (# + …) per word ≤ 0.1  ⇔  10·symbols ≤ words
+      "symbol_ratio" -> ((hashes + ellipses) * 10L <= nWords),
+      // bullet-started lines ≤ 90%  ⇔  10·bullets ≤ 9·lines
+      "bullet_lines" -> (bulletLines * 10L <= nLines * 9L),
+      // ellipsis-ended lines ≤ 30%  ⇔  10·ellipsis ≤ 3·lines
+      "ellipsis_lines" -> (ellipsisLines * 10L <= nLines * 3L),
+      // ≥ 80% of words contain a letter  ⇔  5·alpha ≥ 4·words
+      "alpha_words" -> (alphaWords * 5L >= nWords * 4L),
+      // at least two DISTINCT function words present
+      "stop_words" -> (stopHits >= 2L))
+  }
+
+  /** Per-document Gopher rule verdicts: one boolean per rule plus the
+    * conjunction — the keep/drop bitmap a curation pass writes next to
+    * every document. */
+  def gopherQualityRules(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val rules = gopherRules(col(textCol))
+    val withFlags = rules.foldLeft(df.select(col(idCol), col(textCol))) {
+      case (acc, (name, pred)) => acc.withColumn(name, pred)
+    }
+    withFlags
+      .withColumn("pass_all", rules.map(r => col(r._1)).reduce(_ && _))
+      .drop(textCol)
+  }
+
+  /** Corpus-level Gopher rule roll-up: per-rule pass/fail counts — the
+    * one-page report that says WHICH rule is doing the filtering. One
+    * aggregation over the rule bitmap, then a static unpivot. */
+  def gopherRuleStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val flags = gopherQualityRules(df, idCol, textCol)
+    val names = gopherRules(col(textCol)).map(_._1) :+ "pass_all"
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      names.map(n => sum(col(n).cast("long")).as(s"__$n")): _*)
+    val stacked = names.map(n =>
+      s"'$n', `__$n`").mkString(", ")
+    agg.selectExpr("n_docs",
+        s"stack(${names.size}, $stacked) as (rule, n_pass)")
+      .select(col("rule"), col("n_pass"),
+        (col("n_docs") - col("n_pass")).as("n_fail"))
+  }
+
   /** TF-IDF top-N terms per document — keyword extraction for corpus
     * diversity/topic analysis (the classic signal for dedup-aware sampling
     * and quality filters over a training corpus).

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.NgramLm
+
+class NgramLmSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // 3 docs, vocab {a,b,c,x,y}: doc 1/2 are the "corpus-normal" pattern,
+  // doc 3 is the outlier with bigrams seen nowhere else
+  private lazy val docs = Seq(
+    (1L, "a b a b a b"),
+    (2L, "a b a b"),
+    (3L, "x y c x"),
+    (4L, "solo"), // one token: unscoreable
+    (5L, "")      // empty: unscoreable
+  ).toDF("doc_id", "text").cache()
+
+  test("model: counts and smoothed logp match hand arithmetic") {
+    val m = NgramLm.model(docs, "doc_id", "text")
+      .select("w1", "w2", "c12", "c1", "v", "logp")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // bigrams: doc1 = ab,ba,ab,ba,ab ; doc2 = ab,ba,ab ; doc3 = xy,yc,cx
+    // c(a,b)=5 c(b,a)=3 c(x,y)=1 c(y,c)=1 c(c,x)=1
+    // margins: c(a,·)=5 c(b,·)=3 c(x,·)=1 c(y,·)=1 c(c,·)=1 ; V=6 (incl. solo)
+    assert(m(("a", "b"))._3 === 5L)
+    assert(m(("b", "a"))._3 === 3L)
+    assert(m(("x", "y"))._3 === 1L)
+    assert(m.size === 5)
+    assert(m(("a", "b"))._5 === 6L)
+    assert(math.abs(m(("a", "b"))._6 - math.log(6.0 / 11.0)) < 1e-12)
+    assert(math.abs(m(("x", "y"))._6 - math.log(2.0 / 7.0)) < 1e-12)
+  }
+
+  test("score: the outlier doc scores worse; sums match hand arithmetic") {
+    val s = NgramLm.score(docs, "doc_id", "text", nllKeep = 1.0)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(s.size === 5)
+    // doc1: 3·ln(6/11) + 2·ln(4/9)
+    val d1 = 3 * math.log(6.0 / 11.0) + 2 * math.log(4.0 / 9.0)
+    assert(s(1L)._2 === 5L)
+    assert(math.abs(s(1L)._3.get - BigDecimal(d1).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // doc3: 3 unique bigrams, each ln(2/7) — far worse per token
+    assert(s(3L)._4.get > s(1L)._4.get && s(3L)._4.get > s(2L)._4.get)
+    // keep verdict at 1.0 nats: docs 1/2 pass, outlier fails
+    assert(s(1L)._6 && s(2L)._6 && !s(3L)._6)
+    // unscoreable docs: 0 bigrams, null scores, never kept
+    assert(s(4L)._2 === 0L && s(4L)._3.isEmpty && !s(4L)._6)
+    assert(s(5L)._2 === 0L && s(5L)._3.isEmpty && !s(5L)._6)
+    // ppl = exp(avg_nll) on the rounded value
+    assert(math.abs(s(1L)._5.get - BigDecimal(math.exp(s(1L)._4.get))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("topBigrams: count-ranked head with deterministic tie-break") {
+    val top = NgramLm.topBigrams(docs, "doc_id", "text", topN = 3)
+      .as[(Int, String, String, Long, Double)].collect()
+    assert(top.map(t => (t._1, t._2, t._3, t._4)).toSeq === Seq(
+      (1, "a", "b", 5L), (2, "b", "a", 3L), (3, "c", "x", 1L)))
+  }
+
+  test("score is partitioning-invariant (shuffle join, no driver state)") {
+    val base = NgramLm.score(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val re = NgramLm.score(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(base.toSeq === re.toSeq)
+  }
+}

@@ -258,4 +258,48 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(byId(4L) === Seq("no_terminal_punct", "word_len_outlier"))
     assert(byId(5L) === Seq("no_terminal_punct"))
   }
+
+  test("gopherRules: each rule fires on its designed pathology") {
+    // a clean doc: 60 normal words with function words
+    val clean = ("the cat sat of mat and dogs that have ran with joy here " * 5).trim
+    val rows = Seq(
+      (1L, clean),
+      (2L, "the of short"),                              // word_count (< 50)
+      (3L, (("supercalifragilistic " * 60).trim + " the of")), // mean_word_len (> 10)
+      (4L, (("# " * 30).trim + " " + clean)),            // symbol_ratio (30 hashes / 90 words)
+      (5L, (1 to 10).map(i => s"- bullet $i the of").mkString("\n") +
+        "\n" + clean.split(" ").take(5).mkString(" ")),  // bullet_lines (10/11 > 90%)
+      (6L, (1 to 4).map(i => s"line $i the of trails...").mkString("\n") +
+        "\n" + clean),                                   // ellipsis_lines (4/5 > 30%)
+      (7L, (("123 456 789 000 111 " * 12).trim + " the of")), // alpha_words (< 80%)
+      (8L, ("zebra quokka wombat lemur panda koala otter " * 9).trim)) // stop_words (0 hits)
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQualityRules(rows, "doc_id", "text")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // (word_count, mean_word_len, symbol_ratio, bullet, ellipsis, alpha, stop, pass_all)
+    assert(got(1L)._9, "clean doc must pass all rules")
+    assert(!got(2L)._2 && !got(2L)._9)
+    assert(!got(3L)._3 && !got(3L)._9)
+    assert(!got(4L)._4 && !got(4L)._9)
+    assert(!got(5L)._5 && !got(5L)._9)
+    assert(!got(6L)._6 && !got(6L)._9)
+    assert(!got(7L)._7 && !got(7L)._9)
+    assert(!got(8L)._8 && !got(8L)._9)
+  }
+
+  test("gopherRuleStats: roll-up counts reconcile with the bitmap") {
+    val rows = Seq(
+      (1L, ("the cat sat of mat and dogs that have ran with joy here " * 5).trim),
+      (2L, "the of short"),
+      (3L, ("zebra quokka wombat lemur panda koala otter " * 9).trim))
+      .toDF("doc_id", "text")
+    val stats = TextOps.gopherRuleStats(rows, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats("word_count") === ((2L, 1L)))
+    assert(stats("stop_words") === ((2L, 1L)))
+    assert(stats("pass_all") === ((1L, 2L)))
+    assert(stats.size === 8)
+    assert(stats.values.forall { case (p, f) => p + f === 3L })
+  }
 }
