@@ -747,6 +747,15 @@ object SparkEntry {
       // vocab-bounded model aggregations, one stream-to-model shuffle
       // join — the oracle replays the whole model + scoring in SQL.
       NgramLm.score(Tables.documents(s, d), "doc_id", "text")),
+    "ngram_lm_cross_score" -> ((s, d) => {
+      // the actual CCNet setup: LM trained on the trusted slice
+      // (single-digit sources src0-src9), the WHOLE corpus scored against
+      // it with smoothing-mass backoff for unseen bigrams; n_oov is the
+      // out-of-domain signal
+      val docs = Tables.documents(s, d)
+      NgramLm.scoreAgainst(docs.filter(length(col("source")) === 4),
+        docs, "doc_id", "text")
+    }),
     "ngram_lm_top_bigrams" -> ((s, d) =>
       // the trained model's head — dashboard query; TakeOrdered, never a
       // global sort of the model table
@@ -3050,6 +3059,55 @@ object SparkEntry {
            FROM bi JOIN model USING (w1, w2) GROUP BY 1)
          SELECT d.doc_id,
            coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           sc.logprob_sum,
+           round(-sc.logprob_sum / sc.n_bigrams, 4) AS avg_nll,
+           round(exp(round(-sc.logprob_sum / sc.n_bigrams, 4)), 4) AS ppl,
+           coalesce(round(-sc.logprob_sum / sc.n_bigrams, 4) <= 6.0, false) AS keep
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN sc USING (doc_id)""",
+    "ngram_lm_cross_score" ->
+      // backoff replay: seen bigram → model logp; unseen under seen w1 →
+      // ln(1/(c1+V)); w1 unseen → ln(1/V). n_oov counts model misses.
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         tbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM tws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         sc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             cast(sum(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum
+           FROM bi
+           LEFT JOIN model m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+           LEFT JOIN c1 ON bi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.n_oov, 0) AS n_oov,
            sc.logprob_sum,
            round(-sc.logprob_sum / sc.n_bigrams, 4) AS avg_nll,
            round(exp(round(-sc.logprob_sum / sc.n_bigrams, 4)), 4) AS ppl,

@@ -63,7 +63,11 @@ object NgramLm {
             k: Double = 1.0): DataFrame = {
     val bi = bigrams(df, idCol, textCol)
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // margins from the AGGREGATED model table, not a second corpus pass:
+    // c(w1,·) = Σ_w2 c(w1,w2) — same values, and the c12 shuffle is
+    // shared between both branches via ReusedExchange, so the token
+    // explode runs once here instead of twice
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = df.select(explode(toks(col(textCol))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     c12.join(c1, "w1")
@@ -90,6 +94,46 @@ object NgramLm {
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logprob_sum"), col("avg_nll"), col("ppl"),
+        coalesce(col("avg_nll") <= lit(nllKeep), lit(false)).as("keep"))
+  }
+
+  /** Cross-scoring — the actual CCNet setup: train the LM on a TRUSTED
+    * slice (Wikipedia-grade sources), score a different corpus with it.
+    * Unlike [[score]]'s self-scoring (where every stream bigram exists in
+    * the model and an inner join suffices), a foreign doc carries unseen
+    * bigrams, so scoring backs off through the smoothing mass: seen
+    * (w1,w2) → model logp; unseen w2 under a seen w1 → ln(k/(c(w1,·)+k·V));
+    * w1 never seen → ln(k/(0+k·V)) = ln(1/V). `n_oov` counts the misses —
+    * the out-of-domain signal a curation dashboard watches alongside ppl.
+    *
+    * Scale shape: same as [[score]] plus one margins join (w1-keyed,
+    * vocab-bounded) — both model-side frames stay shuffle-joined by
+    * default and AQE-broadcast at gate scale. */
+  def scoreAgainst(train: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Double = 1.0,
+                   nllKeep: Double = 6.0): DataFrame = {
+    val m = model(train, idCol, textCol, k)
+    val margins = m.select("w1", "c1").distinct() // model carries c1 per w1
+    val vocab = train.select(explode(toks(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bigrams(target, idCol, textCol)
+      .join(m.select("w1", "w2", "logp"), Seq("w1", "w2"), "left")
+      .join(margins, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", coalesce(col("logp"),
+        log(lit(k) / (coalesce(col("c1"), lit(0L)) + lit(k) * col("v")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("logp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(col("__lp")), 4).as("logprob_sum"))
+      .withColumn("avg_nll", round(-col("logprob_sum") / col("n_bigrams"), 4))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+    target.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         col("logprob_sum"), col("avg_nll"), col("ppl"),
         coalesce(col("avg_nll") <= lit(nllKeep), lit(false)).as("keep"))
   }

@@ -65,6 +65,29 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
       (1, "a", "b", 5L), (2, "b", "a", 3L), (3, "c", "x", 1L)))
   }
 
+  test("scoreAgainst: self-training degenerates to score with zero OOV") {
+    val self = NgramLm.scoreAgainst(docs, docs, "doc_id", "text")
+    assert(self.filter(col("n_oov") =!= 0L).count() === 0L)
+    val a = self.drop("n_oov").orderBy("doc_id").collect()
+    val b = NgramLm.score(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("scoreAgainst: unseen bigrams back off through the smoothing mass") {
+    val train = docs.filter(col("doc_id") <= 2) // vocab {a,b}, V=2
+    val target = Seq((10L, "a b z")).toDF("doc_id", "text")
+    val got = NgramLm.scoreAgainst(train, target, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
+      .collect().head
+    // train bigrams: c(a,b)=5, c(b,a)=3; margins c(a,·)=5, c(b,·)=3; V=2.
+    // (a,b) seen → ln((5+1)/(5+2)); (b,z) unseen under seen b →
+    // ln(1/(c(b,·)+V)) = ln(1/5)
+    assert(got._2 === 2L && got._3 === 1L)
+    val want = math.log(6.0 / 7.0) + math.log(1.0 / 5.0)
+    assert(math.abs(got._4.get - BigDecimal(want).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("score is partitioning-invariant (shuffle join, no driver state)") {
     val base = NgramLm.score(docs, "doc_id", "text").orderBy("doc_id").collect()
     val re = NgramLm.score(docs.repartition(7), "doc_id", "text")
