@@ -774,6 +774,11 @@ object SparkEntry {
       TextOps.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")),
     "gopher_rule_stats" -> ((s, d) =>
       TextOps.gopherRuleStats(Tables.documents(s, d), "doc_id", "text")),
+    "curation_funnel" -> ((s, d) =>
+      // the composed stage census: raw → gopher → LM keep → exact dedup
+      // → domain cap, one count row per stage — the "where did my corpus
+      // go" report; every stage is an already-gated operator
+      Curation.funnel(Tables.documents(s, d), "doc_id", "text", "source")),
     "dedup_clusters" -> ((s, d) => {
       // Pairs → transitive clusters → size distribution: the step that
       // makes pairwise near-dup output actionable (keep one per cluster).
@@ -3248,6 +3253,82 @@ object SparkEntry {
            UNION ALL SELECT n_docs, 'alpha_words', alpha_words FROM agg
            UNION ALL SELECT n_docs, 'stop_words', stop_words FROM agg
            UNION ALL SELECT n_docs, 'pass_all', pass_all FROM agg) u""",
+    "curation_funnel" ->
+      // the D31/D33/D1/D32 oracle bodies chained stage to stage; lag
+      // window over the 5-row census for n_dropped
+      """WITH gm AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+             len(list_intersect(list_distinct(ws),
+               ['the','be','to','of','and','that','have','with'])) AS stop_hits
+           FROM (
+             SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS ws,
+               string_split(text, chr(10)) AS lines
+             FROM documents) t),
+         g AS (
+           SELECT doc_id FROM gm
+           WHERE (n_words >= 50 AND n_words <= 100000)
+             AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+             AND ((hashes + ellipses) * 10 <= n_words)
+             AND (bullets * 10 <= n_lines * 9)
+             AND (ell_lines * 10 <= n_lines * 3)
+             AND (alpha_w * 5 >= n_words * 4)
+             AND (stop_hits >= 2)),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM ws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         lmk AS (
+           SELECT bi.doc_id FROM bi JOIN model USING (w1, w2)
+           GROUP BY 1
+           HAVING round(-round(sum(logp), 4) / count(*), 4) <= 6.0),
+         s1 AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),
+         s2 AS (SELECT s1.* FROM s1 JOIN lmk USING (doc_id)),
+         s3 AS (
+           SELECT doc_id, text, source FROM (
+             SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY md5(text)
+                 ORDER BY doc_id) AS rn
+             FROM s2) r WHERE rn = 1),
+         s4 AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(source || ':' || cast(doc_id AS varchar)),
+                          doc_id) AS rk
+             FROM s3) c WHERE rk <= 10),
+         census AS (
+           SELECT 0 AS stage, 'raw' AS stage_name,
+             count(*) AS n_docs FROM documents
+           UNION ALL SELECT 1, 'gopher_rules', count(*) FROM s1
+           UNION ALL SELECT 2, 'lm_keep', count(*) FROM s2
+           UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+           UNION ALL SELECT 4, 'domain_cap', count(*) FROM s4)
+         SELECT stage, stage_name, n_docs,
+           coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
+         FROM census""",
     "lang_id" ->
       // same stopword-profile scores + lexicographic (score, lang) argmax
       // as TextOps.langId: struct comparison via list_max mirrors Spark's
