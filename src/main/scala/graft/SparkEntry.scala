@@ -1856,6 +1856,48 @@ object SparkEntry {
         md5(col("scrubbed_text")).as("scrub_hash"),
         col("n_tokens"), col("n_removed"))
     }),
+    "stream_lm_score" -> ((s, d) => {
+      // LM model SERVING on a stream: the bigram model trains and
+      // persists ONCE from the corpus, then two parquet delivery waves
+      // of fresh crawl docs (jittered corpus derivatives with planted
+      // OOV tails + two wholly-novel docs) drain through checkpointed
+      // AvailableNow runs, each micro-batch scored via the backoff
+      // ladder against the STATIC model frames. Scores are per-doc
+      // functions of (doc, model), so the drained lake must equal the
+      // batch scoreAgainst over the same docs no matter the wave/batch
+      // split — the oracle replays exactly that in SQL.
+      import s.implicits._
+      val base = sinkPath(d, "stream_lm_score")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d)
+      val (model, margins, vocab) =
+        NgramLm.servingFrames(docs, "doc_id", "text")
+      Seq(model, margins, vocab).foreach(_.persist())
+      val probes = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz qq zz")).as("text"))
+      val novels = Seq(
+        (4000000L, "wholly novel planted stream document zyx about" +
+          " nothing previously modeled qqj at all"),
+        (4000001L, "another genuinely novel planted document kvw" +
+          " carrying entirely fresh content pqz never scored before"))
+        .toDF("doc_id", "text")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string")
+      probes.filter(col("doc_id") < 3000005L)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.lmScoreStream(s, landing, schema, model, margins, vocab,
+        "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1)
+        .awaitTermination()
+      probes.filter(col("doc_id") >= 3000005L).unionByName(novels)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.lmScoreStream(s, landing, schema, model, margins, vocab,
+        "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1)
+        .awaitTermination()
+      Seq(model, margins, vocab).foreach(_.unpersist())
+      s.read.parquet(out)
+    }),
     "stream_novelty" -> ((s, d) => {
       // The incremental-crawl near-dup gate ACTUALLY STREAMING: the same
       // planted probes as novelty_near_dup arrive as two parquet delivery
@@ -3361,6 +3403,65 @@ object SparkEntry {
            (3000006, FALSE), (3000007, FALSE), (3000008, FALSE),
            (3000009, FALSE), (4000000, TRUE), (4000001, TRUE))
            t(doc_id, is_novel)""",
+    "stream_lm_score" ->
+      // the streamed lake must equal batch cross-scoring of the SAME
+      // derived probes + novel literals against the corpus-trained model
+      // — full backoff-ladder replay, batch-split independence included
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         tgt AS (
+           SELECT doc_id + 3000000 AS doc_id,
+             text || ' qq zz qq zz' AS text
+           FROM documents WHERE doc_id < 10
+           UNION ALL
+           SELECT cast(id AS bigint), t FROM (VALUES
+             (4000000, 'wholly novel planted stream document zyx about nothing previously modeled qqj at all'),
+             (4000001, 'another genuinely novel planted document kvw carrying entirely fresh content pqz never scored before'))
+             v(id, t)),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM tgt),
+         tbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM tws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         sc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             cast(sum(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum
+           FROM bi
+           LEFT JOIN model m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+           LEFT JOIN c1 ON bi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1)
+         SELECT t.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.n_oov, 0) AS n_oov,
+           sc.logprob_sum,
+           round(-sc.logprob_sum / sc.n_bigrams, 4) AS avg_nll,
+           round(exp(round(-sc.logprob_sum / sc.n_bigrams, 4)), 4) AS ppl,
+           coalesce(round(-sc.logprob_sum / sc.n_bigrams, 4) <= 6.0, false) AS keep
+         FROM (SELECT DISTINCT doc_id FROM tgt) t
+         LEFT JOIN sc USING (doc_id)""",
     "stream_novelty" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       // the STREAMING drain of the same probe family must land on the

@@ -113,12 +113,30 @@ object NgramLm {
   def scoreAgainst(train: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, k: Double = 1.0,
                    nllKeep: Double = 6.0): DataFrame = {
+    val (m, margins, vocab) = servingFrames(train, idCol, textCol, k)
+    scoreWithModel(target, m, margins, vocab, idCol, textCol, k, nllKeep)
+  }
+
+  /** The three serving frames a long-lived scorer persists once:
+    * (model (w1,w2,logp), margins (w1,c1), vocab 1-row (v)). */
+  def servingFrames(train: DataFrame, idCol: String, textCol: String,
+                    k: Double = 1.0): (DataFrame, DataFrame, DataFrame) = {
     val m = model(train, idCol, textCol, k)
-    val margins = m.select("w1", "c1").distinct() // model carries c1 per w1
-    val vocab = train.select(explode(toks(col(textCol))).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+    (m.select("w1", "w2", "logp"), m.select("w1", "c1").distinct(),
+      train.select(explode(toks(col(textCol))).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+  }
+
+  /** Backoff scoring against PREBUILT model frames — the serving form:
+    * a long-lived (persisted) model scores many batches without
+    * retraining (the streaming tier drains micro-batches through this).
+    * `model` = (w1, w2, logp), `margins` = (w1, c1), `vocab` = the 1-row
+    * (v) frame. Semantics identical to [[scoreAgainst]]'s scoring half. */
+  def scoreWithModel(target: DataFrame, model: DataFrame, margins: DataFrame,
+                     vocab: DataFrame, idCol: String, textCol: String,
+                     k: Double = 1.0, nllKeep: Double = 6.0): DataFrame = {
     val scored = bigrams(target, idCol, textCol)
-      .join(m.select("w1", "w2", "logp"), Seq("w1", "w2"), "left")
+      .join(model, Seq("w1", "w2"), "left")
       .join(margins, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("__lp", coalesce(col("logp"),

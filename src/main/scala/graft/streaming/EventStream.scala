@@ -216,6 +216,38 @@ object EventStream {
     * scale: the 100 TB corpus index is built once per index refresh,
     * while each arriving batch pays only its own banding + one skinny
     * hash-join probe. */
+  /** LM model SERVING on a stream — the quality gate applied at crawl
+    * ingest time instead of batch curation time: a bigram model trained
+    * (and persisted) ONCE from the reference corpus scores every arriving
+    * micro-batch through [[graft.operators.NgramLm.scoreWithModel]]'s
+    * backoff ladder, appending per-doc scores to the out lake. Scores are
+    * pure per-doc functions of (doc, static model), so the drained output
+    * must equal the batch `scoreAgainst` over the same docs regardless of
+    * the wave/micro-batch split — and the checkpoint guarantees each doc
+    * scores exactly once across drains. Stream-static joins against the
+    * persisted model frames: micro-batches pay only their own token
+    * explode plus vocab-bounded joins. */
+  def lmScoreStream(spark: SparkSession, landingDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    model: DataFrame, margins: DataFrame, vocab: DataFrame,
+                    idCol: String, textCol: String, outDir: String,
+                    checkpointDir: String, nllKeep: Double = 6.0,
+                    maxFilesPerTrigger: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.NgramLm.scoreWithModel(
+            batch, model, margins, vocab, idCol, textCol, nllKeep = nllKeep)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   def noveltyStream(spark: SparkSession, landingDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     index: graft.operators.Dedup.SignatureIndex,

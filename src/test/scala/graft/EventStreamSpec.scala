@@ -408,6 +408,41 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     Dedup.unpersistIntermediates()
   }
 
+  test("lmScoreStream: drained scores equal batch scoreAgainst; re-drain appends nothing") {
+    import graft.operators.NgramLm
+    val root = java.nio.file.Files.createTempDirectory("graft-lmstream").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta gamma"),
+      (2L, "alpha beta gamma alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "alpha beta gamma"),           // fully in-model
+      (102L, "alpha zork"),                 // OOV under seen w1
+      (103L, "qq zz qq")                    // wholly OOV
+    ).toDF("doc_id", "text")
+    val (model, margins, vocab) = NgramLm.servingFrames(corpus, "doc_id", "text")
+    Seq(model, margins, vocab).foreach(_.persist())
+    val batch = NgramLm.scoreAgainst(corpus, fresh, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")
+    fresh.filter($"doc_id" <= 102L).repartition(2).write.mode("append").parquet(landing)
+    EventStream.lmScoreStream(spark, landing, schema, model, margins, vocab,
+      "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    fresh.filter($"doc_id" > 102L).write.mode("append").parquet(landing)
+    EventStream.lmScoreStream(spark, landing, schema, model, margins, vocab,
+      "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    val drained = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert(drained.length === 3, "each doc scored exactly once across waves")
+    assert(drained.toSeq === batch.toSeq,
+      "streamed scores must equal the batch backoff scoring")
+    // checkpointed cursor: a third drain with nothing new appends nothing
+    EventStream.lmScoreStream(spark, landing, schema, model, margins, vocab,
+      "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    assert(spark.read.parquet(out).count() === 3L, "re-drain is idempotent")
+    Seq(model, margins, vocab).foreach(_.unpersist())
+  }
+
   test("upsertStream replay: losing the offset commit re-runs the batch idempotently") {
     // Exactly-once failure injection: after a batch's sink merge lands but
     // before the engine records the commit, the driver "dies". On restart
