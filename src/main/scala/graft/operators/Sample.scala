@@ -135,29 +135,26 @@ object Sample {
     * (md5(domain:id), tie-break id), so the kept set is an unbiased,
     * reproducible, engine-replayable subsample of each domain.
     *
-    * Scale shape: a single `row_number` window per domain is a
-    * skew bomb at corpus scale — one mega-domain (a crawl is zipfian
-    * over hosts) becomes one window partition on one task. This runs the
-    * exact two-phase form instead: phase 1 ranks within
-    * (domain, salt) — `salts` ways, bounding every window partition at
-    * |domain|/salts rows — and keeps `cap` per salt; phase 2 re-ranks
-    * only the ≤ salts·cap survivors per domain. Both phases order by the
-    * SAME (priority, id) key, so phase 1 can never evict a global
-    * top-`cap` row: the result is exactly the single-window answer. */
+    * Scale shape: a bare window per domain WOULD be a skew bomb (a
+    * crawl's host distribution is zipfian, so one mega-domain lands on
+    * one task) — but Catalyst's `InferWindowGroupLimit` turns the
+    * `row_number ≤ cap` filter into a map-side group-limit BELOW the
+    * exchange: each input partition ships at most `cap` rows per domain,
+    * so the mega-domain's window task sorts ≤ cap·P rows (P = upstream
+    * partitions), never |domain|. The first cut of this operator
+    * hand-rolled a two-phase salted ranking instead; the CapScale probe
+    * showed the salted form ships MORE shuffle rows than the pruned
+    * single window (cap·salts·P vs cap·P map-side survivors) — the
+    * optimizer's form wins, so this operator trusts it, and the probe
+    * (naive window with the rule EXCLUDED vs present) guards the claim. */
   def domainCap(df: DataFrame, idCol: String, domainCol: String,
-                cap: Int, salts: Int = 64): DataFrame = {
+                cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(cap > 0 && salts > 0, "cap and salts must be positive")
+    require(cap > 0, "cap must be positive")
     val pri = md5(concat_ws(":", col(domainCol), col(idCol).cast("string")))
-    val local = Window
-      .partitionBy(col(domainCol), pmod(hash(col(idCol)), lit(salts)))
+    val w = Window.partitionBy(col(domainCol))
       .orderBy(pri.asc, col(idCol).asc)
-    val global = Window.partitionBy(col(domainCol))
-      .orderBy(pri.asc, col(idCol).asc)
-    df.withColumn("__lrk", row_number().over(local))
-      .filter(col("__lrk") <= cap)
-      .drop("__lrk")
-      .withColumn("rk", row_number().over(global))
+    df.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= cap)
   }
 
@@ -165,8 +162,8 @@ object Sample {
     * cap — the mix report a curation run publishes. Counts aggregate
     * map-side; rows are O(|domains|). */
   def domainCapStats(df: DataFrame, idCol: String, domainCol: String,
-                     cap: Int, salts: Int = 64): DataFrame = {
-    val kept = domainCap(df, idCol, domainCol, cap, salts)
+                     cap: Int): DataFrame = {
+    val kept = domainCap(df, idCol, domainCol, cap)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("n_kept"))
     df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
       .join(kept, Seq(domainCol), "left")
