@@ -774,6 +774,19 @@ object SparkEntry {
       TextOps.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")),
     "gopher_rule_stats" -> ((s, d) =>
       TextOps.gopherRuleStats(Tables.documents(s, d), "doc_id", "text")),
+    "split_leakage" -> ((s, d) => {
+      // eval-contamination gate: duplicated content spanning splits —
+      // the id-keyed split deals copies independently, so raw-corpus
+      // dups can leak train→test; one hash agg, no text past the md5.
+      // The gate corpus has no exact dups, so plant re-crawl copies of
+      // docs 0-4 under fresh ids (+5e6): ids 0/1 land cross-split
+      // (leaked), 2-4 same-split (benign dups) — both verdicts exercised.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val recrawl = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Sample.splitLeakage(docs.unionByName(recrawl), "doc_id", "text",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    }),
     "curation_funnel" -> ((s, d) =>
       // the composed stage census: raw → gopher → LM keep → exact dedup
       // → domain cap, one count row per stage — the "where did my corpus
@@ -3295,6 +3308,34 @@ object SparkEntry {
            UNION ALL SELECT n_docs, 'alpha_words', alpha_words FROM agg
            UNION ALL SELECT n_docs, 'stop_words', stop_words FROM agg
            UNION ALL SELECT n_docs, 'pass_all', pass_all FROM agg) u""",
+    "split_leakage" ->
+      // same md5-prefix bucket arithmetic as dataset_split; duplicate
+      // content groups + the distinct splits they span
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 5000000, text FROM documents WHERE doc_id < 5),
+         s AS (
+           SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM u),
+         h AS (SELECT md5(text) AS content_hash, doc_id, split FROM s),
+         agg AS (
+           SELECT content_hash, CAST(count(*) AS BIGINT) AS n_docs
+           FROM h GROUP BY 1),
+         d AS (SELECT DISTINCT content_hash, split FROM h),
+         spl AS (
+           SELECT content_hash, CAST(count(*) AS BIGINT) AS n_splits,
+             string_agg(split, ',' ORDER BY split) AS splits
+           FROM d GROUP BY 1)
+         SELECT agg.content_hash, agg.n_docs, spl.n_splits, spl.splits,
+           spl.n_splits >= 2 AS leaked
+         FROM agg JOIN spl USING (content_hash)
+         WHERE agg.n_docs >= 2""",
     "curation_funnel" ->
       // the D31/D33/D1/D32 oracle bodies chained stage to stage; lag
       // window over the 5-row census for n_dropped

@@ -158,6 +158,28 @@ object Sample {
       .filter(col("rk") <= cap)
   }
 
+  /** Split-leakage check — the eval-contamination gate [[hashSplit]]
+    * needs beside it: the split is keyed on the doc ID, so two documents
+    * with IDENTICAL CONTENT can land in different splits — a train/test
+    * leak that silently inflates eval scores. One row per duplicated
+    * content group with the splits it spans; `leaked` marks groups
+    * crossing a split boundary. Clean input (post exact-dedup) returns
+    * zero leaked rows — run it as the assertion between dedup and export.
+    *
+    * Scale shape: one hash aggregation over (content-hash) — the same
+    * shuffle exact dedup pays — carrying a count, a distinct-split count,
+    * and a ≤|splits|-element set; no joins, no text shipped past the
+    * md5 projection. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Int)]): DataFrame =
+    hashSplit(df, col(idCol), splits)
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(sort_array(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("leaked", col("n_splits") >= 2)
+
   /** Per-domain cap audit: how much each domain holds vs keeps under the
     * cap — the mix report a curation run publishes. Counts aggregate
     * map-side; rows are O(|domains|). */

@@ -72,4 +72,31 @@ class SketchSampleSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String)].collect().toMap
     a.foreach { case (id, s) => assert(b(id) === s, s"id $id re-dealt") }
   }
+
+  test("splitLeakage: cross-split duplicate content flagged, same-split not") {
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    // find ids by their actual split assignment so the plant is robust to
+    // the hash function: two different-split ids share text (the leak),
+    // two same-split ids share another text (a dup but not a leak)
+    val ids = (1L to 200L).toDF("id")
+    val byId = Sample.hashSplit(ids, col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    val trainIds = byId.collect { case (i, "train") => i }.toSeq.sorted
+    val testId = byId.collect { case (i, "test") => i }.min
+    val rows = Seq(
+      (trainIds(0), "leaky shared content"),
+      (testId, "leaky shared content"),
+      (trainIds(1), "benign duplicate content"),
+      (trainIds(2), "benign duplicate content"),
+      (trainIds(3), "unique content a"),
+      (trainIds(4), "unique content b")).toDF("doc_id", "text")
+    val got = Sample.splitLeakage(rows, "doc_id", "text", splits)
+      .as[(String, Long, Long, String, Boolean)].collect()
+      .map(r => r._4 -> r).toMap // keyed by splits string? no — by hash
+    assert(got.size === 2, "only duplicated groups surface")
+    val leak = got.values.find(_._5).get
+    val benign = got.values.find(!_._5).get
+    assert(leak._2 === 2L && leak._3 === 2L && leak._4 === "test,train")
+    assert(benign._2 === 2L && benign._3 === 1L && benign._4 === "train")
+  }
 }
