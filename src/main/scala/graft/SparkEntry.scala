@@ -774,6 +774,14 @@ object SparkEntry {
       TextOps.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")),
     "gopher_rule_stats" -> ((s, d) =>
       TextOps.gopherRuleStats(Tables.documents(s, d), "doc_id", "text")),
+    "epoch_mix_plan" -> ((s, d) =>
+      // the pre-training mixture table: single-digit sources weighted 2x
+      // (the "trusted slice" of the cross-score setup), 100M-token budget
+      // — per-source target tokens + repetition factor
+      Sample.epochMixPlan(Tables.documents(s, d), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long"),
+        when(length(col("source")) === 4, lit(2.0)).otherwise(lit(1.0)),
+        budgetTokens = 100000000L)),
     "split_leakage" -> ((s, d) => {
       // eval-contamination gate: duplicated content spanning splits —
       // the id-keyed split deals copies independently, so raw-corpus
@@ -3308,6 +3316,24 @@ object SparkEntry {
            UNION ALL SELECT n_docs, 'alpha_words', alpha_words FROM agg
            UNION ALL SELECT n_docs, 'stop_words', stop_words FROM agg
            UNION ALL SELECT n_docs, 'pass_all', pass_all FROM agg) u""",
+    "epoch_mix_plan" ->
+      // same tokenize + weight rule; floor/round on doubles both sides
+      """WITH t AS (
+           SELECT source,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             CASE WHEN length(source) = 4 THEN CAST(2.0 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) END AS w
+           FROM documents),
+         p AS (
+           SELECT source, CAST(sum(n_tokens) AS BIGINT) AS available_tokens,
+             max(w) AS weight
+           FROM t GROUP BY 1),
+         z AS (SELECT sum(weight) AS z FROM p)
+         SELECT source, available_tokens, weight,
+           CAST(floor(100000000.0 * weight / z) AS BIGINT) AS target_tokens,
+           round(CAST(floor(100000000.0 * weight / z) AS BIGINT)
+             / available_tokens, 4) AS epochs
+         FROM p CROSS JOIN z""",
     "split_leakage" ->
       // same md5-prefix bucket arithmetic as dataset_split; duplicate
       // content groups + the distinct splits they span

@@ -180,6 +180,32 @@ object Sample {
       .filter(col("n_docs") >= 2)
       .withColumn("leaked", col("n_splits") >= 2)
 
+  /** Epoch mix plan — the data-mixture arithmetic a training run fixes
+    * before it starts (the LLaMA-style sampling-proportions table): given
+    * per-source token holdings, per-source mixture weights, and a total
+    * token budget, how many tokens does each source contribute and at
+    * what repetition factor (epochs > 1 = upsampling, < 1 = subsampling)?
+    * `weightCol` is a per-row expression constant within a source (so the
+    * plan replays in any engine without shipping a weights map).
+    *
+    * Scale shape: one map-side-combinable aggregation to O(|sources|)
+    * rows; the weight normalizer attaches as a broadcast 1-row agg; all
+    * arithmetic is on the tiny aggregated frame. */
+  def epochMixPlan(df: DataFrame, domainCol: Column, tokensCol: Column,
+                   weightCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val perSource = df.groupBy(domainCol.as("source"))
+      .agg(sum(tokensCol).cast("long").as("available_tokens"),
+        max(weightCol).as("weight"))
+    val z = perSource.agg(sum(col("weight")).as("z"))
+    perSource.crossJoin(broadcast(z))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("weight") / col("z")).cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens") / col("available_tokens"), 4))
+      .select("source", "available_tokens", "weight", "target_tokens", "epochs")
+  }
+
   /** Per-domain cap audit: how much each domain holds vs keeps under the
     * cap — the mix report a curation run publishes. Counts aggregate
     * map-side; rows are O(|domains|). */

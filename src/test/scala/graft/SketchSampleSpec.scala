@@ -73,6 +73,23 @@ class SketchSampleSpec extends AnyFunSuite with SparkSpec {
     a.foreach { case (id, s) => assert(b(id) === s, s"id $id re-dealt") }
   }
 
+  test("epochMixPlan: targets and repetition factors match hand arithmetic") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, ("w " * 10).trim, "trusted"),
+      (2L, ("w " * 20).trim, "trusted"),
+      (3L, ("w " * 100).trim, "bulk")).toDF("doc_id", "text", "source")
+    val got = Sample.epochMixPlan(docs, col("source"),
+        size(TextOps.tokens(col("text"))).cast("long"),
+        when(col("source") === "trusted", lit(3.0)).otherwise(lit(1.0)),
+        budgetTokens = 80L)
+      .as[(String, Long, Double, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // z = 4; trusted: avail 30, target floor(80·3/4)=60, epochs 2.0 (upsample)
+    // bulk: avail 100, target floor(80·1/4)=20, epochs 0.2 (subsample)
+    assert(got("trusted") === (("trusted", 30L, 3.0, 60L, 2.0)))
+    assert(got("bulk") === (("bulk", 100L, 1.0, 20L, 0.2)))
+  }
+
   test("splitLeakage: cross-split duplicate content flagged, same-split not") {
     val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
     // find ids by their actual split assignment so the plant is robust to
