@@ -27,45 +27,53 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** One row per stage: (stage, stage_name, n_docs, n_dropped) with
-    * n_dropped relative to the previous stage. */
+    * n_dropped relative to the previous stage.
+    *
+    * Execution shape: each stage's SURVIVOR-ID frame (ids only — bytes
+    * per row, never text) is persisted and counted ONCE; the census is
+    * then assembled from the five counted longs on the driver (O(stages)
+    * rows — the bounded-collect pattern). The lazy alternative — five
+    * chained frames each union'd into one census plan — recomputes every
+    * shared stage per branch: the first cut audited at 48 parquet scans
+    * and 24 token explodes for one query, ~15 corpus passes at scale. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              domainCol: String, nllKeep: Double = 6.0,
              cap: Int = 10): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
 
     val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
+    val n0 = s0.count()
 
-    // stage 1: Gopher rule bitmap, keep pass_all
-    val s1 = s0.join(
-      TextOps.gopherQualityRules(s0, idCol, textCol)
-        .filter(col("pass_all")).select(col("doc_id").as(idCol)),
-      Seq(idCol))
+    // stage 1: Gopher rule bitmap, keep pass_all — skinny id frame
+    val ids1 = TextOps.gopherQualityRules(s0, idCol, textCol)
+      .filter(col("pass_all")).select(col(idCol).as("doc_id")).persist()
+    val n1 = ids1.count()
 
-    // stage 2: LM keep — model trained on the RAW corpus
-    val s2 = s1.join(
-      NgramLm.score(s0, idCol, textCol, nllKeep = nllKeep)
-        .filter(col("keep")).select(col("doc_id").as(idCol)),
-      Seq(idCol))
+    // stage 2: LM keep (model trained on the RAW corpus) ∩ stage 1
+    val ids2 = ids1.join(
+        NgramLm.score(s0, idCol, textCol, nllKeep = nllKeep)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi").persist()
+    val n2 = ids2.count()
 
-    // stage 3: exact dedup (min id per content hash) among survivors
-    val s3 = Dedup.exactByHash(s2, textCol, idCol)
+    // stage 3: exact dedup (min id per content hash) among survivors —
+    // one join back to the corpus for text, id+domain carried forward
+    val ids3 = Dedup.exactByHash(
+        s0.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
+        textCol, idCol)
+      .select(col(idCol).as("doc_id"), col(domainCol)).persist()
+    val n3 = ids3.count()
 
-    // stage 4: per-domain cap among survivors
-    val s4 = Sample.domainCap(s3, idCol, domainCol, cap).drop("rk")
+    // stage 4: per-domain cap over the (id, domain) survivor frame
+    val n4 = Sample.domainCap(ids3, "doc_id", domainCol, cap).count()
 
-    val counts = Seq(
-      (0, "raw", s0), (1, "gopher_rules", s1), (2, "lm_keep", s2),
-      (3, "exact_dedup", s3), (4, "domain_cap", s4)
-    ).map { case (i, name, df) =>
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_docs"))
-    }.reduce(_ unionByName _)
-
-    import org.apache.spark.sql.expressions.Window
-    // the census frame is 5 rows; the single-partition lag window is free
-    val w = Window.orderBy("stage")
-    counts
-      .withColumn("n_dropped",
-        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
+    Seq(ids1, ids2, ids3).foreach(_.unpersist())
+    val ns = Seq(0L -> ("raw", n0), 1L -> ("gopher_rules", n1),
+      2L -> ("lm_keep", n2), 3L -> ("exact_dedup", n3),
+      4L -> ("domain_cap", n4))
+    ns.zip(n0 +: ns.map(_._2._2)).map { case ((i, (name, n)), prev) =>
+      (i.toInt, name, n, prev - n)
+    }.toDF("stage", "stage_name", "n_docs", "n_dropped")
   }
 }
