@@ -67,11 +67,23 @@ object CapScale {
         }
       })
     def timed(f: => Long): (Double, Long, Long) = {
-      Thread.sleep(500) // drain pending listener events
+      // wait for the async listener bus to actually drain before reading
+      // the counter on either side of the run — a fixed sleep can credit
+      // late stage-completion events to the wrong arm on a loaded host
+      def settle(): Unit = {
+        var prev = -1L
+        var same = 0
+        while (same < 3) { // three consecutive quiet 200ms reads
+          Thread.sleep(200)
+          val v = shuffleAcc.get()
+          if (v == prev) same += 1 else { same = 0; prev = v }
+        }
+      }
+      settle()
       val s0 = shuffleAcc.get()
       val t0 = System.nanoTime(); val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
+      settle()
       (sec, r, shuffleAcc.get() - s0)
     }
     def run(): Long =
@@ -95,7 +107,7 @@ object CapScale {
       val r = Sample.domainCap(docs, "doc_id", "source", cap)
         .agg(sum(pmod(xxhash64(col("doc_id"), col("rk")), lit(1000000007L))).as("h"),
           count(lit(1)).as("n")).collect()(0)
-      (r.getLong(0), r.getLong(1))
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
     }
     val (tOn, rowsOn, shOn) = withRule()
     val sumOn = checksum()

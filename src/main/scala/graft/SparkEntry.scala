@@ -761,9 +761,11 @@ object SparkEntry {
       // global sort of the model table
       NgramLm.topBigrams(Tables.documents(s, d), "doc_id", "text", topN = 20)),
     "domain_cap" -> ((s, d) =>
-      // RefinedWeb-style per-source diversity cap, exact two-phase
-      // salted ranking (no mega-domain window partition); priority is
-      // md5(source:id) so the oracle's single window replays it exactly
+      // RefinedWeb-style per-source diversity cap: one ranked window
+      // whose mega-domain skew is defused by InferWindowGroupLimit's
+      // map-side group-limit (plan-shape spec + CapScale probe guard
+      // the claim); priority is md5(source:id) so the oracle's window
+      // replays it exactly
       Sample.domainCap(Tables.documents(s, d), "doc_id", "source", cap = 10)
         .select("doc_id", "source", "rk")),
     "domain_cap_stats" -> ((s, d) =>
@@ -3230,10 +3232,10 @@ object SparkEntry {
     "gopher_quality_rules" ->
       // every ratio in cross-multiplied integer form — no float anywhere
       """WITH t AS (
-           SELECT doc_id, text,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           SELECT doc_id, coalesce(text, '') AS text,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
                          x -> x <> '') AS ws,
-             string_split(text, chr(10)) AS lines
+             string_split(coalesce(text, ''), chr(10)) AS lines
            FROM documents),
          m AS (
            SELECT doc_id,
@@ -3266,10 +3268,10 @@ object SparkEntry {
          FROM m""",
     "gopher_rule_stats" ->
       """WITH t AS (
-           SELECT doc_id, text,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           SELECT doc_id, coalesce(text, '') AS text,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
                          x -> x <> '') AS ws,
-             string_split(text, chr(10)) AS lines
+             string_split(coalesce(text, ''), chr(10)) AS lines
            FROM documents),
          m AS (
            SELECT doc_id,
@@ -3378,10 +3380,10 @@ object SparkEntry {
              len(list_intersect(list_distinct(ws),
                ['the','be','to','of','and','that','have','with'])) AS stop_hits
            FROM (
-             SELECT doc_id, text,
-               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             SELECT doc_id, coalesce(text, '') AS text,
+               list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
                            x -> x <> '') AS ws,
-               string_split(text, chr(10)) AS lines
+               string_split(coalesce(text, ''), chr(10)) AS lines
              FROM documents) t),
          g AS (
            SELECT doc_id FROM gm

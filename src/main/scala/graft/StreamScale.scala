@@ -29,7 +29,9 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val shards = if (args.length > 1) args(1).toInt else 1024
-    val probes = if (args.length > 2) args(2) else "all" // all|pipeline|scrub
+    val probes = if (args.length > 2) args(2) else "all"
+    require(Set("all", "pipeline", "scrub")(probes),
+      s"unknown probe selector '$probes' (all|pipeline|scrub)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,7 +91,10 @@ object StreamScale {
     val schema = StructType.fromDDL("doc_id long, op string, text string")
 
     // ---- pipeline: direct refreshInPlace vs one streamed wave --------
-    var (tDirect, tStream, equalPipe) = (-1.0, -1.0, true)
+    // equality flags are Options: a skipped probe must never print a
+    // green gate it did not run
+    var (tDirect, tStream) = (-1.0, -1.0)
+    var equalPipe: Option[Boolean] = None
     if (probes == "all" || probes == "pipeline") {
     Incremental.ledger(prev, "doc_id", "text", keep)
       .write.mode("overwrite").parquet(s"$base/direct/ledger")
@@ -121,11 +126,12 @@ object StreamScale {
     val a = spark.read.parquet(s"$base/direct/packed")
     val b = spark.read.parquet(s"$base/stream/packed")
       .select(a.columns.map(col): _*)
-    equalPipe = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    equalPipe = Some(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     }
 
     // ---- scrub: one streamed wave through the four-lake loop ---------
-    var (tScrubStream, equalScrub) = (-1.0, true)
+    var tScrubStream = -1.0
+    var equalScrub: Option[Boolean] = None
     if (probes == "all" || probes == "scrub") {
     ScrubStream.bootstrap(prev, s"$base/scrub/raw", s"$base/scrub/wins",
       s"$base/scrub/df", s"$base/scrub/scrub",
@@ -145,12 +151,12 @@ object StreamScale {
     val wantScrub = Dedup.spanScrub(curr, "doc_id", "text", 8, 2)
       .select(col("doc_id").as("id"), col("scrubbed_text"),
         col("n_tokens"), col("n_removed"))
-    equalScrub = gotScrub.exceptAll(wantScrub).isEmpty &&
-      wantScrub.exceptAll(gotScrub).isEmpty
+    equalScrub = Some(gotScrub.exceptAll(wantScrub).isEmpty &&
+      wantScrub.exceptAll(gotScrub).isEmpty)
     }
     Dedup.unpersistIntermediates()
     println(
-      f"""{"probe":"stream_scale","corpus":$nCorpus,"delta":${wave.count()},"shards":$shards,"pipeline_direct_sec":$tDirect%.2f,"pipeline_stream_sec":$tStream%.2f,"scrub_stream_sec":$tScrubStream%.2f,"equal_pipeline":$equalPipe,"equal_scrub":$equalScrub,"sf":"$sfDir"}""")
+      f"""{"probe":"stream_scale","corpus":$nCorpus,"delta":${wave.count()},"shards":$shards,"pipeline_direct_sec":$tDirect%.2f,"pipeline_stream_sec":$tStream%.2f,"scrub_stream_sec":$tScrubStream%.2f,"equal_pipeline":${equalPipe.map(_.toString).getOrElse("\"skipped\"")},"equal_scrub":${equalScrub.map(_.toString).getOrElse("\"skipped\"")},"sf":"$sfDir"}""")
     sources.Sink.reset(base)
     spark.stop()
   }

@@ -50,11 +50,15 @@ object Curation {
       .filter(col("pass_all")).select(col(idCol).as("doc_id")).persist()
     val n1 = ids1.count()
 
-    // stage 2: LM keep (model trained on the RAW corpus) ∩ stage 1
-    val ids2 = ids1.join(
-        NgramLm.score(s0, idCol, textCol, nllKeep = nllKeep)
-          .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi").persist()
+    // stage 2: LM keep — model trained on the RAW corpus, but only the
+    // stage-1 SURVIVORS pay the scoring join (the stage-ordering
+    // economics the header promises). scoreAgainst on a corpus subset
+    // equals self-scoring for it: every survivor bigram is in the raw
+    // model, so the backoff never fires and verdicts are identical.
+    val surv1 = s0.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
+    val ids2 = NgramLm.scoreAgainst(s0, surv1, idCol, textCol,
+        nllKeep = nllKeep)
+      .filter(col("keep")).select(col("doc_id")).persist()
     val n2 = ids2.count()
 
     // stage 3: exact dedup (min id per content hash) among survivors —

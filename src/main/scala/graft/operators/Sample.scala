@@ -133,7 +133,9 @@ object Sample {
     * `cap` documents per domain/source so no single host dominates the
     * training mix. Priority is a uniform deterministic hash
     * (md5(domain:id), tie-break id), so the kept set is an unbiased,
-    * reproducible, engine-replayable subsample of each domain.
+    * reproducible, engine-replayable subsample of each domain. The
+    * output gains an `rk` column — the 1..cap priority rank within the
+    * kept domain.
     *
     * Scale shape: a bare window per domain WOULD be a skew bomb (a
     * crawl's host distribution is zipfian, so one mega-domain lands on
@@ -151,6 +153,10 @@ object Sample {
                 cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap > 0, "cap must be positive")
+    // the output gains an `rk` column (1..cap within each kept domain);
+    // refuse to silently clobber a caller's existing ranking
+    require(!df.columns.contains("rk"),
+      "input already has an 'rk' column; rename it before domainCap")
     val pri = md5(concat_ws(":", col(domainCol), col(idCol).cast("string")))
     val w = Window.partitionBy(col(domainCol))
       .orderBy(pri.asc, col(idCol).asc)

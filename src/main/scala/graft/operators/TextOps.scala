@@ -131,9 +131,13 @@ object TextOps {
     * Every ratio threshold is compared in CROSS-MULTIPLIED INTEGER form
     * (`10·symbols ≤ words` instead of `symbols/words ≤ 0.1`): the
     * predicate stays exact in any engine — no float division, no
-    * rounding, no libm. All bounds inclusive. Pure map over the corpus;
+    * rounding, no libm. All bounds inclusive. NULL text is normalized to
+    * '' up front (word_count fails, pass_all false) — without it Spark's
+    * legacy size(null) = -1 and SQL's three-valued NULL comparisons give
+    * two engines three different answers. Pure map over the corpus;
     * everything here pushes into one codegen'd projection. */
-  def gopherRules(text: Column): Seq[(String, Column)] = {
+  def gopherRules(rawText: Column): Seq[(String, Column)] = {
+    val text = coalesce(rawText, lit(""))
     val ws = tokens(trim(lower(text)))
     val nWords = size(filter(ws, w => w =!= "")).cast("long")
     val nCharsNoWs = length(regexp_replace(text, "\\s+", "")).cast("long")

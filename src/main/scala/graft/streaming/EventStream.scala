@@ -226,12 +226,15 @@ object EventStream {
     * the wave/micro-batch split — and the checkpoint guarantees each doc
     * scores exactly once across drains. Stream-static joins against the
     * persisted model frames: micro-batches pay only their own token
-    * explode plus vocab-bounded joins. */
+    * explode plus vocab-bounded joins. `k` must be the SAME smoothing
+    * constant the frames were trained with — the backoff rungs
+    * ln(k/(c1+kV)) are computed here, not baked into the frames. */
   def lmScoreStream(spark: SparkSession, landingDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     model: DataFrame, margins: DataFrame, vocab: DataFrame,
                     idCol: String, textCol: String, outDir: String,
-                    checkpointDir: String, nllKeep: Double = 6.0,
+                    checkpointDir: String, k: Double = 1.0,
+                    nllKeep: Double = 6.0,
                     maxFilesPerTrigger: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
@@ -243,7 +246,7 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.NgramLm.scoreWithModel(
-            batch, model, margins, vocab, idCol, textCol, nllKeep = nllKeep)
+            batch, model, margins, vocab, idCol, textCol, k, nllKeep)
           .write.mode("append").parquet(outDir)
       }
       .start()

@@ -272,7 +272,8 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       (6L, (1 to 4).map(i => s"line $i the of trails...").mkString("\n") +
         "\n" + clean),                                   // ellipsis_lines (4/5 > 30%)
       (7L, (("123 456 789 000 111 " * 12).trim + " the of")), // alpha_words (< 80%)
-      (8L, ("zebra quokka wombat lemur panda koala otter " * 9).trim)) // stop_words (0 hits)
+      (8L, ("zebra quokka wombat lemur panda koala otter " * 9).trim), // stop_words (0 hits)
+      (9L, null.asInstanceOf[String]))                   // NULL text ≡ '' (never passes)
       .toDF("doc_id", "text")
     val got = TextOps.gopherQualityRules(rows, "doc_id", "text")
       .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
@@ -286,6 +287,8 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!got(6L)._6 && !got(6L)._9)
     assert(!got(7L)._7 && !got(7L)._9)
     assert(!got(8L)._8 && !got(8L)._9)
+    // null text: word_count and stop_words fail, verdict false, no NULLs
+    assert(!got(9L)._2 && !got(9L)._8 && !got(9L)._9)
   }
 
   test("gopherRuleStats: roll-up counts reconcile with the bitmap") {
