@@ -776,6 +776,12 @@ object SparkEntry {
       TextOps.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")),
     "gopher_rule_stats" -> ((s, d) =>
       TextOps.gopherRuleStats(Tables.documents(s, d), "doc_id", "text")),
+    "char_entropy" -> ((s, d) =>
+      // encoding-junk / gibberish detector: per-doc Shannon entropy over
+      // characters, keep = H ≥ 2 nats; one char explode into a (doc,ch)
+      // histogram agg (map-side combined to ≤|alphabet| rows/doc) then a
+      // per-doc reduce
+      TextOps.charEntropy(Tables.documents(s, d), "doc_id", "text")),
     "epoch_mix_plan" -> ((s, d) =>
       // the pre-training mixture table: single-digit sources weighted 2x
       // (the "trusted slice" of the cross-score setup), 100M-token budget
@@ -3318,6 +3324,30 @@ object SparkEntry {
            UNION ALL SELECT n_docs, 'alpha_words', alpha_words FROM agg
            UNION ALL SELECT n_docs, 'stop_words', stop_words FROM agg
            UNION ALL SELECT n_docs, 'pass_all', pass_all FROM agg) u""",
+    "char_entropy" ->
+      // same per-position substr chars, same H = ln(n) − Σ c·ln(c)/n
+      """WITH t AS (
+           SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         p AS (
+           SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS i
+           FROM t WHERE length(text) > 0),
+         c AS (
+           SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch FROM p),
+         cc AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+           FROM cc GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(sc.n_chars, 0) AS n_chars,
+           coalesce(sc.n_distinct, 0) AS n_distinct,
+           sc.entropy,
+           coalesce(sc.entropy >= 2.0, false) AS keep
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN sc USING (doc_id)""",
     "epoch_mix_plan" ->
       // same tokenize + weight rule; floor/round on doubles both sides
       """WITH t AS (

@@ -200,6 +200,44 @@ object TextOps {
         (col("n_docs") - col("n_pass")).as("n_fail"))
   }
 
+  /** Character-entropy quality signal — the standard encoding-junk /
+    * gibberish detector (low Shannon entropy = repeated-character or
+    * boilerplate junk; normal prose sits ~2.7-3.1 nats over characters):
+    * H(doc) = ln(n) − Σ c·ln(c)/n over the per-character counts.
+    *
+    * Scale shape: one char explode (O(bytes) rows, the one unavoidable
+    * pass) into a (doc, char) hash aggregation — map-side combine
+    * collapses each partition's contribution to ≤ |alphabet| rows per
+    * doc, so the shuffle ships histogram rows, not characters — then a
+    * per-doc reduce over ≤ |alphabet| rows. NULL/empty docs classify as
+    * unscoreable (null entropy, keep = false). The Σ c·ln(c) sum spans
+    * ≤ |alphabet| terms, so the round-the-sum-at-4dp discipline holds
+    * across engines. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String,
+                  minEntropy: Double = 2.0): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val chars = base.filter(length(col("__text")) > 0)
+      .select(col("doc_id"), col("__text"),
+        explode(sequence(lit(1), length(col("__text")))).as("i"))
+      .select(col("doc_id"), expr("substring(__text, i, 1)").as("ch"))
+    val scored = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("__clc"))
+      .withColumn("entropy",
+        round(log(col("n_chars")) - col("__clc") / col("n_chars"), 4))
+      .drop("__clc")
+    base.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("entropy"),
+        coalesce(col("entropy") >= lit(minEntropy), lit(false)).as("keep"))
+  }
+
   /** TF-IDF top-N terms per document — keyword extraction for corpus
     * diversity/topic analysis (the classic signal for dedup-aware sampling
     * and quality filters over a training corpus).

@@ -291,6 +291,24 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!got(9L)._2 && !got(9L)._8 && !got(9L)._9)
   }
 
+  test("charEntropy: hand-computed H; junk low, varied text high; null unscoreable") {
+    val rows = Seq(
+      (1L, "aab"),              // H = ln3 − (2·ln2)/3 = 0.6365
+      (2L, "aaaaaaaa"),         // zero entropy: pure repetition
+      (3L, "abcdefgh"),         // ln 8 = 2.0794 ≥ 2.0 → keep
+      (4L, null.asInstanceOf[String]),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.charEntropy(rows, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, Some(0.6365), false)))
+    assert(got(2L) === ((2L, 8L, 1L, Some(0.0), false)))
+    assert(got(3L)._4.get === 2.0794 && got(3L)._5)
+    assert(got(4L) === ((4L, 0L, 0L, None, false)))
+    assert(got(5L) === ((5L, 0L, 0L, None, false)))
+  }
+
   test("gopherRuleStats: roll-up counts reconcile with the bitmap") {
     val rows = Seq(
       (1L, ("the cat sat of mat and dogs that have ran with joy here " * 5).trim),
