@@ -583,6 +583,33 @@ object SparkEntry {
         .map { case ((a, b), r) => (r.toLong, s"$a $b") }
         .toDF("rank", "pair")
     }),
+    "bpe_fertility" -> ((s, d) => {
+      // Tokenizer FERTILITY per language — the standard tokenizer-eval
+      // table (tokens/word and bytes/token by lang exposes a tokenizer
+      // that fragments one language's text): per-lang sums of the native
+      // kernel's BPE counts, whitespace words, and UTF-8 bytes, ratios
+      // derived from the exact integer sums so both engines divide
+      // identical doubles. Rides the memoized per-(session, dir) train;
+      // one map-side-combined agg to O(|langs|) rows.
+      val docs = Tables.documents(s, d)
+      val merges = trainedMerges(s, d, 16)
+      docs.select(col("lang"),
+          Bpe.tokenCountCol(col("text"), merges).as("n_tok"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_w"),
+          octet_length(col("text")).cast("long").as("n_b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_w")).as("n_words"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_b")).as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_bytes"),
+          round(col("n_tokens") / when(col("n_words") =!= 0, col("n_words")), 4)
+            .as("tokens_per_word"),
+          round(col("n_bytes") / when(col("n_tokens") =!= 0, col("n_tokens")), 4)
+            .as("bytes_per_token"))
+    }),
     "bpe_token_count" -> ((s, d) => {
       // Tokenizer-faithful token counts: the 16-merge byte-level BPE
       // trained on this corpus, applied by the native kernel (merge table
@@ -782,6 +809,19 @@ object SparkEntry {
       // histogram agg (map-side combined to ≤|alphabet| rows/doc) then a
       // per-doc reduce
       TextOps.charEntropy(Tables.documents(s, d), "doc_id", "text")),
+    "dsir_weights" -> ((s, d) =>
+      // DSIR importance resampling: every doc scored by the hashed-ngram
+      // log-likelihood ratio of target (trusted single-digit sources, the
+      // cross_score convention) vs raw distribution; keep = weight ≥ 0.
+      // The ratio table is bucket-bounded (1024 rows) so it broadcasts at
+      // ANY corpus scale — no model-side shuffle, unlike the LM gate.
+      Dsir.weights(Tables.documents(s, d), length(col("source")) === 4,
+        "doc_id", "text")),
+    "dsir_mix_shift" -> ((s, d) =>
+      // the resampling census: what selection did to the source mix —
+      // holdings vs kept per source, O(|sources|) rows
+      Dsir.mixShift(Tables.documents(s, d), length(col("source")) === 4,
+        "doc_id", "text", "source")),
     "epoch_mix_plan" -> ((s, d) =>
       // the pre-training mixture table: single-digit sources weighted 2x
       // (the "trusted slice" of the cross-score setup), 100M-token budget
@@ -3348,6 +3388,86 @@ object SparkEntry {
            coalesce(sc.entropy >= 2.0, false) AS keep
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN sc USING (doc_id)""",
+    "dsir_weights" ->
+      // full DSIR replay: same tokenize, same md5-prefix buckets, same
+      // add-1-over-the-bucket-space smoothing, round-the-SUM discipline
+      """WITH ws AS (
+           SELECT doc_id, length(source) = 4 AS tgt,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(w) AS f FROM ws),
+         bi AS (
+           SELECT doc_id, tgt, w[i] || ' ' || w[i + 1] AS f FROM (
+             SELECT doc_id, tgt, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         feats AS (
+           SELECT doc_id, tgt,
+             ('0x' || substr(md5(f), 1, 4))::BIGINT % 1024 AS b
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
+         hist AS (
+           SELECT doc_id, tgt, b, count(*) AS n FROM feats GROUP BY 1, 2, 3),
+         bucket AS (
+           SELECT b, sum(n) AS cr,
+             sum(CASE WHEN tgt THEN n ELSE 0 END) AS ct
+           FROM hist GROUP BY 1),
+         tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM bucket),
+         ratio AS (
+           SELECT b,
+             ln((ct + 1.0) / (t + 1024.0)) - ln((cr + 1.0) / (r + 1024.0))
+               AS logratio
+           FROM bucket CROSS JOIN tot),
+         sc AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+             round(sum(n * logratio), 4) AS weight
+           FROM hist JOIN ratio USING (b) GROUP BY 1)
+         SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats, sc.weight,
+           coalesce(sc.weight >= 0.0, false) AS keep
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN sc USING (doc_id)""",
+    "dsir_mix_shift" ->
+      // per-source census over the dsir_weights body
+      """WITH ws AS (
+           SELECT doc_id, length(source) = 4 AS tgt,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(w) AS f FROM ws),
+         bi AS (
+           SELECT doc_id, tgt, w[i] || ' ' || w[i + 1] AS f FROM (
+             SELECT doc_id, tgt, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         feats AS (
+           SELECT doc_id, tgt,
+             ('0x' || substr(md5(f), 1, 4))::BIGINT % 1024 AS b
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
+         hist AS (
+           SELECT doc_id, tgt, b, count(*) AS n FROM feats GROUP BY 1, 2, 3),
+         bucket AS (
+           SELECT b, sum(n) AS cr,
+             sum(CASE WHEN tgt THEN n ELSE 0 END) AS ct
+           FROM hist GROUP BY 1),
+         tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM bucket),
+         ratio AS (
+           SELECT b,
+             ln((ct + 1.0) / (t + 1024.0)) - ln((cr + 1.0) / (r + 1024.0))
+               AS logratio
+           FROM bucket CROSS JOIN tot),
+         sc AS (
+           SELECT doc_id, round(sum(n * logratio), 4) AS weight
+           FROM hist JOIN ratio USING (b) GROUP BY 1),
+         w AS (
+           SELECT d.doc_id, sc.weight,
+             coalesce(sc.weight >= 0.0, false) AS keep
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN sc USING (doc_id))
+         SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN w.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(w.weight), 4) AS weight_sum
+         FROM documents doc JOIN w ON doc.doc_id = w.doc_id
+         GROUP BY 1""",
     "epoch_mix_plan" ->
       // same tokenize + weight rule; floor/round on doubles both sides
       """WITH t AS (
@@ -4300,6 +4420,56 @@ object SparkEntry {
            (5,'6d 6572'),(6,'61 74'),(7,'6c 75'),(8,'61 72'),(9,'70 6172'),
            (10,'6a 6f'),(11,'6a6f 696e'),(12,'61 73'),(13,'6173 68'),
            (14,'68 617368'),(15,'72 6f77')) AS t(rank, pair)""",
+    "bpe_fertility" ->
+      // the bpe_token_count recursion (same pinned merge table) over the
+      // plain corpus, rolled up per lang; ratios divide the exact integer
+      // sums (identical doubles in any IEEE engine), zero-guard via nullif
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         words AS (
+           SELECT doc_id, w, count(*) AS n_occ FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents) u WHERE w <> '' GROUP BY doc_id, w),
+         dw AS (SELECT DISTINCT w FROM words),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         counts AS (
+           SELECT w, len(string_split(s, ',')) - 2 AS n_tok
+           FROM rec WHERE r = 16),
+         perdoc AS (
+           SELECT doc_id, sum(n_occ * n_tok) AS n_bpe, sum(n_occ) AS n_w
+           FROM words JOIN counts USING (w) GROUP BY doc_id),
+         perlang AS (
+           SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(p.n_w, 0)) AS BIGINT) AS n_words,
+             CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_tokens,
+             CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS n_bytes
+           FROM documents d LEFT JOIN perdoc p USING (doc_id)
+           GROUP BY 1)
+         SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+           round(n_tokens / (1.0 * nullif(n_words, 0)), 4) AS tokens_per_word,
+           round(n_bytes / (1.0 * nullif(n_tokens, 0)), 4) AS bytes_per_token
+         FROM perlang""",
     "bpe_token_count" ->
       // full second-engine replay of byte-level BPE APPLICATION: the same
       // pinned merge table (gated by bpe_merges), applied as a recursive

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling — data selection via hashed-ngram
+  * importance weights (Xie et al. 2023, "Data Selection for Language
+  * Models via Importance Resampling" — public knowledge). The rung the
+  * curation tier was missing between the rule filters (Gopher, entropy)
+  * and the LM gates: instead of asking "is this document well-formed
+  * text", it asks "does this document LOOK LIKE the target domain",
+  * scoring every raw document by the log-likelihood ratio of its hashed
+  * n-gram features under a target distribution vs the raw-corpus
+  * distribution, then keeping the target-like mass. The reference has no
+  * equivalent; this is the standard pretraining-mix selection step
+  * (select web data that resembles Wikipedia/books) at 100 TB.
+  *
+  * Features: unigrams + word bigrams hashed into a CLOSED space of
+  * `buckets` buckets (md5-prefix arithmetic — the [[Sample.hashSplit]]
+  * convention, so any engine replays membership exactly). Both
+  * distributions are add-1 smoothed OVER THE BUCKET SPACE, which is
+  * finite and fixed, so smoothing is principled (every bucket has a
+  * defined probability) and the weight of a doc is
+  * Σ_f n_f · (ln p_target(f) − ln p_raw(f)).
+  *
+  * Scale shape — and why this beats the LM gate's join at 100 TB: the
+  * feature stream is one map-only explode (tokens + zip_with bigrams,
+  * concatenated per doc, ONE pass over text); the per-doc histogram agg
+  * map-side-combines to ≤ buckets rows per doc per partition; the
+  * bucket-marginal agg is bounded by `buckets` REGARDLESS of corpus
+  * size — so unlike the LM's vocab-sized model (zipfian, billions of
+  * rows at 100 TB, must shuffle-join), the DSIR ratio table is a fixed
+  * few-KB frame that is genuinely broadcastable at ANY corpus scale.
+  * Scoring is therefore a broadcast join + per-doc reduce: no
+  * model-side shuffle anywhere in the plan.
+  *
+  * Determinism across engines: per-doc weights round the SUM at 4dp
+  * (the q3/LM discipline — accumulation order differs, the rounded sum
+  * doesn't); ln arguments are rationals of integer counts, identical
+  * doubles in any IEEE engine.
+  */
+object Dsir {
+
+  /** Lowercased whitespace tokens, empties filtered — the NgramLm/tfidf
+    * tokenization regime, oracle-replayable verbatim. */
+  private def toks(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** md5-prefix bucket in [0, buckets) — the [[Sample.hashSplit]]
+    * cross-engine hash convention. */
+  private def bucketOf(f: Column, buckets: Int): Column =
+    conv(substring(md5(f), 1, 4), 16, 10).cast("long") % buckets
+
+  /** (doc_id, is_target, bucket) hashed-feature stream: unigrams and
+    * space-joined bigrams, one explode off a single tokenize pass. */
+  private def featureStream(df: DataFrame, idCol: String, textCol: String,
+                            targetPred: Column, buckets: Int): DataFrame = {
+    val n = greatest(size(col("__ws")) - 1, lit(0))
+    df.select(col(idCol).as("doc_id"), targetPred.as("tgt"),
+        toks(col(textCol)).as("__ws"))
+      .select(col("doc_id"), col("tgt"),
+        explode(concat(
+          col("__ws"),
+          zip_with(slice(col("__ws"), lit(1), n), slice(col("__ws"), lit(2), n),
+            (a, b) => concat(a, lit(" "), b)))).as("f"))
+      .select(col("doc_id"), col("tgt"), bucketOf(col("f"), buckets).as("b"))
+  }
+
+  /** Per-document importance weights against the target slice selected
+    * by `targetPred` (evaluated on the raw rows — e.g. a trusted-source
+    * predicate). Emits (doc_id, n_feats, weight, keep): weight is the
+    * rounded log-likelihood-ratio sum, keep = weight ≥ `keepAt` (0 =
+    * "more target-like than raw-average"). Featureless docs (null/empty
+    * text): n_feats 0, null weight, keep false. */
+  def weights(df: DataFrame, targetPred: Column, idCol: String,
+              textCol: String, buckets: Int = 1024,
+              keepAt: Double = 0.0): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets in (0, 65536]")
+    val hist = featureStream(df, idCol, textCol, targetPred, buckets)
+      .groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("n"))
+    // bucket marginals for BOTH distributions off the one histogram pass;
+    // bounded by `buckets`, so the downstream ratio table broadcasts at
+    // any corpus scale
+    val bucket = hist.groupBy("b")
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("tgt"), col("n")).otherwise(0L)).as("ct"))
+    val tot = bucket.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val ratio = bucket.crossJoin(broadcast(tot))
+      .withColumn("logratio",
+        log((col("ct") + lit(1.0)) / (col("t") + lit(buckets.toDouble))) -
+          log((col("cr") + lit(1.0)) / (col("r") + lit(buckets.toDouble))))
+      .select("b", "logratio")
+    // every stream bucket exists in the marginal table (it was built from
+    // this stream), so the broadcast join is total
+    val scored = hist.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_feats"),
+        round(sum(col("n") * col("logratio")), 4).as("weight"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("weight"),
+        coalesce(col("weight") >= lit(keepAt), lit(false)).as("keep"))
+  }
+
+  /** The resampling census — what the selection DID to the source mix:
+    * per source, holdings vs kept count and the rounded weight sum
+    * (sum of already-rounded doc weights, rounded again — both engines
+    * sum identical doubles). O(|sources|) rows; the dashboard row a
+    * mix owner reads before exporting the resampled corpus. */
+  def mixShift(df: DataFrame, targetPred: Column, idCol: String,
+               textCol: String, sourceCol: String, buckets: Int = 1024,
+               keepAt: Double = 0.0): DataFrame = {
+    val w = weights(df, targetPred, idCol, textCol, buckets, keepAt)
+    df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(w, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(col("weight")), 4).as("weight_sum"))
+  }
+}

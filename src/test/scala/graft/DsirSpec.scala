@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dsir
+
+class DsirSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // target slice = docs 1-2 (spark prose); raw adds a target-twin (3),
+  // an off-domain junk doc (4), and an empty doc (5)
+  private val docs = Seq(
+    (1L, "spark table scan spark table", true),
+    (2L, "table scan fast scan", true),
+    (3L, "spark table scan", false),
+    (4L, "zzz qqq zzz qqq zzz", false),
+    (5L, "", false)
+  ).toDF("doc_id", "text", "tgt")
+
+  test("weights: target-like doc scores positive, junk negative, empty unscoreable") {
+    // DSIR's operating regime: the raw corpus dwarfs the target slice and
+    // feature counts dwarf the add-1 smoothing mass (at tiny counts the
+    // uniform smoothing drowns the signal and even a target twin scores
+    // ~0). 30 extra replicas of each target doc, 200 of the junk doc —
+    // the probe docs 3 (twin), 4 (junk), 5 (empty) stay singular.
+    val corpus = docs.unionByName(Seq.tabulate(30) { k =>
+        (1000L + k, "spark table scan spark table", true)
+      }.toDF("doc_id", "text", "tgt"))
+      .unionByName(Seq.tabulate(30) { k =>
+        (1100L + k, "table scan fast scan", true)
+      }.toDF("doc_id", "text", "tgt"))
+      .unionByName(Seq.tabulate(200) { k =>
+        (2000L + k, "zzz qqq zzz qqq zzz", false)
+      }.toDF("doc_id", "text", "tgt"))
+    val w = Dsir.weights(corpus, col("tgt"), "doc_id", "text", buckets = 64)
+      .orderBy("doc_id").collect()
+    // doc 3 is built from target vocabulary only — every feature is more
+    // probable under target than raw → positive weight, kept
+    val d3 = w(2)
+    assert(d3.getAs[Long]("n_feats") === 5L) // 3 unigrams + 2 bigrams
+    assert(d3.getAs[Double]("weight") > 0.0)
+    assert(d3.getAs[Boolean]("keep"))
+    // doc 4 shares no vocabulary with the target slice → every feature
+    // has ct=0 → negative weight, dropped
+    val d4 = w(3)
+    assert(d4.getAs[Double]("weight") < 0.0)
+    assert(!d4.getAs[Boolean]("keep"))
+    // doc 5 has no features: n_feats 0, null weight, keep false
+    val d5 = w(4)
+    assert(d5.getAs[Long]("n_feats") === 0L)
+    assert(d5.isNullAt(d5.fieldIndex("weight")))
+    assert(!d5.getAs[Boolean]("keep"))
+  }
+
+  test("weights: hand-computed log-likelihood-ratio sum on a 1-bucket-per-feature corpus") {
+    // buckets=65536 with this tiny vocabulary: no collisions in practice,
+    // so each distinct feature is its own bucket and the arithmetic is
+    // checkable by hand
+    val tiny = Seq((1L, "a a", true), (2L, "b", false)).toDF("doc_id", "text", "tgt")
+    val b = 65536
+    val w = Dsir.weights(tiny, col("tgt"), "doc_id", "text", buckets = b)
+      .orderBy("doc_id").collect()
+    // features: doc1 = [a, a, "a a"] (tgt), doc2 = [b]; R=4, T=3
+    // logratio(a)    = ln((2+1)/(3+B)) - ln((2+1)/(4+B))
+    // logratio("a a")= ln((1+1)/(3+B)) - ln((1+1)/(4+B))
+    // logratio(b)    = ln((0+1)/(3+B)) - ln((1+1)/(4+B))
+    val la = math.log(3.0 / (3 + b)) - math.log(3.0 / (4 + b))
+    val laa = math.log(2.0 / (3 + b)) - math.log(2.0 / (4 + b))
+    val lb = math.log(1.0 / (3 + b)) - math.log(2.0 / (4 + b))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(w(0).getAs[Double]("weight") === r4(2 * la + laa))
+    assert(w(1).getAs[Double]("weight") === r4(lb))
+    assert(!w(1).getAs[Boolean]("keep")) // ln(1/2)-ish: negative
+  }
+
+  test("weights: deterministic under repartitioning") {
+    val a = Dsir.weights(docs, col("tgt"), "doc_id", "text", buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dsir.weights(docs.repartition(7), col("tgt"), "doc_id", "text",
+      buckets = 64).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("mixShift census reconciles with per-doc weights") {
+    val bySource = docs.withColumn("source",
+      when(col("doc_id") <= 2, "trusted").otherwise("web"))
+    val w = Dsir.weights(bySource, col("tgt"), "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (Option(r.get(r.fieldIndex("weight"))).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("keep")))).toMap
+    val m = Dsir.mixShift(bySource, col("tgt"), "doc_id", "text", "source",
+      buckets = 64).orderBy("source").collect()
+    assert(m.length === 2)
+    val web = m(1)
+    assert(web.getAs[String]("source") === "web")
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Long]("n_kept") ===
+      Seq(3L, 4L, 5L).count(id => w(id)._2).toLong)
+    val expSum = Seq(3L, 4L, 5L).flatMap(id => w(id)._1).sum
+    assert(web.getAs[Double]("weight_sum") === math.rint(expSum * 1e4) / 1e4)
+  }
+
+  test("ratio table is bucket-bounded and the scoring join broadcasts") {
+    val plan = Dsir.weights(docs, col("tgt"), "doc_id", "text", buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"DSIR scoring must broadcast the bucket-bounded ratio table:\n$plan")
+  }
+}
