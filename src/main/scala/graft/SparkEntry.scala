@@ -822,6 +822,13 @@ object SparkEntry {
       // holdings vs kept per source, O(|sources|) rows
       Dsir.mixShift(Tables.documents(s, d), length(col("source")) === 4,
         "doc_id", "text", "source")),
+    "dsir_resample" -> ((s, d) =>
+      // the paper's actual selection protocol: Gumbel-top-k draw of a
+      // fixed-size corpus with prob ∝ exp(weight/τ) — md5-prefix uniforms,
+      // 4dp keys, doc_id tiebreak, TakeOrderedAndProject (per-partition
+      // heaps, no global sort)
+      Dsir.resample(Tables.documents(s, d), length(col("source")) === 4,
+        "doc_id", "text", k = 200)),
     "epoch_mix_plan" -> ((s, d) =>
       // the pre-training mixture table: single-digit sources weighted 2x
       // (the "trusted slice" of the cross-score setup), 100M-token budget
@@ -3468,6 +3475,53 @@ object SparkEntry {
            round(sum(w.weight), 4) AS weight_sum
          FROM documents doc JOIN w ON doc.doc_id = w.doc_id
          GROUP BY 1""",
+    "dsir_resample" ->
+      // the dsir_weights body + the exact Gumbel-key replay: u from the
+      // same md5-prefix arithmetic ((v + 0.5)/2^32 is exact binary, so u
+      // is the identical double), key rounded at 4dp, doc_id tiebreak
+      """WITH ws AS (
+           SELECT doc_id, length(source) = 4 AS tgt,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(w) AS f FROM ws),
+         bi AS (
+           SELECT doc_id, tgt, w[i] || ' ' || w[i + 1] AS f FROM (
+             SELECT doc_id, tgt, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         feats AS (
+           SELECT doc_id, tgt,
+             ('0x' || substr(md5(f), 1, 4))::BIGINT % 1024 AS b
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
+         hist AS (
+           SELECT doc_id, tgt, b, count(*) AS n FROM feats GROUP BY 1, 2, 3),
+         bucket AS (
+           SELECT b, sum(n) AS cr,
+             sum(CASE WHEN tgt THEN n ELSE 0 END) AS ct
+           FROM hist GROUP BY 1),
+         tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM bucket),
+         ratio AS (
+           SELECT b,
+             ln((ct + 1.0) / (t + 1024.0)) - ln((cr + 1.0) / (r + 1024.0))
+               AS logratio
+           FROM bucket CROSS JOIN tot),
+         sc AS (
+           SELECT doc_id, round(sum(n * logratio), 4) AS weight
+           FROM hist JOIN ratio USING (b) GROUP BY 1),
+         keyed AS (
+           SELECT doc_id, weight,
+             round(weight - ln(-ln(
+               (('0x' || substr(md5('gum:' || doc_id), 1, 8))::BIGINT + 0.5)
+                 / 4294967296.0)), 4) AS key
+           FROM sc WHERE weight IS NOT NULL),
+         top AS (
+           SELECT doc_id, weight, key FROM keyed
+           ORDER BY key DESC, doc_id LIMIT 200)
+         SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, weight, key
+         FROM top""",
     "epoch_mix_plan" ->
       // same tokenize + weight rule; floor/round on doubles both sides
       """WITH t AS (

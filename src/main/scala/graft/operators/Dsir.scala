@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR-style importance resampling — data selection via hashed-ngram
@@ -102,6 +103,48 @@ object Dsir {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         col("weight"),
         coalesce(col("weight") >= lit(keepAt), lit(false)).as("keep"))
+  }
+
+  /** Gumbel-top-k importance RESAMPLING — the DSIR paper's actual
+    * selection protocol (§2.2: sample the target-sized corpus WITHOUT
+    * replacement with probability ∝ exp(weight/τ), not a hard
+    * threshold — thresholding mode-collapses onto the most target-like
+    * slice; resampling keeps diversity). Gumbel-top-k realizes it
+    * exactly: key_i = weight_i/τ + G_i with G_i standard Gumbel noise,
+    * take the k largest keys.
+    *
+    * Every term is deterministic and engine-replayable: the uniform is
+    * an md5-prefix draw u = (first-8-hex("gum:"||id) + 0.5) / 2^32 —
+    * (v + 0.5)/2^32 is exact binary arithmetic, so u is the identical
+    * double in any engine — and G = −ln(−ln u). Keys round at 4dp (the
+    * LM-oracle ln discipline) with doc_id as the total tiebreak, so
+    * top-k membership and rank replay exactly.
+    *
+    * Scale shape: the noise/key is a map-only projection over the
+    * weights frame; selection is orderBy(key desc, id).limit(k), which
+    * Catalyst plans as TakeOrderedAndProject — per-partition top-k
+    * heaps, never a global sort (asserted in the spec). The rank column
+    * is a window over the k survivors only — k rows, not the corpus.
+    * τ → 0 degenerates to deterministic top-k by weight; τ large
+    * approaches a uniform draw. Unscoreable docs (null weight) never
+    * enter the draw. */
+  def resample(df: DataFrame, targetPred: Column, idCol: String,
+               textCol: String, k: Int, tau: Double = 1.0,
+               buckets: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(tau > 0, "tau must be positive")
+    val w = weights(df, targetPred, idCol, textCol, buckets)
+      .filter(col("weight").isNotNull)
+    val u = (conv(substring(md5(concat(lit("gum:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    val keyed = w.withColumn("key",
+      round(col("weight") / lit(tau) - log(-log(u)), 4))
+    keyed.orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id"))))
+      .select("rank", "doc_id", "weight", "key")
   }
 
   /** The resampling census — what the selection DID to the source mix:

@@ -101,6 +101,45 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(web.getAs[Double]("weight_sum") === math.rint(expSum * 1e4) / 1e4)
   }
 
+  test("resample: τ→0 degenerates to deterministic top-k by weight, tiebroken by id") {
+    val r = Dsir.resample(docs, col("tgt"), "doc_id", "text", k = 2,
+      tau = 1e-6, buckets = 64).collect()
+    val w = Dsir.weights(docs, col("tgt"), "doc_id", "text", buckets = 64)
+      .filter(col("weight").isNotNull).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("weight")))
+    // at τ=1e-6 the weight/τ term dwarfs any Gumbel draw: selection is
+    // exactly the 2 largest weights (ties broken by id)
+    val expect = w.sortBy { case (id, wt) => (-wt, id) }.take(2).map(_._1)
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === expect.toSeq)
+    assert(r.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+  }
+
+  test("resample: k beyond the scored population returns every scoreable doc exactly once") {
+    val r = Dsir.resample(docs, col("tgt"), "doc_id", "text", k = 100,
+      buckets = 64).collect()
+    // doc 5 is empty (null weight) — never enters the draw
+    assert(r.map(_.getAs[Long]("doc_id")).sorted === Array(1L, 2L, 3L, 4L))
+    assert(r.map(_.getAs[Int]("rank")).sorted === Array(1, 2, 3, 4))
+  }
+
+  test("resample: deterministic under repartitioning, ranks total-ordered") {
+    val a = Dsir.resample(docs, col("tgt"), "doc_id", "text", k = 3,
+      buckets = 64).orderBy("rank").collect().toSeq
+    val b = Dsir.resample(docs.repartition(7), col("tgt"), "doc_id", "text",
+      k = 3, buckets = 64).orderBy("rank").collect().toSeq
+    assert(a === b)
+    // keys non-increasing down the rank order
+    val keys = a.map(_.getAs[Double]("key"))
+    assert(keys === keys.sorted(Ordering[Double].reverse))
+  }
+
+  test("resample selection plans as TakeOrderedAndProject, not a global sort") {
+    val plan = Dsir.resample(docs, col("tgt"), "doc_id", "text", k = 3,
+      buckets = 64).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"resample must use per-partition top-k heaps:\n$plan")
+  }
+
   test("ratio table is bucket-bounded and the scoring join broadcasts") {
     val plan = Dsir.weights(docs, col("tgt"), "doc_id", "text", buckets = 64)
       .queryExecution.executedPlan.toString
