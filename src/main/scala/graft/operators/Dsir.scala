@@ -25,15 +25,17 @@ import org.apache.spark.sql.functions._
   * Σ_f n_f · (ln p_target(f) − ln p_raw(f)).
   *
   * Scale shape — and why this beats the LM gate's join at 100 TB: the
-  * feature stream is one map-only explode (tokens + zip_with bigrams,
-  * concatenated per doc, ONE pass over text); the per-doc histogram agg
-  * map-side-combines to ≤ buckets rows per doc per partition; the
-  * bucket-marginal agg is bounded by `buckets` REGARDLESS of corpus
-  * size — so unlike the LM's vocab-sized model (zipfian, billions of
-  * rows at 100 TB, must shuffle-join), the DSIR ratio table is a fixed
-  * few-KB frame that is genuinely broadcastable at ANY corpus scale.
-  * Scoring is therefore a broadcast join + per-doc reduce: no
-  * model-side shuffle anywhere in the plan.
+  * feature stream is a map-only explode (tokens + zip_with bigrams,
+  * concatenated per doc) that deliberately runs TWICE — once for the
+  * bucket marginals, once for scoring — instead of materializing a
+  * per-doc bucket histogram; both consumers then map-side combine to
+  * BOUNDED frames (≤ buckets marginal rows per partition, one score
+  * row per doc per partition). The bucket-marginal agg is bounded by
+  * `buckets` REGARDLESS of corpus size — so unlike the LM's vocab-sized
+  * model (zipfian, billions of rows at 100 TB, must shuffle-join), the
+  * DSIR ratio table is a fixed few-KB frame that is genuinely
+  * broadcastable at ANY corpus scale. Scoring is therefore a broadcast
+  * join + per-doc reduce: no model-side shuffle anywhere in the plan.
   *
   * Determinism across engines: per-doc weights round the SUM at 4dp
   * (the q3/LM discipline — accumulation order differs, the rounded sum
@@ -85,7 +87,8 @@ object Dsir {
     // ≤ `buckets` rows per partition for the marginals, ONE row per doc
     // per partition for the scores. At corpus scale that is ~2 orders
     // of magnitude less shuffle for one extra embarrassingly-parallel
-    // scan (measured at sf10: 85 s histogram form → 60 s this form).
+    // scan (sf10 crossover pinned in BASELINE.md: 84.9 s histogram
+    // form → 53.5 s this form).
     def stream = featureStream(df, idCol, textCol, targetPred, buckets)
     // bucket marginals for BOTH distributions in one pass; bounded by
     // `buckets`, so the ratio table broadcasts at any corpus scale

@@ -56,22 +56,34 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
   test("weights: hand-computed log-likelihood-ratio sum on a 1-bucket-per-feature corpus") {
     // buckets=65536 with this tiny vocabulary: no collisions in practice,
     // so each distinct feature is its own bucket and the arithmetic is
-    // checkable by hand
-    val tiny = Seq((1L, "a a", true), (2L, "b", false)).toDF("doc_id", "text", "tgt")
+    // checkable by hand. The raw doc repeats its token 9 times so BOTH
+    // expected weights are non-zero at the 4dp round (a 2-doc corpus
+    // leaves the target weight at ~5e-5 → 0.0000, which would pass under
+    // a dropped-bigram or swapped-total mutation — vacuous)
+    val tiny = Seq((1L, "a a", true),
+      (2L, "b b b b b b b b b", false)).toDF("doc_id", "text", "tgt")
     val b = 65536
     val w = Dsir.weights(tiny, col("tgt"), "doc_id", "text", buckets = b)
       .orderBy("doc_id").collect()
-    // features: doc1 = [a, a, "a a"] (tgt), doc2 = [b]; R=4, T=3
-    // logratio(a)    = ln((2+1)/(3+B)) - ln((2+1)/(4+B))
-    // logratio("a a")= ln((1+1)/(3+B)) - ln((1+1)/(4+B))
-    // logratio(b)    = ln((0+1)/(3+B)) - ln((1+1)/(4+B))
-    val la = math.log(3.0 / (3 + b)) - math.log(3.0 / (4 + b))
-    val laa = math.log(2.0 / (3 + b)) - math.log(2.0 / (4 + b))
-    val lb = math.log(1.0 / (3 + b)) - math.log(2.0 / (4 + b))
+    // features: doc1 = [a, a, "a a"] (tgt); doc2 = [b ×9, "b b" ×8]
+    // T = 3, R = 20
+    // logratio(a)    = ln((2+1)/(3+B)) - ln((2+1)/(20+B))
+    // logratio("a a")= ln((1+1)/(3+B)) - ln((1+1)/(20+B))
+    // logratio(b)    = ln((0+1)/(3+B)) - ln((9+1)/(20+B))
+    // logratio("b b")= ln((0+1)/(3+B)) - ln((8+1)/(20+B))
+    val la = math.log(3.0 / (3 + b)) - math.log(3.0 / (20 + b))
+    val laa = math.log(2.0 / (3 + b)) - math.log(2.0 / (20 + b))
+    val lb = math.log(1.0 / (3 + b)) - math.log(10.0 / (20 + b))
+    val lbb = math.log(1.0 / (3 + b)) - math.log(9.0 / (20 + b))
     def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc1: 2·la + laa ≈ +7.8e-4 → 0.0008 — non-zero at 4dp, so a
+    // dropped bigram term (0.0005) or swapped t/r totals (-0.0008) fail
     assert(w(0).getAs[Double]("weight") === r4(2 * la + laa))
-    assert(w(1).getAs[Double]("weight") === r4(lb))
-    assert(!w(1).getAs[Boolean]("keep")) // ln(1/2)-ish: negative
+    assert(w(0).getAs[Double]("weight") > 0.0)
+    assert(w(0).getAs[Boolean]("keep"))
+    // doc2: 9·lb + 8·lbb ≈ -38.3 — dominated by the -ln(10)/-ln(9) terms
+    assert(w(1).getAs[Double]("weight") === r4(9 * lb + 8 * lbb))
+    assert(!w(1).getAs[Boolean]("keep"))
   }
 
   test("weights: deterministic under repartitioning") {
