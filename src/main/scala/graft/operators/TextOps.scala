@@ -212,15 +212,19 @@ object TextOps {
     * per-doc reduce over ≤ |alphabet| rows. NULL/empty docs classify as
     * unscoreable (null entropy, keep = false). The Σ c·ln(c) sum spans
     * ≤ |alphabet| terms, so the round-the-sum-at-4dp discipline holds
-    * across engines. */
+    * across engines; keep compares the ROUNDED entropy (a doc at true
+    * H = minEntropy − ε inside the 4dp half-step keeps — the price of
+    * an engine-exact predicate). */
   def charEntropy(df: DataFrame, idCol: String, textCol: String,
                   minEntropy: Double = 2.0): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
-      coalesce(col(textCol), lit("")).as("__text"))
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // one LINEAR pass: split at every inter-codepoint boundary ("(?!$)"
+    // — empty-lookahead, no trailing empty element). The first cut
+    // exploded positions and substring'd each one, which walks the
+    // string from byte 0 per position — O(n²) per doc, quadratic in
+    // exactly the long-document regime the operator exists to gate
     val chars = base.filter(length(col("__text")) > 0)
-      .select(col("doc_id"), col("__text"),
-        explode(sequence(lit(1), length(col("__text")))).as("i"))
-      .select(col("doc_id"), expr("substring(__text, i, 1)").as("ch"))
+      .select(col("doc_id"), explode(split(col("__text"), "(?!$)")).as("ch"))
     val scored = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_chars"),
