@@ -45,6 +45,19 @@ object SparkEntry {
     bpeMergeCache.getOrElseUpdate((s, d, numMerges),
       Bpe.train(Tables.documents(s, d), "text", numMerges))
 
+  /** One DSIR ratio-table estimation per (session, dir): the model is a
+    * dense 1024-row (bucket, logratio) list — skinny driver data, the
+    * Bpe.train memo discipline — and three registered queries score
+    * against the SAME model; each estimating independently would pay an
+    * extra corpus feature pass apiece. Also the production shape:
+    * estimate once on a snapshot, score every batch after. */
+  private val dsirRatioCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Double)]]
+  private def dsirRatio(s: SparkSession, d: String): Seq[(Long, Double)] =
+    dsirRatioCache.getOrElseUpdate((s, d),
+      graft.operators.Dsir.ratioTable(Tables.documents(s, d),
+        length(col("source")) === 4, "doc_id", "text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §A core relational engine -----------------------------------
     "q1_pricing_summary" -> ((s, d) => {
@@ -815,20 +828,23 @@ object SparkEntry {
       // cross_score convention) vs raw distribution; keep = weight ≥ 0.
       // The ratio table is bucket-bounded (1024 rows) so it broadcasts at
       // ANY corpus scale — no model-side shuffle, unlike the LM gate.
+      // All three dsir queries score against the memoized per-(session,
+      // dir) model (the Bpe.train discipline): one estimation pass, then
+      // each query is a single scoring pass.
       Dsir.weights(Tables.documents(s, d), length(col("source")) === 4,
-        "doc_id", "text")),
+        "doc_id", "text", ratio = Some(dsirRatio(s, d)))),
     "dsir_mix_shift" -> ((s, d) =>
       // the resampling census: what selection did to the source mix —
       // holdings vs kept per source, O(|sources|) rows
       Dsir.mixShift(Tables.documents(s, d), length(col("source")) === 4,
-        "doc_id", "text", "source")),
+        "doc_id", "text", "source", ratio = Some(dsirRatio(s, d)))),
     "dsir_resample" -> ((s, d) =>
       // the paper's actual selection protocol: Gumbel-top-k draw of a
       // fixed-size corpus with prob ∝ exp(weight/τ) — md5-prefix uniforms,
       // 4dp keys, doc_id tiebreak, TakeOrderedAndProject (per-partition
       // heaps, no global sort)
       Dsir.resample(Tables.documents(s, d), length(col("source")) === 4,
-        "doc_id", "text", k = 200)),
+        "doc_id", "text", k = 200, ratio = Some(dsirRatio(s, d)))),
     "epoch_mix_plan" -> ((s, d) =>
       // the pre-training mixture table: single-digit sources weighted 2x
       // (the "trusted slice" of the cross-score setup), 100M-token budget

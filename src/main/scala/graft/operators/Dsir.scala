@@ -75,38 +75,66 @@ object Dsir {
     * rounded log-likelihood-ratio sum, keep = weight ≥ `keepAt` (0 =
     * "more target-like than raw-average"). Featureless docs (null/empty
     * text): n_feats 0, null weight, keep false. */
-  def weights(df: DataFrame, targetPred: Column, idCol: String,
-              textCol: String, buckets: Int = 1024,
-              keepAt: Double = 0.0): DataFrame = {
+  /** The (bucket → logratio) model as skinny driver-side rows — the
+    * build-once half of the production shape (estimate the ratio on one
+    * corpus snapshot, score many batches against it; the Bpe.train memo
+    * precedent). ≤ `buckets` rows, one map-only feature pass + one
+    * bounded agg; the collect is capped at `buckets` (≤ 65,536) rows. */
+  def ratioTable(df: DataFrame, targetPred: Column, idCol: String,
+                 textCol: String, buckets: Int = 1024): Seq[(Long, Double)] = {
     require(buckets > 0 && buckets <= 65536, "buckets in (0, 65536]")
-    // The stream is deliberately computed TWICE (two map-only
-    // tokenize+explode passes) rather than materialized as a per-doc
-    // histogram: a (doc, bucket) histogram shuffle ships ~min(tokens,
-    // buckets) rows PER DOC (hundreds at web-doc sizes), while the two
-    // aggregations below each map-side combine to a bounded frame —
-    // ≤ `buckets` rows per partition for the marginals, ONE row per doc
-    // per partition for the scores. At corpus scale that is ~2 orders
-    // of magnitude less shuffle for one extra embarrassingly-parallel
-    // scan (sf10 crossover pinned in BASELINE.md: 84.9 s histogram
-    // form → 53.5 s this form).
-    def stream = featureStream(df, idCol, textCol, targetPred, buckets)
-    // bucket marginals for BOTH distributions in one pass; bounded by
-    // `buckets`, so the ratio table broadcasts at any corpus scale
-    val bucket = stream.groupBy("b")
+    val stream = featureStream(df, idCol, textCol, targetPred, buckets)
+    // marginals for BOTH distributions in one pass; bounded by `buckets`
+    val marg = stream.groupBy("b")
       .agg(count(lit(1)).as("cr"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
-    val tot = bucket.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
-    val ratio = bucket.crossJoin(broadcast(tot))
-      .withColumn("logratio",
-        log((col("ct") + lit(1.0)) / (col("t") + lit(buckets.toDouble))) -
-          log((col("cr") + lit(1.0)) / (col("r") + lit(buckets.toDouble))))
-      .select("b", "logratio")
-    // every stream bucket exists in the marginal table (it was built from
-    // this stream), so the broadcast join is total; the per-doc agg sums
-    // one logratio per feature OCCURRENCE (same sum as the histogram
-    // form n·logratio, different accumulation order — rounded at 4dp,
-    // the discipline that makes order irrelevant)
-    val scored = stream.join(broadcast(ratio), Seq("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val r = marg.values.map(_._1).sum.toDouble
+    val t = marg.values.map(_._2).sum.toDouble
+    // densified over the CLOSED bucket space (add-1 smoothing defines a
+    // logratio for never-observed buckets too), so the scoring join is
+    // total for ANY input corpus — same arithmetic as the self-estimated
+    // marginal join, and scoring a foreign batch needs no special case
+    (0L until buckets.toLong).map { b =>
+      val (cr, ct) = marg.getOrElse(b, (0L, 0L))
+      b -> (math.log((ct + 1.0) / (t + buckets)) -
+        math.log((cr + 1.0) / (r + buckets)))
+    }
+  }
+
+  /** Per-document importance weights. With `ratio = None` the model is
+    * estimated from `df` itself (two map-only feature passes — see
+    * below); passing a precomputed [[ratioTable]] scores in ONE corpus
+    * pass, which is both the production serving shape and what the
+    * SparkEntry memo uses so the three registered queries share one
+    * model build per (session, dir). */
+  def weights(df: DataFrame, targetPred: Column, idCol: String,
+              textCol: String, buckets: Int = 1024,
+              keepAt: Double = 0.0,
+              ratio: Option[Seq[(Long, Double)]] = None): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets in (0, 65536]")
+    // When estimating inline, the stream is deliberately computed TWICE
+    // (two map-only tokenize+explode passes) rather than materialized as
+    // a per-doc histogram: a (doc, bucket) histogram shuffle ships
+    // ~min(tokens, buckets) rows PER DOC (hundreds at web-doc sizes),
+    // while the two aggregations each map-side combine to a bounded
+    // frame — ≤ `buckets` rows per partition for the marginals, ONE row
+    // per doc per partition for the scores. At corpus scale that is ~2
+    // orders of magnitude less shuffle for one extra embarrassingly-
+    // parallel scan (sf10 crossover pinned in BASELINE.md: 84.9 s
+    // histogram form → 53.5 s this form).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratioDf = ratio
+      .getOrElse(ratioTable(df, targetPred, idCol, textCol, buckets))
+      .toDF("b", "logratio")
+    // the ratio table is DENSE over the closed bucket space, so the
+    // broadcast join is total for any input corpus; the per-doc agg sums
+    // one logratio per feature OCCURRENCE (same sum as a histogram-form
+    // n·logratio, different accumulation order — rounded at 4dp, the
+    // discipline that makes order irrelevant)
+    val stream = featureStream(df, idCol, textCol, targetPred, buckets)
+    val scored = stream.join(broadcast(ratioDf), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("logratio")), 4).as("weight"))
@@ -143,10 +171,11 @@ object Dsir {
     * enter the draw. */
   def resample(df: DataFrame, targetPred: Column, idCol: String,
                textCol: String, k: Int, tau: Double = 1.0,
-               buckets: Int = 1024): DataFrame = {
+               buckets: Int = 1024,
+               ratio: Option[Seq[(Long, Double)]] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(tau > 0, "tau must be positive")
-    val w = weights(df, targetPred, idCol, textCol, buckets)
+    val w = weights(df, targetPred, idCol, textCol, buckets, ratio = ratio)
       .filter(col("weight").isNotNull)
     val u = (conv(substring(md5(concat(lit("gum:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") +
@@ -167,8 +196,9 @@ object Dsir {
     * mix owner reads before exporting the resampled corpus. */
   def mixShift(df: DataFrame, targetPred: Column, idCol: String,
                textCol: String, sourceCol: String, buckets: Int = 1024,
-               keepAt: Double = 0.0): DataFrame = {
-    val w = weights(df, targetPred, idCol, textCol, buckets, keepAt)
+               keepAt: Double = 0.0,
+               ratio: Option[Seq[(Long, Double)]] = None): DataFrame = {
+    val w = weights(df, targetPred, idCol, textCol, buckets, keepAt, ratio)
     df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
       .join(w, Seq("doc_id"))
       .groupBy("source")

@@ -86,6 +86,17 @@ object DsirProps extends Properties("Dsir") {
       got == naiveWeights(docs)
     }
 
+  property("precomputed dense ratioTable scores identically to self-estimation") =
+    forAll(corpusGen) { docs =>
+      val df = toDf(docs)
+      val rt = Dsir.ratioTable(df, col("tgt"), "doc_id", "text", buckets = B)
+      val self = Dsir.weights(df, col("tgt"), "doc_id", "text", buckets = B)
+        .collect().map(_.toSeq).toSet
+      val pre = Dsir.weights(df, col("tgt"), "doc_id", "text", buckets = B,
+        ratio = Some(rt)).collect().map(_.toSeq).toSet
+      rt.size == B && self == pre
+    }
+
   property("keep is exactly weight >= 0, false on unscoreable docs") =
     forAll(corpusGen) { docs =>
       Dsir.weights(toDf(docs), col("tgt"), "doc_id", "text", buckets = B)
