@@ -58,6 +58,16 @@ object SparkEntry {
       graft.operators.Dsir.ratioTable(Tables.documents(s, d),
         length(col("source")) === 4, "doc_id", "text"))
 
+  /** One quality-classifier training per (session, dir): the trainer is a
+    * TakeOrdered corpus pass + 400 driver-side GD iterations, and both
+    * registered queries (quality_classifier, quality_classifier_weights)
+    * need the SAME deterministic weights — the memo discipline above. */
+  private val qualityWeightsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), QualityModel.Weights]
+  private def qualityWeights(s: SparkSession, d: String): QualityModel.Weights =
+    qualityWeightsCache.getOrElseUpdate((s, d),
+      QualityModel.train(Tables.documents(s, d), "doc_id", "text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §A core relational engine -----------------------------------
     "q1_pricing_summary" -> ((s, d) => {
@@ -756,7 +766,7 @@ object SparkEntry {
       // exact 6dp weights every run; a drift in feature extraction, the
       // negative generator, or the trainer flips the row red.
       import s.implicits._
-      val w = QualityModel.train(Tables.documents(s, d), "doc_id", "text")
+      val w = qualityWeights(s, d)
       Seq((w.bias, w.w(0), w.w(1), w.w(2), w.w(3)))
         .toDF("bias", "w_len", "w_stop", "w_wordlen", "w_punct")
     }),
@@ -768,7 +778,7 @@ object SparkEntry {
       // DuckDB oracle replays the entire pass with the pinned weights,
       // so Spark's training AND scoring must both land exactly.
       QualityModel.score(Tables.documents(s, d), "doc_id", "text",
-        QualityModel.train(Tables.documents(s, d), "doc_id", "text"))
+        qualityWeights(s, d))
     }),
     "fingerprint" -> ((s, d) =>
       // Rolling polynomial + content-minhash fingerprints are fully
