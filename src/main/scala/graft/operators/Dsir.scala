@@ -44,37 +44,36 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Lowercased whitespace tokens, empties filtered — the NgramLm/tfidf
-    * tokenization regime, oracle-replayable verbatim. */
-  private def toks(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+  /** Lowercased whitespace tokens, empties filtered — the shared
+    * [[TextOps.lowerToks]] regime, oracle-replayable verbatim. */
+  private def toks(text: Column): Column = TextOps.lowerToks(text)
 
   /** md5-prefix bucket in [0, buckets) — the [[Sample.hashSplit]]
     * cross-engine hash convention. */
   private def bucketOf(f: Column, buckets: Int): Column =
     conv(substring(md5(f), 1, 4), 16, 10).cast("long") % buckets
 
-  /** (doc_id, is_target, bucket) hashed-feature stream: unigrams and
-    * space-joined bigrams, one explode off a single tokenize pass. */
+  /** (doc_id[, is_target], bucket) hashed-feature stream: unigrams and
+    * space-joined bigrams, one explode off a single tokenize pass. The
+    * target predicate is only projected when estimating (`Some`); the
+    * scoring path passes `None` so a foreign batch that lacks the
+    * predicate's columns (the production serving shape) still resolves. */
   private def featureStream(df: DataFrame, idCol: String, textCol: String,
-                            targetPred: Column, buckets: Int): DataFrame = {
+                            targetPred: Option[Column], buckets: Int): DataFrame = {
     val n = greatest(size(col("__ws")) - 1, lit(0))
-    df.select(col(idCol).as("doc_id"), targetPred.as("tgt"),
-        toks(col(textCol)).as("__ws"))
-      .select(col("doc_id"), col("tgt"),
+    val tagged = targetPred.map(p => Seq(p.as("tgt"))).getOrElse(Nil)
+    val tagCol = targetPred.map(_ => Seq(col("tgt"))).getOrElse(Nil)
+    df.select(col(idCol).as("doc_id") +: tagged :+
+        toks(col(textCol)).as("__ws"): _*)
+      .select(col("doc_id") +: tagCol :+
         explode(concat(
           col("__ws"),
           zip_with(slice(col("__ws"), lit(1), n), slice(col("__ws"), lit(2), n),
-            (a, b) => concat(a, lit(" "), b)))).as("f"))
-      .select(col("doc_id"), col("tgt"), bucketOf(col("f"), buckets).as("b"))
+            (a, b) => concat(a, lit(" "), b)))).as("f"): _*)
+      .select(col("doc_id") +: tagCol :+
+        bucketOf(col("f"), buckets).as("b"): _*)
   }
 
-  /** Per-document importance weights against the target slice selected
-    * by `targetPred` (evaluated on the raw rows — e.g. a trusted-source
-    * predicate). Emits (doc_id, n_feats, weight, keep): weight is the
-    * rounded log-likelihood-ratio sum, keep = weight ≥ `keepAt` (0 =
-    * "more target-like than raw-average"). Featureless docs (null/empty
-    * text): n_feats 0, null weight, keep false. */
   /** The (bucket → logratio) model as skinny driver-side rows — the
     * build-once half of the production shape (estimate the ratio on one
     * corpus snapshot, score many batches against it; the Bpe.train memo
@@ -83,7 +82,7 @@ object Dsir {
   def ratioTable(df: DataFrame, targetPred: Column, idCol: String,
                  textCol: String, buckets: Int = 1024): Seq[(Long, Double)] = {
     require(buckets > 0 && buckets <= 65536, "buckets in (0, 65536]")
-    val stream = featureStream(df, idCol, textCol, targetPred, buckets)
+    val stream = featureStream(df, idCol, textCol, Some(targetPred), buckets)
     // marginals for BOTH distributions in one pass; bounded by `buckets`
     val marg = stream.groupBy("b")
       .agg(count(lit(1)).as("cr"),
@@ -102,12 +101,18 @@ object Dsir {
     }
   }
 
-  /** Per-document importance weights. With `ratio = None` the model is
-    * estimated from `df` itself (two map-only feature passes — see
-    * below); passing a precomputed [[ratioTable]] scores in ONE corpus
-    * pass, which is both the production serving shape and what the
-    * SparkEntry memo uses so the three registered queries share one
-    * model build per (session, dir). */
+  /** Per-document importance weights. Emits (doc_id, n_feats, weight,
+    * keep): weight is the rounded log-likelihood-ratio sum, keep =
+    * weight ≥ `keepAt` (0 = "more target-like than raw-average");
+    * featureless docs (null/empty text) get n_feats 0, null weight,
+    * keep false. With `ratio = None` the model is estimated from `df`
+    * itself against the slice `targetPred` selects (two map-only
+    * feature passes — see below); passing a precomputed [[ratioTable]]
+    * scores in ONE corpus pass — the production serving shape and what
+    * the SparkEntry memo uses so the three registered queries share one
+    * model build per (session, dir). In that mode `targetPred` is NOT
+    * evaluated, so a foreign batch need not carry the predicate's
+    * columns — estimate on a snapshot, score any (doc_id, text) frame. */
   def weights(df: DataFrame, targetPred: Column, idCol: String,
               textCol: String, buckets: Int = 1024,
               keepAt: Double = 0.0,
@@ -133,7 +138,10 @@ object Dsir {
     // one logratio per feature OCCURRENCE (same sum as a histogram-form
     // n·logratio, different accumulation order — rounded at 4dp, the
     // discipline that makes order irrelevant)
-    val stream = featureStream(df, idCol, textCol, targetPred, buckets)
+    // scoring never reads the target tag (only ratioTable's own stream
+    // does) — skip the projection entirely, so with a precomputed model
+    // the predicate's columns need not exist on the batch being scored
+    val stream = featureStream(df, idCol, textCol, None, buckets)
     val scored = stream.join(broadcast(ratioDf), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),

@@ -40,10 +40,10 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  /** Lowercased whitespace tokens as an array, empties filtered (the
-    * tfidf/BPE tokenization regime — oracle-replayable verbatim). */
+  /** Lowercased whitespace tokens as an array, empties filtered — the
+    * shared [[TextOps.lowerToks]] regime, oracle-replayable verbatim. */
   private def toks(text: org.apache.spark.sql.Column) =
-    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+    TextOps.lowerToks(text)
 
   /** (doc_id, w1, w2) bigram stream — map-only. */
   private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {

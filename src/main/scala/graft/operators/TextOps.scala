@@ -13,6 +13,14 @@ object TextOps {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Lowercased whitespace tokens, empties filtered — the ONE shared
+    * tokenization regime the LM gates, DSIR and tfidf replay verbatim in
+    * the DuckDB oracles (`list_filter(regexp_split_to_array(trim(lower(
+    * text)),'\s+'), x -> x <> '')`). Single definition so a future tweak
+    * can't silently desynchronize one consumer's oracle from another's. */
+  def lowerToks(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
   /** Whitespace + regex ("BPE-ish": letter runs / digit runs / single
     * punctuation) token counts. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -218,13 +226,19 @@ object TextOps {
   def charEntropy(df: DataFrame, idCol: String, textCol: String,
                   minEntropy: Double = 2.0): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    // one LINEAR pass: split at every inter-codepoint boundary ("(?!$)"
-    // — empty-lookahead, no trailing empty element). The first cut
-    // exploded positions and substring'd each one, which walks the
-    // string from byte 0 per position — O(n²) per doc, quadratic in
-    // exactly the long-document regime the operator exists to gate
+    // one LINEAR pass: regexp_extract_all with (?s). yields one element
+    // per CODE POINT (the oracle's substr-per-position unit). Not
+    // split("(?!$)") — Java's $ also matches BEFORE a final line
+    // terminator, gluing a trailing \n onto the last char ("aa\n" →
+    // ["a","a\n"]) — and not split("(?!\\z)") either: Spark's split
+    // places empty matches BETWEEN surrogate halves, shearing astral
+    // chars into lone surrogates ("😀" → 2 elements) where the oracle
+    // counts 1. The first cut exploded positions and substring'd each
+    // one, which walks the string from byte 0 per position — O(n²) per
+    // doc, quadratic in exactly the long-document regime this gates
     val chars = base.filter(length(col("__text")) > 0)
-      .select(col("doc_id"), explode(split(col("__text"), "(?!$)")).as("ch"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("__text"), lit("(?s)."), lit(0))).as("ch"))
     val scored = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_chars"),

@@ -158,4 +158,24 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"DSIR scoring must broadcast the bucket-bounded ratio table:\n$plan")
   }
+
+  test("precomputed ratio scores a foreign batch lacking the predicate's columns") {
+    // the production serving shape: estimate on a snapshot that carries
+    // the target tag, then score a later batch that has ONLY (doc_id,
+    // text) — the predicate must not be evaluated on the scoring pass
+    val table = Dsir.ratioTable(docs, col("tgt"), "doc_id", "text", buckets = 64)
+    val batch = Seq((10L, "spark table scan"), (11L, "zzz qqq"))
+      .toDF("doc_id", "text") // no tgt column at all
+    val w = Dsir.weights(batch, col("tgt"), "doc_id", "text", buckets = 64,
+        ratio = Some(table))
+      .orderBy("doc_id").collect()
+    assert(w.length === 2 && w(0).getAs[Long]("n_feats") === 5L)
+    // and the scores equal scoring the same docs through the self-tagged
+    // frame — the tag projection changes resolution, never arithmetic
+    val tagged = Dsir.weights(
+        batch.withColumn("tgt", lit(false)), col("tgt"), "doc_id", "text",
+        buckets = 64, ratio = Some(table))
+      .orderBy("doc_id").collect()
+    assert(w.map(_.toString).toSeq === tagged.map(_.toString).toSeq)
+  }
 }

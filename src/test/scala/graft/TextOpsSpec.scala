@@ -297,7 +297,14 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       (2L, "aaaaaaaa"),         // zero entropy: pure repetition
       (3L, "abcdefgh"),         // ln 8 = 2.0794 ≥ 2.0 → keep
       (4L, null.asInstanceOf[String]),
-      (5L, ""))
+      (5L, ""),
+      // trailing line terminators: Java's $ matches BEFORE a final \n,
+      // so a (?!$) split would glue it to the last char ("aa\n" →
+      // ["a","a\n"]) — the (?!\z) split counts all 3 code points, same
+      // as the oracle's per-position substr ("aa\n" ≡ "aab" entropy)
+      (6L, "aa\n"),
+      (7L, "ab\r\n"),           // a, b, \r, \n all distinct → ln 4
+      (8L, "😀😀")) // one astral code point ×2 → H 0
       .toDF("doc_id", "text")
     val got = TextOps.charEntropy(rows, "doc_id", "text")
       .as[(Long, Long, Long, Option[Double], Boolean)]
@@ -307,6 +314,9 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._4.get === 2.0794 && got(3L)._5)
     assert(got(4L) === ((4L, 0L, 0L, None, false)))
     assert(got(5L) === ((5L, 0L, 0L, None, false)))
+    assert(got(6L) === ((6L, 3L, 2L, Some(0.6365), false)))
+    assert(got(7L) === ((7L, 4L, 4L, Some(1.3863), false)))
+    assert(got(8L) === ((8L, 2L, 1L, Some(0.0), false)))
   }
 
   test("gopherRuleStats: roll-up counts reconcile with the bitmap") {
