@@ -863,6 +863,20 @@ object SparkEntry {
         size(TextOps.tokens(col("text"))).cast("long"),
         when(length(col("source")) === 4, lit(2.0)).otherwise(lit(1.0)),
         budgetTokens = 100000000L)),
+    "epoch_shuffle" -> ((s, d) =>
+      // reproducible epoch-1 training order: every doc gets a (shard,
+      // pos) slot off md5("ep:1:"||id) — one uniform hash shuffle +
+      // in-shard sort, no global sort, checkpoint resume = seek
+      Sample.epochOrder(Tables.documents(s, d), "doc_id", epoch = 1,
+        numShards = 8)),
+    "diversity_sample" -> ((s, d) =>
+      // D4-family cluster-balanced selection: 60 slots filled round-robin
+      // over 8 md5-drawn centroids, most-prototypical-first — assignment
+      // is a map-only literal-matrix cosine, the per-cluster rank rides
+      // the InferWindowGroupLimit pushdown (the domain_cap lesson), and
+      // the whole selection replays bit-for-bit in the oracle
+      Similarity.diversitySample(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 60, nlist = 8)),
     "split_leakage" -> ((s, d) => {
       // eval-contamination gate: duplicated content spanning splits —
       // the id-keyed split deals copies independently, so raw-corpus
@@ -3566,6 +3580,61 @@ object SparkEntry {
            round(CAST(floor(100000000.0 * weight / z) AS BIGINT)
              / available_tokens, 4) AS epochs
          FROM p CROSS JOIN z""",
+    "epoch_shuffle" ->
+      // same md5("ep:<epoch>:<id>") key: shard = 4-hex-prefix mod 8
+      // (the hashSplit arithmetic), pos = rank within shard by (full
+      // lowercase-hex key, id) — hex string order is byte order in both
+      // engines
+      """WITH t AS (
+           SELECT doc_id, md5('ep:1:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents)
+         SELECT
+           CAST(('0x' || substr(k, 1, 4))::BIGINT % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substr(k, 1, 4))::BIGINT % 8
+             ORDER BY k, doc_id) AS INT) AS pos,
+           doc_id
+         FROM t""",
+    "diversity_sample" ->
+      // full replay of the selection: centroids = the 8 rows with the
+      // smallest md5-prefix draw, assignment = argmax cosine (ties to the
+      // smaller centroid id), in-cluster rank by cos desc, round-robin
+      // pick order; cosines ride the same double-fold dot chain the
+      // cosine_topk oracle pins, so every comparison sees identical bits
+      """WITH e AS (
+           SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+         cand AS (
+           SELECT v, row_number() OVER (
+             ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+               vec_id) AS rn
+           FROM e),
+         cent AS (SELECT v, CAST(rn - 1 AS INT) AS cid FROM cand WHERE rn <= 8),
+         a AS (
+           SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.v) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(c.v, c.v))) AS cos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.v, c.v))) DESC, c.cid ASC) AS rn
+           FROM e CROSS JOIN cent c),
+         r AS (
+           SELECT vec_id, cid AS cluster_id, cos,
+             CAST(row_number() OVER (PARTITION BY cid
+               ORDER BY cos DESC, vec_id ASC) AS INT) AS cluster_rank
+           FROM a WHERE rn = 1),
+         p AS (
+           SELECT CAST(row_number() OVER (
+               ORDER BY cluster_rank, cluster_id) AS INT) AS pick_order,
+             vec_id, cluster_id, cluster_rank, cos
+           FROM r WHERE cluster_rank <= 8)
+         SELECT pick_order, vec_id, cluster_id, cluster_rank, cos
+         FROM p WHERE pick_order <= 60""",
     "split_leakage" ->
       // same md5-prefix bucket arithmetic as dataset_split; duplicate
       // content groups + the distinct splits they span

@@ -212,6 +212,42 @@ object Sample {
       .select("source", "available_tokens", "weight", "target_tokens", "epochs")
   }
 
+  /** Deterministic per-epoch training order — the reproducible global
+    * shuffle a data loader fixes before a run (the Megatron-style epoch
+    * permutation): every document gets a (shard, pos) slot, keyed on
+    * md5("ep:<epoch>:<id>") so epoch 2's order is unrelated to epoch 1's
+    * yet both replay bit-for-bit on any engine and any cluster size —
+    * resuming from a checkpoint means seeking to (shard, pos), never
+    * re-drawing RNG state. shard = md5-prefix mod `numShards` (the
+    * [[hashSplit]] arithmetic), pos = 1-based rank within the shard by
+    * (full md5 hex, id) — lowercase-hex string order is plain byte order
+    * in every engine.
+    *
+    * Scale shape: NO global sort. One hash shuffle partitions by shard
+    * (uniform by construction — hashed, so no skew regardless of the
+    * data), and each shard sorts locally for its row_number; shards are
+    * sized by `numShards` to the consumer's reader parallelism exactly
+    * like [[graft.sources.Sink]]'s shard export. The output is the
+    * skinny (shard, pos, doc_id) manifest — 16-ish bytes/doc — which a
+    * loader joins back to the packed payload by doc_id. */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int,
+                 numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epoch >= 0, "epoch must be non-negative")
+    require(numShards > 0, "numShards must be positive")
+    val key = md5(concat_ws(":", lit("ep"), lit(epoch),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key").asc, col("doc_id").asc)
+    df.select(col(idCol).as("doc_id"))
+      .withColumn("__key", key)
+      .withColumn("shard",
+        (conv(substring(col("__key"), 1, 4), 16, 10).cast("long")
+          % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("shard", "pos", "doc_id")
+  }
+
   /** Per-domain cap audit: how much each domain holds vs keeps under the
     * cap — the mix report a curation run publishes. Counts aggregate
     * map-side; rows are O(|domains|). */

@@ -718,4 +718,79 @@ object Similarity {
     ivfPqTopKRerank(rotated(corpus), rotated(queries), idCol, "__rv",
       k, shortlist, nlist, nprobe, m, codebookSize, sampleFraction, seed)
   }
+
+  /** Cluster-balanced diversity selection — the D4/SSL-prototypes-family
+    * "pick k documents that COVER the embedding space" step (Tirumala et
+    * al. 2023; Sorscher et al. 2022 — public papers): a training subset
+    * drawn uniformly over-represents the dense modes of the corpus, so
+    * selection partitions the space into `nlist` clusters and fills the
+    * k slots round-robin across clusters, most-prototypical-first within
+    * each. Centroids are the nlist corpus rows with the smallest
+    * md5-prefix draw — deterministic AND engine-replayable, unlike
+    * xxhash64 sampling or a KMeans fit, so the WHOLE selection (centroid
+    * choice, cluster assignment, in-cluster rank, final pick order)
+    * replays bit-for-bit in a second engine: cosines ride the same
+    * double-fold [[dot]] chain the cosine_topk oracle pins.
+    *
+    * Emits the k picked rows: (pick_order, vec_id, cluster_id,
+    * cluster_rank, cos). pick_order interleaves clusters (all rank-1
+    * representatives first, then rank-2, ...), so ANY prefix of the
+    * output is itself cluster-balanced — cutting at k' < k needs no
+    * re-selection. Zero vectors (no cosine) never enter. If a cluster
+    * holds fewer than ceil(k/nlist) members the output may fall short of
+    * k rather than over-draw dense clusters — the quota IS the diversity
+    * guarantee.
+    *
+    * Scale shape: assignment is map-only (a literal centroid matrix —
+    * ≤ nlist·dim doubles in the plan — scored with the codegen'd [[dot]]
+    * kernel). The per-cluster rank is a window by cluster_id whose
+    * `cluster_rank ≤ quota` filter Catalyst's InferWindowGroupLimit
+    * pushes BELOW the exchange (the domain_cap lesson): each map
+    * partition ships at most quota rows per cluster, so the shuffle and
+    * the final single-partition pick window both see ≤ nlist·quota rows
+    * regardless of corpus size. O(nlist) rows ever reach the driver. */
+  def diversitySample(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nlist: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nlist > 0 && nlist <= 256, "nlist in (0, 256]")
+    val base = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .filter(dot(col("vec"), col("vec")) > lit(0.0))
+    val cents: Seq[Seq[Double]] = base
+      .select(col("vec"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("__r"))
+      .orderBy(col("__r").asc, col("vec_id").asc).limit(nlist)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    require(cents.nonEmpty, "corpus has no non-zero vectors to sample from")
+    val quota = (k + cents.size - 1) / cents.size
+    // argmax cosine over the literal centroid matrix; the struct-greatest
+    // tie-break is on negated cid, so ties go to the SMALLEST cluster id
+    // (replayed as ORDER BY cos DESC, cid ASC in the oracle). Centroid
+    // norms are driver-side constants off the same left-fold sum-of-
+    // squares chain as sqrt(list_dot_product(c, c)).
+    val sims = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (dot(col("vec"), typedLit(c)) /
+          (col("__norm") * lit(math.sqrt(c.map(x => x * x).sum)))).as("cos"),
+        lit(-i).as("negcid"))
+    }
+    // Spark's greatest() wants ≥2 args; a 1-centroid corpus degenerates
+    // to "everything is cluster 0"
+    val best = if (sims.size == 1) sims.head else greatest(sims: _*)
+    val wc = Window.partitionBy("cluster_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wp = Window.orderBy(col("cluster_rank").asc, col("cluster_id").asc)
+    base.withColumn("__norm", l2norm(col("vec")))
+      .withColumn("__best", best)
+      .select(col("vec_id"),
+        (-col("__best").getField("negcid")).as("cluster_id"),
+        col("__best").getField("cos").as("cos"))
+      .withColumn("cluster_rank", row_number().over(wc))
+      .filter(col("cluster_rank") <= quota)
+      .withColumn("pick_order", row_number().over(wp))
+      .filter(col("pick_order") <= k)
+      .select("pick_order", "vec_id", "cluster_id", "cluster_rank", "cos")
+  }
 }

@@ -116,4 +116,33 @@ class SketchSampleSpec extends AnyFunSuite with SparkSpec {
     assert(leak._2 === 2L && leak._3 === 2L && leak._4 === "test,train")
     assert(benign._2 === 2L && benign._3 === 1L && benign._4 === "train")
   }
+
+  test("epochOrder: every doc slotted exactly once, pos contiguous per shard") {
+    val docs = (0L until 400L).toDF("doc_id")
+    val got = Sample.epochOrder(docs, "doc_id", epoch = 1, numShards = 8)
+      .as[(Int, Int, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq === (0L until 400L))
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    assert(got.map(_._1).distinct.sorted.toSeq === (0 to 7))
+  }
+
+  test("epochOrder: reproducible within an epoch, re-dealt across epochs") {
+    val docs = (0L until 300L).toDF("doc_id")
+    def order(epoch: Int, parts: Int) =
+      Sample.epochOrder(docs.repartition(parts), "doc_id", epoch, numShards = 4)
+        .as[(Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // same epoch: identical slots whatever the input partitioning
+    assert(order(1, 3) === order(1, 11))
+    // different epoch: a genuinely different permutation (same doc set)
+    val e1 = order(1, 3); val e2 = order(2, 3)
+    assert(e1.map(_._3).sorted === e2.map(_._3).sorted)
+    assert(e1 !== e2)
+    // and the within-shard sequences themselves differ, not just shards
+    val seq1 = e1.filter(_._1 == 0).map(_._3)
+    val seq2 = e2.filter(_._1 == 0).map(_._3)
+    assert(seq1 !== seq2)
+  }
 }
