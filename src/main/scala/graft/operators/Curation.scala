@@ -45,39 +45,48 @@ object Curation {
     val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
     val n0 = s0.count()
 
-    // stage 1: Gopher rule bitmap, keep pass_all — skinny id frame
-    val ids1 = TextOps.gopherQualityRules(s0, idCol, textCol)
-      .filter(col("pass_all")).select(col(idCol).as("doc_id")).persist()
-    val n1 = ids1.count()
+    // the cached id frames release in a finally: a failing stage (a lost
+    // executor, a bad input tripping a require) must not leak up to
+    // three corpus-sized-id cache entries for the session's lifetime
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    try {
+      // stage 1: Gopher rule bitmap, keep pass_all — skinny id frame
+      val ids1 = track(TextOps.gopherQualityRules(s0, idCol, textCol)
+        .filter(col("pass_all")).select(col(idCol).as("doc_id")))
+      val n1 = ids1.count()
 
-    // stage 2: LM keep — model trained on the RAW corpus, but only the
-    // stage-1 SURVIVORS pay the scoring join (the stage-ordering
-    // economics the header promises). scoreAgainst on a corpus subset
-    // equals self-scoring for it: every survivor bigram is in the raw
-    // model, so the backoff never fires and verdicts are identical.
-    val surv1 = s0.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
-    val ids2 = NgramLm.scoreAgainst(s0, surv1, idCol, textCol,
-        nllKeep = nllKeep)
-      .filter(col("keep")).select(col("doc_id")).persist()
-    val n2 = ids2.count()
+      // stage 2: LM keep — model trained on the RAW corpus, but only the
+      // stage-1 SURVIVORS pay the scoring join (the stage-ordering
+      // economics the header promises). scoreAgainst on a corpus subset
+      // equals self-scoring for it: every survivor bigram is in the raw
+      // model, so the backoff never fires and verdicts are identical.
+      val surv1 = s0.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
+      val ids2 = track(NgramLm.scoreAgainst(s0, surv1, idCol, textCol,
+          nllKeep = nllKeep)
+        .filter(col("keep")).select(col("doc_id")))
+      val n2 = ids2.count()
 
-    // stage 3: exact dedup (min id per content hash) among survivors —
-    // one join back to the corpus for text, id+domain carried forward
-    val ids3 = Dedup.exactByHash(
-        s0.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
-        textCol, idCol)
-      .select(col(idCol).as("doc_id"), col(domainCol)).persist()
-    val n3 = ids3.count()
+      // stage 3: exact dedup (min id per content hash) among survivors —
+      // one join back to the corpus for text, id+domain carried forward
+      val ids3 = track(Dedup.exactByHash(
+          s0.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
+          textCol, idCol)
+        .select(col(idCol).as("doc_id"), col(domainCol)))
+      val n3 = ids3.count()
 
-    // stage 4: per-domain cap over the (id, domain) survivor frame
-    val n4 = Sample.domainCap(ids3, "doc_id", domainCol, cap).count()
+      // stage 4: per-domain cap over the (id, domain) survivor frame
+      val n4 = Sample.domainCap(ids3, "doc_id", domainCol, cap).count()
 
-    Seq(ids1, ids2, ids3).foreach(_.unpersist())
-    val ns = Seq(0L -> ("raw", n0), 1L -> ("gopher_rules", n1),
-      2L -> ("lm_keep", n2), 3L -> ("exact_dedup", n3),
-      4L -> ("domain_cap", n4))
-    ns.zip(n0 +: ns.map(_._2._2)).map { case ((i, (name, n)), prev) =>
-      (i.toInt, name, n, prev - n)
-    }.toDF("stage", "stage_name", "n_docs", "n_dropped")
+      val ns = Seq(0L -> ("raw", n0), 1L -> ("gopher_rules", n1),
+        2L -> ("lm_keep", n2), 3L -> ("exact_dedup", n3),
+        4L -> ("domain_cap", n4))
+      ns.zip(n0 +: ns.map(_._2._2)).map { case ((i, (name, n)), prev) =>
+        (i.toInt, name, n, prev - n)
+      }.toDF("stage", "stage_name", "n_docs", "n_dropped")
+    } finally {
+      cached.foreach(_.unpersist())
+      Dedup.unpersistIntermediates()
+    }
   }
 }

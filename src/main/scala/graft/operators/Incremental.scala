@@ -70,7 +70,15 @@ object Incremental {
     docs
       .select(col(idCol).as("id"),
         TextOps.normalizeTextNfc(col(textCol)).as("__norm"))
-      .select(col("id"), md5(col("__norm")).as("norm_hash"),
+      // null-content docs hash to a SENTINEL, not NULL: every downstream
+      // membership probe is a plain equi-join on norm_hash, and an
+      // equi-join drops null keys — a null-text doc would be invisible to
+      // the affected-group machinery while the batch window still groups
+      // it, silently breaking rebuild equality for any keep predicate
+      // that passes null (md5 hex is 32 chars of [0-9a-f], so the
+      // sentinel cannot collide)
+      .select(col("id"),
+        coalesce(md5(col("__norm")), lit("__null__")).as("norm_hash"),
         keep(col("__norm")).as("passes"))
 
   /** Survivor ids of a ledger: the canonical (lowest-id) row per content
@@ -83,11 +91,24 @@ object Incremental {
       .select("id")
   }
 
+  /** chunk_key packs (doc_id, chunk_id) into one long: id·10^6 + chunk.
+    * The encoding is injective ONLY on 0 ≤ id ≤ 9.2e12 with chunk_id <
+    * 10^6 — outside that domain the decode attributes rows to the WRONG
+    * document with no error (negative ids truncate toward zero; huge ids
+    * overflow), so the build fails loudly instead. */
+  private def chunkKey(id: Column, chunkId: Column): Column =
+    when(id.between(lit(0L), lit(9223372036853L)) && chunkId < lit(1000000),
+      id * lit(1000000L) + chunkId)
+      .otherwise(raise_error(concat(
+        lit("chunk_key domain violation (need 0 <= id <= 9.2e12, "),
+        lit("chunk_id < 1e6): id="), id.cast("string"),
+        lit(" chunk_id="), chunkId.cast("string"))))
+
   private def chunksOf(docs: DataFrame, maxTokens: Int, overlap: Int)
       : DataFrame =
     TextOps.chunkDocs(docs, "id", "__norm", maxTokens, overlap)
       .select(
-        (col("id") * lit(1000000L) + col("chunk_id")).as("chunk_key"),
+        chunkKey(col("id"), col("chunk_id")).as("chunk_key"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("id").as("__doc"))
 
@@ -186,9 +207,10 @@ object Incremental {
     //    hold identical rows, so the survivor-set symmetric difference is
     //    exactly the affected slices' difference. This keeps the window
     //    and the diff joins delta-bound — no O(corpus) survivor set is
-    //    ever materialized. (Null-hash rows — null-content docs — can
-    //    never pass the keep rules, so dropping them from the plain
-    //    equi-join probe cannot change membership.)
+    //    ever materialized. (Null-content docs carry the ledger's hash
+    //    SENTINEL, never a null key, so the plain equi-join probes are
+    //    total — incremental membership equals the batch window for ANY
+    //    keep predicate, including ones that pass null.)
     val affectedHashes = pin(
       prevLedger.join(broadcast(dIds), Seq("id"), "left_semi")
         .select("norm_hash")
@@ -231,7 +253,7 @@ object Incremental {
     val repackInput = keptPrev
       .join(broadcast(affected), Seq("shard"), "left_semi")
       .select(
-        (col("doc_id") * lit(1000000L) + col("chunk_id")).as("chunk_key"),
+        chunkKey(col("doc_id"), col("chunk_id")).as("chunk_key"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("doc_id").as("__doc"))
       .unionByName(newChunks)

@@ -118,13 +118,22 @@ object NgramLm {
   }
 
   /** The three serving frames a long-lived scorer persists once:
-    * (model (w1,w2,logp), margins (w1,c1), vocab 1-row (v)). */
+    * (model (w1,w2,logp), margins (w1,c1), vocab 1-row (v)). The model
+    * frame is persisted HERE (tracked, so the per-query cache release
+    * retires it) and margins/vocab derive from it: without the cut, the
+    * three consumers each re-ran the full training subtrees — the plan
+    * audit read 18 corpus scans with zero ReusedExchange in one
+    * cross-score query. Vocab is its own corpus aggregate, NOT
+    * m.select("v").limit(1): a train corpus of only sub-2-token docs has
+    * an EMPTY model but a real vocabulary, and the unseen-w1 backoff
+    * ln(1/V) must still see it. */
   def servingFrames(train: DataFrame, idCol: String, textCol: String,
                     k: Double = 1.0): (DataFrame, DataFrame, DataFrame) = {
-    val m = model(train, idCol, textCol, k)
+    val m = Dedup.persistTracked(model(train, idCol, textCol, k))
     (m.select("w1", "w2", "logp"), m.select("w1", "c1").distinct(),
-      train.select(explode(toks(col(textCol))).as("w"))
-        .agg(countDistinct(col("w")).as("v")))
+      Dedup.persistTracked(
+        train.select(explode(toks(col(textCol))).as("w"))
+          .agg(countDistinct(col("w")).as("v"))))
   }
 
   /** Backoff scoring against PREBUILT model frames — the serving form:

@@ -108,11 +108,17 @@ object IncrementalStream {
                     ledgerPath: String, checkpointDir: String,
                     idCol: String, textCol: String,
                     keep: Column => Column, maxTokens: Int, overlap: Int,
-                    budget: Long, shards: Int, docShard: Column => Column,
-                    maxFilesPerTrigger: Int = 1): StreamingQuery =
+                    budget: Long, shards: Int, docShard: Column => Column)
+      : StreamingQuery =
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // DELIBERATELY not a knob: wave rows carry no ordering column, so a
+      // trigger that merged two delivery files would apply their ops
+      // unordered — an upsert file followed by a delete file of the same
+      // id would RESURRECT the doc (advanceRaw keeps the upsert row), and
+      // two upserts would both survive the union as duplicate id rows.
+      // One file per micro-batch is what makes "last file wins" true.
+      .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
