@@ -21,16 +21,41 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.dailyCounts(Tables.events(spark, "/root/testdata/sf0.001"))
 
+  /** Session-scoped memo for trained driver-side artifacts: entries are
+    * evicted when the owning session's SparkContext ends, so stopped
+    * sessions (and the models keyed by them) are not retained for the
+    * JVM lifetime. One listener per live session, self-removing. */
+  private final class SessionMemo[K, V] {
+    private val entries =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, K), V]
+    private val hooked =
+      scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+    def getOrElseUpdate(s: SparkSession, k: K)(v: => V): V = {
+      hooked.getOrElseUpdate(s, {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = {
+              entries.keysIterator.filter(_._1 eq s).toList
+                .foreach(entries.remove)
+              hooked.remove(s): Unit
+            }
+          })
+      })
+      entries.getOrElseUpdate((s, k), v)
+    }
+  }
+
   /** One GBT training per (session, dir): `fatality_model` and
     * `prediction_perf` share a single fit instead of each paying a full
     * training pass (the predictions frame is cached inside the result). */
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), FatalityModel.ModelResult]
+  private val modelCache = new SessionMemo[String, FatalityModel.ModelResult]
   private def trainedModel(s: SparkSession, d: String): FatalityModel.ModelResult =
-    modelCache.getOrElseUpdate((s, d), {
+    modelCache.getOrElseUpdate(s, d) {
       val r = FatalityModel.trainAndEvaluate(Tables.events(s, d))
       r.copy(predictions = r.predictions.cache())
-    })
+    }
 
   /** One BPE merge-table training per (session, dir, numMerges): training
     * is a full-corpus explode+groupBy+collect pass, and four registered
@@ -39,10 +64,9 @@ object SparkEntry {
     * pass is a corpus scan apiece at scale. Same memo discipline as the
     * GBT fit above; the cached value is the skinny driver-side merge list
     * (≤ numMerges pairs), not a Spark cache. */
-  private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Seq[(String, String)]]
+  private val bpeMergeCache = new SessionMemo[(String, Int), Seq[(String, String)]]
   private def trainedMerges(s: SparkSession, d: String, numMerges: Int): Seq[(String, String)] =
-    bpeMergeCache.getOrElseUpdate((s, d, numMerges),
+    bpeMergeCache.getOrElseUpdate(s, (d, numMerges))(
       Bpe.train(Tables.documents(s, d), "text", numMerges))
 
   /** One DSIR ratio-table estimation per (session, dir): the model is a
@@ -51,10 +75,9 @@ object SparkEntry {
     * against the SAME model; each estimating independently would pay an
     * extra corpus feature pass apiece. Also the production shape:
     * estimate once on a snapshot, score every batch after. */
-  private val dsirRatioCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Double)]]
+  private val dsirRatioCache = new SessionMemo[String, Seq[(Long, Double)]]
   private def dsirRatio(s: SparkSession, d: String): Seq[(Long, Double)] =
-    dsirRatioCache.getOrElseUpdate((s, d),
+    dsirRatioCache.getOrElseUpdate(s, d)(
       graft.operators.Dsir.ratioTable(Tables.documents(s, d),
         length(col("source")) === 4, "doc_id", "text"))
 
@@ -62,10 +85,9 @@ object SparkEntry {
     * TakeOrdered corpus pass + 400 driver-side GD iterations, and both
     * registered queries (quality_classifier, quality_classifier_weights)
     * need the SAME deterministic weights — the memo discipline above. */
-  private val qualityWeightsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), QualityModel.Weights]
+  private val qualityWeightsCache = new SessionMemo[String, QualityModel.Weights]
   private def qualityWeights(s: SparkSession, d: String): QualityModel.Weights =
-    qualityWeightsCache.getOrElseUpdate((s, d),
+    qualityWeightsCache.getOrElseUpdate(s, d)(
       QualityModel.train(Tables.documents(s, d), "doc_id", "text"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

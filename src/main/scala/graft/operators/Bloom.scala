@@ -124,10 +124,13 @@ object Bloom {
       (call_function("shiftright", word,
         pos.bitwiseAND(lit(63L)).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
     }.reduce(_ && _)
-    // shards is an Int and bitsPerShard is capped in practice at 65,536,
-    // so the product cannot overflow Long (< 2^47)
+    require(bitsPerShard > 0 && shards > 0,
+      s"bitsPerShard and shards must be positive, got $bitsPerShard/$shards")
+    // division form: bitsPerShard * shards can overflow Long for absurd
+    // (but caller-reachable) sizes, and an overflowed product would
+    // silently pick broadcast for a filter far too big to broadcast
     val filterSide =
-      if (bitsPerShard * shards <= broadcastMaxBits) broadcast(filter)
+      if (bitsPerShard <= broadcastMaxBits / shards) broadcast(filter)
       // explicit shuffle_hash hint: stats on a small test frame would
       // otherwise let the planner broadcast anyway, and a sort-merge join
       // would pay a pointless sort on both sides for a pure hash probe

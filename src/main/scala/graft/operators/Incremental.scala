@@ -302,28 +302,13 @@ object Incremental {
     // survives an executor loss mid-refresh
     val staging = s"$packedPath.refresh-staging"
     parts.repacked.write.mode("overwrite").parquet(staging)
-    val repacked = spark.read.parquet(staging)
-    // the shard set actually in the written data, read off the staged
-    // frame BEFORE trusting the tree: an emptied shard's stale directory
-    // would still be on disk and must not mask itself
-    val written = repacked.select("shard").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      repacked
-        .repartition(col("shard"))
-        .sortWithinPartitions(col("shard"), col("seq_id"), col("chunk_id"))
-        .write.mode("overwrite").partitionBy("shard").parquet(packedPath)
-    } finally {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-    }
+    // the shared partial-rewrite primitive (Sink.overwritePartitions):
+    // dynamic overwrite of the staged shards + delete of the emptied
+    // shard directories the staged data no longer carries
+    graft.sources.Sink.overwritePartitions(spark, packedPath, "shard",
+      affectedIds.toSeq, spark.read.parquet(staging),
+      sortCols = Seq(col("seq_id"), col("chunk_id")))
     graft.sources.Sink.reset(staging)
-    val conf = spark.sessionState.newHadoopConf()
-    affectedIds.filterNot(written).foreach { s =>
-      val dir = new org.apache.hadoop.fs.Path(s"$packedPath/shard=$s")
-      dir.getFileSystem(conf).delete(dir, true): Unit
-    }
     parts.newLedger
   }
 }

@@ -236,11 +236,10 @@ object Sample {
     require(epoch >= 0, "epoch must be non-negative")
     require(numShards > 0, "numShards must be positive")
     val key = md5(concat_ws(":", lit("ep"), lit(epoch),
-      col("doc_id").cast("string")))
+      col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__key").asc, col("doc_id").asc)
-    df.select(col(idCol).as("doc_id"))
-      .withColumn("__key", key)
+    df.select(col(idCol).as("doc_id"), key.as("__key"))
       .withColumn("shard",
         (conv(substring(col("__key"), 1, 4), 16, 10).cast("long")
           % numShards).cast("int"))

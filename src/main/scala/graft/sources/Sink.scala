@@ -464,10 +464,6 @@ object Sink {
           .cast("long").as("checksum"))
   }
 
-  /** Drop a sink table (scratch/test lifecycles). Routed through the
-    * session's Hadoop FileSystem so scheme-qualified lake paths work the
-    * same as local ones; falls back to a default Hadoop configuration when
-    * no session is alive (test teardown after spark.stop()). */
   /** Dynamic-partition overwrite of `staged` (already materialized — its
     * plan must NOT read `path`) into a `partCol`-partitioned lake, then
     * delete the `touched` partition directories the staged data emptied:
@@ -477,13 +473,18 @@ object Sink {
     * primitive the incremental state lakes share (refreshInPlace's write
     * discipline, factored). */
   private[graft] def overwritePartitions(spark: SparkSession, path: String,
-      partCol: String, touched: Iterable[Int], staged: DataFrame): Unit = {
+      partCol: String, touched: Iterable[Int], staged: DataFrame,
+      sortCols: Seq[Column] = Nil): Unit = {
     val written = staged.select(partCol).distinct()
       .collect().map(_.getInt(0)).toSet
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       staged.repartition(col(partCol))
+        // leading with the partition column makes FileFormatWriter's
+        // required ordering explicit (it would inject this sort anyway);
+        // callers add payload sort keys for in-file row order
+        .sortWithinPartitions(col(partCol) +: sortCols: _*)
         .write.mode("overwrite").partitionBy(partCol).parquet(path)
     } finally {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
@@ -495,6 +496,10 @@ object Sink {
     }
   }
 
+  /** Drop a sink table (scratch/test lifecycles). Routed through the
+    * session's Hadoop FileSystem so scheme-qualified lake paths work the
+    * same as local ones; falls back to a default Hadoop configuration when
+    * no session is alive (test teardown after spark.stop()). */
   def reset(path: String): Unit = {
     val conf = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)

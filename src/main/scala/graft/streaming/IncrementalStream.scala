@@ -81,23 +81,11 @@ object IncrementalStream {
           docShard(col(idCol)).cast("int").as("__shard")))
     val staging = s"$rawPath.wave-staging"
     newRows.write.mode("overwrite").parquet(staging)
-    val staged = spark.read.parquet(staging)
-    val written = staged.select("__shard").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      staged.repartition(col("__shard"))
-        .write.mode("overwrite").partitionBy("__shard").parquet(rawPath)
-    } finally {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-    }
+    // shared partial-rewrite primitive: dynamic overwrite + emptied-shard
+    // directory deletes (Sink.overwritePartitions)
+    Sink.overwritePartitions(spark, rawPath, "__shard", touched.toSeq,
+      spark.read.parquet(staging))
     Sink.reset(staging)
-    val conf = spark.sessionState.newHadoopConf()
-    touched.filterNot(written).foreach { s =>
-      val dir = new org.apache.hadoop.fs.Path(s"$rawPath/__shard=$s")
-      dir.getFileSystem(conf).delete(dir, true): Unit
-    }
   }
 
   /** Drain the landing directory: one micro-batch per delivery file, each

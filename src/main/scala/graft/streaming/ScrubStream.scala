@@ -113,8 +113,11 @@ object ScrubStream {
     out.write((s"$batchId\n${wins.mkString(",")}\n" +
       s"${dfb.mkString(",")}\n${scrub.mkString(",")}\n").getBytes("UTF-8"))
     out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p): Unit
+    // a false return here is either "wasn't there" (fine) or a real
+    // failure the rename below will also hit — gate on the rename, which
+    // IS the commit point and must not fail silently
+    if (fs.exists(p)) fs.delete(p, false): Unit
+    require(fs.rename(tmp, p), s"commit-marker rename failed: $tmp -> $p")
   }
 
   private def readMarker(spark: SparkSession, path: String)
@@ -143,14 +146,23 @@ object ScrubStream {
                           scrubTouched: Array[Int]): Unit = {
     val (ws, ds, ss) = (s"$winsPath.wave-staging",
       s"$dfPath.wave-staging", s"$scrubPath.wave-staging")
-    Sink.overwritePartitions(spark, winsPath, "__shard", winsTouched,
-      spark.read.parquet(ws))
-    Sink.overwritePartitions(spark, dfPath, "__hbkt", dfTouchedBkts,
-      spark.read.parquet(ds))
-    Sink.overwritePartitions(spark, scrubPath, "__shard", scrubTouched,
-      spark.read.parquet(ss))
+    // tolerate absent staging dirs: a lost marker delete after a
+    // completed apply (resets done, marker left) must not send the next
+    // wave chasing staging parquet that was already retired — a missing
+    // dir means that lake's overwrite already happened, so skip it
+    def applyIfStaged(staging: String, lake: String, partCol: String,
+                      touched: Array[Int]): Unit = {
+      val (sfs, sp) = hfs(spark, staging)
+      if (sfs.exists(sp))
+        Sink.overwritePartitions(spark, lake, partCol, touched,
+          spark.read.parquet(staging))
+    }
+    applyIfStaged(ws, winsPath, "__shard", winsTouched)
+    applyIfStaged(ds, dfPath, "__hbkt", dfTouchedBkts)
+    applyIfStaged(ss, scrubPath, "__shard", scrubTouched)
     val (fs, p) = hfs(spark, markerPath)
-    fs.delete(p, false)
+    if (fs.exists(p))
+      require(fs.delete(p, false), s"marker delete failed: $markerPath")
     Sink.reset(ws); Sink.reset(ds); Sink.reset(ss)
   }
 
