@@ -777,6 +777,22 @@ object SparkEntry {
       Sink.exportTokenStream(s, packedStream(s, d), path)
     }),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
+    "lang_id_trained" -> ((s, d) =>
+      // fastText-style trained language ID (Joulin et al. 2016): hashed
+      // char 1/2/3-gram features, seed-trained softmax weights as 1e6-
+      // scaled LONG plan literals — per-doc class scores are exact
+      // integer sums, so the full DuckDB replay (features, buckets,
+      // argmax, margin, routing) is float-order-proof. Map-only, no
+      // shuffle, no UDF; the model never trains in-query (it is a
+      // compiled-in constant — no memo, no first-query build billing).
+      LangIdModel.scored(Tables.documents(s, d), "doc_id", "text")),
+    "lang_id_model_check" -> ((s, d) =>
+      // the trained model head as a golden gate (the bpe_merges
+      // pattern): per-class nonzero count, weight sum, and position-
+      // weighted checksum pinned against hardcoded values — trainer
+      // drift (seed edit, GD change, hash change) flips this red even
+      // though the scoring oracle interpolates the live weights
+      LangIdModel.modelCheck(s)),
     "quality_score" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "token_count" -> ((s, d) =>
@@ -3782,6 +3798,86 @@ object SparkEntry {
          SELECT doc_id, list_max(cand).lang AS detected_lang,
            round(list_max(cand).score, 4) AS lang_score
          FROM s""",
+    "lang_id_trained" ->
+      // FULL replay of the trained scorer: same normalization, same
+      // code-point 1/2/3-gram enumeration, same md5-prefix 1024-bucket
+      // hash, and the same 1e6-scaled INTEGER weights (interpolated from
+      // the live model — training drift is pinned separately by the
+      // hardcoded lang_id_model_check golden). Class scores are exact
+      // Long sums, so no float-summation-order caveat anywhere; the
+      // margin divides identical integers and rounds to 6dp.
+      raw"""WITH norm AS (
+           SELECT doc_id,
+             lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+               '[\x00-\x1f]', '', 'g'))) AS nt
+           FROM documents),
+         g AS (
+           SELECT doc_id, substr(nt, i, 1) AS t FROM
+             (SELECT doc_id, nt, unnest(generate_series(1, length(nt))) AS i
+              FROM norm WHERE length(nt) >= 1) u1
+           UNION ALL
+           SELECT doc_id, substr(nt, i, 2) FROM
+             (SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 1)) AS i
+              FROM norm WHERE length(nt) >= 2) u2
+           UNION ALL
+           SELECT doc_id, substr(nt, i, 3) FROM
+             (SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 2)) AS i
+              FROM norm WHERE length(nt) >= 3) u3),
+         bkt AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 1024 AS b
+           FROM g),
+         wts AS (SELECT ${graft.operators.LangIdModel.duckdbWeightLists}),
+         sc AS (
+           SELECT n.doc_id, count(b.b) AS n_grams,
+             CAST(coalesce(sum(w_de[b.b + 1]), 0) AS BIGINT) AS s_de,
+             CAST(coalesce(sum(w_en[b.b + 1]), 0) AS BIGINT) AS s_en,
+             CAST(coalesce(sum(w_es[b.b + 1]), 0) AS BIGINT) AS s_es,
+             CAST(coalesce(sum(w_fr[b.b + 1]), 0) AS BIGINT) AS s_fr,
+             CAST(coalesce(sum(w_und[b.b + 1]), 0) AS BIGINT) AS s_und,
+             CAST(coalesce(sum(w_zh[b.b + 1]), 0) AS BIGINT) AS s_zh
+           FROM norm n LEFT JOIN bkt b USING (doc_id) CROSS JOIN wts
+           GROUP BY n.doc_id),
+         rk AS (
+           SELECT doc_id, lang, s,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY s DESC, lang ASC) AS r
+           FROM (
+             SELECT doc_id,
+               unnest(['de','en','es','fr','und','zh']) AS lang,
+               unnest([s_de, s_en, s_es, s_fr, s_und, s_zh]) AS s
+             FROM sc) u),
+         top2 AS (
+           SELECT doc_id,
+             max(CASE WHEN r = 1 THEN lang END) AS lang,
+             max(CASE WHEN r = 1 THEN s END) AS s1,
+             max(CASE WHEN r = 2 THEN s END) AS s2
+           FROM rk GROUP BY doc_id)
+         SELECT sc.doc_id, sc.n_grams, sc.s_de, sc.s_en, sc.s_es, sc.s_fr,
+           sc.s_und, sc.s_zh, t.lang,
+           round((t.s1 - t.s2) * 1.0
+             / (nullif(sc.n_grams, 0) * 1000000.0), 6) AS margin,
+           CASE WHEN sc.n_grams < 12
+                  OR round((t.s1 - t.s2) * 1.0
+                       / (nullif(sc.n_grams, 0) * 1000000.0), 6) < 0.05
+                THEN 'und' ELSE t.lang END AS route
+         FROM sc JOIN top2 t USING (doc_id)""",
+    "lang_id_model_check" ->
+      // golden model head (the quality_classifier_weights pattern):
+      // per-class nonzero count, weight sum, position-weighted checksum
+      // [GOLDEN @ seed corpus, buckets=1024, iters=2000, step=8.0,
+      //  l2=0.0002 — re-derive via ScratchLangGolden on seed change]
+      """SELECT lang, CAST(n_nonzero AS BIGINT) AS n_nonzero,
+           CAST(w_sum AS BIGINT) AS w_sum,
+           CAST(checksum AS BIGINT) AS checksum
+         FROM (VALUES
+           ('de', 985, -71984456, 97700088),
+           ('en', 985, -67767770, 309585736),
+           ('es', 985, -65416106, 785791121),
+           ('fr', 985, -83363086, 6253541),
+           ('und', 985, 38953447, 811447497),
+           ('zh', 985, 249577914, 989187456))
+           t(lang, n_nonzero, w_sum, checksum)""",
     "novelty_near_dup" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       // planted-probe verdicts: every jittered cross-batch duplicate
