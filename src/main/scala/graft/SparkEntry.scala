@@ -848,6 +848,23 @@ object SparkEntry {
       // the trained model's head — dashboard query; TakeOrdered, never a
       // global sort of the model table
       NgramLm.topBigrams(Tables.documents(s, d), "doc_id", "text", topN = 20)),
+    "perplexity_bucket_assign" -> ((s, d) => {
+      // CCNet head/middle/tail assignment (Wenzek et al. 2020 §4):
+      // tertile split of the cross-score NLL — threshold-based (value
+      // cutoffs off a bounded 4dp-nll histogram), NOT a global ntile
+      // sort, so the shape survives corpus scale
+      val docs = Tables.documents(s, d)
+      NgramLm.bucketAssign(docs.filter(length(col("source")) === 4),
+          docs, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "n_oov", "avg_nll", "bucket")
+    }),
+    "perplexity_buckets" -> ((s, d) => {
+      // the per-bucket census + the two global cutoffs — the CCNet
+      // stratification dashboard row; O(4) rows
+      val docs = Tables.documents(s, d)
+      NgramLm.perplexityBuckets(docs.filter(length(col("source")) === 4),
+        docs, "doc_id", "text")
+    }),
     "domain_cap" -> ((s, d) =>
       // RefinedWeb-style per-source diversity cap: one ranked window
       // whose mega-domain skew is defused by InferWindowGroupLimit's
@@ -3315,6 +3332,143 @@ object SparkEntry {
            coalesce(round(-sc.logprob_sum / sc.n_bigrams, 4) <= 6.0, false) AS keep
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN sc USING (doc_id)""",
+    "perplexity_bucket_assign" ->
+      // the cross-score replay above + the threshold arithmetic: tertile
+      // cutoffs picked off the cumulative 4dp-nll histogram with
+      // cross-multiplied integer comparisons (3·cum ≥ n), value-based
+      // bucket membership (ties share a bucket in both engines)
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         tbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM tws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         sc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             cast(sum(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum
+           FROM bi
+           LEFT JOIN model m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+           LEFT JOIN c1 ON bi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1),
+         doc_sc AS (
+           SELECT d.doc_id,
+             coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             coalesce(sc.n_oov, 0) AS n_oov,
+             round(-sc.logprob_sum / sc.n_bigrams, 4) AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN sc USING (doc_id)),
+         hist AS (SELECT avg_nll, count(*) AS cnt FROM doc_sc
+                  WHERE avg_nll IS NOT NULL GROUP BY 1),
+         cum AS (SELECT avg_nll, sum(cnt) OVER (ORDER BY avg_nll
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM hist),
+         tot AS (SELECT count(*) AS n_total FROM doc_sc
+                 WHERE avg_nll IS NOT NULL),
+         cuts AS (SELECT
+             min(CASE WHEN cum * 3 >= n_total THEN avg_nll END) AS cut_head,
+             min(CASE WHEN cum * 3 >= n_total * 2 THEN avg_nll END) AS cut_middle
+           FROM cum CROSS JOIN tot)
+         SELECT doc_id, n_bigrams, n_oov, avg_nll,
+           CASE WHEN avg_nll IS NULL THEN 'unscored'
+                WHEN avg_nll <= cut_head THEN 'head'
+                WHEN avg_nll <= cut_middle THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM doc_sc CROSS JOIN cuts""",
+    "perplexity_buckets" ->
+      // same replay rolled up per bucket, with the two global cutoffs
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         tbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM tws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         sc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             cast(sum(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum
+           FROM bi
+           LEFT JOIN model m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+           LEFT JOIN c1 ON bi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1),
+         doc_sc AS (
+           SELECT d.doc_id,
+             coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             coalesce(sc.n_oov, 0) AS n_oov,
+             round(-sc.logprob_sum / sc.n_bigrams, 4) AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN sc USING (doc_id)),
+         hist AS (SELECT avg_nll, count(*) AS cnt FROM doc_sc
+                  WHERE avg_nll IS NOT NULL GROUP BY 1),
+         cum AS (SELECT avg_nll, sum(cnt) OVER (ORDER BY avg_nll
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM hist),
+         tot AS (SELECT count(*) AS n_total FROM doc_sc
+                 WHERE avg_nll IS NOT NULL),
+         cuts AS (SELECT
+             min(CASE WHEN cum * 3 >= n_total THEN avg_nll END) AS cut_head,
+             min(CASE WHEN cum * 3 >= n_total * 2 THEN avg_nll END) AS cut_middle
+           FROM cum CROSS JOIN tot),
+         asg AS (
+           SELECT doc_id, n_bigrams, n_oov, avg_nll,
+             CASE WHEN avg_nll IS NULL THEN 'unscored'
+                  WHEN avg_nll <= cut_head THEN 'head'
+                  WHEN avg_nll <= cut_middle THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             cut_head, cut_middle
+           FROM doc_sc CROSS JOIN cuts)
+         SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(sum(n_oov) AS BIGINT) AS n_oov,
+           min(avg_nll) AS min_nll, max(avg_nll) AS max_nll,
+           max(cut_head) AS cut_head, max(cut_middle) AS cut_middle
+         FROM asg GROUP BY bucket""",
     "ngram_lm_top_bigrams" ->
       """WITH ws AS (
            SELECT doc_id,

@@ -165,6 +165,74 @@ object NgramLm {
         coalesce(col("avg_nll") <= lit(nllKeep), lit(false)).as("keep"))
   }
 
+  /** CCNet perplexity-tertile assignment (Wenzek et al. 2020 §4 — public
+    * knowledge): the standard corpus-quality stratification splits the
+    * corpus into head/middle/tail thirds by LM score against the trusted
+    * slice, and downstream mixes sample the head hardest. Docs the LM
+    * cannot score (< 2 tokens) land in an explicit `unscored` bucket.
+    *
+    * DELIBERATELY threshold-based, not ntile: a global ntile window is a
+    * single-partition sort of one-row-per-doc — the one shape that dies
+    * at corpus scale (and CCNet itself assigns by percentile THRESHOLD).
+    * The tertile cutoffs here come from a histogram of the 4dp-rounded
+    * avg_nll values: `groupBy(avg_nll).count()` map-side combines to a
+    * frame bounded by the VALUE SPACE (a few 10⁵ distinct 4dp values at
+    * any corpus size), the cumulative window runs over that bounded
+    * frame, and the two cutoffs broadcast back as a 1-row frame — the
+    * corpus itself never sorts. Cut selection uses cross-multiplied
+    * integer comparisons (3·cum ≥ n, 3·cum ≥ 2n), so both engines pick
+    * identical cutoffs; bucket membership is value-based (every doc with
+    * the same rounded avg_nll lands in the same bucket), which is also
+    * the semantically right tie behavior — ntile would split a tie
+    * group across buckets by arbitrary row order. */
+  def bucketAssign(train: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Double = 1.0): DataFrame =
+    bucketize(scoreAgainst(train, target, idCol, textCol, k))
+
+  private[graft] def bucketize(rawScores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the skinny per-doc score frame feeds BOTH the histogram/cutoff path
+    // and the final assignment join — persist it (tracked, released by
+    // the shared unpersist discipline) or the whole scoring join re-runs
+    // once per consumer (the curation_funnel zero-ReusedExchange lesson)
+    val scores = Dedup.persistTracked(rawScores)
+    val scoreable = scores.filter(col("avg_nll").isNotNull)
+    val hist = scoreable.groupBy("avg_nll").agg(count(lit(1)).as("cnt"))
+    // bounded-frame window: |hist| ≤ |distinct 4dp nll values|
+    val cumW = Window.orderBy(col("avg_nll"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = scoreable.agg(count(lit(1)).as("n_total"))
+    val cuts = hist.withColumn("cum", sum(col("cnt")).over(cumW))
+      .crossJoin(broadcast(total))
+      .agg(
+        min(when(col("cum") * 3 >= col("n_total"), col("avg_nll")))
+          .as("cut_head"),
+        min(when(col("cum") * 3 >= col("n_total") * 2, col("avg_nll")))
+          .as("cut_middle"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_nll").isNull, lit("unscored"))
+          .when(col("avg_nll") <= col("cut_head"), lit("head"))
+          .when(col("avg_nll") <= col("cut_middle"), lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
+  /** The per-bucket census — the head/middle/tail dashboard row a CCNet
+    * run publishes: doc and bigram mass, OOV mass, the nll range each
+    * bucket actually spans, and the two global cutoffs that defined it.
+    * O(4) rows out of one aggregation over [[bucketAssign]]. */
+  def perplexityBuckets(train: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, k: Double = 1.0): DataFrame =
+    bucketAssign(train, target, idCol, textCol, k)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("n_oov")).as("n_oov"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"),
+        max(col("cut_head")).as("cut_head"),
+        max(col("cut_middle")).as("cut_middle"))
+
   /** The model's head — top-N bigrams by count (ties broken (w1, w2)):
     * the inspection query a pipeline dashboards to sanity-check what the
     * LM actually learned. orderBy+limit plans as TakeOrderedAndProject
