@@ -762,6 +762,21 @@ object SparkEntry {
       // touches more than O(corpus tokens) rows once.
       packedStream(s, d)
     }),
+    "packed_token_stream_eos" -> ((s, d) =>
+      // D29 with document separators: every doc followed by the reserved
+      // EOS id 272, packer budget charged one slot per doc — the stream
+      // form a trainer actually memory-maps. The oracle extends the
+      // recursive-CTE packer replay with the +1 overhead and the per-doc
+      // separator rows.
+      packedStreamEos(s, d)),
+    "token_stream_export_eos" -> ((s, d) => {
+      // the separator stream LANDED per shard (the F18 roundtrip gate):
+      // the position-weighted checksum now also pins every EOS to its
+      // slot — a dropped or shifted separator flips the manifest
+      val path = sinkPath(d, "token_stream_eos")
+      Sink.reset(path)
+      Sink.exportTokenStream(s, packedStreamEos(s, d), path)
+    }),
     "token_stream_export" -> ((s, d) => {
       // The last seam in the training-export chain closed (VERDICT r12
       // #7b): the D29 packed stream LANDED as one parquet file per shard
@@ -2359,6 +2374,41 @@ object SparkEntry {
       .select(col("shard").cast("long").as("shard"),
         col("seq_id"), col("offset"),
         posexplode(col("ids")))
+      .select(col("shard"), col("seq_id"),
+        (col("offset") + col("pos")).cast("long").as("pos"),
+        col("col").as("token_id"))
+  }
+
+  /** The D29 stream with document separators — the convention every real
+    * trainer uses (`doc₁ EOS doc₂ EOS …`): each doc's tokens are followed
+    * by one reserved EOS id (256 byte-level base ids + 16 trained merges
+    * ⇒ 272 is the first free id), the packer reserves one budget slot per
+    * doc (`perDocOverhead = 1`), and offsets advance by n_tokens + 1.
+    * Same scale shape as [[packedStream]]. */
+  private def packedStreamEos(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eosId = 272
+    val docs = Tables.documents(s, d)
+    val merges = trainedMerges(s, d, 16)
+    val withIds = docs
+      .select(col("doc_id"), Bpe.encodeCol(col("text"), merges).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .filter(col("n_tokens") > 0)
+    val shardCol = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 4
+    val assigned = Packing.packSequences(
+      withIds.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+      budget = 512, shards = 4, shardOn = Some(shardCol),
+      perDocOverhead = 1L)
+    val w = Window.partitionBy("shard", "seq_id").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assigned
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
+      .join(withIds.select(col("doc_id").as("id"), col("ids")), Seq("id"))
+      .select(col("shard").cast("long").as("shard"),
+        col("seq_id"), col("offset"),
+        posexplode(concat(col("ids"), array(lit(eosId)))))
       .select(col("shard"), col("seq_id"),
         (col("offset") + col("pos")).cast("long").as("pos"),
         col("col").as("token_id"))
@@ -5164,6 +5214,192 @@ object SparkEntry {
            CAST(o.off + t.dpos AS BIGINT) AS pos,
            CAST(t.token_id AS BIGINT) AS token_id
          FROM offs o JOIN doctok t USING (doc_id)""",
+    "packed_token_stream_eos" ->
+      // the D29 replay with document separators: the recursive-CTE packer
+      // charges one extra budget slot per doc (used + n + 1 > 512),
+      // offsets advance by n + 1, and each doc contributes one EOS row
+      // (reserved id 272 = 256 base + 16 merges) at off + n
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, n, seq,
+             coalesce(sum(n + 1) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pack)
+         SELECT CAST(o.shard AS BIGINT) AS shard,
+           CAST(o.seq AS BIGINT) AS seq_id,
+           CAST(o.off + t.dpos AS BIGINT) AS pos,
+           CAST(t.token_id AS BIGINT) AS token_id
+         FROM offs o JOIN doctok t USING (doc_id)
+         UNION ALL
+         SELECT CAST(shard AS BIGINT), CAST(seq AS BIGINT),
+           CAST(off + n AS BIGINT), CAST(272 AS BIGINT)
+         FROM offs""",
+    "token_stream_export_eos" ->
+      // the separator stream's export manifest: same chain, rolled up per
+      // shard — the position-weighted checksum now pins every EOS slot
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, n, seq,
+             coalesce(sum(n + 1) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pack),
+         stream AS (
+           SELECT o.shard, o.seq, o.off + t.dpos AS pos, t.token_id
+           FROM offs o JOIN doctok t USING (doc_id)
+           UNION ALL
+           SELECT shard, seq, off + n AS pos, 272 AS token_id FROM offs)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(((pos + 1) * token_id) % 1000000007) AS BIGINT)
+             AS checksum
+         FROM stream GROUP BY shard""",
     "token_stream_export" ->
       // the D29 replay chain (same CTEs as packed_token_stream) with the
       // export manifest aggregated per shard: sequence count, token

@@ -26,11 +26,20 @@ object Packing {
     * caller-supplied int expression in [0, shards) — pass md5-prefix
     * arithmetic when the assignment itself must replay in a second
     * engine (the packed_token_stream gate), or a metadata column when
-    * shards must align with an existing layout. */
+    * shards must align with an existing layout.
+    *
+    * `perDocOverhead` reserves budget for per-document structure tokens
+    * a downstream stream builder inserts — the document-separator (EOS)
+    * convention every real trainer uses (`doc₁ EOS doc₂ EOS …`): with
+    * overhead 1, a sequence holding d documents spends Σnᵢ + d of its
+    * budget, so the separator never overflows the context window the
+    * budget models. 0 (the default) is the bare-concatenation form. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, shards: Int,
-                    shardOn: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                    shardOn: Option[org.apache.spark.sql.Column] = None,
+                    perDocOverhead: Long = 0L): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
+    require(perDocOverhead >= 0, "perDocOverhead must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
     val shardExpr = shardOn
@@ -50,8 +59,8 @@ object Packing {
       var cur = Int.MinValue
       it.map { case (id, n, shard) =>
         if (shard != cur) { cur = shard; seq = 0L; used = 0L }
-        if (used > 0 && used + n > budget) { seq += 1; used = 0L }
-        used += math.min(n, budget)
+        if (used > 0 && used + n + perDocOverhead > budget) { seq += 1; used = 0L }
+        used += math.min(n, budget) + perDocOverhead
         (id, n, shard, seq)
       }
     }.toDF("id", "n_tokens", "shard", "seq_id")

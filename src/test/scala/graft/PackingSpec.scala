@@ -87,4 +87,61 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       assert(ps.length <= 16, s"($sh,$sq): sequence over budget")
     }
   }
+
+  test("perDocOverhead: separator slots charged to the budget") {
+    // 5 docs of 100 tokens, budget 302: bare packing fits 3 per sequence
+    // (300 ≤ 302); with overhead 1 each doc costs 101, so only 2 fit
+    // (202 ≤ 302 but 303 > 302)
+    val docs = (1 to 5).map(i => (i.toLong, 100L)).toDF("doc_id", "tok")
+    val bare = Packing.packSequences(docs, "doc_id", "tok",
+        budget = 302, shards = 1)
+      .as[(Long, Long, Int, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(bare.values.toSeq.sorted === Seq(0L, 0L, 0L, 1L, 1L))
+    val eos = Packing.packSequences(docs, "doc_id", "tok",
+        budget = 302, shards = 1, perDocOverhead = 1L)
+      .as[(Long, Long, Int, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(eos.values.toSeq.sorted === Seq(0L, 0L, 1L, 1L, 2L))
+  }
+
+  test("eos stream: one separator per doc, conservation counts it") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val eosId = 999L
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L)), (2L, Seq(20L)), (3L, Seq(30L, 31L)),
+      (4L, Seq(40L, 41L, 42L, 43L))).toDF("doc_id", "ids")
+    val withIds = docs.withColumn("n_tokens", size(col("ids")).cast("long"))
+    val assigned = Packing.packSequences(
+      withIds.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+      budget = 6, shards = 1, perDocOverhead = 1L)
+    val w = Window.partitionBy("shard", "seq_id").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stream = assigned
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
+      .join(withIds.select(col("doc_id").as("id"), col("ids")), Seq("id"))
+      .select(col("shard"), col("seq_id"), col("offset"),
+        posexplode(concat(col("ids"), array(lit(eosId)))))
+      .select(col("shard"), col("seq_id"),
+        (col("offset") + col("pos")).as("pos"), col("col").as("token_id"))
+      .as[(Int, Long, Long, Long)].collect()
+    // conservation: every content token + exactly one EOS per doc
+    assert(stream.length === (3 + 1) + (1 + 1) + (2 + 1) + (4 + 1))
+    assert(stream.count(_._4 == eosId) === 4, "one separator per doc")
+    // contiguity per sequence, and every doc's token run ends in EOS
+    stream.groupBy(t => (t._1, t._2)).foreach { case ((sh, sq), rows) =>
+      val ordered = rows.sortBy(_._3)
+      assert(ordered.map(_._3) === ordered.indices.map(_.toLong),
+        s"($sh,$sq): positions not contiguous")
+      assert(ordered.map(_._3).length <= 6, s"($sh,$sq): over budget")
+      assert(ordered.last._4 === eosId, s"($sh,$sq): sequence must end in EOS")
+    }
+    // budget: docs 1(3)+2(1) pack as 3+1+1+1 = 6; doc 3(2) next seq with
+    // nothing else (2+1 + 4+1 = 8 > 6); doc 4(4) alone
+    val seqOf = assigned.as[(Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(seqOf(1L) === seqOf(2L), "docs 1+2 share a sequence")
+    assert(seqOf(3L) !== seqOf(2L))
+    assert(seqOf(4L) !== seqOf(3L))
+  }
 }
