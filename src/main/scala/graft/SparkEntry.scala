@@ -947,6 +947,32 @@ object SparkEntry {
       // the whole selection replays bit-for-bit in the oracle
       Similarity.diversitySample(Tables.embeddings(s, d), "vec_id",
         "embedding", k = 60, nlist = 8)),
+    "diversity_sample_trained" -> ((s, d) => {
+      // the ACTUAL D4 protocol (Tirumala et al. 2023): SemDeDup removes
+      // the near-copies first, THEN cluster-balanced selection fills the
+      // slots with Lloyd-TRAINED centroids over the survivor set — the
+      // trained tier above diversity_sample's md5-drawn gate quantizer.
+      // Every stage is deterministic (hash-ordered Lloyd sample, fixed
+      // iters, pure-double kernels), so the 60 picked rows pin as a
+      // golden oracle at the gate corpus. The planted jittered copies
+      // (the semantic_dedup setup) must be gone before selection.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float")
+            - lit(500.0f)) / lit(100000.0f))).as("embedding"))
+      val corpus = emb.unionByName(planted)
+      val losers = Similarity.semanticDedupPairs(corpus, "vec_id", "embedding",
+          nlist = 16, threshold = 0.8)
+        .select(col("id_b").as("vec_id")).distinct()
+      val survivors = corpus.join(losers, Seq("vec_id"), "left_anti")
+      val cents = Similarity.lloydCentroids(survivors, "vec_id", "embedding",
+        nlist = 8)
+      Similarity.diversitySample(survivors, "vec_id", "embedding", k = 60,
+          centroids = Some(cents))
+        .select("pick_order", "vec_id", "cluster_id", "cluster_rank")
+    }),
     "split_leakage" -> ((s, d) => {
       // eval-contamination gate: duplicated content spanning splits —
       // the id-keyed split deals copies independently, so raw-corpus

@@ -750,19 +750,23 @@ object Similarity {
     * the final single-partition pick window both see ≤ nlist·quota rows
     * regardless of corpus size. O(nlist) rows ever reach the driver. */
   def diversitySample(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, nlist: Int = 8): DataFrame = {
+                      k: Int, nlist: Int = 8,
+                      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(nlist > 0 && nlist <= 256, "nlist in (0, 256]")
     val base = corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
       .filter(dot(col("vec"), col("vec")) > lit(0.0))
-    val cents: Seq[Seq[Double]] = base
+    // gate form: centroids = the nlist smallest-md5-draw corpus rows
+    // (engine-replayable); production form: a caller-supplied trained
+    // model (lloydCentroids — the semanticDedupPairs convention)
+    val cents: Seq[Seq[Double]] = centroids.getOrElse(base
       .select(col("vec"),
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
           .cast("long").as("__r"))
       .orderBy(col("__r").asc, col("vec_id").asc).limit(nlist)
       .select("vec").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq)
     require(cents.nonEmpty, "corpus has no non-zero vectors to sample from")
     val quota = (k + cents.size - 1) / cents.size
     // argmax cosine over the literal centroid matrix; the struct-greatest
