@@ -3903,6 +3903,34 @@ object SparkEntry {
            FROM r WHERE cluster_rank <= 8)
          SELECT pick_order, vec_id, cluster_id, cluster_rank, cos
          FROM p WHERE pick_order <= 60""",
+    "diversity_sample_trained" ->
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change
+      // via DiversitySampleSpec's printGolden helper]
+      // the 60 picked rows of the full trained chain (plant jittered
+      // copies → SemDeDup survivor filter → Lloyd centroids → balanced
+      // selection); Lloyd's KMeans fit can't replay in DuckDB, so the
+      // deterministic end-to-end output pins as a VALUES table (the
+      // bpe_merges convention). Determinism itself is spec-gated
+      // (repartition-invariance + twice-in-one-session stability).
+      """SELECT CAST(pick_order AS INT) AS pick_order,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cluster_id AS INT) AS cluster_id,
+           CAST(cluster_rank AS INT) AS cluster_rank
+         FROM (VALUES
+           (1,310,0,1),(2,23,1,1),(3,477,2,1),(4,199,3,1),(5,195,4,1),
+           (6,181,5,1),(7,417,6,1),(8,179,7,1),(9,364,0,2),(10,436,1,2),
+           (11,83,2,2),(12,101,3,2),(13,317,4,2),(14,438,5,2),(15,50,6,2),
+           (16,370,7,2),(17,325,0,3),(18,58,1,3),(19,72,2,3),(20,123,3,3),
+           (21,382,4,3),(22,337,5,3),(23,355,6,3),(24,338,7,3),
+           (25,277,0,4),(26,48,1,4),(27,308,2,4),(28,108,3,4),(29,80,4,4),
+           (30,266,5,4),(31,247,6,4),(32,406,7,4),(33,380,0,5),
+           (34,193,1,5),(35,460,2,5),(36,324,3,5),(37,495,4,5),
+           (38,442,5,5),(39,79,6,5),(40,482,7,5),(41,331,0,6),(42,200,1,6),
+           (43,196,2,6),(44,443,3,6),(45,19,4,6),(46,18,5,6),(47,70,6,6),
+           (48,62,7,6),(49,290,0,7),(50,409,1,7),(51,469,2,7),
+           (52,147,3,7),(53,316,4,7),(54,398,5,7),(55,335,6,7),(56,53,7,7),
+           (57,131,0,8),(58,34,1,8),(59,201,2,8),(60,361,3,8)
+         ) AS t(pick_order, vec_id, cluster_id, cluster_rank)""",
     "split_leakage" ->
       // same md5-prefix bucket arithmetic as dataset_split; duplicate
       // content groups + the distinct splits they span
@@ -4035,10 +4063,14 @@ object SparkEntry {
       // the live model — training drift is pinned separately by the
       // hardcoded lang_id_model_check golden). Class scores are exact
       // Long sums, so no float-summation-order caveat anywhere; the
-      // margin divides identical integers and rounds to 6dp.
+      // margin divides identical integers and rounds to 6dp. The
+      // whitespace collapse spells Java's \s class out ([ \t\n\x0b\f\r])
+      // because RE2's \s EXCLUDES vertical tab — with bare \s a \x0b doc
+      // would word-split in Spark but control-strip-merge in DuckDB.
       raw"""WITH norm AS (
            SELECT doc_id,
-             lower(trim(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+             lower(trim(regexp_replace(regexp_replace(text,
+               '[ \t\n\x0b\f\r]+', ' ', 'g'),
                '[\x00-\x1f]', '', 'g'))) AS nt
            FROM documents),
          g AS (
@@ -4096,7 +4128,8 @@ object SparkEntry {
       // golden model head (the quality_classifier_weights pattern):
       // per-class nonzero count, weight sum, position-weighted checksum
       // [GOLDEN @ seed corpus, buckets=1024, iters=2000, step=8.0,
-      //  l2=0.0002 — re-derive via ScratchLangGolden on seed change]
+      //  l2=0.0002 — re-derive on trainer change by dumping the Spark
+      //  side of this query (LangIdModel.modelCheck) and repinning]
       """SELECT lang, CAST(n_nonzero AS BIGINT) AS n_nonzero,
            CAST(w_sum AS BIGINT) AS w_sum,
            CAST(checksum AS BIGINT) AS checksum

@@ -70,4 +70,87 @@ class DiversitySampleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._2).sorted.toSeq === (0L until 48L).toSeq)
     assert(got.map(_._1).sorted.toSeq === (1 to 48))
   }
+
+  // ----- trained form (diversity_sample_trained): Lloyd centroids -----
+
+  // one deliberately DENSE mode: mode 0 has 36 members, modes 1-3 have 12
+  // — the exact skew a uniform draw over-represents (36/72 = 50% of the
+  // corpus) and cluster-balanced selection exists to defuse
+  private def skewedModes: org.apache.spark.sql.DataFrame = {
+    val rows = for {
+      m <- 0 until 4
+      j <- 0 until (if (m == 0) 36 else 12)
+    } yield {
+      val base = Array.fill(4)(0.05f * (j % 3))
+      base(m) = 1.0f + 0.01f * j
+      ((m * 100 + j).toLong, base.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("trained: lloydCentroids deterministic under repartitioning") {
+    def fit(parts: Int): Seq[Seq[Double]] =
+      Similarity.lloydCentroids(skewedModes.repartition(parts), "vec_id",
+        "embedding", nlist = 4)
+    // bit-identical, not approximately equal: the hash-ordered training
+    // sample and fixed-iteration pure-double kernel admit no layout noise
+    assert(fit(2) === fit(9))
+  }
+
+  test("trained: dense cluster cannot over-draw; every prefix stays balanced") {
+    val cents = Similarity.lloydCentroids(skewedModes, "vec_id", "embedding",
+      nlist = 4)
+    val got = Similarity.diversitySample(skewedModes, "vec_id", "embedding",
+        k = 12, centroids = Some(cents))
+      .as[(Int, Long, Int, Int, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq === (1 to 12), "pick_order contiguous")
+    // quota = ceil(12/4) = 3: the dense mode holds 50% of the corpus but
+    // NO cluster — dense or not — contributes more than quota rows
+    got.groupBy(_._3).foreach { case (c, rows) =>
+      assert(rows.length <= 3, s"cluster $c over quota")
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq,
+        s"cluster $c ranks not a 1..q prefix")
+    }
+    // balanced selection caps the dense mode's share at quota × (centers
+    // Lloyd placed on it) — NOT its 50% corpus share, and never the whole
+    // budget a prototypicality top-k would hand it. (Lloyd may legally
+    // split the dense mode across several centers; the cap is per-cluster.)
+    val denseCenters = cents.count(c => c.indexOf(c.max) == 0)
+    assert(denseCenters < 4, "degenerate fit: every center on the dense mode")
+    val denseModePicks = got.count(_._2 < 100L)
+    assert(denseModePicks <= 3 * denseCenters,
+      s"dense mode drew $denseModePicks > quota×$denseCenters centers")
+    // prefix balance: all rank-r rows precede any rank-(r+1) row
+    val byRank = got.groupBy(_._4).view.mapValues(_.map(_._1)).toMap
+    byRank.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byRank(a).max < byRank(b).min,
+        s"rank-$a rows do not all precede rank-$b rows")
+      case _ => ()
+    }
+  }
+
+  test("trained: end-to-end fit+select deterministic under repartitioning") {
+    def run(parts: Int): Seq[(Int, Long, Int, Int, Double)] = {
+      val df = skewedModes.repartition(parts)
+      val cents = Similarity.lloydCentroids(df, "vec_id", "embedding",
+        nlist = 4)
+      Similarity.diversitySample(df, "vec_id", "embedding", k = 12,
+          centroids = Some(cents))
+        .as[(Int, Long, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    }
+    assert(run(2) === run(9))
+  }
+
+  // golden re-derivation helper for the diversity_sample_trained VALUES
+  // oracle in SparkEntry.oracleSql — run on gate-corpus (SF) change:
+  //   sbt "Test/testOnly graft.DiversitySampleSpec -- -n golden" won't run
+  //   ignored tests; temporarily flip `ignore` to `test` and run the suite.
+  ignore("printGolden: re-derive the diversity_sample_trained oracle rows") {
+    val df = SparkEntry.queries("diversity_sample_trained")(
+      spark, "/root/testdata/sf0.01")
+    val rows = df.orderBy("pick_order").collect()
+    rows.foreach(r => println(
+      s"(${r.getInt(0)},${r.getLong(1)},${r.getInt(2)},${r.getInt(3)}),"))
+    println(s"n=${rows.length}")
+  }
 }
