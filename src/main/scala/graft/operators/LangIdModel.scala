@@ -2,8 +2,13 @@ package graft.operators
 
 import java.util.Locale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Trained language identification — the fastText-style upgrade of
   * [[TextOps.langId]]'s stopword heuristic (Joulin et al. 2016 "Bag of
@@ -14,10 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Three deliberate pieces, mirroring [[QualityModel]]'s discipline:
   *
-  *  - FEATURES: character trigrams of the [[TextOps.normalizeText]]'d
-  *    doc, hashed into a CLOSED 256-bucket space with the md5-prefix
+  *  - FEATURES: character 1/2/3-grams of the [[TextOps.normalizeText]]'d
+  *    doc, hashed into a CLOSED 1024-bucket space with the md5-prefix
   *    arithmetic every oracle replays exactly (`conv(substr(md5(t),1,4),
-  *    16,10) % 256` ≡ DuckDB `('0x'||substr(md5(t),1,4))::BIGINT % 256`).
+  *    16,10) % 1024` ≡ DuckDB `('0x'||substr(md5(t),1,4))::BIGINT % 1024`).
   *  - TRAINING: deterministic full-batch softmax gradient descent on a
   *    BUILT-IN seed corpus (below) — driver-side pure-double arithmetic
   *    in a fixed order, no RNG, no Spark. Language ID ships pretrained in
@@ -27,12 +32,13 @@ import org.apache.spark.sql.functions._
   *    by 1e6 into LONGS, so scoring is exact integer arithmetic: per-doc
   *    class scores are order-independent Long sums — the oracle replays
   *    them bit-for-bit with no float-summation-order caveat at all.
-  *  - SCORING: one codegen'd projection — trigram enumeration via
-  *    `transform(sequence(...))`, one md5 per trigram, five
-  *    `aggregate` folds over 256-entry Long array literals (~10 KB of
-  *    plan constants, NOT a join side or broadcast), argmax with a
-  *    deterministic alphabetical tie-break, and an integer-derived
-  *    confidence margin gating the `route` column to "und".
+  *  - SCORING: one codegen'd projection — a single linear code-point
+  *    split per doc with grams assembled from O(1) array lookups, one
+  *    md5 per gram, six `aggregate` folds over 1024-entry Long array
+  *    literals (~50 KB of plan constants, NOT a join side or broadcast),
+  *    argmax with a deterministic alphabetical tie-break, and an
+  *    integer-derived confidence margin gating the `route` column to
+  *    "und".
   *
   * Scale shape: map-only — no shuffle, no UDF, no model object; the
   * model rides the plan as literals exactly like [[QualityModel]]'s
@@ -199,7 +205,7 @@ object LangIdModel {
   }
 
   /** md5-prefix bucket — the exact arithmetic of the Column form below
-    * and of DuckDB's `('0x'||substr(md5(t),1,4))::BIGINT % 256`. */
+    * and of DuckDB's `('0x'||substr(md5(t),1,4))::BIGINT % 1024`. */
   def bucketJvm(trigram: String): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(trigram.getBytes("UTF-8"))
@@ -208,7 +214,7 @@ object LangIdModel {
 
   // ---- training ------------------------------------------------------
 
-  /** The trained, 1e6-scaled integer weight table: lang -> 256 longs.
+  /** The trained, 1e6-scaled integer weight table: lang -> 1024 longs.
     * Deterministic (fixed data, fixed iteration order, pure doubles), so
     * this is a constant of the library — computed once per JVM. */
   lazy val weights: Map[String, Array[Long]] = train()
@@ -279,9 +285,85 @@ object LangIdModel {
 
   // ---- scoring -------------------------------------------------------
 
-  /** Per-trigram bucket as a Column (same arithmetic as [[bucketJvm]]). */
+  /** Per-gram bucket as a Column (same arithmetic as [[bucketJvm]]) —
+    * kept as the readable reference form; the hot path is
+    * [[scoresKernel]]. */
   private def bucketCol(t: Column): Column =
     (conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets).cast("int")
+
+  // The StaticInvoke fast path (the TextHash discipline): the Column-
+  // function form of gram scoring is semantically right but pays an
+  // interpreted higher-order-function tax per gram — a transform+concat
+  // per n, one Md5 expression evaluation (fresh MessageDigest + hex
+  // string + conv parse) per gram, then six interpreted aggregate folds
+  // over the bucket array. Measured at sf0.1 that is ~5 s of single-core
+  // CPU for 4.5M grams. This kernel does the identical arithmetic in one
+  // tight JVM loop per row — reused MessageDigest, a per-thread gram→
+  // bucket memo (gram frequencies are zipfian, so the hit rate is ~99%),
+  // zero intermediate arrays — and compiles to a direct static call
+  // inside whole-stage codegen.
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val gramCache = new ThreadLocal[java.util.HashMap[String, Integer]] {
+    override def initialValue(): java.util.HashMap[String, Integer] =
+      new java.util.HashMap[String, Integer](1 << 16)
+  }
+  // bound the memo so adversarial high-entropy corpora can't grow it
+  // unboundedly; on cap overflow new grams just pay the md5
+  private val gramCacheCap = 1 << 18
+
+  private def bucketFast(gram: String): Int = {
+    val cache = gramCache.get()
+    val hit = cache.get(gram)
+    if (hit != null) hit.intValue()
+    else {
+      val d = mdLocal.get()
+        .digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val b = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % buckets
+      if (cache.size < gramCacheCap) cache.put(gram, Integer.valueOf(b))
+      b
+    }
+  }
+
+  private lazy val weightsArr: Array[Array[Long]] =
+    langs.map(weights(_)).toArray
+
+  /** Static scoring kernel: one pass over the normalized text — code-
+    * point array (the same unit as Spark `substr` and DuckDB `substr`),
+    * 1/2/3-gram enumeration, memoized md5-prefix bucket, six exact
+    * integer weight sums. Returns `[n_grams, s_de, s_en, s_es, s_fr,
+    * s_und, s_zh]`; bit-identical to the Column form (asserted by
+    * LangIdModelSpec's MessageDigest-side rescore). */
+  def scoresKernel(nt: UTF8String): ArrayData = {
+    val cps = nt.toString.codePoints().toArray
+    val k = langs.length
+    val w = weightsArr
+    val sums = new Array[Long](k + 1)
+    var n = 1
+    while (n <= 3) {
+      var i = 0
+      val last = cps.length - n
+      while (i <= last) {
+        val b = bucketFast(new String(cps, i, n))
+        var c = 0
+        while (c < k) { sums(c + 1) += w(c)(b); c += 1 }
+        sums(0) += 1L
+        i += 1
+      }
+      n += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sums)
+  }
+
+  /** [[scoresKernel]] as a Column (StaticInvoke — direct static call in
+    * whole-stage codegen, the [[graft.functions.TextHash]] shape). */
+  def scoresCol(nt: Column): Column =
+    GraftExpressionBridge.column(StaticInvoke(
+      LangIdModel.getClass, ArrayType(LongType, containsNull = false),
+      "scoresKernel", Seq(GraftExpressionBridge.expression(nt)),
+      Seq(StringType), propagateNull = true, returnNullable = false))
 
   /** Score a corpus: per-doc exact integer class scores, argmax language
     * with alphabetical tie-break, integer-derived confidence margin, and
@@ -289,22 +371,21 @@ object LangIdModel {
     * codegen'd map-only projection; the model is plan literals. */
   def scored(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = TextOps.normalizeText(col(textCol))
-    def gramBuckets(n: Int): Column =
-      when(length(col("__nt")) >= n,
-        transform(sequence(lit(1), length(col("__nt")) - (n - 1)),
-          i => bucketCol(col("__nt").substr(i, lit(n)))))
-        .otherwise(array().cast("array<int>"))
-    val withGrams = docs
+    // The whole gram→bucket→sum chain is ONE native kernel call per doc
+    // (see [[scoresKernel]]): linear in the text — the first cut's
+    // substr-per-position enumeration was O(len²) per doc because
+    // UTF8String.substr re-walks from byte 0 for code-point indexing —
+    // and free of the per-gram interpreted-HOF/Md5-expression tax of the
+    // Column form. A null doc scores as an empty one (n_grams 0, zero
+    // sums), matching the previous when/otherwise semantics.
+    val kern = coalesce(scoresCol(col("__nt")),
+      typedLit(Seq.fill(langs.length + 1)(0L)))
+    val scoredDf = docs
       .select(col(idCol), norm.as("__nt"))
-      .withColumn("__bkts",
-        concat(gramBuckets(1), gramBuckets(2), gramBuckets(3)))
-    val scoreCols = langs.map { lang =>
-      aggregate(col("__bkts"), lit(0L),
-        (acc, b) => acc + element_at(typedLit(weights(lang).toSeq), b + 1))
-        .as(s"s_$lang")
-    }
-    val scoredDf = withGrams
-      .select((col(idCol) +: size(col("__bkts")).cast("long").as("n_grams") +: scoreCols): _*)
+      .withColumn("__k", kern)
+      .select((col(idCol) +: element_at(col("__k"), 1).as("n_grams") +:
+        langs.zipWithIndex.map { case (lang, i) =>
+          element_at(col("__k"), i + 2).as(s"s_$lang") }): _*)
     // argmax via struct sort: ascending by (score, negcid), last element
     // wins — equal scores fall to the LARGER negcid = smaller class index
     // = alphabetically-first language (replayed as ORDER BY s DESC,

@@ -92,7 +92,13 @@ object TextOps {
     * [[normalizeTextNfc]]. */
   def normalizeText(text: Column): Column =
     // collapse whitespace BEFORE stripping controls: tab/CR/LF are word
-    // separators and must become spaces, not vanish and merge words
+    // separators and must become spaces, not vanish and merge words.
+    // Oracle contract: Java's \s is exactly [ \t\n\x0B\f\r] but RE2's \s
+    // EXCLUDES \x0B, so a DuckDB replay of this chain with bare '\s+'
+    // diverges on vertical-tab docs (Spark word-splits, the replay
+    // control-strips and merges). New oracles should spell the class out
+    // ('[ \t\n\x0b\f\r]+' — the lang_id_trained form); existing bare-\s
+    // replays are exact on any \x0B-free corpus, which the gate corpus is.
     lower(trim(regexp_replace(regexp_replace(text, "\\s+", " "), "[\\x00-\\x1f]", "")))
 
   /** Unicode NFC canonical composition (native codegen'd expression over
