@@ -22,11 +22,18 @@ object BenchOne {
     // same warmup discipline as Bench: JIT/codegen paid at the small SF
     try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    // fresh mode (SPARK_GRAFT_FRESH_MEMO=1): drop the per-(session, dir)
+    // trained-artifact memos before every iteration, so best-of-N times
+    // the query BUILD-INCLUSIVE — how a family's alphabetically-first
+    // member bills inside the full sorted bench run. Default keeps the
+    // memoized steady state (how every other family member bills).
+    val fresh = sys.env.get("SPARK_GRAFT_FRESH_MEMO").contains("1")
     val times = (1 to iters).map { _ =>
       // mirror Bench's per-query isolation exactly, incl. the dedup queue
       graft.operators.Dedup.unpersistIntermediates()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      if (fresh) SparkEntry.clearSessionMemos(spark)
       System.gc()
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()

@@ -45,6 +45,19 @@ object SparkEntry {
       })
       entries.getOrElseUpdate((s, k), v)
     }
+    def clear(s: SparkSession): Unit =
+      entries.keysIterator.filter(_._1 eq s).toList.foreach(entries.remove)
+  }
+
+  /** Drop every memoized trained artifact (GBT fit, BPE merges, DSIR
+    * ratio table, quality weights) for `s`. Bench hook: BenchOne's fresh
+    * mode calls this per iteration so a family's first member can be
+    * pinned BUILD-INCLUSIVE — the cost it actually bills inside the full
+    * sorted bench run, where the alphabetically-first sibling pays the
+    * one-time build and the rest score against the memo. */
+  def clearSessionMemos(s: SparkSession): Unit = {
+    modelCache.clear(s); bpeMergeCache.clear(s)
+    dsirRatioCache.clear(s); qualityWeightsCache.clear(s)
   }
 
   /** One GBT training per (session, dir): `fatality_model` and
