@@ -790,6 +790,47 @@ object SparkEntry {
       Sink.reset(path)
       Sink.exportTokenStream(s, packedStreamEos(s, d), path)
     }),
+    "packed_stream_roundtrip" -> ((s, d) => {
+      // The CONSUMER gate closing the train-data chain end to end: a
+      // trainer's data loader reads the landed stream, cuts it at the
+      // EOS separators, and feeds segments — so this query does exactly
+      // that (encode → pack(+EOS) → export → READ BACK → split on id 272
+      // → decode) and emits each rebuilt segment's decoded text. The
+      // oracle computes the expected text INDEPENDENTLY of all BPE and
+      // packing machinery (the D26b contract: whitespace-deleted raw
+      // text) and the segment coordinates from the packer replay — any
+      // token dropped, shifted, or invented anywhere in the chain breaks
+      // a per-document string equality, not just a checksum. Scale
+      // shape: the segment rebuild groups ≤ budget+docs tokens per
+      // (shard, seq), the EOS-count window runs inside those bounded
+      // groups, and decode is one native kernel call per segment.
+      import org.apache.spark.sql.expressions.Window
+      val eosId = 272
+      val merges = trainedMerges(s, d, 16)
+      val path = sinkPath(d, "token_stream_eos_rt")
+      Sink.reset(path)
+      Sink.exportTokenStream(s, packedStreamEos(s, d), path)
+        .queryExecution.toRdd.count(): Unit // land the stream
+      val landed = s.read.parquet(path)
+      // seg_idx = separators seen strictly before this pos + 1; stream
+      // order within a sequence IS doc-id order (the packer's window)
+      val wSeen = Window.partitionBy("shard", "seq_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      landed
+        .select(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("pos"), col("token_id"))
+        .withColumn("seg_idx",
+          coalesce(sum(when(col("token_id") === eosId, 1L)).over(wSeen),
+            lit(0L)) + 1L)
+        .filter(col("token_id") =!= eosId)
+        .groupBy("shard", "seq_id", "seg_idx")
+        .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
+          .as("pt"))
+        .select(col("shard"), col("seq_id"), col("seg_idx"),
+          size(col("pt")).cast("long").as("n_tokens"),
+          Bpe.decodeCol(transform(col("pt"), p => p.getField("token_id")),
+            merges).as("decoded"))
+    }),
     "token_stream_export" -> ((s, d) => {
       // The last seam in the training-export chain closed (VERDICT r12
       // #7b): the D29 packed stream LANDED as one parquet file per shard
@@ -5379,6 +5420,78 @@ object SparkEntry {
          SELECT CAST(shard AS BIGINT), CAST(seq AS BIGINT),
            CAST(off + n AS BIGINT), CAST(272 AS BIGINT)
          FROM offs""",
+    "packed_stream_roundtrip" ->
+      // the consumer-side roundtrip: segment coordinates come from the
+      // packer replay (merge recursion for per-doc token counts, md5
+      // shard routing, the greedy first-fit CTE, rank-in-sequence by
+      // doc id = the stream's segment order), but the EXPECTED text is
+      // computed with no BPE machinery at all — the bpe_decode contract:
+      // decode(segment) must equal the raw doc with every \s+ run
+      // deleted, byte for byte
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         words AS (
+           SELECT doc_id, w, count(*) AS n_occ FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents) u WHERE w <> '' GROUP BY doc_id, w),
+         dw AS (SELECT DISTINCT w FROM words),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         counts AS (
+           SELECT w, len(string_split(s, ',')) - 2 AS n_tok
+           FROM rec WHERE r = 16),
+         dcount AS (
+           SELECT doc_id, CAST(sum(n_occ * n_tok) AS BIGINT) AS n
+           FROM words JOIN counts USING (w) GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         seg AS (
+           SELECT shard, doc_id, n, seq,
+             row_number() OVER (PARTITION BY shard, seq ORDER BY doc_id)
+               AS seg_idx
+           FROM pack)
+         SELECT CAST(s.shard AS BIGINT) AS shard,
+           CAST(s.seq AS BIGINT) AS seq_id,
+           CAST(s.seg_idx AS BIGINT) AS seg_idx,
+           s.n AS n_tokens,
+           regexp_replace(d.text, '[ \t\n\x0B\f\r]+', '', 'g') AS decoded
+         FROM seg s JOIN documents d USING (doc_id)""",
     "token_stream_export_eos" ->
       // the separator stream's export manifest: same chain, rolled up per
       // shard — the position-weighted checksum now pins every EOS slot

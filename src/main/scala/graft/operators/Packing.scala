@@ -31,9 +31,21 @@ object Packing {
     * `perDocOverhead` reserves budget for per-document structure tokens
     * a downstream stream builder inserts — the document-separator (EOS)
     * convention every real trainer uses (`doc₁ EOS doc₂ EOS …`): with
-    * overhead 1, a sequence holding d documents spends Σnᵢ + d of its
-    * budget, so the separator never overflows the context window the
-    * budget models. 0 (the default) is the bare-concatenation form. */
+    * overhead 1, a sequence holding d MULTI-PACKED documents spends
+    * Σnᵢ + d of its budget. 0 (the default) is the bare-concatenation
+    * form.
+    *
+    * Overflow contract for docs AT or ABOVE the budget: a doc with
+    * n ≥ budget − overhead + 1 opens its own sequence and that sequence
+    * OVERFLOWS the modeled window — it carries min(n, budget) + overhead
+    * accounting slots but a downstream EOS stream emits all n tokens
+    * plus the separator (an exactly-budget-sized doc thus yields a
+    * budget+1-token sequence). This is deliberate: the packer never
+    * truncates content — a trainer that must hard-cap the window
+    * chunk-splits oversized docs UPSTREAM (chunk_docs) rather than
+    * asking the packer to silently drop tokens — and the DuckDB packer
+    * replay (`LEAST(n, budget) + overhead`) mirrors the same accounting,
+    * so the gates pin this shape end to end. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, shards: Int,
                     shardOn: Option[org.apache.spark.sql.Column] = None,

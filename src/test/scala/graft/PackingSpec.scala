@@ -144,4 +144,55 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(seqOf(3L) !== seqOf(2L))
     assert(seqOf(4L) !== seqOf(3L))
   }
+
+  test("eos stream roundtrip: split-on-separator recovers every doc's exact ids") {
+    // the consumer-side inverse (the packed_stream_roundtrip gate's
+    // reconstruction, on synthetic ids): cut the stream at EOS, and each
+    // segment must be one doc's exact token sequence — including an
+    // OVERSIZED doc (7 > budget 6), which overflows its own sequence but
+    // must still round-trip intact
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val eosId = 999L
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L)), (2L, Seq(20L)), (3L, Seq(30L, 31L)),
+      (4L, (0 until 7).map(i => 40L + i))).toDF("doc_id", "ids")
+    val withIds = docs.withColumn("n_tokens", size(col("ids")).cast("long"))
+    val assigned = Packing.packSequences(
+      withIds.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+      budget = 6, shards = 1, perDocOverhead = 1L)
+    val w = Window.partitionBy("shard", "seq_id").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stream = assigned
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
+      .join(withIds.select(col("doc_id").as("id"), col("ids")), Seq("id"))
+      .select(col("shard"), col("seq_id"), col("offset"),
+        posexplode(concat(col("ids"), array(lit(eosId)))))
+      .select(col("shard"), col("seq_id"),
+        (col("offset") + col("pos")).as("pos"), col("col").as("token_id"))
+    // reconstruction: separators-seen-before window, drop EOS, regroup
+    val wSeen = Window.partitionBy("shard", "seq_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segs = stream
+      .withColumn("seg_idx",
+        coalesce(sum(when(col("token_id") === eosId, 1L)).over(wSeen),
+          lit(0L)) + 1L)
+      .filter(col("token_id") =!= eosId)
+      .groupBy("shard", "seq_id", "seg_idx")
+      .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
+        .as("pt"))
+      .select(col("seq_id"), col("seg_idx"),
+        expr("transform(pt, p -> p.token_id)").as("ids"))
+      .as[(Long, Long, Seq[Long])].collect()
+    // every doc's exact sequence comes back, each as one segment
+    val expected = Set(Seq(10L, 11L, 12L), Seq(20L), Seq(30L, 31L),
+      (0 until 7).map(i => 40L + i).toSeq)
+    assert(segs.map(_._3.toSeq).toSet === expected)
+    assert(segs.length === 4, "one segment per doc, no phantom segments")
+    // segment order within a sequence follows doc-id order
+    segs.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.sortBy(_._2).map(_._2) === (1L to g.length))
+    }
+  }
 }
