@@ -35,6 +35,9 @@ object Explain {
         case None => println(s"\n========== $name ========== (unknown query)")
       }
     }
+    // the audit's own completeness receipt: a committed plans.txt whose
+    // total doesn't match SparkEntry.queries.size is visibly stale
+    println(s"\n========== TOTAL ${names.size} of ${SparkEntry.queries.size} registered ==========")
     spark.stop()
   }
 }

@@ -1,0 +1,1008 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+import graft.ml.FatalityModel
+import graft.operators._
+import graft.sources.{Jsonl, Sink, Tables}
+import graft.streaming.{EventStream, IncrementalStream}
+
+import EntryOps._
+
+/** Tokenizer training/apply (byte-level BPE), sequence packing, and
+  * the packed-token-stream export/roundtrip chain.
+  *
+  * Registration slice of the [[SparkEntry]] driver contract — query
+  * lambdas and their DuckDB oracle replays, split per tier (r15) so the
+  * contract file stops being the single merge bottleneck. Entry text is
+  * unchanged from the monolithic registration. */
+private[graft] object TokenEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> ((s, d) => {
+      // The trained byte-level BPE merge table itself, as rows: training
+      // is deterministic (global word-freq dict, hash-capped sample,
+      // lexicographic tie-break), so the gate pins the merges as golden
+      // VALUES — the training half of the tokenizer-faithful token-count
+      // story (bpe_token_count gates the application half). Symbols are
+      // 2-hex-digit UTF-8 bytes, so the table is ASCII whatever the
+      // corpus script.
+      import s.implicits._
+      trainedMerges(s, d, 16)
+        .zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, s"$a $b") }
+        .toDF("rank", "pair")
+    }),
+    "bpe_fertility" -> ((s, d) => {
+      // Tokenizer FERTILITY per language — the standard tokenizer-eval
+      // table (tokens/word and bytes/token by lang exposes a tokenizer
+      // that fragments one language's text): per-lang sums of the native
+      // kernel's BPE counts, whitespace words, and UTF-8 bytes, ratios
+      // derived from the exact integer sums so both engines divide
+      // identical doubles. Rides the memoized per-(session, dir) train;
+      // one map-side-combined agg to O(|langs|) rows.
+      val docs = Tables.documents(s, d)
+      val merges = trainedMerges(s, d, 16)
+      docs.select(col("lang"),
+          Bpe.tokenCountCol(col("text"), merges).as("n_tok"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_w"),
+          octet_length(col("text")).cast("long").as("n_b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_w")).as("n_words"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_b")).as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_bytes"),
+          round(col("n_tokens") / when(col("n_words") =!= 0, col("n_words")), 4)
+            .as("tokens_per_word"),
+          round(col("n_bytes") / when(col("n_tokens") =!= 0, col("n_tokens")), 4)
+            .as("bytes_per_token"))
+    }),
+    "bpe_token_count" -> ((s, d) => {
+      // Tokenizer-faithful token counts: the 16-merge byte-level BPE
+      // trained on this corpus, applied by the native kernel (merge table
+      // as one plan literal). The corpus is augmented with PLANTED
+      // non-ASCII docs (fr/de accents, CJK — built from \u escapes here
+      // and chr() codepoints in the oracle, so no encoding channel can
+      // skew either side) to prove counting is byte-faithful outside
+      // [a-z]: every non-ASCII char counts as its UTF-8 bytes rather than
+      // being stripped. The oracle replays APPLICATION in DuckDB — a
+      // recursive first-occurrence-replace over comma-delimited
+      // hex-byte-symbol strings with the same pinned merge table — so
+      // both train (bpe_merges) and apply are second-engine-checked.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = trainedMerges(s, d, 16)
+      val planted = Seq(
+        (9000001L, "café déjà naïve entrée"),
+        (9000002L, "über straße größer"),
+        (9000003L, "模型 训练 数据"))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          Bpe.tokenCountCol(col("text"), merges).as("n_bpe_tokens"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_words"))
+    }),
+    "bpe_encode" -> ((s, d) => {
+      // The ENCODE half of the tokenizer story: actual token-ID sequences
+      // (GPT-2 id convention — bytes 0-255, merge rank r mints 256+r),
+      // not just counts. This is what a training-export writes; exploded
+      // to (doc_id, pos, token_id) rows so the full sequence is
+      // second-engine-checked: the oracle replays merge application per
+      // distinct word (the bpe_token_count recursion), then maps final
+      // symbols to ids (byte value, or 256+min producing rank) and
+      // reassembles per-doc order. Same planted non-ASCII docs — CJK/
+      // accented text must encode to its UTF-8 byte ids, not vanish.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = trainedMerges(s, d, 16)
+      val planted = Seq(
+        (9000001L, "café déjà naïve entrée"),
+        (9000002L, "über straße größer"),
+        (9000003L, "模型 训练 数据"))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          posexplode(Bpe.encodeCol(col("text"), merges)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+    }),
+    "bpe_vocab" -> ((s, d) => {
+      // The VOCABULARY artifact a tokenizer consumer ships beside the
+      // merge table (the vocab.json half of the GPT-2 pair): one row per
+      // mintable id — 0-255 the base bytes, 256+r for each merge rank
+      // whose concatenation is a FIRST occurrence (a duplicate
+      // concatenation never mints; encode resolves it to the min rank).
+      // Derived deterministically from the trained merges, so the oracle
+      // rebuilds it from the same pinned VALUES table bpe_merges gates.
+      import s.implicits._
+      val merges = trainedMerges(s, d, 16)
+      val base = (0 until 256).map(b => (b.toLong, f"$b%02x"))
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val minted = merges.zipWithIndex.flatMap { case ((a, b), r) =>
+        val sym = a + b
+        if (seen.add(sym)) Some((256L + r, sym)) else None
+      }
+      (base ++ minted).toDF("token_id", "symbol_hex")
+    }),
+    "bpe_decode" -> ((s, d) => {
+      // The DECODE half closing the tokenizer roundtrip: ids → UTF-8
+      // bytes → text. encode keeps no end-of-word marker (documented
+      // deviation), so the roundtrip contract is decode(encode(text)) ==
+      // text with every \s+ run deleted, byte for byte — which is what
+      // the oracle computes INDEPENDENTLY (regexp_replace over the raw
+      // corpus, no BPE machinery at all): any byte lost or invented
+      // anywhere in train→encode→decode breaks equality. Same planted
+      // non-ASCII docs — multi-byte UTF-8 must survive the id roundtrip,
+      // and the decoded CJK/accented STRINGS (not just ids) cross the
+      // engine-vs-DuckDB hash compare.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = trainedMerges(s, d, 16)
+      val planted = Seq(
+        (9000001L, "café déjà naïve entrée"),
+        (9000002L, "über straße größer"),
+        (9000003L, "模型 训练 数据"))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"),
+          Bpe.decodeCol(Bpe.encodeCol(col("text"), merges), merges)
+            .as("decoded"))
+    }),
+    "packed_token_stream" -> ((s, d) => {
+      // The END-TO-END training last mile: documents → trained-BPE token
+      // ids → greedy sequence packing (budget 512, 4 shards) → the packed
+      // TOKEN STREAM (shard, seq_id, pos, token_id) a training job would
+      // memory-map. Every stage is replayed in the oracle: encode via the
+      // bpe_encode recursion, shard routing via md5-prefix arithmetic
+      // (the replayable shardOn override), the greedy first-fit scan as a
+      // row-by-row recursive CTE, and stream positions from the packing
+      // offsets + per-doc token order. Scale shape: encode is map-only;
+      // packing shuffles one skinny (id, n_tokens, shard) row per doc;
+      // the stream rebuild pays one window over doc-level rows and one
+      // broadcast-sized join back to the id arrays per shard — no stage
+      // touches more than O(corpus tokens) rows once.
+      packedStream(s, d)
+    }),
+    "packed_token_stream_eos" -> ((s, d) =>
+      // D29 with document separators: every doc followed by the reserved
+      // EOS id 272, packer budget charged one slot per doc — the stream
+      // form a trainer actually memory-maps. The oracle extends the
+      // recursive-CTE packer replay with the +1 overhead and the per-doc
+      // separator rows.
+      packedStreamEos(s, d)),
+    "token_stream_export_eos" -> ((s, d) => {
+      // the separator stream LANDED per shard (the F18 roundtrip gate):
+      // the position-weighted checksum now also pins every EOS to its
+      // slot — a dropped or shifted separator flips the manifest
+      val path = sinkPath(d, "token_stream_eos")
+      Sink.reset(path)
+      Sink.exportTokenStream(s, packedStreamEos(s, d), path)
+    }),
+    "packed_stream_roundtrip" -> ((s, d) => {
+      // The CONSUMER gate closing the train-data chain end to end: a
+      // trainer's data loader reads the landed stream, cuts it at the
+      // EOS separators, and feeds segments — so this query does exactly
+      // that (encode → pack(+EOS) → export → READ BACK → split on id 272
+      // → decode) and emits each rebuilt segment's decoded text. The
+      // oracle computes the expected text INDEPENDENTLY of all BPE and
+      // packing machinery (the D26b contract: whitespace-deleted raw
+      // text) and the segment coordinates from the packer replay — any
+      // token dropped, shifted, or invented anywhere in the chain breaks
+      // a per-document string equality, not just a checksum. Scale
+      // shape: the segment rebuild groups ≤ budget+docs tokens per
+      // (shard, seq), the EOS-count window runs inside those bounded
+      // groups, and decode is one native kernel call per segment.
+      import org.apache.spark.sql.expressions.Window
+      val eosId = 272
+      val merges = trainedMerges(s, d, 16)
+      val path = sinkPath(d, "token_stream_eos_rt")
+      Sink.reset(path)
+      Sink.exportTokenStream(s, packedStreamEos(s, d), path)
+        .queryExecution.toRdd.count(): Unit // land the stream
+      val landed = s.read.parquet(path)
+      // seg_idx = separators seen strictly before this pos + 1; stream
+      // order within a sequence IS doc-id order (the packer's window)
+      val wSeen = Window.partitionBy("shard", "seq_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      landed
+        .select(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("pos"), col("token_id"))
+        .withColumn("seg_idx",
+          coalesce(sum(when(col("token_id") === eosId, 1L)).over(wSeen),
+            lit(0L)) + 1L)
+        .filter(col("token_id") =!= eosId)
+        .groupBy("shard", "seq_id", "seg_idx")
+        .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
+          .as("pt"))
+        .select(col("shard"), col("seq_id"), col("seg_idx"),
+          size(col("pt")).cast("long").as("n_tokens"),
+          Bpe.decodeCol(transform(col("pt"), p => p.getField("token_id")),
+            merges).as("decoded"))
+    }),
+    "token_stream_export" -> ((s, d) => {
+      // The last seam in the training-export chain closed (VERDICT r12
+      // #7b): the D29 packed stream LANDED as one parquet file per shard
+      // in stream order (Sink.exportTokenStream), manifest recomputed
+      // from the WRITTEN tree with a position-weighted token checksum —
+      // Σ (pos+1)·token_id mod 1e9+7 pins every token to its stream
+      // position, so the gate proves the write→read roundtrip preserved
+      // the exact stream a training job would memory-map. The oracle
+      // replays the whole chain (encode → shard → greedy pack → stream
+      // positions) and aggregates the same manifest per shard.
+      val path = sinkPath(d, "token_stream")
+      Sink.reset(path)
+      Sink.exportTokenStream(s, packedStream(s, d), path)
+    }),
+    "seq_packing" -> ((s, d) => {
+      // Token-budget sequence packing over the corpus' whitespace token
+      // counts: per-sequence fill statistics (greedy shard-local packing).
+      val toks = TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      Packing.packSequences(toks, "doc_id", "ws_tokens", budget = 1024, shards = 8)
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+    }),
+    "seq_packing_check" -> ((s, d) => {
+      // Invariant oracle for the packer, second-engine-pinned where a
+      // second engine CAN pin it: DuckDB independently recomputes the
+      // corpus' exact whitespace-token sum (conservation — every token
+      // lands in exactly one bin, nothing dropped or double-packed), and
+      // the structural invariants are pinned TRUE: no multi-doc bin over
+      // budget (an oversized single doc legitimately gets its own bin),
+      // and the bin count inside the greedy first-fit bounds — at least
+      // ceil(total/budget) (pigeonhole), at most total/(budget-maxdoc)
+      // closed bins (a bin only closes when the next doc doesn't fit, so
+      // every closed bin holds > budget-maxdoc tokens) plus one open bin
+      // per shard.
+      val budget = 1024L
+      val shards = 8
+      val toks = TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      val bins = Packing.packSequences(toks, "doc_id", "ws_tokens", budget, shards)
+        .groupBy("shard", "seq_id")
+        .agg(sum("n_tokens").as("seq_tokens"), count(lit(1)).as("n_docs"),
+          max("n_tokens").as("max_doc"))
+      bins.agg(
+          sum("seq_tokens").as("total_tokens"),
+          count(lit(1)).as("__bins"),
+          max("max_doc").as("__maxdoc"),
+          min(when(col("seq_tokens") <= budget || col("n_docs") === 1, 1)
+            .otherwise(0)).as("__budget_ok"))
+        .select(col("total_tokens"),
+          (col("__budget_ok") === 1).as("budget_ok"),
+          (col("__bins") >= ceil(col("total_tokens") / lit(budget.toDouble)) &&
+            (col("__maxdoc") >= budget ||
+              col("__bins") <= ceil(col("total_tokens") /
+                (lit(budget.toDouble) - col("__maxdoc"))) + lit(shards)))
+            .as("bins_ok"))
+    }),
+    "chunk_docs" -> ((s, d) =>
+      // Long-document → context-window preparation: ≤32-token chunks with
+      // 8 tokens of overlap (small window so the gate corpus actually
+      // chunks). One projection + one explode; DuckDB replays the chunk
+      // boundaries and text token-for-token.
+      TextOps.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_hash")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "seq_packing_check" ->
+      // token conservation is recomputed EXACTLY by the second engine
+      // (same whitespace tokenization as token_count); the structural
+      // invariants (no multi-doc bin over budget, bin count inside the
+      // greedy first-fit bounds) are pinned TRUE
+      """SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
+           TRUE AS budget_ok, TRUE AS bins_ok
+         FROM documents""",
+    "chunk_docs" ->
+      // same tokenization, same start sequence 1, 1+24, … capped at
+      // n-overlap, same 32-token slices
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
+               AS INT) AS st
+           FROM t)
+         SELECT doc_id, CAST((st - 1) / 24 AS INT) AS chunk_id,
+           len(toks[st:st+31])::BIGINT AS n_tokens,
+           md5(array_to_string(toks[st:st+31], ' ')) AS chunk_hash
+         FROM c""",
+    "bpe_merges" ->
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
+      // the 16 trained byte-level merges in rank order (deterministic
+      // training: global word-freq dict, lexicographic tie-break);
+      // symbols are 2-hex-digit UTF-8 bytes — on this pure-ASCII corpus
+      // they are the hex rendering of the former char merges (e.g.
+      // '65 72' = 'e r')
+      """SELECT CAST(rank AS BIGINT) AS rank, pair FROM (VALUES
+           (0,'65 72'),(1,'69 6e'),(2,'6f 77'),(3,'6f 72'),(4,'73 74'),
+           (5,'6d 6572'),(6,'61 74'),(7,'6c 75'),(8,'61 72'),(9,'70 6172'),
+           (10,'6a 6f'),(11,'6a6f 696e'),(12,'61 73'),(13,'6173 68'),
+           (14,'68 617368'),(15,'72 6f77')) AS t(rank, pair)""",
+    "bpe_fertility" ->
+      // the bpe_token_count recursion (same pinned merge table) over the
+      // plain corpus, rolled up per lang; ratios divide the exact integer
+      // sums (identical doubles in any IEEE engine), zero-guard via nullif
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         words AS (
+           SELECT doc_id, w, count(*) AS n_occ FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents) u WHERE w <> '' GROUP BY doc_id, w),
+         dw AS (SELECT DISTINCT w FROM words),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         counts AS (
+           SELECT w, len(string_split(s, ',')) - 2 AS n_tok
+           FROM rec WHERE r = 16),
+         perdoc AS (
+           SELECT doc_id, sum(n_occ * n_tok) AS n_bpe, sum(n_occ) AS n_w
+           FROM words JOIN counts USING (w) GROUP BY doc_id),
+         perlang AS (
+           SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(p.n_w, 0)) AS BIGINT) AS n_words,
+             CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_tokens,
+             CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS n_bytes
+           FROM documents d LEFT JOIN perdoc p USING (doc_id)
+           GROUP BY 1)
+         SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+           round(n_tokens / (1.0 * nullif(n_words, 0)), 4) AS tokens_per_word,
+           round(n_bytes / (1.0 * nullif(n_tokens, 0)), 4) AS bytes_per_token
+         FROM perlang""",
+    "bpe_token_count" ->
+      // full second-engine replay of byte-level BPE APPLICATION: the same
+      // pinned merge table (gated by bpe_merges), applied as a recursive
+      // first-occurrence replace over comma-delimited hex-byte-symbol
+      // strings (regexp_extract_all over lower(hex(w)) = the word's UTF-8
+      // bytes) — one recursion step merges one occurrence of the current
+      // rank's pair, advancing rank when none remain; rank-monotone
+      // application equals the min-rank loop because merging never
+      // re-creates a consumed symbol. The corpus is documents plus the
+      // PLANTED non-ASCII docs (chr() codepoints — byte-for-byte the
+      // engine's \u literals) proving non-[a-z] text is counted, not
+      // stripped. The final LEFT JOIN keeps a (doc_id, 0, 0) row for a
+      // doc with zero words — matching the engine, which projects over
+      // every doc
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'caf' || chr(233) || ' d' || chr(233) || 'j' ||
+                       chr(224) || ' na' || chr(239) || 've entr' ||
+                       chr(233) || 'e'),
+             (9000002, chr(252) || 'ber stra' || chr(223) || 'e gr' ||
+                       chr(246) || chr(223) || 'er'),
+             (9000003, chr(27169) || chr(22411) || ' ' || chr(35757) ||
+                       chr(32451) || ' ' || chr(25968) || chr(25454))
+           ) AS t(doc_id, text)),
+         words AS (
+           SELECT doc_id, w, count(*) AS n_occ FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+             FROM corpus) u WHERE w <> '' GROUP BY doc_id, w),
+         dw AS (SELECT DISTINCT w FROM words),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         counts AS (
+           SELECT w, len(string_split(s, ',')) - 2 AS n_tok
+           FROM rec WHERE r = 16),
+         perdoc AS (
+           SELECT doc_id, sum(n_occ * n_tok) AS n_bpe, sum(n_occ) AS n_w
+           FROM words JOIN counts USING (w) GROUP BY doc_id)
+         SELECT c.doc_id,
+           CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(p.n_w, 0) AS BIGINT) AS n_words
+         FROM corpus c LEFT JOIN perdoc p USING (doc_id)""",
+    "bpe_encode" ->
+      // full second-engine replay of byte-level BPE ENCODING: the
+      // bpe_token_count recursion produces each distinct word's final
+      // symbol string; symbols then map to ids — a 2-hex-digit symbol is
+      // its byte value (char-position arithmetic, no hex-cast dependence),
+      // a merged symbol is 256 + the smallest rank whose concatenation
+      // matches (the engine's idMap rule). generate_subscripts+unnest
+      // expand in lockstep, and per-doc positions rebuild from
+      // (word index, symbol index) — so the COMPLETE id sequence of every
+      // doc, planted non-ASCII included, is checked token for token
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'caf' || chr(233) || ' d' || chr(233) || 'j' ||
+                       chr(224) || ' na' || chr(239) || 've entr' ||
+                       chr(233) || 'e'),
+             (9000002, chr(252) || 'ber stra' || chr(223) || 'e gr' ||
+                       chr(246) || chr(223) || 'er'),
+             (9000003, chr(27169) || chr(22411) || ' ' || chr(35757) ||
+                       chr(32451) || ' ' || chr(25968) || chr(25454))
+           ) AS t(doc_id, text)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM corpus),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows)
+         SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+             AS pos,
+           CAST(token_id AS BIGINT) AS token_id
+         FROM wordpos JOIN ids USING (w)""",
+    "bpe_vocab" ->
+      // rebuilt from the same pinned merge table bpe_merges gates: 256
+      // base-byte rows plus one row per FIRST-occurrence concatenation
+      // (min-rank rule — a duplicate concatenation never mints an id)
+      """WITH m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b))
+         SELECT CAST(i AS BIGINT) AS token_id, printf('%02x', i) AS symbol_hex
+         FROM range(0, 256) t(i)
+         UNION ALL
+         SELECT CAST(256 + rank AS BIGINT) AS token_id, a || b AS symbol_hex
+         FROM m
+         WHERE rank = (SELECT min(m2.rank) FROM m m2
+                       WHERE m2.a || m2.b = m.a || m.b)""",
+    "bpe_decode" ->
+      // the roundtrip oracle computes the EXPECTED decode output with no
+      // BPE machinery at all: decode(encode(text)) must equal text with
+      // every \s+ run deleted (encode splits on \s+ and keeps no
+      // end-of-word marker), byte for byte. The explicit class
+      // [ \t\n\x0B\f\r] is exactly Java's \s (the kernel's split), spelled
+      // out so RE2-vs-Java class differences can't leak in; planted
+      // non-ASCII docs (chr() codepoints) prove multi-byte UTF-8 survives
+      // the id roundtrip as STRINGS, not just ids
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000001, 'caf' || chr(233) || ' d' || chr(233) || 'j' ||
+                       chr(224) || ' na' || chr(239) || 've entr' ||
+                       chr(233) || 'e'),
+             (9000002, chr(252) || 'ber stra' || chr(223) || 'e gr' ||
+                       chr(246) || chr(223) || 'er'),
+             (9000003, chr(27169) || chr(22411) || ' ' || chr(35757) ||
+                       chr(32451) || ' ' || chr(25968) || chr(25454))
+           ) AS t(doc_id, text))
+         SELECT doc_id,
+           regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g') AS decoded
+         FROM corpus""",
+    "packed_token_stream" ->
+      // end-to-end replay of the training last mile: the bpe_encode
+      // recursion yields each doc's token stream and count; md5-prefix
+      // arithmetic reroutes the engine's shardOn override; the greedy
+      // first-fit packer re-runs as a row-by-row recursive CTE whose
+      // state transition is copied from Packing.packSequences (raw-n
+      // overflow test, LEAST(n, budget) increment); window offsets plus
+      // per-doc token order rebuild every stream position. 92k tokens,
+      // checked token for token
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n > 512 THEN LEAST(o.n, 512)
+                  ELSE p.used + LEAST(o.n, 512) END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, seq,
+             coalesce(sum(n) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pack)
+         SELECT CAST(o.shard AS BIGINT) AS shard,
+           CAST(o.seq AS BIGINT) AS seq_id,
+           CAST(o.off + t.dpos AS BIGINT) AS pos,
+           CAST(t.token_id AS BIGINT) AS token_id
+         FROM offs o JOIN doctok t USING (doc_id)""",
+    "packed_token_stream_eos" ->
+      // the D29 replay with document separators: the recursive-CTE packer
+      // charges one extra budget slot per doc (used + n + 1 > 512),
+      // offsets advance by n + 1, and each doc contributes one EOS row
+      // (reserved id 272 = 256 base + 16 merges) at off + n
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, n, seq,
+             coalesce(sum(n + 1) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pack)
+         SELECT CAST(o.shard AS BIGINT) AS shard,
+           CAST(o.seq AS BIGINT) AS seq_id,
+           CAST(o.off + t.dpos AS BIGINT) AS pos,
+           CAST(t.token_id AS BIGINT) AS token_id
+         FROM offs o JOIN doctok t USING (doc_id)
+         UNION ALL
+         SELECT CAST(shard AS BIGINT), CAST(seq AS BIGINT),
+           CAST(off + n AS BIGINT), CAST(272 AS BIGINT)
+         FROM offs""",
+    "packed_stream_roundtrip" ->
+      // the consumer-side roundtrip: segment coordinates come from the
+      // packer replay (merge recursion for per-doc token counts, md5
+      // shard routing, the greedy first-fit CTE, rank-in-sequence by
+      // doc id = the stream's segment order), but the EXPECTED text is
+      // computed with no BPE machinery at all — the bpe_decode contract:
+      // decode(segment) must equal the raw doc with every \s+ run
+      // deleted, byte for byte
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         words AS (
+           SELECT doc_id, w, count(*) AS n_occ FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents) u WHERE w <> '' GROUP BY doc_id, w),
+         dw AS (SELECT DISTINCT w FROM words),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         counts AS (
+           SELECT w, len(string_split(s, ',')) - 2 AS n_tok
+           FROM rec WHERE r = 16),
+         dcount AS (
+           SELECT doc_id, CAST(sum(n_occ * n_tok) AS BIGINT) AS n
+           FROM words JOIN counts USING (w) GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         seg AS (
+           SELECT shard, doc_id, n, seq,
+             row_number() OVER (PARTITION BY shard, seq ORDER BY doc_id)
+               AS seg_idx
+           FROM pack)
+         SELECT CAST(s.shard AS BIGINT) AS shard,
+           CAST(s.seq AS BIGINT) AS seq_id,
+           CAST(s.seg_idx AS BIGINT) AS seg_idx,
+           s.n AS n_tokens,
+           regexp_replace(d.text, '[ \t\n\x0B\f\r]+', '', 'g') AS decoded
+         FROM seg s JOIN documents d USING (doc_id)""",
+    "token_stream_export_eos" ->
+      // the separator stream's export manifest: same chain, rolled up per
+      // shard — the position-weighted checksum now pins every EOS slot
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, n, seq,
+             coalesce(sum(n + 1) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pack),
+         stream AS (
+           SELECT o.shard, o.seq, o.off + t.dpos AS pos, t.token_id
+           FROM offs o JOIN doctok t USING (doc_id)
+           UNION ALL
+           SELECT shard, seq, off + n AS pos, 272 AS token_id FROM offs)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(((pos + 1) * token_id) % 1000000007) AS BIGINT)
+             AS checksum
+         FROM stream GROUP BY shard""",
+    "token_stream_export" ->
+      // the D29 replay chain (same CTEs as packed_token_stream) with the
+      // export manifest aggregated per shard: sequence count, token
+      // count, and the position-weighted checksum Σ (pos+1)·token_id
+      // mod 1e9+7 — the gate proves the parquet write→read roundtrip
+      // preserved every token AT its position
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n > 512 THEN LEAST(o.n, 512)
+                  ELSE p.used + LEAST(o.n, 512) END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, seq,
+             coalesce(sum(n) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pack),
+         stream AS (
+           SELECT o.shard, o.seq, o.off + t.dpos AS pos, t.token_id
+           FROM offs o JOIN doctok t USING (doc_id))
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(((pos + 1) * token_id) % 1000000007) AS BIGINT)
+             AS checksum
+         FROM stream GROUP BY shard"""
+  )
+}
