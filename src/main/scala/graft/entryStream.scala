@@ -252,6 +252,60 @@ private[graft] object StreamEntries {
       Seq(model, margins, vocab).foreach(_.unpersist())
       s.read.parquet(out)
     }),
+    "stream_perplexity_buckets" -> ((s, d) => {
+      // CCNet stratification SERVING (E12, the stream form of D31b): the
+      // trusted-slice model and the corpus-percentile cutoffs are
+      // deployment artifacts — trained once from the reference corpus,
+      // NOT per batch (per-batch cutoffs would make a doc's bucket
+      // depend on its batch-mates) — then the same two probe waves as
+      // stream_lm_score drain through checkpointed AvailableNow runs,
+      // each micro-batch backoff-scored and threshold-assigned against
+      // the static frames. Buckets are per-doc functions of (doc, model,
+      // cuts), so the drained lake must equal the batch assignment over
+      // the same probes — the oracle replays model, corpus cutoffs, and
+      // probe scoring end to end in SQL.
+      import s.implicits._
+      val base = sinkPath(d, "stream_perplexity_buckets")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d)
+      val trusted = docs.filter(length(col("source")) === 4)
+      val (model, margins, vocab) =
+        NgramLm.servingFrames(trusted, "doc_id", "text")
+      Seq(model, margins, vocab).foreach(_.persist())
+      // the cutoff artifact: corpus scored once against the trusted
+      // slice, tertile cuts collected into a literal 1-row frame (what a
+      // deployment ships beside the model — micro-batches must never
+      // re-trigger the corpus pass)
+      val cutRow = NgramLm.cutoffs(
+        NgramLm.scoreWithModel(docs, model, margins, vocab,
+          "doc_id", "text")).collect()(0)
+      val cuts = Seq((cutRow.getDouble(0), cutRow.getDouble(1)))
+        .toDF("cut_head", "cut_middle")
+      val probes = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz qq zz")).as("text"))
+      val novels = Seq(
+        (4000000L, "wholly novel planted stream document zyx about" +
+          " nothing previously modeled qqj at all"),
+        (4000001L, "another genuinely novel planted document kvw" +
+          " carrying entirely fresh content pqz never scored before"))
+        .toDF("doc_id", "text")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string")
+      probes.filter(col("doc_id") < 3000005L)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.lmBucketStream(s, landing, schema, model, margins, vocab,
+        cuts, "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1)
+        .awaitTermination()
+      probes.filter(col("doc_id") >= 3000005L).unionByName(novels)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.lmBucketStream(s, landing, schema, model, margins, vocab,
+        cuts, "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1)
+        .awaitTermination()
+      Seq(model, margins, vocab).foreach(_.unpersist())
+      s.read.parquet(out)
+    }),
     "stream_novelty" -> ((s, d) => {
       // The incremental-crawl near-dup gate ACTUALLY STREAMING: the same
       // planted probes as novelty_near_dup arrive as two parquet delivery
@@ -360,6 +414,107 @@ private[graft] object StreamEntries {
            coalesce(round(-sc.logprob_sum / sc.n_bigrams, 4) <= 6.0, false) AS keep
          FROM (SELECT DISTINCT doc_id FROM tgt) t
          LEFT JOIN sc USING (doc_id)""",
+    "stream_perplexity_buckets" ->
+      // trusted-slice model + CORPUS-percentile cutoffs (the
+      // perplexity_bucket_assign arithmetic) + the stream_lm_score probe
+      // replay, assigned by the static cuts — the full serving chain in
+      // one SQL: a drained bucket that depended on wave composition (or
+      // per-batch cutoffs) would diverge
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         cws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         tgt AS (
+           SELECT doc_id + 3000000 AS doc_id,
+             text || ' qq zz qq zz' AS text
+           FROM documents WHERE doc_id < 10
+           UNION ALL
+           SELECT cast(id AS bigint), t FROM (VALUES
+             (4000000, 'wholly novel planted stream document zyx about nothing previously modeled qqj at all'),
+             (4000001, 'another genuinely novel planted document kvw carrying entirely fresh content pqz never scored before'))
+             v(id, t)),
+         pws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM tgt),
+         tbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM tws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         cbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM cws) p),
+         csc AS (
+           SELECT cbi.doc_id,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum,
+             count(*) AS n_bigrams
+           FROM cbi
+           LEFT JOIN model m ON cbi.w1 = m.w1 AND cbi.w2 = m.w2
+           LEFT JOIN c1 ON cbi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1),
+         doc_sc AS (
+           SELECT d.doc_id,
+             round(-csc.logprob_sum / csc.n_bigrams, 4) AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN csc USING (doc_id)),
+         hist AS (SELECT avg_nll, count(*) AS cnt FROM doc_sc
+                  WHERE avg_nll IS NOT NULL GROUP BY 1),
+         cum AS (SELECT avg_nll, sum(cnt) OVER (ORDER BY avg_nll
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM hist),
+         tot AS (SELECT count(*) AS n_total FROM doc_sc
+                 WHERE avg_nll IS NOT NULL),
+         cuts AS (SELECT
+             min(CASE WHEN cum * 3 >= n_total THEN avg_nll END) AS cut_head,
+             min(CASE WHEN cum * 3 >= n_total * 2 THEN avg_nll END) AS cut_middle
+           FROM cum CROSS JOIN tot),
+         pbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM pws) p),
+         psc AS (
+           SELECT pbi.doc_id, count(*) AS n_bigrams,
+             cast(sum(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum
+           FROM pbi
+           LEFT JOIN model m ON pbi.w1 = m.w1 AND pbi.w2 = m.w2
+           LEFT JOIN c1 ON pbi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1),
+         probe_sc AS (
+           SELECT t.doc_id,
+             coalesce(psc.n_bigrams, 0) AS n_bigrams,
+             coalesce(psc.n_oov, 0) AS n_oov,
+             round(-psc.logprob_sum / psc.n_bigrams, 4) AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM tgt) t
+           LEFT JOIN psc USING (doc_id))
+         SELECT doc_id, n_bigrams, n_oov, avg_nll,
+           CASE WHEN avg_nll IS NULL THEN 'unscored'
+                WHEN avg_nll <= cut_head THEN 'head'
+                WHEN avg_nll <= cut_middle THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM probe_sc CROSS JOIN cuts""",
     "stream_novelty" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change]
       // the STREAMING drain of the same probe family must land on the

@@ -190,32 +190,47 @@ object NgramLm {
     bucketize(scoreAgainst(train, target, idCol, textCol, k))
 
   private[graft] def bucketize(rawScores: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the skinny per-doc score frame feeds BOTH the histogram/cutoff path
     // and the final assignment join — persist it (tracked, released by
     // the shared unpersist discipline) or the whole scoring join re-runs
     // once per consumer (the curation_funnel zero-ReusedExchange lesson)
     val scores = Dedup.persistTracked(rawScores)
+    assignBuckets(scores, cutoffs(scores))
+  }
+
+  /** Tertile cutoffs as a 1-row (cut_head, cut_middle) frame — the
+    * value-bounded histogram + cross-multiplied cut selection described
+    * on [[bucketAssign]]. Factored out so a serving deployment (the E12
+    * stream) can compute cutoffs ONCE from the reference corpus and
+    * assign arriving batches against the static frame. */
+  private[graft] def cutoffs(scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scoreable = scores.filter(col("avg_nll").isNotNull)
     val hist = scoreable.groupBy("avg_nll").agg(count(lit(1)).as("cnt"))
     // bounded-frame window: |hist| ≤ |distinct 4dp nll values|
     val cumW = Window.orderBy(col("avg_nll"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = scoreable.agg(count(lit(1)).as("n_total"))
-    val cuts = hist.withColumn("cum", sum(col("cnt")).over(cumW))
+    hist.withColumn("cum", sum(col("cnt")).over(cumW))
       .crossJoin(broadcast(total))
       .agg(
         min(when(col("cum") * 3 >= col("n_total"), col("avg_nll")))
           .as("cut_head"),
         min(when(col("cum") * 3 >= col("n_total") * 2, col("avg_nll")))
           .as("cut_middle"))
+  }
+
+  /** Value-based bucket membership against a (possibly precomputed)
+    * cutoff frame: every doc with the same rounded avg_nll lands in the
+    * same bucket, unscoreable docs in `unscored`. */
+  private[graft] def assignBuckets(scores: DataFrame,
+                                   cuts: DataFrame): DataFrame =
     scores.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when(col("avg_nll").isNull, lit("unscored"))
           .when(col("avg_nll") <= col("cut_head"), lit("head"))
           .when(col("avg_nll") <= col("cut_middle"), lit("middle"))
           .otherwise(lit("tail")))
-  }
 
   /** The per-bucket census — the head/middle/tail dashboard row a CCNet
     * run publishes: doc and bigram mass, OOV mass, the nll range each

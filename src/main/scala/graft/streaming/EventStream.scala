@@ -251,6 +251,41 @@ object EventStream {
       }
       .start()
 
+  /** CCNet stratification at ingest time — the serving form of the D31b
+    * tertile gate: the bigram model AND the head/middle/tail cutoffs are
+    * trained once from the reference corpus (cutoffs are corpus
+    * percentiles; recomputing them per micro-batch would make a doc's
+    * bucket depend on its batch-mates, breaking batch-split
+    * independence), then every arriving micro-batch is backoff-scored
+    * against the static model frames and assigned by the static cutoff
+    * row. Per-doc verdicts are functions of (doc, model, cuts) only, so
+    * the drained lake must equal the batch assignment over the same docs
+    * whatever the wave/file split. */
+  def lmBucketStream(spark: SparkSession, landingDir: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     model: DataFrame, margins: DataFrame, vocab: DataFrame,
+                     cuts: DataFrame, idCol: String, textCol: String,
+                     outDir: String, checkpointDir: String, k: Double = 1.0,
+                     maxFilesPerTrigger: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.NgramLm.assignBuckets(
+            graft.operators.NgramLm.scoreWithModel(
+              batch, model, margins, vocab, idCol, textCol, k),
+            cuts)
+          .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+            col("avg_nll"), col("bucket"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   def noveltyStream(spark: SparkSession, landingDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     index: graft.operators.Dedup.SignatureIndex,

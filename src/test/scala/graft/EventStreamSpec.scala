@@ -443,6 +443,61 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     Seq(model, margins, vocab).foreach(_.unpersist())
   }
 
+  test("lmBucketStream: drained buckets equal the batch assignment with static cuts") {
+    import graft.operators.NgramLm
+    val root = java.nio.file.Files.createTempDirectory("graft-bktstream").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    // reference corpus with a real NLL spread so the tertiles are
+    // non-degenerate: in-model docs, a mixed doc, an OOV-heavy doc
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta gamma"),
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (3L, "alpha beta alpha beta"),
+      (4L, "alpha zork mumble frotz"),
+      (5L, "qq zz qq zz qq"),
+      (6L, "gamma alpha beta gamma alpha")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "alpha beta gamma"),           // in-model → head-ish
+      (102L, "alpha zork"),                 // partial OOV
+      (103L, "qq zz qq"),                   // wholly OOV → tail
+      (104L, "solo")                        // < 2 tokens → unscored
+    ).toDF("doc_id", "text")
+    val (model, margins, vocab) = NgramLm.servingFrames(corpus, "doc_id", "text")
+    Seq(model, margins, vocab).foreach(_.persist())
+    // deployment artifacts: cutoffs from the REFERENCE corpus, collected
+    // to a literal frame (the registered query's exact recipe)
+    val cutRow = NgramLm.cutoffs(
+      NgramLm.scoreWithModel(corpus, model, margins, vocab,
+        "doc_id", "text")).collect()(0)
+    val cuts = Seq((cutRow.getDouble(0), cutRow.getDouble(1)))
+      .toDF("cut_head", "cut_middle")
+    val batch = NgramLm.assignBuckets(
+        NgramLm.scoreWithModel(fresh, model, margins, vocab, "doc_id", "text"),
+        cuts)
+      .select("doc_id", "n_bigrams", "n_oov", "avg_nll", "bucket")
+      .orderBy("doc_id").collect()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")
+    fresh.filter($"doc_id" <= 102L).repartition(2).write.mode("append").parquet(landing)
+    EventStream.lmBucketStream(spark, landing, schema, model, margins, vocab,
+      cuts, "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    fresh.filter($"doc_id" > 102L).write.mode("append").parquet(landing)
+    EventStream.lmBucketStream(spark, landing, schema, model, margins, vocab,
+      cuts, "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    val drained = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert(drained.length === 4, "each doc bucketed exactly once across waves")
+    assert(drained.toSeq === batch.toSeq,
+      "streamed buckets must equal the static-cuts batch assignment")
+    val byId = drained.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(byId(104L) === "unscored", "sub-2-token doc routes to unscored")
+    assert(byId(103L) === "tail", "wholly-OOV doc lands in the tail")
+    // checkpointed cursor: a third drain with nothing new appends nothing
+    EventStream.lmBucketStream(spark, landing, schema, model, margins, vocab,
+      cuts, "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    assert(spark.read.parquet(out).count() === 4L, "re-drain is idempotent")
+    Seq(model, margins, vocab).foreach(_.unpersist())
+  }
+
   test("upsertStream replay: losing the offset commit re-runs the batch idempotently") {
     // Exactly-once failure injection: after a batch's sink merge lands but
     // before the engine records the commit, the driver "dies". On restart
