@@ -377,6 +377,30 @@ private[graft] object TextEntries {
       // fraction and top-2-gram mass (computed as the longest equal run
       // over the sorted per-row gram array — O(n log n), no shuffle).
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+    "html_extract" -> ((s, d) => {
+      // Boilerplate extraction, the crawl pipeline's first stage: the
+      // gate corpus is plain text, so docs 0-9 are wrapped in-query in a
+      // deterministic page template exercising every removal class —
+      // nav/list boilerplate, a script whose BODY contains a tag-looking
+      // string and an entity-free `<` (subtree removal, not tag
+      // stripping, must eat it), style, title, comments, entities incl.
+      // the &amp;lt; double-decode trap, and <br/> self-closers. Both
+      // engines replay the same concat, so the extracted TEXT (not just
+      // a hash) crosses the compare.
+      val wrapped = concat(
+        lit("<!DOCTYPE html><html><head><title>Skip Me</title>" +
+          "<style>body { color: #fff; }</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2; " +
+          "var s = \"sneaky</div>\"; track();</script></head>" +
+          "<body><div class=\"nav\"><ul><li>Home</li><li>About</li></ul>" +
+          "</div><h1>Entry &amp; Report &#39;notes&#39;</h1><p>"),
+        col("text"),
+        lit("</p><p>1 &lt; 2 &gt; 0&nbsp;&quot;quoted&quot; &amp;lt;keep" +
+          "&gt;</p><!-- hidden --><br/>footer</body></html>"))
+      val df = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") < 10, wrapped).otherwise(col("text")).as("html"))
+      TextOps.htmlExtract(df, "doc_id", "html")
+    }),
     "nfc_normalize" -> ((s, _) => {
       // Unicode NFC canonical composition, cross-checked engine-vs-engine:
       // the JDK Normalizer (native UnicodeNorm expression) against DuckDB's
@@ -1486,6 +1510,59 @@ private[graft] object TextEntries {
            len(list_intersect(gr, bg))::BIGINT AS n_contaminated,
            len(list_intersect(gr, bg)) > 0 AS contaminated
          FROM sh CROSS JOIN bench WHERE doc_id >= 5""",
+    "html_extract" ->
+      // the same page-template concat, the same removal chain — subtree
+      // drops (comment/script/style/title, inline (?is) flags so RE2 and
+      // Java agree), block closers → newline, tag strip → space, entity
+      // decode with &amp; LAST (the &amp;lt; trap must yield literal
+      // '&lt;'), whitespace normalization. Full extracted TEXT compared,
+      // not a hash
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id < 10 THEN
+               '<!DOCTYPE html><html><head><title>Skip Me</title>' ||
+               '<style>body { color: #fff; }</style>' ||
+               '<script type="text/javascript">var x = 1 < 2; ' ||
+               'var s = "sneaky</div>"; track();</script></head>' ||
+               '<body><div class="nav"><ul><li>Home</li><li>About</li></ul>' ||
+               '</div><h1>Entry &amp; Report &#39;notes&#39;</h1><p>' ||
+               text ||
+               '</p><p>1 &lt; 2 &gt; 0&nbsp;&quot;quoted&quot; &amp;lt;keep' ||
+               '&gt;</p><!-- hidden --><br/>footer</body></html>'
+             ELSE text END AS html
+           FROM documents),
+         sub AS (
+           SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<!--.*?-->', '', 'g'),
+               '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+               '(?is)<title\b[^>]*>.*?</title>', '', 'g') AS s
+           FROM t),
+         untag AS (
+           SELECT doc_id, html,
+             regexp_replace(regexp_replace(s,
+               '(?i)</(p|div|h[1-6]|li|ul|ol|tr|table|blockquote)>|<br\b[^>]*>',
+               chr(10), 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS s
+           FROM sub),
+         dec AS (
+           SELECT doc_id, html,
+             replace(replace(replace(replace(replace(replace(s,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS s
+           FROM untag),
+         fin AS (
+           SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '[ \t\x0B\f\r]+', ' ', 'g'),
+               ' *\n[ \n]*', chr(10), 'g'),
+               '^[ \n]+|[ \n]+$', '', 'g') AS text
+           FROM dec)
+         SELECT doc_id, text,
+           len(regexp_extract_all(html, '<[^>]*>'))::BIGINT AS n_tags,
+           length(text)::BIGINT AS n_chars
+         FROM fin""",
     "pii_scrub" ->
       // same synthesized-PII concat, same 4-pattern mask chain (RE2 vs
       // Java regex — patterns chosen to agree), counts on the pre-scrub

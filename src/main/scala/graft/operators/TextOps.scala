@@ -318,6 +318,52 @@ object TextOps {
       (col(idCol) +: scrubbed.as("scrubbed") +: counts): _*)
   }
 
+  /** HTML boilerplate extraction — the stage every web-crawl training
+    * pipeline runs FIRST (the C4 lineage: strip markup, keep prose):
+    * comment/script/style/title subtrees dropped whole (a script body is
+    * code, not text — including any tag-looking strings inside it),
+    * block-level closers turned into newlines so words from adjacent
+    * blocks don't weld, remaining tags stripped, the core entities
+    * decoded (`&amp;` LAST, the standard order — decoding it first would
+    * double-decode `&amp;lt;`), then whitespace normalized per line.
+    *
+    * Pure chained `regexp_replace` — one codegen'd map-only projection,
+    * no UDF, exactly replayable in a second engine: every pattern stays
+    * inside the RE2 ∩ Java subset (no backreferences — script and style
+    * get separate patterns instead of a `\1` closer — no lookaround).
+    * NOT a browser: malformed nesting degrades to tag-stripping, which
+    * is what the reference extractors do too. `n_tags` counts markup
+    * removed (pre-strip), the boilerplate signal a crawl gate thresholds
+    * on. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val html = col(htmlCol)
+    val noSubtrees = Seq(
+      "(?s)<!--.*?-->",
+      "(?is)<script\\b[^>]*>.*?</script>",
+      "(?is)<style\\b[^>]*>.*?</style>",
+      "(?is)<title\\b[^>]*>.*?</title>")
+      .foldLeft(html)((acc, p) => regexp_replace(acc, p, ""))
+    val blocks = regexp_replace(noSubtrees,
+      "(?i)</(p|div|h[1-6]|li|ul|ol|tr|table|blockquote)>|<br\\b[^>]*>", "\n")
+    val untagged = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(untagged) { case (acc, (e, ch)) =>
+        regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(ch)) }
+    // edge strip is an explicit [ \n] class (the only whitespace left
+    // after the collapse), not trim() — trim is space-only and would
+    // leave the newline a trailing block closer minted
+    val text = regexp_replace(regexp_replace(
+      regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " "),
+      " *\\n[ \\n]*", "\n"),
+      "^[ \\n]+|[ \\n]+$", "")
+    df.select(col(idCol), text.as("text"),
+      size(regexp_extract_all(html, lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"),
+      length(text).cast("long").as("n_chars"))
+  }
+
   /** Gopher-family repetition signals: the fraction of LINES that are
     * duplicates of an earlier line, and the fraction of 2-gram
     * occurrences consumed by the single most frequent 2-gram. High values

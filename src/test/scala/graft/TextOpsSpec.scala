@@ -333,4 +333,37 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(stats.size === 8)
     assert(stats.values.forall { case (p, f) => p + f === 3L })
   }
+
+  test("htmlExtract: hand-checked extraction per removal class") {
+    val docs = Seq(
+      // subtree removal must EAT the tag-looking string inside the script
+      // body and the raw '<' in its code — tag-stripping alone would leak
+      (1L, "<script>var s = \"trap</div>\"; if (1 < 2) go();</script>" +
+        "<p>kept text</p>"),
+      // block closers separate; inline tags don't weld words
+      (2L, "<div>one</div><div>two</div><p>a <b>bold</b> word</p>"),
+      // entity decode order: &amp;lt; is literal '&lt;', never '<'
+      (3L, "<p>1 &lt; 2 &amp; 3 &gt; 0 &amp;lt;keep&gt; &quot;q&quot;" +
+        " &#39;s&#39;&nbsp;end</p>"),
+      // comments, style, title vanish whole; <br/> separates
+      (4L, "<title>Skip</title><style>p { x: 1; }</style>" +
+        "<!-- note -->line1<br/>line2"),
+      // plain text passes through with whitespace collapsed
+      (5L, "no  markup\t here")
+    ).toDF("doc_id", "html")
+    val got = TextOps.htmlExtract(docs, "doc_id", "html")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === "kept text")
+    assert(got(2L)._2 === "one\ntwo\na bold word")
+    assert(got(3L)._2 === "1 < 2 & 3 > 0 &lt;keep> \"q\" 's' end")
+    assert(got(4L)._2 === "line1\nline2")
+    assert(got(5L)._2 === "no markup here")
+    assert(got(5L)._3 === 0L, "plain text has zero tags")
+    // n_tags is a raw markup-density SIGNAL, not a parse: tag-shaped
+    // spans inside the script string count too (script, the </div> in
+    // the string literal, /script, p, /p)
+    assert(got(1L)._3 === 5L)
+    got.values.foreach(r => assert(r._4 === r._2.length.toLong))
+  }
 }
