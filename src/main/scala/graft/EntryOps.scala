@@ -51,7 +51,7 @@ private[graft] object EntryOps {
     * sorted bench run, where the alphabetically-first sibling pays the
     * one-time build and the rest score against the memo. */
   def clearSessionMemos(s: SparkSession): Unit = {
-    modelCache.clear(s); bpeMergeCache.clear(s)
+    modelCache.clear(s); bpeMergeCache.clear(s); unigramCache.clear(s)
     dsirRatioCache.clear(s); qualityWeightsCache.clear(s)
   }
 
@@ -76,6 +76,16 @@ private[graft] object EntryOps {
   private[graft] def trainedMerges(s: SparkSession, d: String, numMerges: Int): Seq[(String, String)] =
     bpeMergeCache.getOrElseUpdate(s, (d, numMerges))(
       Bpe.train(Tables.documents(s, d), "text", numMerges))
+
+  /** One unigram-LM vocabulary training per (session, dir, vocabSize) —
+    * the Bpe memo discipline for the second tokenizer family; the cached
+    * value is the skinny (piece, id, logp) list. */
+  private[graft] val unigramCache =
+    new SessionMemo[(String, Int), Seq[graft.functions.Unigram.Piece]]
+  private[graft] def trainedUnigram(s: SparkSession, d: String,
+                                    vocabSize: Int): Seq[graft.functions.Unigram.Piece] =
+    unigramCache.getOrElseUpdate(s, (d, vocabSize))(
+      graft.functions.Unigram.train(Tables.documents(s, d), "text", vocabSize))
 
   /** One DSIR ratio-table estimation per (session, dir): the model is a
     * dense 1024-row (bucket, logratio) list — skinny driver data, the

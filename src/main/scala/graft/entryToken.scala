@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Bpe
+import graft.functions.{Bpe, Unigram}
 import graft.ml.FatalityModel
 import graft.operators._
 import graft.sources.{Jsonl, Sink, Tables}
@@ -129,6 +129,40 @@ private[graft] object TokenEntries {
         if (seen.add(sym)) Some((256L + r, sym)) else None
       }
       (base ++ minted).toDF("token_id", "symbol_hex")
+    }),
+    "unigram_vocab" -> ((s, d) => {
+      // The SECOND tokenizer family's trained artifact (Kudo 2018
+      // unigram-LM, the SentencePiece recipe): 64 pieces selected by
+      // integer-score hard-EM over the capped word dict — all training
+      // chars (coverage) + the top multi-char pieces — with 1e6-scaled
+      // StrictMath log-probs and lexicographic-rank ids (0 = UNK).
+      // Pinned as golden VALUES (the bpe_merges convention): trainer
+      // drift anywhere — seed pool, EM, pruning, scaling — flips it red.
+      import s.implicits._
+      trainedUnigram(s, d, 64).map(p => (p.id, p.piece, p.logp))
+        .toDF("piece_id", "piece", "logp_scaled")
+    }),
+    "unigram_encode" -> ((s, d) => {
+      // Unigram SEGMENTATION as id sequences: integer-score Viterbi per
+      // word (ties → longest final piece), exploded to (doc_id, pos,
+      // piece_id) so the full sequence is second-engine-checked — the
+      // oracle replays the DP itself in DuckDB (list-carried dp/bp
+      // vectors in a recursive CTE over the pinned piece table) plus the
+      // backtrack. Planted docs exercise the two paths the corpus can't:
+      // NOVEL words over seen characters (real multi-piece Viterbi, not
+      // memorized whole words) and unseen-script characters (Greek) that
+      // must segment as the reserved UNK id 0, never error.
+      import s.implicits._
+      val model = trainedUnigram(s, d, 64)
+      val planted = Seq(
+        (9100001L, "hashrow streamjoin mergevalue"),
+        (9100002L, "αβγ sort"))
+        .toDF("doc_id", "text")
+      Tables.documents(s, d).select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          posexplode(Unigram.encodeCol(col("text"), model)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("piece_id"))
     }),
     "bpe_decode" -> ((s, d) => {
       // The DECODE half closing the tokenizer roundtrip: ids → UTF-8
@@ -518,6 +552,136 @@ private[graft] object TokenEntries {
              AS pos,
            CAST(token_id AS BIGINT) AS token_id
          FROM wordpos JOIN ids USING (w)""",
+    "unigram_vocab" ->
+      // [GOLDEN @ gate corpus: sf0.01 — re-derive on SF change by
+      // dumping the Spark side] the trained unigram-LM piece table in
+      // lexicographic-id order: 24 coverage chars + the 31 whole words
+      // the hard-EM converged on (this corpus' words recur enough that
+      // they beat their own char decompositions), 1e6-scaled StrictMath
+      // log-probs — trainer drift anywhere (seed pool, EM, pruning,
+      // scaling) flips this red
+      """SELECT CAST(piece_id AS BIGINT) AS piece_id, piece,
+           CAST(logp_scaled AS BIGINT) AS logp_scaled
+         FROM (VALUES
+           (1,'a',-3464386),(2,'agg',-3440802),(3,'b',-10244307),
+           (4,'batch',-3401624),(5,'big',-3468941),(6,'c',-10244307),
+           (7,'column',-3404831),(8,'custom',-3404831),(9,'d',-10244307),
+           (10,'data',-3433063),(11,'dup',-6986211),(12,'e',-10244307),
+           (13,'er',-3404831),(14,'f',-10244307),(15,'fast',-3494376),
+           (16,'filter',-3405902),(17,'g',-10244307),(18,'group',-3466661),
+           (19,'h',-10244307),(20,'hash',-3391008),(21,'i',-10244307),
+           (22,'j',-10244307),(23,'join',-3373216),(24,'k',-10244307),
+           (25,'key',-3446367),(26,'l',-10244307),(27,'line',-3430863),
+           (28,'m',-10244307),(29,'merge',-3422110),(30,'n',-10244307),
+           (31,'o',-10244307),(32,'order',-3428667),(33,'p',-10244307),
+           (34,'part',-3466661),(35,'q',-10244307),(36,'query',-3474665),
+           (37,'r',-10244307),(38,'row',-3395241),(39,'s',-10244307),
+           (40,'scan',-3402692),(41,'slow',-3422110),(42,'small',-3411276),
+           (43,'sort',-3473518),(44,'spark',-3464386),(45,'stream',-3455336),
+           (46,'t',-10244307),(47,'table',-3433063),(48,'the',-3510906),
+           (49,'u',-10244307),(50,'v',-10244307),(51,'value',-3445252),
+           (52,'vector',-3428667),(53,'w',-10244307),(54,'window',-3457591),
+           (55,'y',-10244307)
+         ) AS t(piece_id, piece, logp_scaled)""",
+    "unigram_encode" ->
+      // the Viterbi DP itself replayed in DuckDB over the pinned piece
+      // table: per distinct word, a recursive CTE carries the dp/bp
+      // vectors as LISTS and takes each step via six vocab LEFT JOINs —
+      // one per candidate piece length — with the best transition picked
+      // by greatest() over the integer scores (correlated subqueries in
+      // a recursive member hang the engine; joins don't). The tie-break
+      // is the kernel's longest-piece rule, encoded order-free as a
+      // packed key score·8+len (len ∈ 1..6 < 8, and integer scores
+      // differ by ≥1 scaled unit, so key order IS (score, len) order);
+      // a second recursion backtracks bp to piece ids (vocab miss → UNK
+      // 0), and per-doc order reassembles from word positions. Integer
+      // scores end to end — no float comparison in either engine.
+      """WITH RECURSIVE
+         vocab AS (SELECT * FROM (VALUES
+           (1,'a',-3464386),(2,'agg',-3440802),(3,'b',-10244307),
+           (4,'batch',-3401624),(5,'big',-3468941),(6,'c',-10244307),
+           (7,'column',-3404831),(8,'custom',-3404831),(9,'d',-10244307),
+           (10,'data',-3433063),(11,'dup',-6986211),(12,'e',-10244307),
+           (13,'er',-3404831),(14,'f',-10244307),(15,'fast',-3494376),
+           (16,'filter',-3405902),(17,'g',-10244307),(18,'group',-3466661),
+           (19,'h',-10244307),(20,'hash',-3391008),(21,'i',-10244307),
+           (22,'j',-10244307),(23,'join',-3373216),(24,'k',-10244307),
+           (25,'key',-3446367),(26,'l',-10244307),(27,'line',-3430863),
+           (28,'m',-10244307),(29,'merge',-3422110),(30,'n',-10244307),
+           (31,'o',-10244307),(32,'order',-3428667),(33,'p',-10244307),
+           (34,'part',-3466661),(35,'q',-10244307),(36,'query',-3474665),
+           (37,'r',-10244307),(38,'row',-3395241),(39,'s',-10244307),
+           (40,'scan',-3402692),(41,'slow',-3422110),(42,'small',-3411276),
+           (43,'sort',-3473518),(44,'spark',-3464386),(45,'stream',-3455336),
+           (46,'t',-10244307),(47,'table',-3433063),(48,'the',-3510906),
+           (49,'u',-10244307),(50,'v',-10244307),(51,'value',-3445252),
+           (52,'vector',-3428667),(53,'w',-10244307),(54,'window',-3457591),
+           (55,'y',-10244307)
+         ) v(id, piece, lp)),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9100001, 'hashrow streamjoin mergevalue'),
+             (9100002, chr(945) || chr(946) || chr(947) || ' sort')
+           ) t(doc_id, text)),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                   FROM corpus) u0) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         dprec AS (
+           SELECT w, length(w) AS len, 0 AS pos,
+             [CAST(0 AS BIGINT)] AS dp, [CAST(0 AS INT)] AS bp
+           FROM dw
+           UNION ALL
+           SELECT r.w, r.len, r.pos + 1,
+             list_append(r.dp, greatest(
+               coalesce((r.dp[r.pos + 1] + coalesce(v1.lp, -20000000)), -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 2 THEN (r.dp[r.pos + 0] + v2.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 3 THEN (r.dp[r.pos - 1] + v3.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 4 THEN (r.dp[r.pos - 2] + v4.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 5 THEN (r.dp[r.pos - 3] + v5.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 6 THEN (r.dp[r.pos - 4] + v6.lp) END, -4611686018427387904))),
+             list_append(r.bp, CAST(((greatest(
+               coalesce((r.dp[r.pos + 1] + coalesce(v1.lp, -20000000)) * 8 + 1, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 2 THEN (r.dp[r.pos + 0] + v2.lp) * 8 + 2 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 3 THEN (r.dp[r.pos - 1] + v3.lp) * 8 + 3 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 4 THEN (r.dp[r.pos - 2] + v4.lp) * 8 + 4 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 5 THEN (r.dp[r.pos - 3] + v5.lp) * 8 + 5 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 6 THEN (r.dp[r.pos - 4] + v6.lp) * 8 + 6 END, -4611686018427387904)) % 8) + 8) % 8 AS INT))
+           FROM dprec r
+           LEFT JOIN vocab v1 ON v1.piece = substr(r.w, r.pos + 1, 1)
+           LEFT JOIN vocab v2 ON r.pos + 1 >= 2 AND v2.piece = substr(r.w, r.pos + 0, 2)
+           LEFT JOIN vocab v3 ON r.pos + 1 >= 3 AND v3.piece = substr(r.w, r.pos - 1, 3)
+           LEFT JOIN vocab v4 ON r.pos + 1 >= 4 AND v4.piece = substr(r.w, r.pos - 2, 4)
+           LEFT JOIN vocab v5 ON r.pos + 1 >= 5 AND v5.piece = substr(r.w, r.pos - 3, 5)
+           LEFT JOIN vocab v6 ON r.pos + 1 >= 6 AND v6.piece = substr(r.w, r.pos - 4, 6)
+           WHERE r.pos < r.len),
+         back AS (
+           SELECT w, bp, len AS pos, CAST([] AS BIGINT[]) AS ids
+           FROM dprec WHERE pos = len
+           UNION ALL
+           SELECT b.w, b.bp, b.pos - b.bp[b.pos + 1],
+             list_prepend(coalesce(CAST(v.id AS BIGINT), CAST(0 AS BIGINT)),
+               b.ids)
+           FROM back b
+           LEFT JOIN vocab v
+             ON v.piece = substr(b.w, b.pos - b.bp[b.pos + 1] + 1,
+                                 b.bp[b.pos + 1])
+           WHERE b.pos > 0),
+         word_ids AS (SELECT w, ids FROM back WHERE pos = 0),
+         tok AS (
+           SELECT doc_id, widx, generate_subscripts(ids, 1) AS i, ids
+           FROM wordpos JOIN word_ids USING (w))
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY widx, i) - 1 AS BIGINT) AS pos,
+           CAST(ids[i] AS BIGINT) AS piece_id
+         FROM tok""",
     "bpe_vocab" ->
       // rebuilt from the same pinned merge table bpe_merges gates: 256
       // base-byte rows plus one row per FIRST-occurrence concatenation

@@ -1,0 +1,261 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM subword tokenizer (Kudo, ACL 2018 "Subword Regularization" —
+  * public knowledge; the SentencePiece-unigram recipe behind T5/Llama
+  * vocabularies): the OTHER production tokenizer family beside [[Bpe]].
+  * Where BPE composes a word bottom-up through trained merges, unigram
+  * starts from a rich candidate-piece pool and SELECTS: each word is
+  * segmented by Viterbi into the pieces maximizing Σ log p(piece), and
+  * training alternates hard-EM expected counts with probability
+  * re-estimation, pruning pieces the segmentations stopped using.
+  *
+  * Three determinism decisions make the whole thing engine-replayable:
+  *
+  *  - INTEGER SCORES EVERYWHERE: piece log-probs are 1e6-scaled Longs
+  *    (StrictMath.log, bit-exact across JVMs, rint-rounded once) and
+  *    Viterbi compares exact integer sums — in TRAINING's E-step too, so
+  *    the trained artifact never depends on a float comparison.
+  *  - TOTAL-ORDER TIE-BREAKS: equal-score DP states prefer the LONGEST
+  *    candidate piece (smallest predecessor index); vocabulary pruning
+  *    orders by (count desc, piece asc); ids are the lexicographic rank
+  *    of the final pieces (id 0 reserved for UNK). Training is a pure
+  *    function of the word-frequency dict.
+  *  - CAPPED DRIVER MATERIAL: the word dict is the same md5-ordered
+  *    `maxWords` sample as [[Bpe.train]]; the candidate pool is capped
+  *    (single chars always kept — the coverage guarantee — plus the top
+  *    `seedPool` multi-char substrings), so training memory is bounded
+  *    regardless of corpus size.
+  *
+  * Scale shape mirrors Bpe: training is one word-frequency aggregation +
+  * driver-side EM on the capped dict; the model ships as ONE plan literal
+  * and encoding is a native StaticInvoke kernel (tight per-row Viterbi in
+  * whole-stage codegen, per-thread distinct-word memo for zipfian text).
+  * Segmentation is per whitespace word (no cross-word pieces, no ▁
+  * marker — the same documented deviation as Bpe's missing `</w>`);
+  * characters unseen in training segment as the reserved UNK id 0 at a
+  * fixed penalty, never an error. */
+object Unigram {
+
+  /** ln p scaled by 1e6 into Longs — the unit of every score here. */
+  val Scale = 1e6
+  /** Reserved id for characters outside the trained vocabulary. */
+  val UnkId = 0L
+  /** Fixed UNK penalty (ln p = -20, far below any trained piece). */
+  val UnkPenalty: Long = -20000000L
+  /** Maximum piece length in code points. */
+  val MaxPieceLen = 6
+
+  /** One trained piece: lexicographic-rank id (1-based; 0 = UNK), the
+    * piece text, and its 1e6-scaled log-probability. */
+  final case class Piece(id: Long, piece: String, logp: Long)
+
+  private def codePoints(w: String): Array[Int] = w.codePoints().toArray
+
+  /** Integer-score Viterbi over one word's code points against a
+    * piece→logp map; ties prefer the longest final piece. Returns the
+    * piece strings in order (UNK chars come back as their 1-char text —
+    * the caller maps to ids/penalties). */
+  private def viterbi(cps: Array[Int], logp: String => Option[Long])
+      : Seq[String] = {
+    val n = cps.length
+    val dp = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var pos = 1
+    while (pos <= n) {
+      var best = Long.MinValue
+      var bestLen = 1
+      var plen = 1
+      val maxLen = math.min(MaxPieceLen, pos)
+      while (plen <= maxLen) {
+        val piece = new String(cps, pos - plen, plen)
+        val s = logp(piece) match {
+          case Some(lp) => Some(dp(pos - plen) + lp)
+          case None if plen == 1 => Some(dp(pos - plen) + UnkPenalty)
+          case None => None
+        }
+        s.foreach { cand =>
+          // >= : on ties the LARGER plen (seen later) wins — longest piece
+          if (cand > best || (cand == best && plen > bestLen)) {
+            best = cand; bestLen = plen
+          }
+        }
+        plen += 1
+      }
+      dp(pos) = best
+      bp(pos) = bestLen
+      pos += 1
+    }
+    val out = mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      val plen = bp(p)
+      out += new String(cps, p - plen, plen)
+      p -= plen
+    }
+    out.reverse.toSeq
+  }
+
+  /** Train a `vocabSize` unigram vocabulary from a text column. Word
+    * dict capped and md5-ordered like [[Bpe.train]]; all single
+    * characters seen in training are always retained (coverage), so
+    * `vocabSize` must exceed the corpus' distinct-character count. */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+            iters: Int = 3, maxWords: Int = 65536,
+            seedPool: Int = 4096): Seq[Piece] = {
+    val words = df
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(md5(col("w")), col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (codePoints(r.getString(0)), r.getLong(1)))
+
+    // seed pool: every substring up to MaxPieceLen, weighted by word
+    // frequency; single chars always kept, multi-char capped at seedPool
+    val seedCounts = mutable.HashMap.empty[String, Long]
+    words.foreach { case (cps, n) =>
+      var i = 0
+      while (i < cps.length) {
+        var l = 1
+        val maxL = math.min(MaxPieceLen, cps.length - i)
+        while (l <= maxL) {
+          val p = new String(cps, i, l)
+          seedCounts.update(p, seedCounts.getOrElse(p, 0L) + n)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seedCounts.keysIterator
+      .filter(p => p.codePointCount(0, p.length) == 1).toSeq.sorted
+    val multis = seedCounts.toSeq
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .sortBy { case (p, c) => (-c, p) }
+      .take(seedPool)
+      .map(_._1)
+    require(vocabSize > chars.size,
+      s"vocabSize $vocabSize must exceed the ${chars.size} distinct training chars")
+
+    def rescale(counts: collection.Map[String, Long]): Map[String, Long] = {
+      val total = counts.valuesIterator.sum.toDouble
+      counts.iterator.map { case (p, c) =>
+        p -> math.rint(StrictMath.log(c / total) * Scale).toLong
+      }.toMap
+    }
+
+    var model: Map[String, Long] =
+      rescale((chars ++ multis).map(p => p -> seedCounts(p)).toMap)
+
+    // hard-EM: Viterbi-segment the dict with the current integer model,
+    // re-estimate probabilities from usage, drop unused multi-char pieces
+    var it = 0
+    while (it < iters) {
+      val used = mutable.HashMap.empty[String, Long]
+      words.foreach { case (cps, n) =>
+        viterbi(cps, model.get).foreach { p =>
+          used.update(p, used.getOrElse(p, 0L) + n)
+        }
+      }
+      // coverage floor: a char the segmentations stopped using stays at
+      // count 1 so unseen-word scoring can always fall back to it
+      chars.foreach(c => if (!used.contains(c)) used.update(c, 1L))
+      model = rescale(used)
+      it += 1
+    }
+
+    // final selection: all chars + the top multi-char pieces by
+    // (EM count desc, piece asc); re-normalize over the kept set
+    val finalCounts = {
+      val used = mutable.HashMap.empty[String, Long]
+      words.foreach { case (cps, n) =>
+        viterbi(cps, model.get).foreach { p =>
+          used.update(p, used.getOrElse(p, 0L) + n)
+        }
+      }
+      chars.foreach(c => if (!used.contains(c)) used.update(c, 1L))
+      used
+    }
+    val keptMulti = finalCounts.toSeq
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .sortBy { case (p, c) => (-c, p) }
+      .take(vocabSize - chars.size)
+      .map(_._1)
+    val kept = (chars ++ keptMulti).map(p => p -> finalCounts(p)).toMap
+    val logps = rescale(kept)
+    kept.keysIterator.toSeq.sorted.zipWithIndex.map { case (p, i) =>
+      Piece(i + 1L, p, logps(p))
+    }
+  }
+
+  // ---- inference kernel ------------------------------------------------
+
+  // model literal: one "piece\tid\tlogp" string per piece (pieces are
+  // whitespace-split words, so \t can't occur in them). Parsed once per
+  // (thread, literal identity) — the Bpe memo discipline.
+  private val parsed = new ThreadLocal[(AnyRef, Map[String, (Long, Long)])] {
+    override def initialValue(): (AnyRef, Map[String, (Long, Long)]) =
+      (null, Map.empty)
+  }
+  private val wordMemo =
+    new ThreadLocal[java.util.HashMap[String, Array[Long]]] {
+      override def initialValue(): java.util.HashMap[String, Array[Long]] =
+        new java.util.HashMap[String, Array[Long]](1 << 14)
+    }
+  private val wordMemoCap = 1 << 17
+
+  private def modelFor(lit: ArrayData): Map[String, (Long, Long)] = {
+    val cached = parsed.get()
+    if (cached._1 eq lit) cached._2
+    else {
+      val m = (0 until lit.numElements()).iterator.map { i =>
+        val parts = lit.getUTF8String(i).toString.split('\t')
+        parts(0) -> (parts(1).toLong, parts(2).toLong)
+      }.toMap
+      parsed.set((lit, m))
+      wordMemo.get().clear()
+      m
+    }
+  }
+
+  private def encodeWord(w: String, m: Map[String, (Long, Long)]): Array[Long] = {
+    val memo = wordMemo.get()
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    val ids = viterbi(codePoints(w), p => m.get(p).map(_._2))
+      .map(p => m.get(p).map(_._1).getOrElse(UnkId)).toArray
+    if (memo.size < wordMemoCap) memo.put(w, ids)
+    ids
+  }
+
+  /** Static kernel: whitespace-split `text`, Viterbi-segment each word,
+    * concatenate the piece ids (UNK id 0 for unseen characters). */
+  def encode(text: UTF8String, model: ArrayData): ArrayData = {
+    val m = modelFor(model)
+    val words = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val out = mutable.ArrayBuffer.empty[Long]
+    words.foreach(w => out ++= encodeWord(w, m))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column form: array<long> of piece ids; the model as one plan
+    * literal (the Bpe.encodeCol shape). */
+  def encodeCol(text: Column, model: Seq[Piece]): Column = {
+    val arrS = ArrayType(StringType, containsNull = false)
+    GraftExpressionBridge.column(StaticInvoke(
+      Unigram.getClass, ArrayType(LongType, containsNull = false), "encode",
+      Seq(GraftExpressionBridge.expression(text),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          model.map(p => s"${p.piece}\t${p.id}\t${p.logp}"), arrS)),
+      Seq(StringType, arrS), propagateNull = true, returnNullable = false))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Unigram
+import graft.functions.Unigram.Piece
+
+class UnigramSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // hand-built model: scores chosen so the interesting transitions are
+  // forced, not emergent. ln-p scaled by 1e6 (more-negative = rarer).
+  private val hand = Seq(
+    Piece(1L, "a", -5000000L),
+    Piece(2L, "ab", -3000000L),
+    Piece(3L, "abc", -9000000L),
+    Piece(4L, "b", -5000000L),
+    Piece(5L, "bc", -3000000L),
+    Piece(6L, "c", -5000000L),
+    Piece(7L, "cc", -6000000L)) // exactly c + c (tie with the 2-piece split)
+
+  private def enc(texts: (Long, String)*): Map[Long, Seq[Long]] =
+    texts.toSeq.toDF("id", "t")
+      .select(col("id"), Unigram.encodeCol(col("t"), hand).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+  test("viterbi picks the best-scoring split, not greedy longest-prefix") {
+    // greedy longest-prefix would take abc whole (-9e6); the best splits
+    // score -8e6: ab+c and a+bc tie, and the documented tie-break
+    // (longest FINAL piece — bc over c at pos 3) resolves to a+bc
+    assert(enc(1L -> "abc")(1L) === Seq(1L, 5L))
+    // with a distinct-score setup there is no tie: 'abb' must be ab+b
+    // (-8e6), never a+b+b (-15e6)
+    assert(enc(2L -> "abb")(2L) === Seq(2L, 4L))
+  }
+
+  test("exact score ties prefer the longest final piece") {
+    // cc (-6e6) ties c+c (-10e6)? No: c+c = -10e6, cc = -6e6 — cc wins on
+    // score. Force a TRUE tie: 'ccc' at pos 3: cc from pos1 (dp=-5e6,
+    // -11e6) vs c from pos2 (dp(cc)=-6e6, -11e6) — tie → cc (longer) wins
+    assert(enc(1L -> "ccc")(1L) === Seq(6L, 7L))
+  }
+
+  test("unseen characters segment as UNK id 0, never error") {
+    assert(enc(1L -> "azb")(1L) === Seq(1L, 0L, 4L))
+    assert(enc(2L -> "ζζ")(2L) === Seq(0L, 0L))
+  }
+
+  test("whitespace splits words; empty and blank text encode to nothing") {
+    assert(enc(1L -> "ab  c\tab")(1L) === Seq(2L, 6L, 2L))
+    assert(enc(2L -> "")(2L) === Seq.empty)
+    assert(enc(3L -> "   ")(3L) === Seq.empty)
+  }
+
+  test("training is deterministic under repartitioning and emits a valid model") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq("fast scan", "hash join", "sort merge join",
+        "big table scan", "fast hash probe")(i % 5))
+    }.toDF("doc_id", "text")
+    def fit(parts: Int): Seq[Piece] =
+      Unigram.train(docs.repartition(parts), "text", vocabSize = 32)
+    val m = fit(2)
+    assert(m === fit(7), "bit-identical across layouts")
+    // ids are the lexicographic rank, 1-based, dense
+    assert(m.map(_.id) === (1L to m.length))
+    assert(m.map(_.piece) === m.map(_.piece).sorted)
+    // coverage: every training char present as a piece
+    val chars = "fastscanhashjoinsortmergebigtablepro".toSet
+    chars.foreach(c =>
+      assert(m.exists(_.piece == c.toString), s"missing coverage char $c"))
+    // every logp is a plausible scaled ln p (negative, above UNK penalty)
+    assert(m.forall(p => p.logp < 0 && p.logp > Unigram.UnkPenalty))
+  }
+
+  test("trained encode: frequent whole words become single pieces") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq("fast scan", "hash join", "sort merge join",
+        "big table scan", "fast hash probe")(i % 5))
+    }.toDF("doc_id", "text")
+    val m = Unigram.train(docs, "text", vocabSize = 32)
+    val byPiece = m.map(p => p.piece -> p.id).toMap
+    val got = docs.limit(1)
+      .select(Unigram.encodeCol(lit("hash join compactor"), m).as("ids"))
+      .as[Seq[Long]].collect().head
+    assert(got.take(2) === Seq(byPiece("hash"), byPiece("join")))
+    // novel word segments into pieces/chars, all ids in-vocab or UNK
+    val valid = m.map(_.id).toSet + Unigram.UnkId
+    assert(got.forall(valid))
+  }
+}
