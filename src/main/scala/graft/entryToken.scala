@@ -164,6 +164,23 @@ private[graft] object TokenEntries {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("piece_id"))
     }),
+    "unigram_decode" -> ((s, d) => {
+      // the unigram roundtrip closed: pieces are SUBSTRINGS, so
+      // concatenating a word's pieces reproduces the word exactly —
+      // decode(encode(text)) must equal text with every \s+ run deleted
+      // (the bpe_decode contract), which the oracle computes with no
+      // tokenizer machinery at all. UNK is the one lossy id (the unseen
+      // char is gone), and the gate corpus has full coverage, so any
+      // dropped/reordered piece or id-table drift breaks a per-doc
+      // string equality. Decode is a map lookup per id off the model
+      // literal — map-only, like encode.
+      import s.implicits._
+      val model = trainedUnigram(s, d, 64)
+      val byId = typedLit(model.map(p => p.id -> p.piece).toMap)
+      Tables.documents(s, d).select(col("doc_id"),
+        array_join(transform(Unigram.encodeCol(col("text"), model),
+          id => element_at(byId, id)), "").as("decoded"))
+    }),
     "bpe_decode" -> ((s, d) => {
       // The DECODE half closing the tokenizer roundtrip: ids → UTF-8
       // bytes → text. encode keeps no end-of-word marker (documented
@@ -583,6 +600,14 @@ private[graft] object TokenEntries {
            (52,'vector',-3428667),(53,'w',-10244307),(54,'window',-3457591),
            (55,'y',-10244307)
          ) AS t(piece_id, piece, logp_scaled)""",
+    "unigram_decode" ->
+      // the roundtrip expectation computed with NO tokenizer machinery:
+      // pieces are substrings and the gate corpus has full coverage, so
+      // decode(encode(text)) is text with every \s+ run deleted, byte
+      // for byte (the bpe_decode contract)
+      """SELECT doc_id,
+           regexp_replace(text, '[ \t\n\x0b\f\r]+', '', 'g') AS decoded
+         FROM documents""",
     "unigram_encode" ->
       // the Viterbi DP itself replayed in DuckDB over the pinned piece
       // table: per distinct word, a recursive CTE carries the dp/bp
