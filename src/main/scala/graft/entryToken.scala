@@ -62,6 +62,33 @@ private[graft] object TokenEntries {
           round(col("n_bytes") / when(col("n_tokens") =!= 0, col("n_tokens")), 4)
             .as("bytes_per_token"))
     }),
+    "unigram_fertility" -> ((s, d) => {
+      // the same fertility table for the SECOND tokenizer family — the
+      // bake-off dashboard a vocab decision reads side by side with
+      // bpe_fertility (pieces/word and bytes/piece per lang expose which
+      // family fragments which language): per-lang sums of the Viterbi
+      // kernel's piece counts, whitespace words, UTF-8 bytes, ratios off
+      // exact integer sums. Rides the memoized unigram train; one
+      // map-side-combined agg to O(|langs|) rows.
+      val docs = Tables.documents(s, d)
+      val model = trainedUnigram(s, d, 64)
+      docs.select(col("lang"),
+          size(Unigram.encodeCol(col("text"), model)).cast("long").as("n_tok"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_w"),
+          octet_length(col("text")).cast("long").as("n_b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_w")).as("n_words"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_b")).as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_bytes"),
+          round(col("n_tokens") / when(col("n_words") =!= 0, col("n_words")), 4)
+            .as("tokens_per_word"),
+          round(col("n_bytes") / when(col("n_tokens") =!= 0, col("n_tokens")), 4)
+            .as("bytes_per_token"))
+    }),
     "bpe_token_count" -> ((s, d) => {
       // Tokenizer-faithful token counts: the 16-merge byte-level BPE
       // trained on this corpus, applied by the native kernel (merge table
@@ -600,6 +627,92 @@ private[graft] object TokenEntries {
            (52,'vector',-3428667),(53,'w',-10244307),(54,'window',-3457591),
            (55,'y',-10244307)
          ) AS t(piece_id, piece, logp_scaled)""",
+    "unigram_fertility" ->
+      // the Viterbi DP again (same pinned piece table, same list-DP
+      // recursion — only the PIECE COUNT per word is consumed: the bp
+      // backtrack walk counts steps), rolled up per lang exactly like
+      // bpe_fertility; ratios divide the same exact integer sums
+      """WITH RECURSIVE
+         vocab AS (SELECT * FROM (VALUES
+           (1,'a',-3464386),(2,'agg',-3440802),(3,'b',-10244307),
+           (4,'batch',-3401624),(5,'big',-3468941),(6,'c',-10244307),
+           (7,'column',-3404831),(8,'custom',-3404831),(9,'d',-10244307),
+           (10,'data',-3433063),(11,'dup',-6986211),(12,'e',-10244307),
+           (13,'er',-3404831),(14,'f',-10244307),(15,'fast',-3494376),
+           (16,'filter',-3405902),(17,'g',-10244307),(18,'group',-3466661),
+           (19,'h',-10244307),(20,'hash',-3391008),(21,'i',-10244307),
+           (22,'j',-10244307),(23,'join',-3373216),(24,'k',-10244307),
+           (25,'key',-3446367),(26,'l',-10244307),(27,'line',-3430863),
+           (28,'m',-10244307),(29,'merge',-3422110),(30,'n',-10244307),
+           (31,'o',-10244307),(32,'order',-3428667),(33,'p',-10244307),
+           (34,'part',-3466661),(35,'q',-10244307),(36,'query',-3474665),
+           (37,'r',-10244307),(38,'row',-3395241),(39,'s',-10244307),
+           (40,'scan',-3402692),(41,'slow',-3422110),(42,'small',-3411276),
+           (43,'sort',-3473518),(44,'spark',-3464386),(45,'stream',-3455336),
+           (46,'t',-10244307),(47,'table',-3433063),(48,'the',-3510906),
+           (49,'u',-10244307),(50,'v',-10244307),(51,'value',-3445252),
+           (52,'vector',-3428667),(53,'w',-10244307),(54,'window',-3457591),
+           (55,'y',-10244307)
+         ) v(id, piece, lp)),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                   FROM documents) u0) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         dprec AS (
+           SELECT w, length(w) AS len, 0 AS pos,
+             [CAST(0 AS BIGINT)] AS dp, [CAST(0 AS INT)] AS bp
+           FROM dw
+           UNION ALL
+           SELECT r.w, r.len, r.pos + 1,
+             list_append(r.dp, greatest(
+               coalesce((r.dp[r.pos + 1] + coalesce(v1.lp, -20000000)), -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 2 THEN (r.dp[r.pos + 0] + v2.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 3 THEN (r.dp[r.pos - 1] + v3.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 4 THEN (r.dp[r.pos - 2] + v4.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 5 THEN (r.dp[r.pos - 3] + v5.lp) END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 6 THEN (r.dp[r.pos - 4] + v6.lp) END, -4611686018427387904))),
+             list_append(r.bp, CAST(((greatest(
+               coalesce((r.dp[r.pos + 1] + coalesce(v1.lp, -20000000)) * 8 + 1, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 2 THEN (r.dp[r.pos + 0] + v2.lp) * 8 + 2 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 3 THEN (r.dp[r.pos - 1] + v3.lp) * 8 + 3 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 4 THEN (r.dp[r.pos - 2] + v4.lp) * 8 + 4 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 5 THEN (r.dp[r.pos - 3] + v5.lp) * 8 + 5 END, -4611686018427387904),
+               coalesce(CASE WHEN r.pos + 1 >= 6 THEN (r.dp[r.pos - 4] + v6.lp) * 8 + 6 END, -4611686018427387904)) % 8) + 8) % 8 AS INT))
+           FROM dprec r
+           LEFT JOIN vocab v1 ON v1.piece = substr(r.w, r.pos + 1, 1)
+           LEFT JOIN vocab v2 ON r.pos + 1 >= 2 AND v2.piece = substr(r.w, r.pos + 0, 2)
+           LEFT JOIN vocab v3 ON r.pos + 1 >= 3 AND v3.piece = substr(r.w, r.pos - 1, 3)
+           LEFT JOIN vocab v4 ON r.pos + 1 >= 4 AND v4.piece = substr(r.w, r.pos - 2, 4)
+           LEFT JOIN vocab v5 ON r.pos + 1 >= 5 AND v5.piece = substr(r.w, r.pos - 3, 5)
+           LEFT JOIN vocab v6 ON r.pos + 1 >= 6 AND v6.piece = substr(r.w, r.pos - 4, 6)
+           WHERE r.pos < r.len),
+         walk AS (
+           SELECT w, bp, len AS pos, CAST(0 AS BIGINT) AS n_tok
+           FROM dprec WHERE pos = len
+           UNION ALL
+           SELECT w, bp, pos - bp[pos + 1], n_tok + 1
+           FROM walk WHERE pos > 0),
+         wtok AS (SELECT w, n_tok FROM walk WHERE pos = 0),
+         perdoc AS (
+           SELECT wp.doc_id, CAST(sum(t.n_tok) AS BIGINT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS n_w
+           FROM wordpos wp JOIN wtok t USING (w) GROUP BY 1),
+         perlang AS (
+           SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(p.n_w, 0)) AS BIGINT) AS n_words,
+             CAST(sum(coalesce(p.n_tok, 0)) AS BIGINT) AS n_tokens,
+             CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS n_bytes
+           FROM documents d LEFT JOIN perdoc p USING (doc_id)
+           GROUP BY 1)
+         SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+           round(n_tokens / (1.0 * nullif(n_words, 0)), 4) AS tokens_per_word,
+           round(n_bytes / (1.0 * nullif(n_tokens, 0)), 4) AS bytes_per_token
+         FROM perlang""",
     "unigram_decode" ->
       // the roundtrip expectation computed with NO tokenizer machinery:
       // pieces are substrings and the gate corpus has full coverage, so
