@@ -195,4 +195,16 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       assert(g.sortBy(_._2).map(_._2) === (1L to g.length))
     }
   }
+
+  test("roundtrip consumer plans ONE shuffle: window and regroup share the partitioning") {
+    // the scale guard for the packed_stream_roundtrip read side: the
+    // separators-seen window partitions by (shard, seq_id) and the
+    // segment regroup keys by (shard, seq_id, seg_idx) — the aggregate
+    // must reuse the window's exchange, not add a second corpus shuffle
+    val df = SparkEntry.queries("packed_stream_roundtrip")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"segment rebuild should reuse one partitioning:\n$plan")
+  }
 }

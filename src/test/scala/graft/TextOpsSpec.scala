@@ -366,4 +366,19 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L)._3 === 5L)
     got.values.foreach(r => assert(r._4 === r._2.length.toLong))
   }
+
+  test("htmlExtract plans as one shuffle-free codegen'd projection") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // the 100 TB guard: extraction must stay a pure map over the scan —
+    // an Exchange or a codegen break here would tax every crawl byte
+    // non-foldable input: a literal frame would constant-fold into a
+    // LocalTableScan and prove nothing
+    val plan = TextOps.htmlExtract(
+        spark.range(4).select(col("id").as("doc_id"),
+          concat(lit("<p>x"), col("id"), lit("</p>")).as("html")),
+        "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("*("), s"codegen lost (no *(n) stage):\n$plan")
+  }
 }

@@ -88,4 +88,14 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
     val valid = m.map(_.id).toSet + Unigram.UnkId
     assert(got.forall(valid))
   }
+
+  test("encodeCol plans as a shuffle-free codegen'd map (StaticInvoke)") {
+    // a non-foldable input (range-derived text): a literal frame would
+    // constant-fold into a LocalTableScan and prove nothing
+    val plan = spark.range(4)
+      .select(Unigram.encodeCol(concat(lit("ab c"), col("id")), hand))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("*("), s"codegen lost (no *(n) stage):\n$plan")
+  }
 }
