@@ -238,10 +238,14 @@ object Unigram {
   }
 
   /** Static kernel: whitespace-split `text`, Viterbi-segment each word,
-    * concatenate the piece ids (UNK id 0 for unseen characters). */
+    * concatenate the piece ids (UNK id 0 for unseen characters). Split
+    * is bare \s+ with empties filtered — NOT String.trim first: Java
+    * trim strips every char ≤ U+0020 (controls included), which the
+    * oracle's split-and-filter does not, so a control char at a text
+    * edge would silently vanish on one side only. */
   def encode(text: UTF8String, model: ArrayData): ArrayData = {
     val m = modelFor(model)
-    val words = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
     val out = mutable.ArrayBuffer.empty[Long]
     words.foreach(w => out ++= encodeWord(w, m))
     new GenericArrayData(out.toArray)
