@@ -199,14 +199,13 @@ private[graft] object TokenEntries {
       // tokenizer machinery at all. UNK is the one lossy id (the unseen
       // char is gone), and the gate corpus has full coverage, so any
       // dropped/reordered piece or id-table drift breaks a per-doc
-      // string equality. Decode is a map lookup per id off the model
-      // literal — map-only, like encode.
-      import s.implicits._
+      // string equality. Both halves are StaticInvoke kernels, so the
+      // whole roundtrip is one codegen'd map projection (the first cut's
+      // element_at-over-map HOF broke whole-stage codegen).
       val model = trainedUnigram(s, d, 64)
-      val byId = typedLit(model.map(p => p.id -> p.piece).toMap)
       Tables.documents(s, d).select(col("doc_id"),
-        array_join(transform(Unigram.encodeCol(col("text"), model),
-          id => element_at(byId, id)), "").as("decoded"))
+        Unigram.decodeCol(Unigram.encodeCol(col("text"), model), model)
+          .as("decoded"))
     }),
     "bpe_decode" -> ((s, d) => {
       // The DECODE half closing the tokenizer roundtrip: ids → UTF-8

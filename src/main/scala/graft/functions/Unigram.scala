@@ -201,11 +201,19 @@ object Unigram {
 
   // model literal: one "piece\tid\tlogp" string per piece (pieces are
   // whitespace-split words, so \t can't occur in them). Parsed once per
-  // (thread, literal identity) — the Bpe memo discipline.
-  private val parsed = new ThreadLocal[(AnyRef, Map[String, (Long, Long)])] {
-    override def initialValue(): (AnyRef, Map[String, (Long, Long)]) =
-      (null, Map.empty)
+  // (thread, literal identity) — the Bpe memo discipline, but as a small
+  // IDENTITY MAP, not a single entry: decode(encode(x)) plans carry TWO
+  // literal instances of the same model, and a one-slot cache would
+  // re-parse (and wipe the word memo) on every row as they alternate.
+  // The parse carries both directions: piece → (id, logp) for encode,
+  // id → piece for decode (dense array, UNK id 0 = empty string).
+  private val parsed = new ThreadLocal[
+      java.util.IdentityHashMap[AnyRef, (Map[String, (Long, Long)], Array[String])]] {
+    override def initialValue()
+        : java.util.IdentityHashMap[AnyRef, (Map[String, (Long, Long)], Array[String])] =
+      new java.util.IdentityHashMap
   }
+  private val parsedCap = 8
   private val wordMemo =
     new ThreadLocal[java.util.HashMap[String, Array[Long]]] {
       override def initialValue(): java.util.HashMap[String, Array[Long]] =
@@ -213,17 +221,29 @@ object Unigram {
     }
   private val wordMemoCap = 1 << 17
 
-  private def modelFor(lit: ArrayData): Map[String, (Long, Long)] = {
-    val cached = parsed.get()
-    if (cached._1 eq lit) cached._2
+  private def modelFor(lit: ArrayData): Map[String, (Long, Long)] =
+    parseFor(lit)._1
+
+  private def parseFor(lit: ArrayData)
+      : (Map[String, (Long, Long)], Array[String]) = {
+    val cache = parsed.get()
+    val hit = cache.get(lit)
+    if (hit != null) hit
     else {
       val m = (0 until lit.numElements()).iterator.map { i =>
         val parts = lit.getUTF8String(i).toString.split('\t')
         parts(0) -> (parts(1).toLong, parts(2).toLong)
       }.toMap
-      parsed.set((lit, m))
+      val maxId = if (m.isEmpty) 0 else m.valuesIterator.map(_._1).max.toInt
+      val byId = Array.fill(maxId + 1)("")
+      m.foreach { case (p, (id, _)) => byId(id.toInt) = p }
+      val entry = (m, byId)
+      if (cache.size >= parsedCap) cache.clear()
+      cache.put(lit, entry)
+      // the word memo caches ids under whichever model encode saw; a new
+      // model literal invalidates it
       wordMemo.get().clear()
-      m
+      entry
     }
   }
 
@@ -249,6 +269,36 @@ object Unigram {
     val out = mutable.ArrayBuffer.empty[Long]
     words.foreach(w => out ++= encodeWord(w, m))
     new GenericArrayData(out.toArray)
+  }
+
+  /** Static kernel: piece ids back to text — the concatenation of each
+    * id's piece (pieces are substrings, so decode(encode(word)) == word
+    * wherever coverage held; UNK id 0 contributes nothing, the one lossy
+    * id). A whole-word roundtrip stays inside whole-stage codegen where
+    * the element_at-over-map Column form fell to an interpreted HOF. */
+  def decode(ids: ArrayData, model: ArrayData): UTF8String = {
+    val byId = parseFor(model)._2
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getLong(i).toInt
+      if (id > 0 && id < byId.length) sb.append(byId(id))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Column form of [[decode]] (the Bpe.decodeCol shape). */
+  def decodeCol(ids: Column, model: Seq[Piece]): Column = {
+    val arrS = ArrayType(StringType, containsNull = false)
+    GraftExpressionBridge.column(StaticInvoke(
+      Unigram.getClass, StringType, "decode",
+      Seq(GraftExpressionBridge.expression(ids),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          model.map(p => s"${p.piece}\t${p.id}\t${p.logp}"), arrS)),
+      Seq(ArrayType(LongType), arrS), propagateNull = true,
+      returnNullable = false))
   }
 
   /** Column form: array<long> of piece ids; the model as one plan

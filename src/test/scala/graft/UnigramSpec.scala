@@ -89,6 +89,18 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(valid))
   }
 
+  test("decodeCol: roundtrip restores covered words; UNK ids contribute nothing") {
+    val got = Seq((1L, "ab cc zb"), (2L, ""))
+      .toDF("id", "t")
+      .select(col("id"),
+        Unigram.decodeCol(Unigram.encodeCol(col("t"), hand), hand).as("d"))
+      .as[(Long, String)].collect().toMap
+    // covered words concatenate back exactly (whitespace deleted); the
+    // unseen 'z' encodes as UNK 0 and decodes to nothing
+    assert(got(1L) === "abccb")
+    assert(got(2L) === "")
+  }
+
   test("encodeCol plans as a shuffle-free codegen'd map (StaticInvoke)") {
     // a non-foldable input (range-derived text): a literal frame would
     // constant-fold into a LocalTableScan and prove nothing
