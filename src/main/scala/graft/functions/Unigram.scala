@@ -214,12 +214,26 @@ object Unigram {
       new java.util.IdentityHashMap
   }
   private val parsedCap = 8
+  // word→ids memo KEYED to the model literal it was computed under: a
+  // clear-on-new-parse scheme would serve model A's ids to model B if
+  // two different models ever shared a plan (both stay parse-cached, so
+  // neither re-parse would fire again to clear)
   private val wordMemo =
-    new ThreadLocal[java.util.HashMap[String, Array[Long]]] {
-      override def initialValue(): java.util.HashMap[String, Array[Long]] =
-        new java.util.HashMap[String, Array[Long]](1 << 14)
+    new ThreadLocal[(AnyRef, java.util.HashMap[String, Array[Long]])] {
+      override def initialValue(): (AnyRef, java.util.HashMap[String, Array[Long]]) =
+        (null, new java.util.HashMap[String, Array[Long]](1 << 14))
     }
   private val wordMemoCap = 1 << 17
+
+  private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] = {
+    val cur = wordMemo.get()
+    if (cur._1 eq model) cur._2
+    else {
+      val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
+      wordMemo.set((model, fresh))
+      fresh
+    }
+  }
 
   private def modelFor(lit: ArrayData): Map[String, (Long, Long)] =
     parseFor(lit)._1
@@ -240,15 +254,12 @@ object Unigram {
       val entry = (m, byId)
       if (cache.size >= parsedCap) cache.clear()
       cache.put(lit, entry)
-      // the word memo caches ids under whichever model encode saw; a new
-      // model literal invalidates it
-      wordMemo.get().clear()
       entry
     }
   }
 
-  private def encodeWord(w: String, m: Map[String, (Long, Long)]): Array[Long] = {
-    val memo = wordMemo.get()
+  private def encodeWord(w: String, m: Map[String, (Long, Long)],
+                         memo: java.util.HashMap[String, Array[Long]]): Array[Long] = {
     val hit = memo.get(w)
     if (hit != null) return hit
     val ids = viterbi(codePoints(w), p => m.get(p).map(_._2))
@@ -265,9 +276,10 @@ object Unigram {
     * edge would silently vanish on one side only. */
   def encode(text: UTF8String, model: ArrayData): ArrayData = {
     val m = modelFor(model)
+    val memo = wordMemoFor(model)
     val words = text.toString.split("\\s+").filter(_.nonEmpty)
     val out = mutable.ArrayBuffer.empty[Long]
-    words.foreach(w => out ++= encodeWord(w, m))
+    words.foreach(w => out ++= encodeWord(w, m, memo))
     new GenericArrayData(out.toArray)
   }
 

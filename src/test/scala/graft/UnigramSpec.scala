@@ -89,6 +89,24 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(valid))
   }
 
+  test("two models in one plan segment independently (memo keyed per model)") {
+    // a per-thread word memo cleared only on new-literal PARSE would
+    // serve the first model's ids for the second once both literals are
+    // parse-cached — this pins the memo being keyed to the model
+    val other = Seq(Piece(1L, "a", -5000000L), Piece(2L, "b", -5000000L),
+      Piece(3L, "c", -5000000L))  // no multi-char pieces: 'ab' → [1,2]
+    val got = Seq.fill(50)(("ab")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(
+        Unigram.encodeCol(col("t"), hand).as("h"),
+        Unigram.encodeCol(col("t"), other).as("o"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    got.foreach { case (h, o) =>
+      assert(h === Seq(2L), "rich model: the 'ab' piece")
+      assert(o === Seq(1L, 2L), "char-only model: a + b")
+    }
+  }
+
   test("decodeCol: roundtrip restores covered words; UNK ids contribute nothing") {
     val got = Seq((1L, "ab cc zb"), (2L, ""))
       .toDF("id", "t")
