@@ -280,6 +280,10 @@ private[graft] object StreamEntries {
       val cutRow = NgramLm.cutoffs(
         NgramLm.scoreWithModel(docs, model, margins, vocab,
           "doc_id", "text")).collect()(0)
+      // cutoffs are min(when(...)) over scoreable docs — null (not a
+      // crash) when the reference corpus has none, so fail loud here
+      require(!cutRow.isNullAt(0) && !cutRow.isNullAt(1),
+        "perplexity cutoffs are null: reference corpus has no scoreable docs")
       val cuts = Seq((cutRow.getDouble(0), cutRow.getDouble(1)))
         .toDF("cut_head", "cut_middle")
       val probes = docs.filter(col("doc_id") < 10)

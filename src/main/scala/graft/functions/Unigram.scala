@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - TOTAL-ORDER TIE-BREAKS: equal-score DP states prefer the LONGEST
   *    candidate piece (smallest predecessor index); vocabulary pruning
   *    orders by (count desc, piece asc); ids are the lexicographic rank
-  *    of the final pieces (id 0 reserved for UNK). Training is a pure
+  *    of the final pieces (id 0 reserved for UNK). All piece orderings
+  *    are CODE-POINT order (≡ UTF-8 byte order), not JVM UTF-16 order,
+  *    so a second engine computes the same ranks. Training is a pure
   *    function of the word-frequency dict.
   *  - CAPPED DRIVER MATERIAL: the word dict is the same md5-ordered
   *    `maxWords` sample as [[Bpe.train]]; the candidate pool is capped
@@ -59,6 +61,27 @@ object Unigram {
   final case class Piece(id: Long, piece: String, logp: Long)
 
   private def codePoints(w: String): Array[Int] = w.codePoints().toArray
+
+  /** Code-point lexicographic order (≡ UTF-8 byte order), the order a
+    * second engine (DuckDB) computes for string comparison. Scala's
+    * default String ordering is UTF-16 code-unit order, which ranks
+    * supplementary-plane pieces BELOW U+E000..U+FFFF ones — every
+    * vocabulary sort/tie-break here uses this ordering instead so the
+    * trained artifact is engine-unambiguous. */
+  private object CodePointOrder extends Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
 
   /** Integer-score Viterbi over one word's code points against a
     * piece→logp map; ties prefer the longest final piece. Returns the
@@ -137,10 +160,10 @@ object Unigram {
       }
     }
     val chars = seedCounts.keysIterator
-      .filter(p => p.codePointCount(0, p.length) == 1).toSeq.sorted
+      .filter(p => p.codePointCount(0, p.length) == 1).toSeq.sorted(CodePointOrder)
     val multis = seedCounts.toSeq
       .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
-      .sortBy { case (p, c) => (-c, p) }
+      .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, CodePointOrder))
       .take(seedPool)
       .map(_._1)
     require(vocabSize > chars.size,
@@ -187,12 +210,12 @@ object Unigram {
     }
     val keptMulti = finalCounts.toSeq
       .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
-      .sortBy { case (p, c) => (-c, p) }
+      .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, CodePointOrder))
       .take(vocabSize - chars.size)
       .map(_._1)
     val kept = (chars ++ keptMulti).map(p => p -> finalCounts(p)).toMap
     val logps = rescale(kept)
-    kept.keysIterator.toSeq.sorted.zipWithIndex.map { case (p, i) =>
+    kept.keysIterator.toSeq.sorted(CodePointOrder).zipWithIndex.map { case (p, i) =>
       Piece(i + 1L, p, logps(p))
     }
   }

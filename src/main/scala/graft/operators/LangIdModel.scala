@@ -311,7 +311,13 @@ object LangIdModel {
       new java.util.HashMap[String, Integer](1 << 16)
   }
   // bound the memo so adversarial high-entropy corpora can't grow it
-  // unboundedly; on cap overflow new grams just pay the md5
+  // unboundedly; on cap overflow new grams just pay the md5.
+  // Retention tradeoff (deliberate): the per-thread memo lives for the
+  // executor thread's lifetime — at the 2^18 cap that is tens of MB per
+  // thread retained after the lang-id stage finishes. Accepted because
+  // grams recur across queries in a session (warm memo = the 19× win);
+  // if executor memory pressure ever appears, shrink the cap or clear on
+  // a model-identity change like Unigram's word memo does.
   private val gramCacheCap = 1 << 18
 
   private def bucketFast(gram: String): Int = {

@@ -224,7 +224,13 @@ object EventStream {
     * pure per-doc functions of (doc, static model), so the drained output
     * must equal the batch `scoreAgainst` over the same docs regardless of
     * the wave/micro-batch split — and the checkpoint guarantees each doc
-    * scores exactly once across drains. Stream-static joins against the
+    * scores once per CLEAN drain. Delivery contract: the plain
+    * mode("append") parquet sink is AT-LEAST-ONCE — a micro-batch that
+    * fails after a partial write is re-run from the checkpoint on
+    * restart, appending duplicate rows. Consumers that need exactly-once
+    * dedupe on `idCol` downstream, or swap in an idempotent sink
+    * (batchId-derived output path replaced atomically, or a keyed MERGE
+    * into a lake table). Stream-static joins against the
     * persisted model frames: micro-batches pay only their own token
     * explode plus vocab-bounded joins. `k` must be the SAME smoothing
     * constant the frames were trained with — the backoff rungs
@@ -260,7 +266,11 @@ object EventStream {
     * against the static model frames and assigned by the static cutoff
     * row. Per-doc verdicts are functions of (doc, model, cuts) only, so
     * the drained lake must equal the batch assignment over the same docs
-    * whatever the wave/file split. */
+    * whatever the wave/file split. Same AT-LEAST-ONCE append-sink
+    * delivery contract as [[lmScoreStream]]: a mid-batch failure replays
+    * the batch and can append duplicate rows — dedupe on `idCol`
+    * downstream or use an idempotent (batchId-pathed / MERGE) sink for
+    * the serving form. */
   def lmBucketStream(spark: SparkSession, landingDir: String,
                      schema: org.apache.spark.sql.types.StructType,
                      model: DataFrame, margins: DataFrame, vocab: DataFrame,
