@@ -293,12 +293,23 @@ object FatalityModel {
       riskLevel(col(predictedCol)).as("predicted_risk_level"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Per-group prediction-performance rollup (ml.py:673-685). */
+  /** Per-group prediction-performance rollup (ml.py:673-685). The group
+    * means are computed ORDER-INDEPENDENTLY: each per-row double is
+    * rounded to 4dp and scaled to an exact Long, summed in integer
+    * arithmetic (commutative — no float-reduction-order dependence), and
+    * divided back once. With the deterministic hash split + seeded fit,
+    * that makes the rollup a stable golden-pinnable artifact: any
+    * sub-5e-5 prediction jitter is absorbed by the per-row rounding
+    * instead of leaking into the last ulp of an avg(). */
   def predictionPerformance(pred: DataFrame, groupCol: String): DataFrame =
-    pred.groupBy(groupCol)
+    pred
+      .withColumn("__ae", round(col("abs_error") * 10000).cast("long"))
+      .withColumn("__pv", round(col("predicted_value") * 10000).cast("long"))
+      .withColumn("__av", round(col("value") * 10000).cast("long"))
+      .groupBy(groupCol)
       .agg(
-        avg("abs_error").as("avg_error"),
+        round(sum("__ae") / 10000.0 / count(lit(1)), 4).as("avg_error"),
         count(lit(1)).as("prediction_count"),
-        avg("predicted_value").as("avg_predicted"),
-        avg("value").as("avg_actual"))
+        round(sum("__pv") / 10000.0 / count(lit(1)), 4).as("avg_predicted"),
+        round(sum("__av") / 10000.0 / count(lit(1)), 4).as("avg_actual"))
 }
