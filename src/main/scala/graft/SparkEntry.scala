@@ -67,13 +67,16 @@ object SparkEntry {
     *    seq_packing / multimodal_meta: probabilistic or binary-payload
     *    outputs not SQL-expressible; each gated through a deterministic
     *    companion (`*_planted_pairs`, `*_exact`, `*_check`, `*_golden`).
-    *  - fatality_model / prediction_perf / risk_crosstab: GBT fit outputs;
-    *    pinned by FatalityModelSpec on deterministic seeds.
+    *  - fatality_model: GBT fit metrics (rmse/mae/r2 floats); pinned by
+    *    FatalityModelSpec on deterministic seeds plus the green
+    *    model_feature_importance_check companion. prediction_perf and
+    *    risk_crosstab graduated to golden oracles in r16 (deterministic
+    *    frozen fit + order-independent integer-sum rollups).
     */
   val rowsOnly: Set[String] = Set(
     "minhash_dedup", "simhash_dedup", "ngram_jaccard", "dedup_clusters",
     "seq_packing", "multimodal_meta",
-    "fatality_model", "prediction_perf", "risk_crosstab",
+    "fatality_model",
     // per-slot GBT importances ride the same fit as C3/C5/C6 (float
     // goldens would flake); model_feature_importance_check is the
     // SQL-checkable companion gate

@@ -162,11 +162,16 @@ private[graft] object TokenEntries {
       // unigram-LM, the SentencePiece recipe): 64 pieces selected by
       // integer-score hard-EM over the capped word dict — all training
       // chars (coverage) + the top multi-char pieces — with 1e6-scaled
-      // StrictMath log-probs and lexicographic-rank ids (0 = UNK).
-      // Pinned as golden VALUES (the bpe_merges convention): trainer
-      // drift anywhere — seed pool, EM, pruning, scaling — flips it red.
+      // StrictMath log-probs and lexicographic-rank ids from 257 (0 =
+      // UNK, 1..256 the fixed byte-fallback pieces <0x00>..<0xFF>, the
+      // SentencePiece byte_fallback layout; byte rows carry the
+      // conventional 0 score — they never compete in the DP). Trained
+      // rows pinned as golden VALUES (the bpe_merges convention):
+      // trainer drift anywhere — seed pool, EM, pruning, scaling —
+      // flips it red; byte rows are derived in both engines.
       import s.implicits._
-      trainedUnigram(s, d, 64).map(p => (p.id, p.piece, p.logp))
+      val bytes = (0 until 256).map(b => (1L + b, f"<0x$b%02X>", 0L))
+      (bytes ++ trainedUnigram(s, d, 64).map(p => (p.id, p.piece, p.logp)))
         .toDF("piece_id", "piece", "logp_scaled")
     }),
     "unigram_encode" -> ((s, d) => {
@@ -175,15 +180,19 @@ private[graft] object TokenEntries {
       // piece_id) so the full sequence is second-engine-checked — the
       // oracle replays the DP itself in DuckDB (list-carried dp/bp
       // vectors in a recursive CTE over the pinned piece table) plus the
-      // backtrack. Planted docs exercise the two paths the corpus can't:
+      // backtrack. Planted docs exercise the paths the corpus can't:
       // NOVEL words over seen characters (real multi-piece Viterbi, not
-      // memorized whole words) and unseen-script characters (Greek) that
-      // must segment as the reserved UNK id 0, never error.
+      // memorized whole words) and unseen-script characters that must
+      // BYTE-FALLBACK — 2-byte Greek and a 4-byte supplementary-plane
+      // emoji emit their UTF-8 bytes' fixed ids (1 + byte), never UNK,
+      // with the oracle deriving the same expansion from code-point
+      // arithmetic.
       import s.implicits._
       val model = trainedUnigram(s, d, 64)
       val planted = Seq(
         (9100001L, "hashrow streamjoin mergevalue"),
-        (9100002L, "αβγ sort"))
+        (9100002L, "αβγ sort"),
+        (9100003L, "🙂 data"))
         .toDF("doc_id", "text")
       Tables.documents(s, d).select("doc_id", "text").unionByName(planted)
         .select(col("doc_id"),
@@ -192,20 +201,28 @@ private[graft] object TokenEntries {
           col("col").as("piece_id"))
     }),
     "unigram_decode" -> ((s, d) => {
-      // the unigram roundtrip closed: pieces are SUBSTRINGS, so
-      // concatenating a word's pieces reproduces the word exactly —
-      // decode(encode(text)) must equal text with every \s+ run deleted
-      // (the bpe_decode contract), which the oracle computes with no
-      // tokenizer machinery at all. UNK is the one lossy id (the unseen
-      // char is gone), and the gate corpus has full coverage, so any
-      // dropped/reordered piece or id-table drift breaks a per-doc
-      // string equality. Both halves are StaticInvoke kernels, so the
-      // whole roundtrip is one codegen'd map projection (the first cut's
-      // element_at-over-map HOF broke whole-stage codegen).
+      // the unigram roundtrip closed, and since byte-fallback TOTAL:
+      // trained pieces are SUBSTRINGS and unseen chars ride their UTF-8
+      // byte ids, so decode(encode(text)) must equal text with every
+      // \s+ run deleted (the bpe_decode contract) for ARBITRARY input —
+      // which the oracle computes with no tokenizer machinery at all.
+      // Planted unseen-script docs (Greek, 4-byte emoji) make the
+      // contract non-vacuous outside the covered corpus: pre-fallback
+      // they would have decoded with chars DROPPED at UNK. Both halves
+      // are StaticInvoke kernels, so the whole roundtrip is one
+      // codegen'd map projection (the first cut's element_at-over-map
+      // HOF broke whole-stage codegen).
+      import s.implicits._
       val model = trainedUnigram(s, d, 64)
-      Tables.documents(s, d).select(col("doc_id"),
-        Unigram.decodeCol(Unigram.encodeCol(col("text"), model), model)
-          .as("decoded"))
+      val planted = Seq(
+        (9100002L, "αβγ sort"),
+        (9100003L, "🙂 data λx"))
+        .toDF("doc_id", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          Unigram.decodeCol(Unigram.encodeCol(col("text"), model), model)
+            .as("decoded"))
     }),
     "bpe_decode" -> ((s, d) => {
       // The DECODE half closing the tokenizer roundtrip: ids → UTF-8
@@ -598,12 +615,20 @@ private[graft] object TokenEntries {
     "unigram_vocab" ->
       // [GOLDEN @ gate corpus: sf0.01 — re-derive on SF change by
       // dumping the Spark side] the trained unigram-LM piece table in
-      // lexicographic-id order: 24 coverage chars + the 31 whole words
-      // the hard-EM converged on (this corpus' words recur enough that
-      // they beat their own char decompositions), 1e6-scaled StrictMath
-      // log-probs — trainer drift anywhere (seed pool, EM, pruning,
-      // scaling) flips this red
-      """SELECT CAST(piece_id AS BIGINT) AS piece_id, piece,
+      // lexicographic-id order from 257: 24 coverage chars + the 31
+      // whole words the hard-EM converged on (this corpus' words recur
+      // enough that they beat their own char decompositions), 1e6-scaled
+      // StrictMath log-probs — trainer drift anywhere (seed pool, EM,
+      // pruning, scaling) flips this red. Ids 1..256 are the fixed
+      // byte-fallback pieces, derived (not pinned) in both engines; the
+      // VALUES rows keep their rank and shift by the 256 reserved ids
+      // in SQL.
+      """SELECT CAST(i + 1 AS BIGINT) AS piece_id,
+           '<0x' || upper(printf('%02x', i)) || '>' AS piece,
+           CAST(0 AS BIGINT) AS logp_scaled
+         FROM range(0, 256) t(i)
+         UNION ALL
+         SELECT CAST(piece_id + 256 AS BIGINT) AS piece_id, piece,
            CAST(logp_scaled AS BIGINT) AS logp_scaled
          FROM (VALUES
            (1,'a',-3464386),(2,'agg',-3440802),(3,'b',-10244307),
@@ -630,7 +655,10 @@ private[graft] object TokenEntries {
       // the Viterbi DP again (same pinned piece table, same list-DP
       // recursion — only the PIECE COUNT per word is consumed: the bp
       // backtrack walk counts steps), rolled up per lang exactly like
-      // bpe_fertility; ratios divide the same exact integer sums
+      // bpe_fertility; ratios divide the same exact integer sums. Step
+      // count == emitted-id count here because the gate corpus is fully
+      // covered (an unseen char would emit one id per UTF-8 byte); the
+      // vocab CTE's ids are never consumed, only piece + lp
       """WITH RECURSIVE
          vocab AS (SELECT * FROM (VALUES
            (1,'a',-3464386),(2,'agg',-3440802),(3,'b',-10244307),
@@ -714,12 +742,22 @@ private[graft] object TokenEntries {
          FROM perlang""",
     "unigram_decode" ->
       // the roundtrip expectation computed with NO tokenizer machinery:
-      // pieces are substrings and the gate corpus has full coverage, so
-      // decode(encode(text)) is text with every \s+ run deleted, byte
-      // for byte (the bpe_decode contract)
-      """SELECT doc_id,
+      // pieces are substrings and byte-fallback restores unseen chars,
+      // so decode(encode(text)) is text with every \s+ run deleted, byte
+      // for byte (the bpe_decode contract) — for the covered corpus AND
+      // the planted unseen-script docs (chr() codepoints: Greek 2-byte,
+      // U+1F642 emoji 4-byte), which pre-fallback would have lost chars
+      // at UNK
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9100002, chr(945) || chr(946) || chr(947) || ' sort'),
+             (9100003, chr(128578) || ' data ' || chr(955) || 'x')
+           ) t(doc_id, text))
+         SELECT doc_id,
            regexp_replace(text, '[ \t\n\x0b\f\r]+', '', 'g') AS decoded
-         FROM documents""",
+         FROM corpus""",
     "unigram_encode" ->
       // the Viterbi DP itself replayed in DuckDB over the pinned piece
       // table: per distinct word, a recursive CTE carries the dp/bp
@@ -730,9 +768,13 @@ private[graft] object TokenEntries {
       // is the kernel's longest-piece rule, encoded order-free as a
       // packed key score·8+len (len ∈ 1..6 < 8, and integer scores
       // differ by ≥1 scaled unit, so key order IS (score, len) order);
-      // a second recursion backtracks bp to piece ids (vocab miss → UNK
-      // 0), and per-doc order reassembles from word positions. Integer
-      // scores end to end — no float comparison in either engine.
+      // a second recursion backtracks bp to piece ids — a vocab hit maps
+      // to its id + 256 (the reserved byte-piece block), a miss (always
+      // a 1-char step) expands to the char's UTF-8 bytes' ids 1 + byte,
+      // derived from pure code-point arithmetic so both engines compute
+      // the identical byte-fallback expansion — and per-doc order
+      // reassembles from word positions. Integer scores end to end — no
+      // float comparison in either engine.
       """WITH RECURSIVE
          vocab AS (SELECT * FROM (VALUES
            (1,'a',-3464386),(2,'agg',-3440802),(3,'b',-10244307),
@@ -760,7 +802,8 @@ private[graft] object TokenEntries {
            UNION ALL
            SELECT * FROM (VALUES
              (9100001, 'hashrow streamjoin mergevalue'),
-             (9100002, chr(945) || chr(946) || chr(947) || ' sort')
+             (9100002, chr(945) || chr(946) || chr(947) || ' sort'),
+             (9100003, chr(128578) || ' data')
            ) t(doc_id, text)),
          wordpos AS (
            SELECT doc_id, widx, w FROM (
@@ -803,8 +846,26 @@ private[graft] object TokenEntries {
            FROM dprec WHERE pos = len
            UNION ALL
            SELECT b.w, b.bp, b.pos - b.bp[b.pos + 1],
-             list_prepend(coalesce(CAST(v.id AS BIGINT), CAST(0 AS BIGINT)),
-               b.ids)
+             (CASE
+                WHEN v.id IS NOT NULL THEN CAST([v.id + 256] AS BIGINT[])
+                WHEN unicode(substr(b.w, b.pos, 1)) < 128 THEN
+                  CAST([unicode(substr(b.w, b.pos, 1)) + 1] AS BIGINT[])
+                WHEN unicode(substr(b.w, b.pos, 1)) < 2048 THEN
+                  CAST([192 + unicode(substr(b.w, b.pos, 1)) // 64 + 1,
+                        128 + unicode(substr(b.w, b.pos, 1)) % 64 + 1]
+                    AS BIGINT[])
+                WHEN unicode(substr(b.w, b.pos, 1)) < 65536 THEN
+                  CAST([224 + unicode(substr(b.w, b.pos, 1)) // 4096 + 1,
+                        128 + (unicode(substr(b.w, b.pos, 1)) // 64) % 64 + 1,
+                        128 + unicode(substr(b.w, b.pos, 1)) % 64 + 1]
+                    AS BIGINT[])
+                ELSE
+                  CAST([240 + unicode(substr(b.w, b.pos, 1)) // 262144 + 1,
+                        128 + (unicode(substr(b.w, b.pos, 1)) // 4096) % 64 + 1,
+                        128 + (unicode(substr(b.w, b.pos, 1)) // 64) % 64 + 1,
+                        128 + unicode(substr(b.w, b.pos, 1)) % 64 + 1]
+                    AS BIGINT[])
+              END) || b.ids
            FROM back b
            LEFT JOIN vocab v
              ON v.piece = substr(b.w, b.pos - b.bp[b.pos + 1] + 1,

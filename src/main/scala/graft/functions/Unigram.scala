@@ -43,21 +43,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen, per-thread distinct-word memo for zipfian text).
   * Segmentation is per whitespace word (no cross-word pieces, no ▁
   * marker — the same documented deviation as Bpe's missing `</w>`);
-  * characters unseen in training segment as the reserved UNK id 0 at a
-  * fixed penalty, never an error. */
+  * characters unseen in training score at the fixed UNK penalty in the
+  * DP but EMIT their UTF-8 bytes' fixed ids (1 + byteValue, ids 1..256
+  * — SentencePiece byte_fallback, the production recipe behind Llama
+  * vocabularies), so encoding is total and decode(encode(x)) restores
+  * unseen scripts byte-for-byte instead of dropping them at UNK. */
 object Unigram {
 
   /** ln p scaled by 1e6 into Longs — the unit of every score here. */
   val Scale = 1e6
-  /** Reserved id for characters outside the trained vocabulary. */
+  /** Reserved id 0: kept for decoder compatibility (decodes to nothing),
+    * but encode no longer emits it — byte fallback covers every char. */
   val UnkId = 0L
-  /** Fixed UNK penalty (ln p = -20, far below any trained piece). */
+  /** Fixed UNK penalty (ln p = -20, far below any trained piece) — still
+    * the DP score of an unseen char; only the EMITTED ids changed. */
   val UnkPenalty: Long = -20000000L
   /** Maximum piece length in code points. */
   val MaxPieceLen = 6
+  /** Byte-fallback pieces occupy the 256 FIXED ids right after UNK
+    * (id = 1 + byteValue, the SentencePiece byte_fallback layout behind
+    * Llama vocabularies): a char outside the trained vocabulary encodes
+    * as its UTF-8 bytes' ids instead of the lossy UNK, making
+    * decode(encode(x)) total over arbitrary input. */
+  val FirstByteId = 1L
+  /** First id a TRAINED piece can take (above UNK + the 256 byte ids). */
+  val FirstTrainedId = 257L
 
-  /** One trained piece: lexicographic-rank id (1-based; 0 = UNK), the
-    * piece text, and its 1e6-scaled log-probability. */
+  /** One trained piece: lexicographic-rank id (starting at
+    * [[FirstTrainedId]]; 0 = UNK, 1..256 = byte fallback), the piece
+    * text, and its 1e6-scaled log-probability. */
   final case class Piece(id: Long, piece: String, logp: Long)
 
   private def codePoints(w: String): Array[Int] = w.codePoints().toArray
@@ -216,7 +230,7 @@ object Unigram {
     val kept = (chars ++ keptMulti).map(p => p -> finalCounts(p)).toMap
     val logps = rescale(kept)
     kept.keysIterator.toSeq.sorted(CodePointOrder).zipWithIndex.map { case (p, i) =>
-      Piece(i + 1L, p, logps(p))
+      Piece(i + FirstTrainedId, p, logps(p))
     }
   }
 
@@ -285,8 +299,17 @@ object Unigram {
                          memo: java.util.HashMap[String, Array[Long]]): Array[Long] = {
     val hit = memo.get(w)
     if (hit != null) return hit
+    // byte fallback: a Viterbi step that fell to the UNK rung (a 1-char
+    // piece outside the vocabulary) expands to its UTF-8 bytes' fixed
+    // ids instead of the lossy UNK 0
     val ids = viterbi(codePoints(w), p => m.get(p).map(_._2))
-      .map(p => m.get(p).map(_._1).getOrElse(UnkId)).toArray
+      .flatMap { p =>
+        m.get(p) match {
+          case Some((id, _)) => id :: Nil
+          case None => p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .toSeq.map(b => FirstByteId + (b & 0xff))
+        }
+      }.toArray
     if (memo.size < wordMemoCap) memo.put(w, ids)
     ids
   }
@@ -306,26 +329,39 @@ object Unigram {
     new GenericArrayData(out.toArray)
   }
 
-  /** Static kernel: piece ids back to text — the concatenation of each
-    * id's piece (pieces are substrings, so decode(encode(word)) == word
-    * wherever coverage held; UNK id 0 contributes nothing, the one lossy
-    * id). A whole-word roundtrip stays inside whole-stage codegen where
-    * the element_at-over-map Column form fell to an interpreted HOF. */
+  /** Static kernel: piece ids back to text, assembled at the BYTE level —
+    * trained pieces contribute their UTF-8 bytes, byte-fallback ids
+    * 1..256 contribute their single byte (adjacent byte ids reassemble
+    * into the original multi-byte chars), so decode(encode(word)) == word
+    * for ARBITRARY input, covered or not. UNK id 0 decodes to nothing
+    * (decoder compatibility with pre-fallback streams). A whole-word
+    * roundtrip stays inside whole-stage codegen where the
+    * element_at-over-map Column form fell to an interpreted HOF. */
   def decode(ids: ArrayData, model: ArrayData): UTF8String = {
     val byId = parseFor(model)._2
-    val sb = new java.lang.StringBuilder
+    val bos = new java.io.ByteArrayOutputStream(64)
     var i = 0
     val n = ids.numElements()
     while (i < n) {
       val id = ids.getLong(i).toInt
-      if (id > 0 && id < byId.length) sb.append(byId(id))
+      if (id >= FirstTrainedId && id < byId.length) {
+        val p = byId(id)
+        if (p.nonEmpty)
+          bos.write(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else if (id >= 1 && id <= 256) bos.write(id - 1)
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromBytes(bos.toByteArray)
   }
+
+  private def checkLayout(model: Seq[Piece]): Unit =
+    require(model.forall(_.id >= FirstTrainedId),
+      s"trained piece ids must be >= $FirstTrainedId: ids 1..256 are the " +
+        "reserved byte-fallback pieces, 0 is UNK")
 
   /** Column form of [[decode]] (the Bpe.decodeCol shape). */
   def decodeCol(ids: Column, model: Seq[Piece]): Column = {
+    checkLayout(model)
     val arrS = ArrayType(StringType, containsNull = false)
     GraftExpressionBridge.column(StaticInvoke(
       Unigram.getClass, StringType, "decode",
@@ -339,6 +375,7 @@ object Unigram {
   /** Column form: array<long> of piece ids; the model as one plan
     * literal (the Bpe.encodeCol shape). */
   def encodeCol(text: Column, model: Seq[Piece]): Column = {
+    checkLayout(model)
     val arrS = ArrayType(StringType, containsNull = false)
     GraftExpressionBridge.column(StaticInvoke(
       Unigram.getClass, ArrayType(LongType, containsNull = false), "encode",
