@@ -26,6 +26,35 @@ private[graft] object DedupEntries {
     "exact_dedup" -> ((s, d) =>
       Dedup.exactByHash(Tables.documents(s, d), "text", "doc_id")
         .select("doc_id", "lang", "source", "n_chars")),
+    "line_dedup" -> ((s, d) => {
+      // CCNet per-LINE exact dedup (Wenzek 2020 §3) — the cheap first
+      // tier below para/span dedup: normalized lines counted corpus-wide,
+      // every occurrence of a repeated line cut, per-doc ledger + cleaned
+      // text out. The gate corpus is single-line word-soup (no organic
+      // newlines, no duplicate texts at this SF), so planted multi-line
+      // docs carry the whole workload: a shared banner line in three
+      // case/punctuation variants (the normalization must unify them), a
+      // repeated footer in two variants, digit-bearing phone lines whose
+      // digit runs collapse to one 0 (two different numbers must count as
+      // the same line), and unique interior lines that must survive with
+      // order preserved. Full DuckDB replay — split, normalize, count,
+      // cut, string_agg by line index.
+      import s.implicits._
+      val planted = Seq(
+        (8200001L, "All rights reserved.\nalpha beta unique one\n" +
+          "Subscribe to our newsletter!"),
+        (8200002L, "all rights reserved\ngamma delta unique two\n" +
+          "Subscribe to our newsletter!!!"),
+        (8200003L, "ALL RIGHTS RESERVED???\nepsilon zeta unique three\n" +
+          "call 555-123 now\ncall 555-999 now"))
+        .toDF("doc_id", "text")
+      Dedup.lineDedup(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .unionByName(planted),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_cut"),
+          col("cleaned_text"))
+    }),
     "para_dedup" -> ((s, d) =>
       // Passage-granularity dedup: corpus-frequency-thresholded 8-token
       // windows; per-doc repeated-span mass + scrubbed text. The oracle is
@@ -598,6 +627,47 @@ private[graft] object DedupEntries {
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn = 1""",
+    "line_dedup" ->
+      // full replay of the CCNet line tier: split on \n, normalize with
+      // the same three explicit-class regexes (lower → strip [^a-z0-9 ] →
+      // digit runs to 0 → collapse/trim spaces — Java and RE2 agree on
+      // every class here), count non-empty norms corpus-wide, cut every
+      // line whose norm repeats, reassemble kept lines by index
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (8200001, 'All rights reserved.' || chr(10) ||
+               'alpha beta unique one' || chr(10) ||
+               'Subscribe to our newsletter!'),
+             (8200002, 'all rights reserved' || chr(10) ||
+               'gamma delta unique two' || chr(10) ||
+               'Subscribe to our newsletter!!!'),
+             (8200003, 'ALL RIGHTS RESERVED???' || chr(10) ||
+               'epsilon zeta unique three' || chr(10) ||
+               'call 555-123 now' || chr(10) || 'call 555-999 now')
+           ) t(doc_id, text)),
+         lines AS (
+           SELECT doc_id, generate_subscripts(ls, 1) AS idx,
+             unnest(ls) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                 FROM corpus) u),
+         normed AS (
+           SELECT doc_id, idx, line,
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(line),
+               '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'), ' +', ' ', 'g'))
+               AS norm
+           FROM lines),
+         rep AS (
+           SELECT norm FROM normed WHERE norm <> ''
+           GROUP BY norm HAVING count(*) >= 2)
+         SELECT n.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(r.norm) AS BIGINT) AS n_cut,
+           coalesce(string_agg(CASE WHEN r.norm IS NULL THEN n.line END,
+             chr(10) ORDER BY n.idx), '') AS cleaned_text
+         FROM normed n LEFT JOIN rep r ON n.norm = r.norm
+         GROUP BY n.doc_id""",
     "span_dedup" ->
       // full replay: stride-1 windows, frequency by passage STRING, span
       // starts via lag (a repeated start opens a span iff the previous

@@ -357,6 +357,33 @@ private[graft] object TextEntries {
           _ => lit("unused"), n = 3, threshold = 0.6, banded = true)),
         scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))
     }),
+    "corpus_pipeline_linecut" -> ((s, d) => {
+      // The chain with the CCNet LINE tier composed in front (opt-in
+      // LineCut stage, r16): a banner line is prepended to docs 40-59 and
+      // planted as five whole-banner docs at +4e6 — the line-cut must
+      // strip the banner from every carrier (restoring their original
+      // text for the downstream stages) and empty the pure-banner docs,
+      // which then fall to the too-short rule (counted at docs_kept, not
+      // vanished; the five empties md5-collide into one docs_unique
+      // canonical). Conservation: tokens_before_scrub / packed_tokens are
+      // computed over the POST-CUT corpus, so a banner token leaking
+      // through the cut or an original token lost with it flips the row.
+      // Near-dup and scrub stages off — the line tier's effects are the
+      // isolated workload; the full-stack form stays corpus_pipeline.
+      val banner = "Subscribe to our newsletter today!"
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id").between(40, 59),
+          concat(lit(banner + "\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      val pure = s.range(5).select((col("id") + 4000000L).as("doc_id"),
+        lit(banner).as("text"))
+      val rules = (t: Column) => TextOps.corpusFilterRules(t)
+        .collect { case (name, rule) if name != "no_terminal_punct" => rule }
+        .reduce(_ && _)
+      CorpusPipeline.summary(docs.unionByName(pure), "doc_id", "text",
+        maxTokens = 32, overlap = 8, budget = 256L, shards = 8, keep = rules,
+        lineCut = Some(CorpusPipeline.LineCut(2)))
+    }),
     "pii_scrub" -> ((s, d) => {
       // Corpus PII redaction (the standard pre-training scrub): mask
       // emails/cards/phones/IPs with typed tokens, count what was
@@ -1464,6 +1491,84 @@ private[graft] object TextEntries {
            (SELECT CAST(count(*) AS BIGINT) FROM covered)
              AS tokens_removed_scrub,
            (SELECT count(*) FROM scrub) AS docs_after_scrub,
+           count(*) AS n_chunks,
+           CAST(sum(n) AS BIGINT) AS packed_tokens,
+           TRUE AS budget_ok
+         FROM ch""",
+    "corpus_pipeline_linecut" ->
+      // conservation replay with the line tier up front: the line-cut
+      // CTEs are the line_dedup oracle verbatim (split on \n, the three
+      // explicit-class normalization regexes, count >= 2 cut), and the
+      // cleaned texts feed the same normalize → min-id dedup → 3-rule
+      // filter → analytic chunk-sum chain as the corpus_pipeline oracle
+      // (near-dup/scrub off, so the neardup/scrub ledger columns read
+      // pass-through: docs_after_neardup = docs_kept, removed = 0)
+      """WITH corpus AS (
+           SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 40 AND 59
+               THEN 'Subscribe to our newsletter today!' || chr(10) || text
+               ELSE text END AS text
+           FROM documents
+           UNION ALL
+           SELECT CAST(4000000 + i AS BIGINT),
+             'Subscribe to our newsletter today!'
+           FROM range(0, 5) t(i)),
+         lc_lines AS (
+           SELECT doc_id, generate_subscripts(ls, 1) AS idx,
+             unnest(ls) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                 FROM corpus) u),
+         lc_normed AS (
+           SELECT doc_id, idx, line,
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(line),
+               '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'), ' +', ' ', 'g'))
+               AS lnorm
+           FROM lc_lines),
+         lc_rep AS (
+           SELECT lnorm FROM lc_normed WHERE lnorm <> ''
+           GROUP BY lnorm HAVING count(*) >= 2),
+         src AS (
+           SELECT n.doc_id,
+             coalesce(string_agg(CASE WHEN r.lnorm IS NULL THEN n.line END,
+               chr(10) ORDER BY n.idx), '') AS text
+           FROM lc_normed n LEFT JOIN lc_rep r ON n.lnorm = r.lnorm
+           GROUP BY n.doc_id),
+         norm AS (
+           SELECT doc_id,
+             lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+               '\s+', ' ', 'g'), '[\x00-\x1f]', '', 'g'))) AS t
+           FROM src),
+         ded AS (
+           SELECT doc_id, t,
+             row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+           FROM norm),
+         kept AS (
+           SELECT doc_id, t FROM ded
+           WHERE rn = 1
+             AND length(t) >= 100
+             AND length(regexp_replace(t, '[^0-9]', '', 'g')) * 1.0
+                 / greatest(length(t), 1) <= 0.2
+             AND length(regexp_replace(t, '\s+', '', 'g')) * 1.0
+                 / greatest(len(string_split_regex(trim(t), '\s+')), 1)
+                 BETWEEN 3 AND 12),
+         ktoks AS (
+           SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks
+           FROM kept),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
+               AS INT) AS st
+           FROM ktoks),
+         ch AS (SELECT len(toks[st:st+31])::BIGINT AS n FROM c)
+         SELECT
+           (SELECT count(*) FROM src) AS docs_in,
+           (SELECT count(*) FROM ded WHERE rn = 1) AS docs_unique,
+           (SELECT count(*) FROM kept) AS docs_kept,
+           (SELECT count(*) FROM kept) AS docs_after_neardup,
+           (SELECT CAST(sum(len(toks)) AS BIGINT) FROM ktoks)
+             AS tokens_before_scrub,
+           CAST(0 AS BIGINT) AS tokens_removed_scrub,
+           (SELECT count(*) FROM kept) AS docs_after_scrub,
            count(*) AS n_chunks,
            CAST(sum(n) AS BIGINT) AS packed_tokens,
            TRUE AS budget_ok

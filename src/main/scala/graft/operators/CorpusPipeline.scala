@@ -5,10 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-preparation pipeline a production training-data run
-  * actually executes: normalize → exact-dedup → quality-filter →
-  * near-dup-drop → span-scrub → chunk → pack, end to end over one
-  * documents table. The individual stages exist (and are gated) as
-  * standalone operators — [[TextOps.normalizeTextNfc]],
+  * actually executes: [line-cut →] normalize → exact-dedup →
+  * quality-filter → near-dup-drop → span-scrub → chunk → pack, end to end
+  * over one documents table (line-cut is the opt-in CCNet first tier,
+  * running on RAW text because normalization collapses the newlines that
+  * define lines). The individual stages exist (and are gated) as
+  * standalone operators — [[Dedup.lineDedup]], [[TextOps.normalizeTextNfc]],
   * [[Dedup.exactByHash]], [[TextOps.corpusFilterRules]],
   * [[Dedup.ngramJaccardPairs]], [[Dedup.spanScrub]], [[TextOps.chunkDocs]],
   * [[Packing.packSequences]] — but the composition is the product: what
@@ -74,6 +76,22 @@ object CorpusPipeline {
     * and corpus-wide occurrence floor; documents scrubbed to zero tokens
     * are dropped from the pipeline (all-boilerplate docs). */
   case class SpanScrub(window: Int = 8, minDf: Int = 2)
+
+  /** Per-line exact-dedup stage configuration ([[Dedup.lineDedup]], the
+    * CCNet first tier): lines whose normalized form repeats `minCount`+
+    * times corpus-wide are cut from every document BEFORE normalization —
+    * it must run on the RAW text, because [[TextOps.normalizeText]]
+    * collapses the newlines that define lines. A doc cut to "" flows on
+    * and falls to the too-short filter rule (counted, not vanished). */
+  case class LineCut(minCount: Long = 2L)
+
+  /** Apply the opt-in line-cut stage: docs with `textCol` replaced by
+    * [[Dedup.lineDedup]]'s cleaned text (ledger columns dropped — the
+    * standalone `line_dedup` gate pins those). */
+  private def lineCutDocs(docs: DataFrame, idCol: String, textCol: String,
+                          cfg: LineCut): DataFrame =
+    Dedup.lineDedup(docs, idCol, textCol, cfg.minCount)
+      .select(col("id").as(idCol), col("cleaned_text").as(textCol))
 
   /** One flagged frame carrying every stage's verdict per document:
     * (id, norm_text, is_canonical, passes_filters). Computing flags
@@ -165,9 +183,11 @@ object CorpusPipeline {
               budget: Long = 4096L, shards: Int = 64,
               keep: Column => Column = defaultKeep,
               nearDup: Option[NearDup] = None,
-              scrub: Option[SpanScrub] = None): DataFrame = {
+              scrub: Option[SpanScrub] = None,
+              lineCut: Option[LineCut] = None): DataFrame = {
+    val input = lineCut.fold(docs)(lineCutDocs(docs, idCol, textCol, _))
     val (_, _, _, chunkInput) =
-      stages(docs, idCol, textCol, keep, nearDup, scrub)
+      stages(input, idCol, textCol, keep, nearDup, scrub)
     val chunks = TextOps.chunkDocs(chunkInput, "id", "norm_text", maxTokens, overlap)
       .withColumn("chunk_key", col("id") * lit(1000000L) + col("chunk_id"))
     Packing.packSequences(chunks, "chunk_key", "n_tokens", budget, shards)
@@ -193,14 +213,16 @@ object CorpusPipeline {
               budget: Long = 4096L, shards: Int = 64,
               keep: Column => Column = defaultKeep,
               nearDup: Option[NearDup] = None,
-              scrub: Option[SpanScrub] = None): DataFrame = {
-    val stageCounts = flagged(docs, idCol, textCol, keep).agg(
+              scrub: Option[SpanScrub] = None,
+              lineCut: Option[LineCut] = None): DataFrame = {
+    val docsIn = lineCut.fold(docs)(lineCutDocs(docs, idCol, textCol, _))
+    val stageCounts = flagged(docsIn, idCol, textCol, keep).agg(
       count(lit(1)).as("docs_in"),
       sum(when(col("is_canonical"), 1L).otherwise(0L)).as("docs_unique"),
       sum(when(col("is_canonical") && col("passes_filters"), 1L).otherwise(0L))
         .as("docs_kept"))
     val (_, afterNearDup, scrubbed, chunkInput) =
-      stages(docs, idCol, textCol, keep, nearDup, scrub)
+      stages(docsIn, idCol, textCol, keep, nearDup, scrub)
     val ndCount = afterNearDup.agg(count(lit(1)).as("docs_after_neardup"))
     // scrub ledger: token counts before/removed come from spanScrub's own
     // per-doc accounting; with the stage off the ledger reads

@@ -65,6 +65,63 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Normalization under which two lines count as "the same line" for
+    * [[lineDedup]] (CCNet's hash normalization, Wenzek et al. 2020 §3:
+    * case, digits, and punctuation are cosmetic for boilerplate
+    * detection): lowercase, strip everything outside [a-z0-9 ], collapse
+    * digit runs to a single 0, collapse/trim spaces. Explicit character
+    * classes only — identical under Java regex and RE2, so a DuckDB
+    * replay is byte-exact. */
+  def lineNorm(line: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(line),
+      "[^a-z0-9 ]", ""), "[0-9]+", "0"), " +", " "))
+
+  /** CCNet-style per-LINE exact dedup (Wenzek et al. 2020 §3) — the cheap
+    * tier below [[spanScrub]]'s windowed passages that CommonCrawl
+    * pipelines run first: count every normalized line across the corpus
+    * and CUT every occurrence of a line whose count reaches `minCount`
+    * (order-free and deterministic, unlike CCNet's first-seen-wins hash
+    * set — all copies of boilerplate are boilerplate). Lines whose
+    * normalization is EMPTY (blank/pure punctuation) never participate:
+    * they carry no dedup signal, and exempting them keeps the count
+    * aggregate free of the one degenerate mega-group every real corpus
+    * has (the blank line) — the hot-key guard this operator needs at
+    * 100 TB.
+    *
+    * Returns the per-doc ledger `(id, n_lines, n_cut, cleaned_text)` with
+    * `cleaned_text` the kept lines re-joined by \n in original order
+    * ("" when everything was boilerplate — callers drop or quarantine).
+    * Scale shape: one explode + map-side-combined count on the skinny
+    * normalized-line key, one join of lines against the repeated-line
+    * set (aggregated and usually broadcastable; under a sort-merge fall
+    * back AQE's skew split handles the residual hot lines), one per-doc
+    * re-assembly bounded by document size. No driver-side state. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minCount: Long = 2L): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
+      .withColumn("__norm", lineNorm(col("line")))
+    val repeated = lines
+      .filter(col("__norm") =!= "")
+      .groupBy("__norm").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__norm"), lit(true).as("__dup"))
+    lines.join(repeated, Seq("__norm"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_cut"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("idx"), col("line"),
+                coalesce(col("__dup"), lit(false)).as("dup")))),
+              x => !x.getField("dup")),
+            x => x.getField("line")),
+          "\n").as("cleaned_text"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH near-duplicate detection (shingle → minhash signature →
   // band buckets → in-bucket candidate pairs → exact Jaccard verify).

@@ -509,4 +509,47 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) === ((2L, 1L, "extra")), "case/space variants must dedup together")
     assert(out(2L) === ((2L, 1L, "other")))
   }
+
+  test("lineDedup: repeated normalized lines cut everywhere, order kept, ledger balances") {
+    val docs = Seq(
+      (1L, "All rights reserved.\nkeep me one\nCall 555-123 now!"),
+      (2L, "all rights reserved\nkeep me two\ncall 555999 NOW"),
+      (3L, "unique solo line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // banner variants unify under the normalization (case + punct), and
+    // the two phone lines unify through digit-run collapse — every
+    // occurrence is cut, not first-seen-wins
+    assert(out(1L) === ((3L, 2L, "keep me one")))
+    assert(out(2L) === ((3L, 2L, "keep me two")))
+    assert(out(3L) === ((1L, 0L, "unique solo line")))
+  }
+
+  test("lineDedup: blank/punct-only lines never count as repeats; all-cut doc empties") {
+    val docs = Seq(
+      (1L, "...\nshared line alpha\n\nkeep a"),
+      (2L, "!!!\nshared line alpha\n\nkeep b"),
+      (3L, "shared line alpha")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "..." and "" normalize to empty: exempt from counting, KEPT as-is
+    assert(out(1L) === ((4L, 1L, "...\n\nkeep a")))
+    assert(out(2L) === ((4L, 1L, "!!!\n\nkeep b")))
+    // a doc that was nothing but boilerplate empties (caller drops it)
+    assert(out(3L) === ((1L, 1L, "")))
+  }
+
+  test("lineDedup plans without a cartesian and with the count map-side combined") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("shared banner\u000aunique "), col("id")).as("text"))
+    val plan = Dedup.lineDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregate found:\n$plan")
+  }
 }
