@@ -171,6 +171,29 @@ private[graft] object DedupEntries {
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
+    "doc_embed" -> ((s, d) =>
+      // The text→vector BRIDGE (r16, TextOps.hashedTfidfSparse): hashed
+      // TF-IDF vectors over real documents text — closes the seam where
+      // the vector tier's input was the synthetic embeddings table. All
+      // integer arithmetic after one rint'ed IDF, so the full DuckDB
+      // replay is exact (md5-prefix bucket, ln rounded once at 1e3,
+      // Long tf·idf sums).
+      TextOps.hashedTfidfSparse(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("dim"), col("w"))),
+    "doc_embed_topk" -> ((s, d) => {
+      // D6's brute-force cosine operator RE-RUN over the bridge vectors:
+      // real-text neighbors end to end (tokenize → hash → weight → dense
+      // assemble → cosineTopK), second-engine-checked because dots and
+      // norms of the integer-valued vectors are exact in both engines
+      // (< 2^53), so even the ranking doubles are bit-identical. Zero
+      // vectors (a doc whose every token is corpus-ubiquitous) are
+      // excluded on both sides — cosine is undefined there.
+      val vecs = TextOps.hashedTfidf(Tables.documents(s, d), "doc_id", "text")
+        .filter(exists(col("vec"), v => v =!= 0.0))
+      Similarity.cosineTopK(vecs, vecs.filter(col("id") < 5), "id", "vec", k = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos4"), col("rank"))
+    }),
     "lsh_ann" -> ((s, d) => {
       // Recall gate with a KNOWN answer: three jittered near-copies of
       // each query are planted into the corpus (cos ≈ 0.9999 — the true
@@ -905,6 +928,65 @@ private[graft] object DedupEntries {
                c.vec_id) AS rank
            FROM c JOIN q ON c.vec_id <> q.vec_id) t
          WHERE rank <= 5""",
+    "doc_embed" ->
+      // exact replay of the bridge: lowerToks tokenize (explicit \s
+      // class), md5-prefix bucket mod 64, smoothed IDF ln rounded once
+      // at 1e3, integer tf·idf sums per (doc, dim)
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+               '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS BIGINT) AS dim,
+           CAST(sum(tf * CAST(round(ln((n_docs + 1.0) / (df + 1.0)) * 1000)
+             AS BIGINT)) AS BIGINT) AS w
+         FROM tf JOIN dfq USING (tok) CROSS JOIN n
+         GROUP BY 1, 2""",
+    "doc_embed_topk" ->
+      // the D6 ranking replayed over the bridge vectors: dots/norms from
+      // the SPARSE replay above (integer sums, exact), zero-dot pairs
+      // restored via the full query×corpus frame so a sparse miss can't
+      // drop a candidate, cosine divided from exact integers in both
+      // engines
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+               '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sparse AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS dim,
+             CAST(sum(tf * CAST(round(ln((n_docs + 1.0) / (df + 1.0)) * 1000)
+               AS BIGINT)) AS BIGINT) AS w
+           FROM tf JOIN dfq USING (tok) CROSS JOIN n
+           GROUP BY 1, 2),
+         norms AS (
+           SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+           FROM sparse GROUP BY 1 HAVING sum(w * w) > 0),
+         dots AS (
+           SELECT a.doc_id AS query_id, b.doc_id AS vec_id,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+           FROM sparse a JOIN sparse b ON a.dim = b.dim
+           WHERE a.doc_id < 5 AND b.doc_id <> a.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT q.doc_id AS query_id, c.doc_id AS vec_id,
+             coalesce(d.dot, 0) / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+           FROM norms q JOIN norms c ON q.doc_id < 5 AND c.doc_id <> q.doc_id
+           LEFT JOIN dots d ON d.query_id = q.doc_id AND d.vec_id = c.doc_id)
+         SELECT query_id, vec_id, round(cos, 4) AS cos4, rank FROM (
+           SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS rank
+           FROM pairs) t
+         WHERE rank <= 3""",
     "embedding_quantize" ->
       // mirrors Similarity.quantized/dequantize cast-for-cast: qvec from
       // the DOUBLE scale, dequantize through the stored FLOAT scale

@@ -21,6 +21,58 @@ object TextOps {
   def lowerToks(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
+  /** Hashed TF-IDF document embeddings, SPARSE form `(id, dim, w)` — the
+    * deterministic text→vector bridge that lets the ANN/semantic-dedup
+    * tier run on real document TEXT instead of a precomputed embedding
+    * table (the classic hashing trick, Weinberger et al. ICML'09; the
+    * feature-hashing baseline every vector pipeline starts from before a
+    * learned encoder exists). Every quantity is engine-exact by
+    * construction so a second engine replays the vectors bit-for-bit:
+    * tokens are [[lowerToks]], the bucket is the md5-prefix hash
+    * (`conv(substr(md5(tok),1,4),16,10) % dims` — replays as
+    * `('0x'||substr(md5(tok),1,4))::BIGINT` in DuckDB), and the smoothed
+    * IDF `ln((N+1)/(df+1))` is rounded ONCE to an integer at `idfScale`
+    * (a 1-ulp ln() divergence cannot flip a 1e3-scaled rint except within
+    * ~1e-9 of a boundary), after which tf·idf accumulation is exact Long
+    * arithmetic — and, downstream, dots/norms of the integer-valued
+    * vectors stay below 2^53, so even the cosines are bit-identical
+    * across engines. Scale shape: one explode, two map-side-combined
+    * aggregates (tf on (id, tok), df on tok), one token-key join against
+    * the vocab-sized df frame, a broadcast 1-row N — no driver state,
+    * no floats until the consumer divides. */
+  def hashedTfidfSparse(docs: DataFrame, idCol: String, textCol: String,
+                        dims: Int = 64, idfScale: Int = 1000): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(lowerToks(col(textCol))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+          % dims).as("dim"),
+        (col("tf") *
+          round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+            * idfScale).cast("long")).as("w"))
+      .groupBy("id", "dim").agg(sum("w").as("w"))
+  }
+
+  /** [[hashedTfidfSparse]] assembled into the DENSE `(id, vec)` form the
+    * vector tier consumes (array<double> of the integer-valued weights —
+    * exact in double while |w| < 2^53, which the idfScale bound
+    * guarantees by orders of magnitude). */
+  def hashedTfidf(docs: DataFrame, idCol: String, textCol: String,
+                  dims: Int = 64, idfScale: Int = 1000): DataFrame =
+    hashedTfidfSparse(docs, idCol, textCol, dims, idfScale)
+      .groupBy("id")
+      .agg(map_from_entries(
+        collect_list(struct(col("dim").cast("int"), col("w")))).as("__m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("vec"))
+
   /** Whitespace + regex ("BPE-ish": letter runs / digit runs / single
     * punctuation) token counts. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -381,4 +381,27 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(plan.contains("*("), s"codegen lost (no *(n) stage):\n$plan")
   }
+
+  test("hashedTfidf: dense assembly matches sparse; weights are exact integers") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta gamma delta")
+    ).toDF("doc_id", "text")
+    val sparse = TextOps.hashedTfidfSparse(docs, "doc_id", "text", dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // alpha: tf 2 in doc 1, df 2 of N=3 -> idf = round(ln(4/3)*1000) = 288
+    val idfAlpha = math.rint(StrictMath.log(4.0 / 3.0) * 1000).toLong
+    val dimAlpha = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("alpha").take(4), 16) % 16
+    assert(sparse((1L, dimAlpha)) === 2 * idfAlpha)
+    // dense form re-expands to the same weights, zeros elsewhere
+    val dense = TextOps.hashedTfidf(docs, "doc_id", "text", dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dense(1L).length === 16)
+    sparse.foreach { case ((id, dim), w) =>
+      assert(dense(id)(dim.toInt) === w.toDouble, s"doc $id dim $dim") }
+    assert(dense.values.flatten.sum ===
+      sparse.values.sum.toDouble, "no weight invented or lost in assembly")
+  }
 }
