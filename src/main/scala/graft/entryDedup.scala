@@ -180,6 +180,26 @@ private[graft] object DedupEntries {
       // Long tf·idf sums).
       TextOps.hashedTfidfSparse(Tables.documents(s, d), "doc_id", "text")
         .select(col("id").as("doc_id"), col("dim"), col("w"))),
+    "doc_embed_ivf" -> ((s, d) => {
+      // The SCALE path over the bridge vectors: IVF (nprobe=4 of
+      // nlist=16) on the hashed-TF-IDF embeddings, recall-gated against
+      // the exact brute-force ranking over the SAME vectors (k=5,
+      // floor recall@5 >= 0.6) — proves the ANN tier a 100 TB corpus
+      // would actually run works end to end on REAL text, not just the
+      // synthetic embeddings table. Deterministic (md5-drawn gate
+      // quantizer + exact integer-valued vectors), so per-query hit
+      // counts pin as golden VALUES. Vectors cast to float for the IVF
+      // machinery (embedding-table convention) — exact, since the
+      // integer weights stay far below 2^24.
+      val vecs = TextOps.hashedTfidf(Tables.documents(s, d), "doc_id", "text")
+        .filter(exists(col("vec"), v => v =!= 0.0))
+        .select(col("id"), transform(col("vec"), v => v.cast("float")).as("vec"))
+      val q = vecs.filter(col("id") < 5)
+      val ann = Similarity.ivfTopK(vecs, q, "id", "vec",
+        k = 5, nlist = 16, nprobe = 4)
+      annRecall(Similarity.cosineTopK(vecs, q, "id", "vec", k = 5),
+        ann, minHits = 3)
+    }),
     "doc_embed_topk" -> ((s, d) => {
       // D6's brute-force cosine operator RE-RUN over the bridge vectors:
       // real-text neighbors end to end (tokenize → hash → weight → dense
@@ -928,6 +948,16 @@ private[graft] object DedupEntries {
                c.vec_id) AS rank
            FROM c JOIN q ON c.vec_id <> q.vec_id) t
          WHERE rank <= 5""",
+    "doc_embed_ivf" ->
+      // golden per-query hit counts of IVF (nprobe=4/16) over the
+      // hashed-TF-IDF bridge vectors against brute-force truth on the
+      // same vectors; recall@5 >= 0.6
+      // [GOLDEN @ gate corpus: sf0.01 — re-derive on SF change]
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_hits AS BIGINT) AS n_hits, recall_ok
+         FROM (VALUES (0, 5, TRUE), (1, 3, TRUE), (2, 4, TRUE),
+                      (3, 4, TRUE), (4, 4, TRUE))
+           t(query_id, n_hits, recall_ok)""",
     "doc_embed" ->
       // exact replay of the bridge: lowerToks tokenize (explicit \s
       // class), md5-prefix bucket mod 64, smoothed IDF ln rounded once

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Bpe
+import graft.functions.{Bpe, Zlib}
 import graft.ml.FatalityModel
 import graft.operators._
 import graft.sources.{Jsonl, Sink, Tables}
@@ -398,6 +398,36 @@ private[graft] object TextEntries {
       TextOps.scrubPii(df, "doc_id", "text")
         .select(col("doc_id"), md5(col("scrubbed")).as("scrub_hash"),
           col("n_email"), col("n_card"), col("n_phone"), col("n_ipv4"))
+    }),
+    "compression_ratio" -> ((s, d) => {
+      // DEFLATE-compressibility census (r16, functions/Zlib — the
+      // RedPajama-v2/DCLM compression-ratio quality signal): per-lang
+      // exact byte sums + the ratio derived from them. Two planted
+      // single-doc "langs" bracket the corpus and prove the signal
+      // orders as the filter relies on: xxrep (150× one word) must
+      // compress far below the prose band, xxhex (deterministic md5 hex
+      // garbage) far above it — the spec asserts the ordering, the
+      // golden rows pin the exact counts. DuckDB has no deflate, so the
+      // gate pins golden VALUES (KMeans-convention); byte counts are
+      // deterministic for a fixed level + JDK zlib.
+      import s.implicits._
+      val rep = Seq.fill(150)("spam").mkString(" ")
+      val hex = (0 until 40).map(i =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"seed$i"))
+        .mkString(" ")
+      val planted = Seq(
+        (9300001L, "xxrep", rep),
+        (9300002L, "xxhex", hex)).toDF("doc_id", "lang", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(planted)
+        .select(col("lang"), Zlib.statsCol(col("text")).as("st"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.raw_bytes")).as("raw_bytes"),
+          sum(col("st.deflate_bytes")).as("deflate_bytes"))
+        .select(col("lang"), col("n_docs"), col("raw_bytes"),
+          col("deflate_bytes"),
+          round(col("deflate_bytes") / col("raw_bytes"), 4).as("ratio4"))
     }),
     "repetition_stats" -> ((s, d) =>
       // Gopher-family repetition signals per document: duplicate-line
@@ -1495,6 +1525,23 @@ private[graft] object TextEntries {
            CAST(sum(n) AS BIGINT) AS packed_tokens,
            TRUE AS budget_ok
          FROM ch""",
+    "compression_ratio" ->
+      // [GOLDEN @ gate corpus: sf0.01, Deflater level 6, JDK zlib —
+      // re-derive on SF/JDK change by dumping the Spark side] DuckDB
+      // has no deflate; the planted brackets read as designed: xxrep
+      // 0.0267 << the prose band (0.48-0.51) < xxhex 0.5663
+      """SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(raw_bytes AS BIGINT) AS raw_bytes,
+           CAST(deflate_bytes AS BIGINT) AS deflate_bytes, ratio4
+         FROM (VALUES
+           ('de', 70, 19525, 9968, 0.5105),
+           ('en', 218, 64437, 32209, 0.4999),
+           ('es', 73, 21756, 10854, 0.4989),
+           ('fr', 64, 20623, 9994, 0.4846),
+           ('xxhex', 1, 1319, 747, 0.5663),
+           ('xxrep', 1, 749, 20, 0.0267),
+           ('zh', 75, 22833, 11324, 0.4959))
+           t(lang, n_docs, raw_bytes, deflate_bytes, ratio4)""",
     "corpus_pipeline_linecut" ->
       // conservation replay with the line tier up front: the line-cut
       // CTEs are the line_dedup oracle verbatim (split on \n, the three
