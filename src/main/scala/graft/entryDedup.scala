@@ -180,6 +180,60 @@ private[graft] object DedupEntries {
       // Long tf·idf sums).
       TextOps.hashedTfidfSparse(Tables.documents(s, d), "doc_id", "text")
         .select(col("id").as("doc_id"), col("dim"), col("w"))),
+    "doc_semantic_dedup" -> ((s, d) => {
+      // SemDeDup over the BRIDGE vectors — near-duplicate TEXT caught in
+      // embedding space, in the two classes the exact/n-gram tiers
+      // handle worst. (1) REORDERED copies (docs 0-9 at +1e6, first two
+      // words swapped): textually different, but hashed TF-IDF is
+      // bag-of-words, so the embedding is IDENTICAL — cos exactly 1,
+      // same argmax cluster by construction, recovery guaranteed; exact
+      // dedup misses them and shingle Jaccard degrades. (2) APPENDED
+      // copies (docs 10-14 at +2e6, one extra occurrence of the common
+      // token "the"): a genuine sub-1.0 near-dup (cos ≈ 0.98-0.999,
+      // doc-length-dependent) probing real blocking recall — a copy
+      // whose tiny delta flips the argmax at a cluster boundary is
+      // MISSED by design (the SemDeDup blocking trade; its jitter gate
+      // twin semantic_dedup documents the same). Organic word-soup
+      // pairs top out at 0.9718 on these vectors (measured globally),
+      // so threshold 0.98 excludes them with margin; everything is
+      // deterministic (exact integer vectors + seeded KMeans) → golden
+      // pair ids, the semantic_dedup convention. Unlike that gate's
+      // fixed nlist=16, this one runs the PRODUCTION nlist ∝ n contract
+      // in-query (≈256 docs per cluster, floor 16 — resolves to 16 at
+      // the sf0.01 golden corpus), with the KMeans fit on a hash sample
+      // once the corpus outgrows the fit: mean cluster size, and so the
+      // in-cluster pair space per doc, stays constant at any corpus
+      // size.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val t = split(col("text"), " ")
+      val swapped = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(concat(
+            array(element_at(t, 2), element_at(t, 1)),
+            slice(t, lit(3), greatest(size(t) - 2, lit(0)))), " ").as("text"))
+      val appended = docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" the")).as("text"))
+      val corpus = docs.unionByName(swapped).unionByName(appended)
+      val nDocs = corpus.count()
+      // persisted: the bridge build (tokenize + two aggs + join) would
+      // otherwise re-run for the KMeans fit, the assignment pass, and
+      // BOTH sides of the in-cluster self-join — four lineage replays of
+      // the most expensive stage (tracked; the per-query cache release
+      // retires it)
+      val vecs = Dedup.persistTracked(
+        TextOps.hashedTfidf(corpus, "doc_id", "text")
+          .select(col("id"),
+            transform(col("vec"), v => v.cast("float")).as("vec")))
+      Similarity.semanticDedupPairs(vecs, "id", "vec",
+          // ∝ n, clamped to the literal-matrix codegen bound — past ~256k
+          // docs a production run raises the cap onto the broadcast-fold
+          // path (or pre-fits centroids once and reuses them)
+          nlist = math.min(1024L, math.max(16L, nDocs / 256)).toInt,
+          threshold = 0.98,
+          sampleFraction = if (nDocs > 20000) 0.2 else 1.0)
+        .select("id_a", "id_b")
+    }),
     "doc_embed_ivf" -> ((s, d) => {
       // The SCALE path over the bridge vectors: IVF (nprobe=4 of
       // nlist=16) on the hashed-TF-IDF embeddings, recall-gated against
@@ -948,6 +1002,19 @@ private[graft] object DedupEntries {
                c.vec_id) AS rank
            FROM c JOIN q ON c.vec_id <> q.vec_id) t
          WHERE rank <= 5""",
+    "doc_semantic_dedup" ->
+      // golden recovered pairs [GOLDEN @ gate corpus: sf0.01, seed=42 —
+      // re-derive on SF change]: all 10 reorder pairs (guaranteed,
+      // identical vectors) AND all 5 appended near-dup pairs (blocking
+      // held at this corpus; a boundary split would drop a +2e6 row and
+      // is the documented SemDeDup trade)
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+         FROM (VALUES
+           (0, 1000000), (1, 1000001), (2, 1000002), (3, 1000003),
+           (4, 1000004), (5, 1000005), (6, 1000006), (7, 1000007),
+           (8, 1000008), (9, 1000009),
+           (10, 2000010), (11, 2000011), (12, 2000012), (13, 2000013),
+           (14, 2000014)) t(id_a, id_b)""",
     "doc_embed_ivf" ->
       // golden per-query hit counts of IVF (nprobe=4/16) over the
       // hashed-TF-IDF bridge vectors against brute-force truth on the

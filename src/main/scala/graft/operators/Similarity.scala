@@ -193,6 +193,12 @@ object Similarity {
     normalized(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 
+  /** Largest centroid count assigned through the literal-matrix codegen
+    * path: each centroid folds ~64 doubles into generated code, and the
+    * JVM constant pool / 64KB method limit bites around 4096×64 (the
+    * ivfTopKBroadcast boundary) — 1024 leaves 4× headroom. */
+  private val LiteralCentroidMax = 1024
+
   /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,
     * arXiv:2303.09540 — the public cluster-then-prune formulation):
     * cluster the embedding space with the TRAINED coarse quantizer
@@ -214,9 +220,15 @@ object Similarity {
     * skew guard as the LSH band joins (a degenerate cluster of
     * near-identical boilerplate embeddings would explode quadratically —
     * capped clusters drop from candidate generation only, and the cap
-    * window rides the self-join's own exchange). Assignment is the
-    * broadcast-centroid running-argmax fold — a map-only projection, no
-    * shuffle before the one cluster-keyed self-join. */
+    * window rides the self-join's own exchange). Assignment is a
+    * map-only projection, no shuffle before the one cluster-keyed
+    * self-join — via the LITERAL centroid matrix (the ivfTopK shape:
+    * codegen'd native-dot argmax, r16) while nlist fits the codegen
+    * constant pool, falling back to the broadcast-centroid running-argmax
+    * fold above that (the interpreted HOF costs ~10× per centroid-dot,
+    * which is the whole assignment bill once nlist follows the ∝ n
+    * contract). Both paths break sim ties toward the HIGHER cid, so the
+    * choice cannot move an assignment. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                          nlist: Int = 16, threshold: Double = 0.95,
                          sampleFraction: Double = 1.0, seed: Long = 42L,
@@ -229,20 +241,31 @@ object Similarity {
     // same as ivfTopKWithBroadcast
     val cents = centroids.map(normalized)
       .getOrElse(kmeansCentroids(df, idCol, vecCol, nlist, sampleFraction, seed))
-    val centRow = broadcast(
-      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cvec")
-        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("__cents")))
-    val assignCluster = (vec: Column) =>
-      aggregate(
-        transform(col("__cents"),
-          s => struct(dot(vec, s.getField("cvec")).as("sim"), s.getField("cid").as("cid"))),
-        struct(lit(Double.MinValue).as("sim"), lit(-1).as("cid")),
-        (acc, s) => when(s.getField("sim") >= acc.getField("sim"), s).otherwise(acc))
-        .getField("cid")
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(centRow)
-      .withColumn("cluster", assignCluster(col("vec")))
-      .drop("__cents")
+    val assigned = (
+      if (cents.length <= LiteralCentroidMax) {
+        // greatest over (sim, cid) structs == the fold's `>=` update rule:
+        // on a sim tie both pick the highest cid
+        val assignLit = (vec: Column) => greatest(cents.zipWithIndex.map {
+          case (c, i) => struct(dot(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
+        }: _*).getField("cid")
+        df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .withColumn("cluster", assignLit(col("vec")))
+      } else {
+        val centRow = broadcast(
+          cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cvec")
+            .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("__cents")))
+        val assignFold = (vec: Column) =>
+          aggregate(
+            transform(col("__cents"),
+              s => struct(dot(vec, s.getField("cvec")).as("sim"), s.getField("cid").as("cid"))),
+            struct(lit(Double.MinValue).as("sim"), lit(-1).as("cid")),
+            (acc, s) => when(s.getField("sim") >= acc.getField("sim"), s).otherwise(acc))
+            .getField("cid")
+        df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .crossJoin(centRow)
+          .withColumn("cluster", assignFold(col("vec")))
+          .drop("__cents")
+      })
       .withColumn("norm", l2norm(col("vec")))
     val guarded =
       if (maxCluster == Int.MaxValue) assigned
