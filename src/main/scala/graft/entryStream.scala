@@ -310,6 +310,45 @@ private[graft] object StreamEntries {
       Seq(model, margins, vocab).foreach(_.unpersist())
       s.read.parquet(out)
     }),
+    "stream_line_dedup" -> ((s, d) => {
+      // The LINE tier at crawl-ingest time (the serving form of D25d):
+      // the corpus line index is built and persisted ONCE, then fresh
+      // docs arrive as two delivery waves, each drained by an
+      // AvailableNow run (maxFilesPerTrigger=1 → real micro-batches, the
+      // checkpoint carries the cursor). Each probe doc carries one line
+      // the corpus already contains (its source doc's text, verbatim)
+      // plus a novel line — the known line must be cut, the novel one
+      // kept, per-doc, regardless of the wave/batch split (verdicts are
+      // (line, index) functions only). Full DuckDB replay: the oracle
+      // rebuilds the probes, the index, and the cut from the raw tables.
+      import s.implicits._
+      val base = sinkPath(d, "stream_line_dedup")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d)
+      val index = Dedup.lineIndex(docs, "doc_id", "text").persist()
+      val probes = docs.filter(col("doc_id") < 4)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit("\nwholly novel probe line qqz "),
+            col("doc_id").cast("string")).as("text"))
+      val pure = Seq((5100000L,
+        "entirely novel document pqz\nanother novel line vvk"))
+        .toDF("doc_id", "text")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string")
+      probes.filter(col("doc_id") < 5000002L)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.lineDedupStream(s, landing, schema, index, "doc_id", "text",
+        out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+      probes.filter(col("doc_id") >= 5000002L).unionByName(pure)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.lineDedupStream(s, landing, schema, index, "doc_id", "text",
+        out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+      index.unpersist()
+      s.read.parquet(out)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_cut"),
+          col("cleaned_text"))
+    }),
     "stream_novelty" -> ((s, d) => {
       // The incremental-crawl near-dup gate ACTUALLY STREAMING: the same
       // planted probes as novelty_near_dup arrive as two parquet delivery
@@ -356,6 +395,45 @@ private[graft] object StreamEntries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_line_dedup" ->
+      // the drained lake must equal batch line-dedup-against-index over
+      // the same probes: rebuild the corpus line index (distinct
+      // non-empty norms, the line_dedup normalization), rebuild the
+      // probes from the raw table, cut lines the index contains
+      """WITH idx AS (
+           SELECT DISTINCT norm FROM (
+             SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(line), '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'),
+               ' +', ' ', 'g')) AS norm
+             FROM (SELECT unnest(string_split(text, chr(10))) AS line
+                   FROM documents) u0) u1
+           WHERE norm <> ''),
+         probes AS (
+           SELECT doc_id + 5000000 AS doc_id,
+             text || chr(10) || 'wholly novel probe line qqz ' ||
+               CAST(doc_id AS VARCHAR) AS text
+           FROM documents WHERE doc_id < 4
+           UNION ALL
+           SELECT 5100000, 'entirely novel document pqz' || chr(10) ||
+             'another novel line vvk'),
+         lines AS (
+           SELECT doc_id, generate_subscripts(ls, 1) AS idx,
+             unnest(ls) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                 FROM probes) u),
+         normed AS (
+           SELECT doc_id, idx, line,
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(line),
+               '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'), ' +', ' ', 'g'))
+               AS norm
+           FROM lines)
+         SELECT n.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(i.norm) AS BIGINT) AS n_cut,
+           coalesce(string_agg(CASE WHEN i.norm IS NULL THEN n.line END,
+             chr(10) ORDER BY n.idx), '') AS cleaned_text
+         FROM normed n LEFT JOIN idx i ON n.norm = i.norm
+         GROUP BY n.doc_id""",
     "stream_dedup_state" ->
       // re-delivered copies must collapse back to one row per key
       """SELECT event_id FROM events""",

@@ -98,16 +98,44 @@ object Dedup {
     * re-assembly bounded by document size. No driver-side state. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 minCount: Long = 2L): DataFrame = {
-    val lines = docs
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
-      .withColumn("__norm", lineNorm(col("line")))
+    val lines = explodedLines(docs, idCol, textCol)
     val repeated = lines
       .filter(col("__norm") =!= "")
       .groupBy("__norm").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)
-      .select(col("__norm"), lit(true).as("__dup"))
-    lines.join(repeated, Seq("__norm"), "left")
+      .select(col("__norm"))
+    cutLines(lines, repeated)
+  }
+
+  /** Distinct non-empty normalized lines of a reference corpus — the
+    * "lines we already have" index the SERVING form of line dedup cuts
+    * against ([[lineDedupAgainst]]; built once per corpus snapshot, the
+    * novelty-index economics). Skinny one-column frame. */
+  def lineIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    explodedLines(docs, idCol, textCol)
+      .filter(col("__norm") =!= "")
+      .select(col("__norm")).distinct()
+
+  /** Cut every line whose normalization is IN `index` (a `__norm`-column
+    * frame from [[lineIndex]]) — the crawler-ingest semantics: a line the
+    * corpus already contains is never ingested twice. Verdicts are
+    * per-line functions of (line, index) only, so the output is
+    * independent of how the docs are batched — the property the streaming
+    * gate pins. */
+  def lineDedupAgainst(docs: DataFrame, idCol: String, textCol: String,
+                       index: DataFrame): DataFrame =
+    cutLines(explodedLines(docs, idCol, textCol),
+      index.select(col("__norm")).filter(col("__norm") =!= ""))
+
+  private def explodedLines(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
+      .withColumn("__norm", lineNorm(col("line")))
+
+  private def cutLines(lines: DataFrame, repeatedNorms: DataFrame): DataFrame =
+    lines.join(repeatedNorms.withColumn("__dup", lit(true)), Seq("__norm"), "left")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -120,7 +148,6 @@ object Dedup {
               x => !x.getField("dup")),
             x => x.getField("line")),
           "\n").as("cleaned_text"))
-  }
 
   // ---------------------------------------------------------------------
   // MinHash + LSH near-duplicate detection (shingle → minhash signature →

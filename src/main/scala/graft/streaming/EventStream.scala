@@ -296,6 +296,36 @@ object EventStream {
       }
       .start()
 
+  /** Line-tier dedup at crawl-ingest time — the serving form of
+    * [[graft.operators.Dedup.lineDedupAgainst]]: the corpus line index
+    * ([[graft.operators.Dedup.lineIndex]], persisted by the caller) is
+    * built ONCE per corpus snapshot, and every arriving micro-batch cuts
+    * the lines the corpus already contains, appending the per-doc ledger
+    * + cleaned text to the out lake. Verdicts are per-line functions of
+    * (line, index), so the drained lake must equal the batch form over
+    * the same docs whatever the wave/file split. Micro-batches pay one
+    * explode + a skinny join against the static index. Same
+    * AT-LEAST-ONCE append-sink contract as [[lmScoreStream]]. */
+  def lineDedupStream(spark: SparkSession, landingDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      index: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String, outDir: String,
+                      checkpointDir: String, maxFilesPerTrigger: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.lineDedupAgainst(batch, idCol, textCol, index)
+          .select(col("id"), col("n_lines"), col("n_cut"), col("cleaned_text"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   def noveltyStream(spark: SparkSession, landingDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     index: graft.operators.Dedup.SignatureIndex,
