@@ -32,6 +32,12 @@ object Zlib {
     * re-calibrates every threshold downstream. */
   val Level = 6
 
+  // retention tradeoff (deliberate, the LangIdModel gram-memo class): one
+  // native zlib state (~256 KB) + one 16 KB scratch per executor thread,
+  // held for the thread's lifetime — bounded by thread count, and a
+  // Deflater.end()-per-row would defeat the reuse that makes this a
+  // kernel. Cleaner.register could reclaim on thread death if executor
+  // native-memory pressure ever appears.
   private val deflLocal = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(Level, false)
