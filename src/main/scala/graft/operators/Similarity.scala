@@ -242,9 +242,11 @@ object Similarity {
     val cents = centroids.map(normalized)
       .getOrElse(kmeansCentroids(df, idCol, vecCol, nlist, sampleFraction, seed))
     val assigned = (
-      if (cents.length <= LiteralCentroidMax) {
+      if (cents.length > 1 && cents.length <= LiteralCentroidMax) {
         // greatest over (sim, cid) structs == the fold's `>=` update rule:
-        // on a sim tie both pick the highest cid
+        // on a sim tie both pick the highest cid. (greatest needs ≥2
+        // args, hence the length > 1 bound — a single-centroid caller
+        // trivially assigns cluster 0 below)
         val assignLit = (vec: Column) => greatest(cents.zipWithIndex.map {
           case (c, i) => struct(dot(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
         }: _*).getField("cid")

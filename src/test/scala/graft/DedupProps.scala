@@ -126,4 +126,54 @@ object DedupProps extends Properties("Dedup") {
           spans.toLong, covered.toLong))
       }
     }
+
+  // multi-line doc generator: 1-5 lines drawn from a small line pool
+  // (collisions likely) plus occasional punct/digit variants of a pool
+  // line (must normalize together) and blank lines (exempt from counting)
+  private val linePool: Seq[String] =
+    (1 to 8).map(i => s"line alpha $i common words")
+  private val lineGen: Gen[String] = Gen.frequency(
+    5 -> Gen.oneOf(linePool),
+    2 -> Gen.oneOf(linePool).map(l => l.toUpperCase + "!!!"),
+    2 -> Gen.chooseNum(1, 6).map(n => (1 to n).map(k => s"uniq$k$n").mkString(" ")),
+    1 -> Gen.const(""))
+  private val mlDocGen: Gen[String] =
+    Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+
+  property("lineDedup: ledger conserves lines; cut lines are exactly the corpus-repeated norms") =
+    forAll(Gen.listOfN(10, mlDocGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.lineDedup(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // brute-force reference in plain Scala
+      def norm(l: String) = l.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll("[0-9]+", "0").replaceAll(" +", " ")
+        .replaceAll("^ +| +$", "")
+      val all = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split("\n", -1).map(l => (i.toLong, l, norm(l))) }
+      val counts = all.filter(_._3.nonEmpty).groupBy(_._3).map { case (k, v) => k -> v.size }
+      texts.indices.forall { i =>
+        val id = i.toLong
+        val lines = texts(i).split("\n", -1).toSeq
+        val kept = lines.filter(l => norm(l).isEmpty || counts.getOrElse(norm(l), 0) < 2)
+        val (nl, nc, cleaned) = out(id)
+        nl == lines.size && nc == lines.size - kept.size &&
+          cleaned == kept.mkString("\n")
+      }
+    }
+
+  property("lineDedupAgainst is idempotent: re-running cleaned docs against the same index cuts nothing") =
+    forAll(Gen.listOfN(8, mlDocGen), Gen.listOfN(8, mlDocGen)) { (corpusTexts, freshTexts) =>
+      import spark.implicits._
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fresh = freshTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val index = Dedup.lineIndex(corpus, "doc_id", "text").cache()
+      val once = Dedup.lineDedupAgainst(fresh, "doc_id", "text", index)
+        .select(col("id").as("doc_id"), col("cleaned_text").as("text")).cache()
+      val twice = Dedup.lineDedupAgainst(once, "doc_id", "text", index)
+      val ok = twice.agg(sum("n_cut")).collect()(0).getLong(0) == 0L
+      index.unpersist(); once.unpersist()
+      ok
+    }
 }

@@ -131,6 +131,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "10× corpus at 10× nlist must emit exactly 10× the pairs — linear, not n²")
   }
 
+  test("semanticDedupPairs: a single explicit centroid routes through the fold path") {
+    // greatest() needs >= 2 args, so nlist = 1 must take the broadcast
+    // fold; everything lands in cluster 0 and only the true pair emits
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("id", "emb")
+    val got = Similarity.semanticDedupPairs(vecs, "id", "emb", nlist = 1,
+        threshold = 0.99, centroids = Some(Seq(Seq(1.0, 0.0))))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("semanticDedupPairs: maxCluster guard drops a degenerate identical-vector flood") {
     // 30 identical vectors in one cluster → 435 quadratic pairs; with the
     // cap they vanish from candidate generation while a distinct planted
