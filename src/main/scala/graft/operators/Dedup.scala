@@ -124,8 +124,12 @@ object Dedup {
     * gate pins. */
   def lineDedupAgainst(docs: DataFrame, idCol: String, textCol: String,
                        index: DataFrame): DataFrame =
+    // distinct is load-bearing, not hygiene: a caller-supplied index with
+    // duplicate norms would MULTIPLY line rows through the left join and
+    // corrupt every ledger count (lineIndex is already distinct; this is
+    // a no-op there and a correctness guard everywhere else)
     cutLines(explodedLines(docs, idCol, textCol),
-      index.select(col("__norm")).filter(col("__norm") =!= ""))
+      index.select(col("__norm")).filter(col("__norm") =!= "").distinct())
 
   private def explodedLines(docs: DataFrame, idCol: String,
                             textCol: String): DataFrame =
