@@ -224,7 +224,7 @@ private[graft] object DedupEntries {
       val vecs = Dedup.persistTracked(
         TextOps.hashedTfidf(corpus, "doc_id", "text")
           .select(col("id"),
-            transform(col("vec"), v => v.cast("float")).as("vec")))
+            transform(col("vec"), v => TextOps.floatExact(v)).as("vec")))
       Similarity.semanticDedupPairs(vecs, "id", "vec",
           // ∝ n, clamped to the literal-matrix codegen bound — past ~256k
           // docs a production run raises the cap onto the broadcast-fold
@@ -247,7 +247,8 @@ private[graft] object DedupEntries {
       // integer weights stay far below 2^24.
       val vecs = TextOps.hashedTfidf(Tables.documents(s, d), "doc_id", "text")
         .filter(exists(col("vec"), v => v =!= 0.0))
-        .select(col("id"), transform(col("vec"), v => v.cast("float")).as("vec"))
+        .select(col("id"),
+          transform(col("vec"), v => TextOps.floatExact(v)).as("vec"))
       val q = vecs.filter(col("id") < 5)
       val ann = Similarity.ivfTopK(vecs, q, "id", "vec",
         k = 5, nlist = 16, nprobe = 4)
@@ -747,7 +748,7 @@ private[graft] object DedupEntries {
          lines AS (
            SELECT doc_id, generate_subscripts(ls, 1) AS idx,
              unnest(ls) AS line
-           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+           FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
                  FROM corpus) u),
          normed AS (
            SELECT doc_id, idx, line,

@@ -149,10 +149,14 @@ private[graft] object MlEntries {
            count(*) AS cnt
          FROM events GROUP BY 1""",
     "prediction_perf" ->
-      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change by
-      // dumping the query and pasting the rows] GBT predictions can't
-      // replay in DuckDB; determinism adjudicated r16 (two cold-JVM fits
-      // bit-identical, order-independent integer-sum rollup).
+      // [GOLDEN @ gate corpus: sf0.01, seed=42 — re-derive on SF change OR
+      // JDK/env change by dumping the query and pasting the rows] GBT
+      // predictions can't replay in DuckDB; determinism adjudicated r16
+      // (two cold-JVM fits bit-identical, order-independent integer-sum
+      // rollup) — but only SAME-MACHINE: a toolchain bump (JDK, BLAS)
+      // can legitimately move the fit's float path, so a red gate after
+      // an env change is calibration, not regression (the
+      // compression_ratio convention).
       """SELECT * FROM (VALUES
            ('click',    36.8274, CAST(426 AS BIGINT), 49.8018, 51.3087),
            ('error',    39.5054, CAST(406 AS BIGINT), 48.9214, 51.7447),
@@ -162,7 +166,8 @@ private[graft] object MlEntries {
          AS t(event_type, avg_error, prediction_count, avg_predicted, avg_actual)""",
     "risk_crosstab" ->
       // [GOLDEN @ gate corpus: sf0.01, seed=42 — same determinism basis
-      // as prediction_perf] All test-fold predictions land >= 20
+      // and re-derive-on-SF-or-JDK/env-change convention as
+      // prediction_perf] All test-fold predictions land >= 20
       // (avg_predicted ~49 per group), so the predicted side is uniformly
       // Critical at this corpus — the actual side spreads across the four
       // thresholds.

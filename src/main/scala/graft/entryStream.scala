@@ -405,7 +405,7 @@ private[graft] object StreamEntries {
              SELECT trim(regexp_replace(regexp_replace(regexp_replace(
                lower(line), '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'),
                ' +', ' ', 'g')) AS norm
-             FROM (SELECT unnest(string_split(text, chr(10))) AS line
+             FROM (SELECT unnest(string_split(coalesce(text, ''), chr(10))) AS line
                    FROM documents) u0) u1
            WHERE norm <> ''),
          probes AS (
@@ -419,7 +419,7 @@ private[graft] object StreamEntries {
          lines AS (
            SELECT doc_id, generate_subscripts(ls, 1) AS idx,
              unnest(ls) AS line
-           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+           FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
                  FROM probes) u),
          normed AS (
            SELECT doc_id, idx, line,

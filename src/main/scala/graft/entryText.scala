@@ -1563,7 +1563,7 @@ private[graft] object TextEntries {
          lc_lines AS (
            SELECT doc_id, generate_subscripts(ls, 1) AS idx,
              unnest(ls) AS line
-           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+           FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
                  FROM corpus) u),
          lc_normed AS (
            SELECT doc_id, idx, line,

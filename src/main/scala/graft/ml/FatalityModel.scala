@@ -307,9 +307,14 @@ object FatalityModel {
       .withColumn("__pv", round(col("predicted_value") * 10000).cast("long"))
       .withColumn("__av", round(col("value") * 10000).cast("long"))
       .groupBy(groupCol)
+      // each mean divides by the NON-NULL count of its own metric
+      // (sum() skips nulls, so dividing by count(*) would silently
+      // deflate the mean if a prediction ever came back null); with the
+      // non-null predictions the fit guarantees today these counts equal
+      // count(*) and the golden pins are unchanged
       .agg(
-        round(sum("__ae") / 10000.0 / count(lit(1)), 4).as("avg_error"),
+        round(sum("__ae") / 10000.0 / count("__ae"), 4).as("avg_error"),
         count(lit(1)).as("prediction_count"),
-        round(sum("__pv") / 10000.0 / count(lit(1)), 4).as("avg_predicted"),
-        round(sum("__av") / 10000.0 / count(lit(1)), 4).as("avg_actual"))
+        round(sum("__pv") / 10000.0 / count("__pv"), 4).as("avg_predicted"),
+        round(sum("__av") / 10000.0 / count("__av"), 4).as("avg_actual"))
 }

@@ -134,8 +134,13 @@ object Dedup {
   private def explodedLines(docs: DataFrame, idCol: String,
                             textCol: String): DataFrame =
     docs
+      // NULL text normalizes to '' (GopherRules convention): split(null)
+      // explodes to ZERO rows, which would silently drop the doc from the
+      // ledger — null docs must surface as (n_lines=1, cleaned_text="")
+      // so downstream quarantine sees them rather than losing them.
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("idx", "line")))
       .withColumn("__norm", lineNorm(col("line")))
 
   private def cutLines(lines: DataFrame, repeatedNorms: DataFrame): DataFrame =

@@ -227,8 +227,16 @@ object Similarity {
     * constant pool, falling back to the broadcast-centroid running-argmax
     * fold above that (the interpreted HOF costs ~10× per centroid-dot,
     * which is the whole assignment bill once nlist follows the ∝ n
-    * contract). Both paths break sim ties toward the HIGHER cid, so the
-    * choice cannot move an assignment. */
+    * contract). Both paths break sim ties toward the HIGHER cid, so for
+    * FINITE vectors the choice cannot move an assignment. Caveat: a NaN
+    * embedding component makes every centroid dot NaN, and the paths
+    * then DIVERGE — greatest() over structs ranks NaN highest (some
+    * NaN-dot centroid wins) while the fold's `sim >= acc.sim` is false
+    * for NaN (the NaN row keeps cid -1 from the init). Finite vectors
+    * are the operator's contract (the embedding sources here are unit-
+    * normalized floats); callers ingesting untrusted vectors should
+    * filter non-finite components upstream rather than rely on either
+    * path's NaN placement. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                          nlist: Int = 16, threshold: Double = 0.95,
                          sampleFraction: Double = 1.0, seed: Long = 42L,

@@ -73,6 +73,20 @@ object TextOps {
           i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
           .as("vec"))
 
+  /** Cast an integer-valued double weight to float ONLY while exactness
+    * holds: floats carry 24 mantissa bits, so any |w| >= 2^24 would round
+    * — and the doc_embed gates' "exact, deterministic" golden premise
+    * would silently degrade on a corpus with high-tf docs. Fails LOUDLY
+    * instead (a corpus that pushes a tf·idf weight past 2^24 needs a
+    * smaller idfScale or double vectors, a calibration decision, not a
+    * silent ulp). Codegen'd `when` guard — no measurable cost next to the
+    * cast itself. */
+  def floatExact(v: Column): Column =
+    when(abs(v) < lit(1 << 24), v.cast("float"))
+      .otherwise(raise_error(concat(
+        lit("weight exceeds float-exact bound 2^24: "), v.cast("string")))
+        .cast("float"))
+
   /** Whitespace + regex ("BPE-ish": letter runs / digit runs / single
     * punctuation) token counts. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

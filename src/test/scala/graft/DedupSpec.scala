@@ -543,6 +543,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) === ((1L, 1L, "")))
   }
 
+  test("lineDedup: NULL text surfaces in the ledger, not silently dropped") {
+    val docs = Seq(
+      (1L, "shared line\nkeep one"),
+      (2L, "shared line\nkeep two"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the null doc normalizes to one empty line (the GopherRules
+    // convention) — present with an empty cleaned_text so downstream
+    // quarantine SEES it, instead of vanishing through posexplode(null)
+    assert(out(3L) === ((1L, 0L, "")))
+    assert(out(1L) === ((2L, 1L, "keep one")))
+    // same contract through the serving form
+    val idx = Dedup.lineIndex(docs.filter(col("doc_id") < 3L), "doc_id", "text")
+    val served = Dedup.lineDedupAgainst(
+        docs.filter(col("doc_id") === 3L), "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(served(3L) === ((1L, 0L, "")))
+  }
+
   test("lineDedup plans without a cartesian and with the count map-side combined") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("shared banner\u000aunique "), col("id")).as("text"))
