@@ -250,7 +250,11 @@ private[graft] object StreamEntries {
         "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1)
         .awaitTermination()
       Seq(model, margins, vocab).foreach(_.unpersist())
+      // drop the batch-stamped sink's delivery-ledger partition column —
+      // the gate compares score content, not delivery bookkeeping
       s.read.parquet(out)
+        .select("doc_id", "n_bigrams", "n_oov", "logprob_sum", "avg_nll",
+          "ppl", "keep")
     }),
     "stream_perplexity_buckets" -> ((s, d) => {
       // CCNet stratification SERVING (E12, the stream form of D31b): the
@@ -309,6 +313,7 @@ private[graft] object StreamEntries {
         .awaitTermination()
       Seq(model, margins, vocab).foreach(_.unpersist())
       s.read.parquet(out)
+        .select("doc_id", "n_bigrams", "n_oov", "avg_nll", "bucket")
     }),
     "stream_line_dedup" -> ((s, d) => {
       // The LINE tier at crawl-ingest time (the serving form of D25d):

@@ -496,6 +496,40 @@ object Sink {
     }
   }
 
+  /** Idempotent micro-batch append for foreachBatch sinks: the batch's
+    * rows land in the batchId-named partition dir `batch=<id>` under
+    * `outDir`, written to a hidden sibling staging dir first and renamed
+    * into place. Structured Streaming's replay unit IS the batchId — a
+    * micro-batch that fails after a partial write (or completes but loses
+    * its offset commit) replays under the SAME id with the SAME rows (the
+    * file source pins the batch's files in the checkpoint offset log), so
+    * the delete+rename lands the identical output on the identical
+    * directory: the lake holds exactly ONE copy of every batch's rows
+    * however many times delivery was attempted. Exactly-once lake
+    * contents on top of at-least-once execution — the mechanics of Delta/
+    * Iceberg's idempotent streaming writes, reduced to the directory-
+    * rename commit this lake already uses ([[upsertPartitioned]]'s
+    * contract: atomic rename on HDFS/local, copy-commit on object
+    * stores; single writer, and a concurrent reader can see the batch
+    * dir mid-swap — reader-snapshot isolation needs a manifest format).
+    * Per-batch cost is constant in the lake's size (one staged write +
+    * one rename), unlike a keyed MERGE whose read-merge-rewrite grows
+    * with the table — the property that keeps a serving stream viable
+    * when the accumulated lake is 100 TB. Readers discover `batch` as an
+    * ordinary Spark partition column: the delivery ledger comes free. */
+  def writeBatchStamped(batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = fileSystem(spark, outDir)
+    val staging = new Path(outDir.stripSuffix("/") + s"__stage_batch_$batchId")
+    fs.delete(staging, true)
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val tableDir = new Path(outDir)
+    fs.mkdirs(tableDir)
+    val target = new Path(tableDir, s"batch=$batchId")
+    fs.delete(target, true)
+    rename(fs, staging, target)
+  }
+
   /** Drop a sink table (scratch/test lifecycles). Routed through the
     * session's Hadoop FileSystem so scheme-qualified lake paths work the
     * same as local ones; falls back to a default Hadoop configuration when

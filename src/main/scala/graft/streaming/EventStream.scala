@@ -224,13 +224,14 @@ object EventStream {
     * pure per-doc functions of (doc, static model), so the drained output
     * must equal the batch `scoreAgainst` over the same docs regardless of
     * the wave/micro-batch split — and the checkpoint guarantees each doc
-    * scores once per CLEAN drain. Delivery contract: the plain
-    * mode("append") parquet sink is AT-LEAST-ONCE — a micro-batch that
-    * fails after a partial write is re-run from the checkpoint on
-    * restart, appending duplicate rows. Consumers that need exactly-once
-    * dedupe on `idCol` downstream, or swap in an idempotent sink
-    * (batchId-derived output path replaced atomically, or a keyed MERGE
-    * into a lake table). Stream-static joins against the
+    * scores once per CLEAN drain. Delivery contract: EXACTLY-ONCE lake
+    * contents via [[graft.sources.Sink.writeBatchStamped]] — each
+    * micro-batch commits to its own batchId-named partition dir by
+    * atomic rename, so a batch that fails after a partial write (or
+    * loses its offset commit) replays onto the SAME directory instead of
+    * appending duplicates (crash-injection replay pinned in
+    * EventStreamSpec). Readers see the batch id as a discovered
+    * partition column. Stream-static joins against the
     * persisted model frames: micro-batches pay only their own token
     * explode plus vocab-bounded joins. `k` must be the SAME smoothing
     * constant the frames were trained with — the backoff rungs
@@ -250,10 +251,11 @@ object EventStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.NgramLm.scoreWithModel(
-            batch, model, margins, vocab, idCol, textCol, k, nllKeep)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.writeBatchStamped(
+          graft.operators.NgramLm.scoreWithModel(
+            batch, model, margins, vocab, idCol, textCol, k, nllKeep),
+          outDir, batchId)
       }
       .start()
 
@@ -266,11 +268,10 @@ object EventStream {
     * against the static model frames and assigned by the static cutoff
     * row. Per-doc verdicts are functions of (doc, model, cuts) only, so
     * the drained lake must equal the batch assignment over the same docs
-    * whatever the wave/file split. Same AT-LEAST-ONCE append-sink
-    * delivery contract as [[lmScoreStream]]: a mid-batch failure replays
-    * the batch and can append duplicate rows — dedupe on `idCol`
-    * downstream or use an idempotent (batchId-pathed / MERGE) sink for
-    * the serving form. */
+    * whatever the wave/file split. Same EXACTLY-ONCE batch-stamped sink
+    * as [[lmScoreStream]] ([[graft.sources.Sink.writeBatchStamped]]): a
+    * mid-batch failure replays onto the same batch directory, never
+    * appending duplicates. */
   def lmBucketStream(spark: SparkSession, landingDir: String,
                      schema: org.apache.spark.sql.types.StructType,
                      model: DataFrame, margins: DataFrame, vocab: DataFrame,
@@ -285,14 +286,15 @@ object EventStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.NgramLm.assignBuckets(
-            graft.operators.NgramLm.scoreWithModel(
-              batch, model, margins, vocab, idCol, textCol, k),
-            cuts)
-          .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
-            col("avg_nll"), col("bucket"))
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.writeBatchStamped(
+          graft.operators.NgramLm.assignBuckets(
+              graft.operators.NgramLm.scoreWithModel(
+                batch, model, margins, vocab, idCol, textCol, k),
+              cuts)
+            .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+              col("avg_nll"), col("bucket")),
+          outDir, batchId)
       }
       .start()
 
@@ -304,8 +306,10 @@ object EventStream {
     * + cleaned text to the out lake. Verdicts are per-line functions of
     * (line, index), so the drained lake must equal the batch form over
     * the same docs whatever the wave/file split. Micro-batches pay one
-    * explode + a skinny join against the static index. Same
-    * AT-LEAST-ONCE append-sink contract as [[lmScoreStream]]. */
+    * explode + a skinny join against the static index. Same EXACTLY-ONCE
+    * batch-stamped sink as [[lmScoreStream]]; the crash-injection replay
+    * spec (EventStreamSpec) pins THIS stream and the other two share the
+    * sink helper verbatim. */
   def lineDedupStream(spark: SparkSession, landingDir: String,
                       schema: org.apache.spark.sql.types.StructType,
                       index: org.apache.spark.sql.DataFrame,
@@ -319,10 +323,12 @@ object EventStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup.lineDedupAgainst(batch, idCol, textCol, index)
-          .select(col("id"), col("n_lines"), col("n_cut"), col("cleaned_text"))
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.writeBatchStamped(
+          graft.operators.Dedup.lineDedupAgainst(batch, idCol, textCol, index)
+            .select(col("id"), col("n_lines"), col("n_cut"),
+              col("cleaned_text")),
+          outDir, batchId)
       }
       .start()
 
@@ -340,14 +346,15 @@ object EventStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val novel = graft.operators.Dedup.probeNovel(
           batch, index, idCol, textCol, threshold)
-        batch.select(col(idCol))
-          .join(novel.select(col(idCol), lit(true).as("__novel")), Seq(idCol), "left")
-          .select(col(idCol),
-            coalesce(col("__novel"), lit(false)).as("is_novel"))
-          .write.mode("append").parquet(outDir)
+        graft.sources.Sink.writeBatchStamped(
+          batch.select(col(idCol))
+            .join(novel.select(col(idCol), lit(true).as("__novel")), Seq(idCol), "left")
+            .select(col(idCol),
+              coalesce(col("__novel"), lit(false)).as("is_novel")),
+          outDir, batchId)
       }
       .start()
 }

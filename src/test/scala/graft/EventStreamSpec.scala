@@ -432,7 +432,11 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     fresh.filter($"doc_id" > 102L).write.mode("append").parquet(landing)
     EventStream.lmScoreStream(spark, landing, schema, model, margins, vocab,
       "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
-    val drained = spark.read.parquet(out).orderBy("doc_id").collect()
+    // project away the batch-stamped sink's delivery-ledger column
+    val drained = spark.read.parquet(out)
+      .select("doc_id", "n_bigrams", "n_oov", "logprob_sum", "avg_nll",
+        "ppl", "keep")
+      .orderBy("doc_id").collect()
     assert(drained.length === 3, "each doc scored exactly once across waves")
     assert(drained.toSeq === batch.toSeq,
       "streamed scores must equal the batch backoff scoring")
@@ -484,7 +488,9 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     fresh.filter($"doc_id" > 102L).write.mode("append").parquet(landing)
     EventStream.lmBucketStream(spark, landing, schema, model, margins, vocab,
       cuts, "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
-    val drained = spark.read.parquet(out).orderBy("doc_id").collect()
+    val drained = spark.read.parquet(out)
+      .select("doc_id", "n_bigrams", "n_oov", "avg_nll", "bucket")
+      .orderBy("doc_id").collect()
     assert(drained.length === 4, "each doc bucketed exactly once across waves")
     assert(drained.toSeq === batch.toSeq,
       "streamed buckets must equal the static-cuts batch assignment")
@@ -496,6 +502,60 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       cuts, "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
     assert(spark.read.parquet(out).count() === 4L, "re-drain is idempotent")
     Seq(model, margins, vocab).foreach(_.unpersist())
+  }
+
+  test("lineDedupStream replay: losing the offset commit re-lands the batch, zero duplicates") {
+    // Crash injection for the batch-stamped serving sink (the
+    // stream_upsert replay test ported to the foreachBatch family): a
+    // batch's output lands in its batch=<id> dir but the engine "dies"
+    // before recording the commit. Restart replays the batch under the
+    // same batchId; writeBatchStamped's delete+rename overwrites the same
+    // directory — duplicate delivery, never duplicate rows.
+    // lmScoreStream/lmBucketStream/noveltyStream share the sink verbatim.
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-linereplay").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    val corpus = Seq(
+      (1L, "alpha beta gamma\nshared banner line"),
+      (2L, "shared banner line\nother corpus content here")
+    ).toDF("doc_id", "text")
+    val index = Dedup.lineIndex(corpus, "doc_id", "text").persist()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")
+    def drain(): Unit = {
+      val q = EventStream.lineDedupStream(spark, landing, schema, index,
+        "doc_id", "text", out, ckpt, maxFilesPerTrigger = 1)
+      try q.awaitTermination() finally q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    Seq((101L, "shared banner line\nnovel line one"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    Seq((102L, "novel line two\nalpha beta gamma"),
+        (103L, "wholly novel document text"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    val expected = spark.read.parquet(out)
+      .select("id", "n_lines", "n_cut", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(expected.map(_._1) === Array(101L, 102L, 103L),
+      "each probe doc ledgered exactly once across waves")
+    assert(expected(0)._3 === 1L, "the corpus-known line is cut")
+    // crash injection: drop the newest commit marker — offsets say the
+    // batch ran, commits say it didn't, so restart MUST replay it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    drain()
+    val after = spark.read.parquet(out)
+      .select("id", "n_lines", "n_cut", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(after === expected, "replayed batch overwrote its own dir — no duplicate rows")
+    index.unpersist()
   }
 
   test("upsertStream replay: losing the offset commit re-runs the batch idempotently") {
