@@ -90,6 +90,38 @@ private[graft] object TextEntries {
       NgramLm.scoreAgainst(docs.filter(length(col("source")) === 4),
         docs, "doc_id", "text")
     }),
+    "ngram_lm_kn" -> ((s, d) => {
+      // D31c: interpolated Kneser-Ney TRIGRAM cross-score — the rung
+      // CCNet actually runs (KenLM is modified-KN; Wenzek 2020 §3).
+      // Trained on the trusted slice, whole corpus scored through the
+      // three-rung backoff ladder (discounted trigram → continuation
+      // bigram → continuation unigram interpolated with 1/V). The oracle
+      // replays the ENTIRE ladder — counts, type counts, continuation
+      // counts, the frozen expression grouping — in SQL.
+      val docs = Tables.documents(s, d)
+      NgramLm.knScoreAgainst(docs.filter(length(col("source")) === 4),
+        docs, "doc_id", "text")
+    }),
+    "ngram_lm_kn_crosstab" -> ((s, d) => {
+      // The ranking-delta census between the add-1 bigram gate and the
+      // KN trigram gate: both cross-scores tertiled by the SAME
+      // threshold machinery (value cutoffs off bounded 4dp histograms),
+      // then crosstabbed — the O(16)-row artifact that shows how many
+      // docs the model upgrade MOVES between head/middle/tail (the
+      // decision evidence for swapping the production gate). Scale-safe
+      // by construction: no global rank join, just two bounded-histogram
+      // cutoff picks and one doc-keyed join.
+      val docs = Tables.documents(s, d)
+      val trusted = docs.filter(length(col("source")) === 4)
+      val bg = NgramLm.bucketize(
+          NgramLm.scoreAgainst(trusted, docs, "doc_id", "text"))
+        .select(col("doc_id"), col("bucket").as("bigram_bucket"))
+      val kn = NgramLm.bucketize(
+          NgramLm.knScoreAgainst(trusted, docs, "doc_id", "text"))
+        .select(col("doc_id"), col("bucket").as("kn_bucket"))
+      bg.join(kn, "doc_id").groupBy("bigram_bucket", "kn_bucket")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "ngram_lm_top_bigrams" -> ((s, d) =>
       // the trained model's head — dashboard query; TakeOrdered, never a
       // global sort of the model table
@@ -662,6 +694,219 @@ private[graft] object TextEntries {
            coalesce(round(-sc.logprob_sum / sc.n_bigrams, 4) <= 6.0, false) AS keep
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN sc USING (doc_id)""",
+    "ngram_lm_kn" ->
+      // FULL replay of the interpolated-KN trigram ladder: trigram
+      // counts, context margins + type counts, continuation counts from
+      // the trigram TYPE table (middle rung) and raw bigram TYPES
+      // (unigram rung), the frozen expression grouping per rung, ln at
+      // the end, round-the-SUM. D = 0.75 is exact binary; all other
+      // inputs are integers, so both engines divide identical doubles.
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ttr AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM tws) p),
+         tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttr GROUP BY 1, 2, 3),
+         ctx2 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS t2
+                  FROM tri GROUP BY 1, 2),
+         contb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+         mid AS (SELECT w2, sum(cb) AS nmid, count(*) AS ndw3
+                 FROM contb GROUP BY 1),
+         tbt AS (
+           SELECT DISTINCT w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         contu AS (SELECT w2, count(*) AS cu FROM tbt GROUP BY 1),
+         sca AS (SELECT (SELECT sum(cu) FROM contu) AS b,
+                        (SELECT count(*) FROM contu) AS wtypes,
+                        (SELECT count(DISTINCT tk) FROM
+                          (SELECT unnest(w) AS tk FROM tws) u) AS v),
+         str AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM ws) p),
+         joined AS (
+           SELECT s.doc_id, tri.c3, ctx2.cctx, ctx2.t2, contb.cb,
+             mid.nmid, mid.ndw3, contu.cu, sca.b, sca.wtypes, sca.v
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN ctx2 ON s.w1 = ctx2.w1 AND s.w2 = ctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN mid ON s.w2 = mid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca),
+         p1t AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM joined),
+         p2t AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                     + (0.75 * ndw3) * p1) / nmid END AS p2 FROM p1t),
+         p3t AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                     + (0.75 * t2) * p2) / cctx END AS p3 FROM p2t),
+         sc AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             cast(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit3,
+             cast(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit2,
+             round(sum(ln(p3)), 4) AS logprob_sum
+           FROM p3t GROUP BY 1),
+         fin AS (
+           SELECT d.doc_id,
+             coalesce(sc.n_trigrams, 0) AS n_trigrams,
+             coalesce(sc.n_hit3, 0) AS n_hit3,
+             coalesce(sc.n_hit2, 0) AS n_hit2,
+             sc.logprob_sum,
+             (CAST(round(-sc.logprob_sum * 10000) AS BIGINT) * 2
+               + sc.n_trigrams) // (sc.n_trigrams * 2) / 10000.0 AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_trigrams, n_hit3, n_hit2, logprob_sum, avg_nll,
+           round(exp(avg_nll), 4) AS ppl,
+           coalesce(avg_nll <= 3.5, false) AS keep
+         FROM fin""",
+    "ngram_lm_kn_crosstab" ->
+      // both gates replayed end to end (the bigram backoff scoring +
+      // cutoff pick verbatim from perplexity_bucket_assign's oracle, the
+      // KN ladder verbatim from ngram_lm_kn's), then the doc-keyed
+      // crosstab — the whole decision artifact second-engine-checked
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         tbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM tws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         bsc AS (
+           SELECT bi.doc_id,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum,
+             count(*) AS n_bigrams
+           FROM bi
+           LEFT JOIN model m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+           LEFT JOIN c1 ON bi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1),
+         bdoc AS (
+           SELECT d.doc_id,
+             round(-bsc.logprob_sum / bsc.n_bigrams, 4) AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN bsc USING (doc_id)),
+         bhist AS (SELECT avg_nll, count(*) AS cnt FROM bdoc
+                   WHERE avg_nll IS NOT NULL GROUP BY 1),
+         bcum AS (SELECT avg_nll, sum(cnt) OVER (ORDER BY avg_nll
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM bhist),
+         btot AS (SELECT count(*) AS n_total FROM bdoc
+                  WHERE avg_nll IS NOT NULL),
+         bcuts AS (SELECT
+             min(CASE WHEN cum * 3 >= n_total THEN avg_nll END) AS cut_head,
+             min(CASE WHEN cum * 3 >= n_total * 2 THEN avg_nll END) AS cut_middle
+           FROM bcum CROSS JOIN btot),
+         bbuck AS (
+           SELECT doc_id,
+             CASE WHEN avg_nll IS NULL THEN 'unscored'
+                  WHEN avg_nll <= cut_head THEN 'head'
+                  WHEN avg_nll <= cut_middle THEN 'middle'
+                  ELSE 'tail' END AS bigram_bucket
+           FROM bdoc CROSS JOIN bcuts),
+         ttr AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM tws) p),
+         tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttr GROUP BY 1, 2, 3),
+         ctx2 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS t2
+                  FROM tri GROUP BY 1, 2),
+         contb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+         mid AS (SELECT w2, sum(cb) AS nmid, count(*) AS ndw3
+                 FROM contb GROUP BY 1),
+         tbt AS (SELECT DISTINCT w1, w2 FROM tbi),
+         contu AS (SELECT w2, count(*) AS cu FROM tbt GROUP BY 1),
+         sca AS (SELECT (SELECT sum(cu) FROM contu) AS b,
+                        (SELECT count(*) FROM contu) AS wtypes,
+                        (SELECT v FROM v) AS v),
+         str AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM ws) p),
+         joined AS (
+           SELECT s.doc_id, tri.c3, ctx2.cctx, ctx2.t2, contb.cb,
+             mid.nmid, mid.ndw3, contu.cu, sca.b, sca.wtypes, sca.v
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN ctx2 ON s.w1 = ctx2.w1 AND s.w2 = ctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN mid ON s.w2 = mid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca),
+         p1t AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM joined),
+         p2t AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                     + (0.75 * ndw3) * p1) / nmid END AS p2 FROM p1t),
+         p3t AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                     + (0.75 * t2) * p2) / cctx END AS p3 FROM p2t),
+         ksc AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             round(sum(ln(p3)), 4) AS logprob_sum
+           FROM p3t GROUP BY 1),
+         kdoc AS (
+           SELECT d.doc_id,
+             (CAST(round(-ksc.logprob_sum * 10000) AS BIGINT) * 2
+               + ksc.n_trigrams) // (ksc.n_trigrams * 2) / 10000.0 AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN ksc USING (doc_id)),
+         khist AS (SELECT avg_nll, count(*) AS cnt FROM kdoc
+                   WHERE avg_nll IS NOT NULL GROUP BY 1),
+         kcum AS (SELECT avg_nll, sum(cnt) OVER (ORDER BY avg_nll
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM khist),
+         ktot AS (SELECT count(*) AS n_total FROM kdoc
+                  WHERE avg_nll IS NOT NULL),
+         kcuts AS (SELECT
+             min(CASE WHEN cum * 3 >= n_total THEN avg_nll END) AS cut_head,
+             min(CASE WHEN cum * 3 >= n_total * 2 THEN avg_nll END) AS cut_middle
+           FROM kcum CROSS JOIN ktot),
+         kbuck AS (
+           SELECT doc_id,
+             CASE WHEN avg_nll IS NULL THEN 'unscored'
+                  WHEN avg_nll <= cut_head THEN 'head'
+                  WHEN avg_nll <= cut_middle THEN 'middle'
+                  ELSE 'tail' END AS kn_bucket
+           FROM kdoc CROSS JOIN kcuts)
+         SELECT bigram_bucket, kn_bucket, count(*) AS n_docs
+         FROM bbuck JOIN kbuck USING (doc_id)
+         GROUP BY 1, 2""",
     "perplexity_bucket_assign" ->
       // the cross-score replay above + the threshold arithmetic: tertile
       // cutoffs picked off the cumulative 4dp-nll histogram with

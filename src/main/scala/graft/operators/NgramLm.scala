@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bigram language-model perplexity scoring — the CCNet/KenLM-style
@@ -247,6 +247,157 @@ object NgramLm {
         max(col("avg_nll")).as("max_nll"),
         max(col("cut_head")).as("cut_head"),
         max(col("cut_middle")).as("cut_middle"))
+
+  // ---------------------------------------------------------------------
+  // Interpolated Kneser-Ney TRIGRAM tier — the next rung above the add-k
+  // bigram: CCNet's actual gate is a KenLM 5-gram with modified KN
+  // smoothing (Wenzek 2020 §3; Kneser & Ney 1995; Chen & Goodman 1999 —
+  // all public), and add-k is known to misassign mass on exactly the
+  // head-heavy zipfian distributions a quality gate filters. This is
+  // textbook INTERPOLATED KN with one fixed discount D: the highest
+  // order discounts raw counts, lower orders use CONTINUATION counts
+  // (how many distinct contexts a word completes — "Francisco" is
+  // frequent but only ever follows "San", so its continuation mass is
+  // tiny), and the final rung interpolates with uniform 1/V so OOV
+  // words keep nonzero mass.
+  //
+  //   p(w3|w1w2) = (max(c(w1w2w3)−D,0) + D·T(w1w2·)·p(w3|w2)) / c(w1w2·)
+  //   p(w3|w2)   = (max(N1+(·w2w3)−D,0) + D·T(w2·)·p(w3)) / N1+(·w2·)
+  //   p(w3)      = (max(N1+(·w3)−D,0) + D·W/V) / B
+  // with T(·) = distinct-continuation type counts, N1+ = continuation
+  // counts from the next-higher type table (trigram types for the
+  // middle rung, raw bigram TYPES for the unigram rung), B = total
+  // bigram types, W = |{w : N1+(·w) > 0}|, V = vocab. An unseen context
+  // (null denominator) backs off wholesale to the next rung.
+  //
+  // Everything is a plain aggregate — trigram counts, type counts per
+  // context, continuation counts are counts over the TYPE table — so a
+  // second engine replays the full ladder in SQL, and the engine-
+  // exactness discipline is the family's: integer counts combine in
+  // fixed expression trees (IEEE ops on identical doubles are
+  // bit-identical across engines; D = 0.75 is exact binary), ln() may
+  // drift 1 ulp, and the per-doc SUM rounds to 4dp before any ratio.
+  //
+  // Scale shape: the trigram stream is map-only (nested zip_with, no
+  // window); the model is one groupBy over the stream plus THREE
+  // aggregations over the already-aggregated TYPE tables (each
+  // zipfian-sublinear in corpus bytes); scoring is the stream left-
+  // joined to five skinny model frames — shuffle joins by default (the
+  // model outgrows the driver at corpus scale), AQE-broadcast at gate
+  // scale, hot heads (the "the the the" keys) split by AQE skew
+  // handling exactly as the bigram tier's scoring join.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, w1, w2, w3) trigram stream — map-only. */
+  private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = greatest(size(col("__ws")) - 2, lit(0))
+    df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          zip_with(slice(col("__ws"), lit(1), n), slice(col("__ws"), lit(2), n),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(col("__ws"), lit(3), n),
+          (p, c) => struct(p.getField("w1").as("w1"),
+            p.getField("w2").as("w2"), c.as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+  }
+
+  /** The six KN serving frames, all derived from ONE trigram aggregation
+    * plus one bigram-type pass (the continuation rung needs raw bigram
+    * TYPES, which the trigram table cannot supply — a (w2,w3) bigram at a
+    * document's edge belongs to no trigram). The trigram type table is
+    * persisted (tracked) because four of the frames aggregate FROM it —
+    * without the cut each consumer re-runs the corpus explode. */
+  final case class KnFrames(tri: DataFrame, ctx2: DataFrame, contb: DataFrame,
+                            mid: DataFrame, contu: DataFrame, scalars: DataFrame)
+
+  def knFrames(train: DataFrame, idCol: String, textCol: String): KnFrames = {
+    val tri = Dedup.persistTracked(
+      trigrams(train, idCol, textCol)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    // c(w1w2·) and T(w1w2·): the trigram-context margins
+    val ctx2 = tri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("cctx"), count(lit(1)).as("t2"))
+    // N1+(·w2w3): distinct w1 preceding — one row per (w2,w3) over types
+    val contb = Dedup.persistTracked(
+      tri.groupBy("w2", "w3").agg(count(lit(1)).as("cb")))
+    // N1+(·w2·) = Σ_w3 N1+(·w2w3) and T(w2·) = |{w3 : N1+(·w2w3) > 0}| —
+    // both fold over contb, not a third corpus pass
+    val mid = contb.groupBy("w2")
+      .agg(sum(col("cb")).as("nmid"), count(lit(1)).as("ndw3"))
+    // unigram continuation counts from raw bigram TYPES
+    val bt = Dedup.persistTracked(
+      bigrams(train, idCol, textCol).select("w1", "w2").distinct())
+    val contu = bt.groupBy("w2").agg(count(lit(1)).as("cu"))
+    val scalars = contu.agg(sum(col("cu")).as("b"), count(lit(1)).as("wtypes"))
+      .crossJoin(broadcast(
+        train.select(explode(toks(col(textCol))).as("w"))
+          .agg(countDistinct(col("w")).as("v"))))
+    KnFrames(tri, ctx2, contb, mid, contu, scalars)
+  }
+
+  /** Per-doc interpolated-KN trigram score against prebuilt frames.
+    * Output mirrors the bigram tier's ledger plus the backoff census:
+    * `n_hit3`/`n_hit2` count trigram/continuation-bigram model hits (the
+    * in-domain signal; their complements are the OOV mass per rung).
+    * Docs with < 3 tokens are unscoreable (n_trigrams 0, null scores,
+    * keep false) — no sentence-boundary padding, the family convention.
+    * Expression grouping is FROZEN (mirrored verbatim by the oracle):
+    * p1 = (max(cu−D,0) + (D·W)/V) / B
+    * p2 = (max(cb−D,0) + (D·ndw3)·p1) / nmid     [nmid null → p1]
+    * p3 = (max(c3−D,0) + (D·t2)·p2) / cctx       [cctx null → p2] */
+  def knScoreWithFrames(target: DataFrame, f: KnFrames, idCol: String,
+                        textCol: String, discount: Double = 0.75,
+                        nllKeep: Double = 3.5): DataFrame = {
+    val d = lit(discount)
+    val p1 = (greatest(coalesce(col("cu"), lit(0L)) - d, lit(0.0))
+      + (d * col("wtypes")) / col("v")) / col("b")
+    val p2of = (p1c: Column) => when(col("nmid").isNull, p1c)
+      .otherwise((greatest(coalesce(col("cb"), lit(0L)) - d, lit(0.0))
+        + (d * col("ndw3")) * p1c) / col("nmid"))
+    val p3of = (p2c: Column) => when(col("cctx").isNull, p2c)
+      .otherwise((greatest(coalesce(col("c3"), lit(0L)) - d, lit(0.0))
+        + (d * col("t2")) * p2c) / col("cctx"))
+    val scored = trigrams(target, idCol, textCol)
+      .join(f.tri, Seq("w1", "w2", "w3"), "left")
+      .join(f.ctx2, Seq("w1", "w2"), "left")
+      .join(f.contb, Seq("w2", "w3"), "left")
+      .join(f.mid, Seq("w2"), "left")
+      .join(f.contu.withColumnRenamed("w2", "w3"), Seq("w3"), "left")
+      .crossJoin(broadcast(f.scalars))
+      .withColumn("__lp", log(p3of(p2of(p1))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("cb").isNotNull, 1L).otherwise(0L)).as("n_hit2"),
+        round(sum(col("__lp")), 4).as("logprob_sum"))
+      // avg_nll at 4dp via EXACT integer arithmetic: the float form
+      // round(-sum/n, 4) landed a doc exactly on a .00005 boundary where
+      // the engines' round() implementations split — scale the already-
+      // rounded sum to an exact Long and do half-up in integer division
+      // ((2P + n) div 2n), which both engines compute identically
+      .withColumn("__p4", round(-col("logprob_sum") * 10000).cast("long"))
+      .withColumn("avg_nll",
+        expr("(__p4 * 2 + n_trigrams) div (n_trigrams * 2)")
+          .cast("double") / 10000.0)
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+    target.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_hit3"), lit(0L)).as("n_hit3"),
+        coalesce(col("n_hit2"), lit(0L)).as("n_hit2"),
+        col("logprob_sum"), col("avg_nll"), col("ppl"),
+        coalesce(col("avg_nll") <= lit(nllKeep), lit(false)).as("keep"))
+  }
+
+  /** Train-on-trusted / score-foreign composition for the KN tier — the
+    * CCNet cross-scoring setup, one call. */
+  def knScoreAgainst(train: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, discount: Double = 0.75,
+                     nllKeep: Double = 3.5): DataFrame =
+    knScoreWithFrames(target, knFrames(train, idCol, textCol), idCol,
+      textCol, discount, nllKeep)
 
   /** The model's head — top-N bigrams by count (ties broken (w1, w2)):
     * the inspection query a pipeline dashboards to sanity-check what the
