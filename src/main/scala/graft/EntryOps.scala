@@ -365,7 +365,23 @@ private[graft] object EntryOps {
     * ⇒ 272 is the first free id), the packer reserves one budget slot per
     * doc (`perDocOverhead = 1`), and offsets advance by n_tokens + 1.
     * Same scale shape as [[packedStream]]. */
-  private[graft] def packedStreamEos(s: SparkSession, d: String): DataFrame = {
+  private[graft] def packedStreamEos(s: SparkSession, d: String): DataFrame =
+    packedStreamEosSegs(s, d).drop("seg_id")
+
+  /** [[packedStreamEos]] plus the per-token SEGMENT id (D29c) — the
+    * document-boundary column every production pretraining loader ships
+    * beside EOS packing so the trainer can mask CROSS-DOCUMENT attention
+    * (tokens attend only within their own document: positions p, q in a
+    * sequence may attend iff seg_id(p) == seg_id(q)). seg_id is the
+    * document's 1-based ordinal within its (shard, seq_id) — a pure
+    * function of the packing offsets already replayed by the oracle's
+    * recursive-CTE packer, so the column costs one extra row_number over
+    * the SAME window the offset sum already shuffles for (no new
+    * exchange). Each doc's EOS separator carries its own doc's seg_id,
+    * so segment boundaries and EOS boundaries coincide by construction
+    * (the roundtrip spec pins that consumer property on the landed
+    * stream). */
+  private[graft] def packedStreamEosSegs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eosId = 272
     val docs = Tables.documents(s, d)
@@ -380,18 +396,19 @@ private[graft] object EntryOps {
       withIds.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
       budget = 512, shards = 4, shardOn = Some(shardCol),
       perDocOverhead = 1L)
-    val w = Window.partitionBy("shard", "seq_id").orderBy("id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val seqW = Window.partitionBy("shard", "seq_id").orderBy("id")
+    val w = seqW.rowsBetween(Window.unboundedPreceding, -1)
     assigned
       .withColumn("offset",
         coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
+      .withColumn("seg_id", row_number().over(seqW).cast("long"))
       .join(withIds.select(col("doc_id").as("id"), col("ids")), Seq("id"))
       .select(col("shard").cast("long").as("shard"),
-        col("seq_id"), col("offset"),
+        col("seq_id"), col("offset"), col("seg_id"),
         posexplode(concat(col("ids"), array(lit(eosId)))))
       .select(col("shard"), col("seq_id"),
         (col("offset") + col("pos")).cast("long").as("pos"),
-        col("col").as("token_id"))
+        col("col").as("token_id"), col("seg_id"))
   }
 
   private[graft] def plantedAnnCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {

@@ -278,6 +278,23 @@ private[graft] object TokenEntries {
       Sink.reset(path)
       Sink.exportTokenStream(s, packedStreamEos(s, d), path)
     }),
+    "packed_stream_segments" -> ((s, d) =>
+      // D29c: the EOS stream with the per-token SEGMENT id — the
+      // document-boundary column a trainer's attention mask consumes
+      // (tokens attend only within their own seg_id). A pure function of
+      // the packing offsets the oracle already replays: one extra
+      // row_number over the window the offset sum shuffles for.
+      packedStreamEosSegs(s, d)),
+    "token_stream_export_segments" -> ((s, d) => {
+      // the segmented stream LANDED (manifest extension): seg_id rides
+      // beside token_id in the shard files, and the manifest adds a
+      // per-shard segment count + a position-weighted SEGMENT checksum —
+      // a dropped or shifted document boundary flips the manifest even
+      // when every token survived
+      val path = sinkPath(d, "token_stream_segs")
+      Sink.reset(path)
+      Sink.exportTokenStream(s, packedStreamEosSegs(s, d), path)
+    }),
     "packed_stream_roundtrip" -> ((s, d) => {
       // The CONSUMER gate closing the train-data chain end to end: a
       // trainer's data loader reads the landed stream, cuts it at the
@@ -1107,6 +1124,202 @@ private[graft] object TokenEntries {
          SELECT CAST(shard AS BIGINT), CAST(seq AS BIGINT),
            CAST(off + n AS BIGINT), CAST(272 AS BIGINT)
          FROM offs""",
+    "packed_stream_segments" ->
+      // the eos-packer replay plus the document ordinal within each
+      // (shard, seq) — seg_id is a pure function of the same recursive
+      // packer state, one extra row_number in the offs CTE
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, n, seq,
+             coalesce(sum(n + 1) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+             row_number() OVER (PARTITION BY shard, seq ORDER BY doc_id)
+               AS seg
+           FROM pack)
+         SELECT CAST(o.shard AS BIGINT) AS shard,
+           CAST(o.seq AS BIGINT) AS seq_id,
+           CAST(o.off + t.dpos AS BIGINT) AS pos,
+           CAST(t.token_id AS BIGINT) AS token_id,
+           CAST(o.seg AS BIGINT) AS seg_id
+         FROM offs o JOIN doctok t USING (doc_id)
+         UNION ALL
+         SELECT CAST(shard AS BIGINT), CAST(seq AS BIGINT),
+           CAST(off + n AS BIGINT), CAST(272 AS BIGINT),
+           CAST(seg AS BIGINT)
+         FROM offs""",
+    "token_stream_export_segments" ->
+      // the export_eos manifest replay with the two segment columns:
+      // per-shard (seq, seg) count and the position-weighted segment
+      // checksum over the same stream rebuild
+      """WITH RECURSIVE
+         m AS (SELECT * FROM (VALUES
+           (0,'65','72'),(1,'69','6e'),(2,'6f','77'),(3,'6f','72'),
+           (4,'73','74'),(5,'6d','6572'),(6,'61','74'),(7,'6c','75'),
+           (8,'61','72'),(9,'70','6172'),(10,'6a','6f'),(11,'6a6f','696e'),
+           (12,'61','73'),(13,'6173','68'),(14,'68','617368'),
+           (15,'72','6f77')) AS t(rank, a, b)),
+         doclists AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM doclists) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         rec AS (
+           SELECT w, ',' || array_to_string(
+                    regexp_extract_all(lower(hex(w)), '[0-9a-f]{2}'),
+                    ',') || ',' AS s,
+                  0 AS r
+           FROM dw
+           UNION ALL
+           SELECT w,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN regexp_replace(s, ',' || a || ',' || b || ',',
+                                      ',' || a || b || ',')
+                  ELSE s END,
+             CASE WHEN contains(s, ',' || a || ',' || b || ',')
+                  THEN r ELSE r + 1 END
+           FROM rec JOIN m ON m.rank = rec.r
+           WHERE rec.r < 16),
+         wsyms AS (
+           SELECT w, list_filter(string_split(s, ','), x -> x <> '') AS syms
+           FROM rec WHERE r = 16),
+         symrows AS (
+           SELECT w, sidx, sym FROM (
+             SELECT w, generate_subscripts(syms, 1) AS sidx,
+                    unnest(syms) AS sym
+             FROM wsyms) u),
+         ids AS (
+           SELECT w, sidx,
+             CASE WHEN length(sym) = 2 THEN
+               (strpos('0123456789abcdef', sym[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', sym[2]) - 1)
+             ELSE 256 + (SELECT min(rank) FROM m WHERE m.a || m.b = sym)
+             END AS token_id
+           FROM symrows),
+         doctok AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+               AS dpos,
+             token_id
+           FROM wordpos JOIN ids USING (w)),
+         dcount AS (SELECT doc_id, count(*) AS n FROM doctok GROUP BY doc_id),
+         sharded AS (
+           SELECT doc_id, n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM dcount WHERE n > 0),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM sharded),
+         pack AS (
+           SELECT shard, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq, LEAST(n, 512) + 1 AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.doc_id, o.n, o.rn,
+             CASE WHEN p.used + o.n + 1 > 512 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n + 1 > 512 THEN LEAST(o.n, 512) + 1
+                  ELSE p.used + LEAST(o.n, 512) + 1 END
+           FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         offs AS (
+           SELECT shard, doc_id, n, seq,
+             coalesce(sum(n + 1) OVER (PARTITION BY shard, seq ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+             row_number() OVER (PARTITION BY shard, seq ORDER BY doc_id)
+               AS seg
+           FROM pack),
+         stream AS (
+           SELECT o.shard, o.seq, o.off + t.dpos AS pos, t.token_id, o.seg
+           FROM offs o JOIN doctok t USING (doc_id)
+           UNION ALL
+           SELECT shard, seq, off + n AS pos, 272 AS token_id, seg
+           FROM offs)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(((pos + 1) * token_id) % 1000000007) AS BIGINT)
+             AS checksum,
+           CAST(count(DISTINCT (seq, seg)) AS BIGINT) AS n_segments,
+           CAST(sum(((pos + 1) * seg) % 1000000007) AS BIGINT)
+             AS seg_checksum
+         FROM stream GROUP BY shard""",
     "packed_stream_roundtrip" ->
       // the consumer-side roundtrip: segment coordinates come from the
       // packer replay (merge recursion for per-doc token counts, md5

@@ -451,13 +451,32 @@ object Sink {
     * map-side-combines to nShards rows. */
   def exportTokenStream(spark: SparkSession, stream: DataFrame,
                         path: String): DataFrame = {
+    // segment-aware extension (D29c): a stream carrying `seg_id` (the
+    // per-token document-boundary column an attention mask consumes)
+    // lands it beside token_id, and the manifest grows two columns —
+    // per-shard segment count and a position-weighted SEGMENT checksum
+    // (same Σ (pos+1)·x mod p construction as the token checksum), so a
+    // dropped or shifted document boundary flips the manifest even when
+    // every token survived. Streams without the column keep the original
+    // 4-column manifest bit-for-bit.
+    val hasSegs = stream.columns.contains("seg_id")
     stream
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("seq_id"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    spark.read.parquet(path)
+    val base = spark.read.parquet(path)
       .groupBy(col("shard").cast("long").as("shard"))
-      .agg(
+    if (hasSegs)
+      base.agg(
+        countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_tokens"),
+        sum((col("pos") + 1L) * col("token_id") % 1000000007L)
+          .cast("long").as("checksum"),
+        countDistinct(col("seq_id"), col("seg_id")).as("n_segments"),
+        sum((col("pos") + 1L) * col("seg_id") % 1000000007L)
+          .cast("long").as("seg_checksum"))
+    else
+      base.agg(
         countDistinct(col("seq_id")).as("n_seqs"),
         count(lit(1)).as("n_tokens"),
         sum((col("pos") + 1L) * col("token_id") % 1000000007L)

@@ -122,4 +122,65 @@ class ExportSpec extends AnyFunSuite with SparkSpec {
       .filter(col("shard") === 0L).collect().head
     assert(m2.getLong(3) !== manifest.head.getLong(3))
   }
+
+  test("exportTokenStream segments: seg_id lands, manifest pins document boundaries") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_tokstream_segs"
+    Sink.reset(path)
+    // one shard, one sequence: two documents of 3 tokens + EOS each —
+    // seg boundaries at the EOS rows (id 272 at pos 3 and 7)
+    val rows = Seq(
+      (0L, 0L, 0L, 10, 1L), (0L, 0L, 1L, 11, 1L), (0L, 0L, 2L, 12, 1L),
+      (0L, 0L, 3L, 272, 1L),
+      (0L, 0L, 4L, 20, 2L), (0L, 0L, 5L, 21, 2L), (0L, 0L, 6L, 22, 2L),
+      (0L, 0L, 7L, 272, 2L))
+    val stream = rows.toDF("shard", "seq_id", "pos", "token_id", "seg_id")
+    val m = Sink.exportTokenStream(spark, stream.repartition(5), path).collect().head
+    // extended manifest: (shard, n_seqs, n_tokens, checksum, n_segments,
+    // seg_checksum)
+    assert(m.length === 6)
+    assert(m.getLong(4) === 2L, "two segments in the sequence")
+    val wantSeg = rows.map { case (_, _, pos, _, seg) =>
+      (pos + 1) * seg % 1000000007L }.sum
+    assert(m.getLong(5) === wantSeg, "segment checksum")
+    // the landed stream carries seg_id, and the CONSUMER property holds:
+    // seg_id == 1 + EOS separators seen strictly before the position —
+    // exactly what a loader derives when it cuts at EOS, so an attention
+    // mask built from seg_id masks the same boundaries the stream encodes
+    val landed = spark.read.parquet(path)
+      .select("seq_id", "pos", "token_id", "seg_id")
+      .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    var eosSeen = 0L
+    landed.foreach { case (_, _, tok, seg) =>
+      assert(seg === eosSeen + 1, s"seg_id at pos with $eosSeen EOS seen")
+      if (tok == 272) eosSeen += 1
+    }
+    // moving a boundary (shrinking doc 1 by one token into doc 2) keeps
+    // every token but flips the segment checksum
+    val shifted = stream.withColumn("seg_id",
+      when(col("pos") === 2L, lit(2L)).otherwise(col("seg_id")))
+    Sink.reset(path)
+    val m3 = Sink.exportTokenStream(spark, shifted, path).collect().head
+    assert(m3.getLong(5) !== m.getLong(5))
+    assert(m3.getLong(3) === m.getLong(3), "token checksum unchanged")
+  }
+
+  test("packedStreamEosSegs: seg boundaries coincide with EOS cuts on the real chain") {
+    // the full chain property on actual corpus docs: for every (shard,
+    // seq), each token's seg_id equals 1 + EOS separators strictly
+    // before it, and segments are contiguous doc spans
+    val segs = EntryOps.packedStreamEosSegs(spark, "/root/testdata/sf0.001")
+      .orderBy("shard", "seq_id", "pos")
+      .select("shard", "seq_id", "pos", "token_id", "seg_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(segs.nonEmpty)
+    segs.groupBy(r => (r._1, r._2)).foreach { case ((sh, sq), rows) =>
+      var eosSeen = 0L
+      rows.sortBy(_._3).foreach { case (_, _, pos, tok, seg) =>
+        assert(seg === eosSeen + 1, s"shard=$sh seq=$sq pos=$pos")
+        if (tok == 272) eosSeen += 1
+      }
+      assert(eosSeen === rows.map(_._5).max,
+        "every segment closed by its EOS")
+    }
+  }
 }
