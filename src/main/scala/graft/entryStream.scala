@@ -111,9 +111,12 @@ private[graft] object StreamEntries {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          Jsonl.ingestProfile(batch, "lang", "n_chars")
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(out)
+          // batch-stamped idempotent sink (the serving-stream contract):
+          // the rollup SUMS per-batch telemetry, so a replayed batch
+          // appended twice would double-count — the stamp makes replay
+          // overwrite instead (the batch partition column is the ledger)
+          Sink.writeBatchStamped(
+            Jsonl.ingestProfile(batch, "lang", "n_chars"), out, batchId)
         }
         .start().awaitTermination()
       s.read.parquet(out).groupBy("lang", "is_corrupt")
