@@ -259,6 +259,50 @@ private[graft] object StreamEntries {
         .select("doc_id", "n_bigrams", "n_oov", "logprob_sum", "avg_nll",
           "ppl", "keep")
     }),
+    "stream_kn_score" -> ((s, d) => {
+      // D31c SERVING (the stream_lm_score contract one model rung up):
+      // the KN trigram frames train ONCE from the corpus, then two
+      // delivery waves of fresh docs (OOV-tailed corpus derivatives +
+      // two wholly-novel docs) drain through checkpointed AvailableNow
+      // runs, each micro-batch three-rung backoff-scored against the
+      // static frames and committed exactly-once via the batch-stamped
+      // sink. Verdicts are per-doc functions of (doc, frames), so the
+      // drained lake must equal the batch ladder over the same probes
+      // whatever the wave/batch split — the oracle replays the model,
+      // the continuation counts, the probes, and the scoring in SQL.
+      import s.implicits._
+      val base = sinkPath(d, "stream_kn_score")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d)
+      val frames = NgramLm.knFrames(docs, "doc_id", "text")
+      val held = Seq(frames.tri, frames.ctx2, frames.contb, frames.mid,
+        frames.contu, frames.scalars)
+      held.foreach(_.persist())
+      val probes = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz qq zz")).as("text"))
+      val novels = Seq(
+        (6100000L, "wholly novel planted stream document zyx about" +
+          " nothing previously modeled qqj at all"),
+        (6100001L, "another genuinely novel planted document kvw" +
+          " carrying entirely fresh content pqz never scored before"))
+        .toDF("doc_id", "text")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string")
+      probes.filter(col("doc_id") < 6000005L)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.knScoreStream(s, landing, schema, frames, "doc_id", "text",
+        out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+      probes.filter(col("doc_id") >= 6000005L).unionByName(novels)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.knScoreStream(s, landing, schema, frames, "doc_id", "text",
+        out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+      held.foreach(_.unpersist())
+      s.read.parquet(out)
+        .select("doc_id", "n_trigrams", "n_hit3", "n_hit2", "logprob_sum",
+          "avg_nll", "ppl", "keep")
+    }),
     "stream_perplexity_buckets" -> ((s, d) => {
       // CCNet stratification SERVING (E12, the stream form of D31b): the
       // trusted-slice model and the corpus-percentile cutoffs are
@@ -403,6 +447,97 @@ private[graft] object StreamEntries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_kn_score" ->
+      // the drained lake must equal the batch KN ladder over the same
+      // probes: full model replay (trigram counts, context margins, the
+      // two continuation-count tables, scalars) trained on ALL documents,
+      // probes rebuilt from the raw table, the three frozen rungs and the
+      // integer avg_nll — the ngram_lm_kn oracle with the stream's
+      // train/target split
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         probes AS (
+           SELECT doc_id + 6000000 AS doc_id,
+             text || ' qq zz qq zz' AS text
+           FROM documents WHERE doc_id < 10
+           UNION ALL
+           SELECT * FROM (VALUES
+             (6100000, 'wholly novel planted stream document zyx about' ||
+               ' nothing previously modeled qqj at all'),
+             (6100001, 'another genuinely novel planted document kvw' ||
+               ' carrying entirely fresh content pqz never scored before')
+           ) t(doc_id, text)),
+         pws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM probes),
+         ttr AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM tws) p),
+         tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttr GROUP BY 1, 2, 3),
+         ctx2 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS t2
+                  FROM tri GROUP BY 1, 2),
+         contb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+         mid AS (SELECT w2, sum(cb) AS nmid, count(*) AS ndw3
+                 FROM contb GROUP BY 1),
+         tbt AS (
+           SELECT DISTINCT w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         contu AS (SELECT w2, count(*) AS cu FROM tbt GROUP BY 1),
+         sca AS (SELECT (SELECT sum(cu) FROM contu) AS b,
+                        (SELECT count(*) FROM contu) AS wtypes,
+                        (SELECT count(DISTINCT tk) FROM
+                          (SELECT unnest(w) AS tk FROM tws) u) AS v),
+         str AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM pws) p),
+         joined AS (
+           SELECT s.doc_id, tri.c3, ctx2.cctx, ctx2.t2, contb.cb,
+             mid.nmid, mid.ndw3, contu.cu, sca.b, sca.wtypes, sca.v
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN ctx2 ON s.w1 = ctx2.w1 AND s.w2 = ctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN mid ON s.w2 = mid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca),
+         p1t AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM joined),
+         p2t AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                     + (0.75 * ndw3) * p1) / nmid END AS p2 FROM p1t),
+         p3t AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                     + (0.75 * t2) * p2) / cctx END AS p3 FROM p2t),
+         sc AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             cast(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit3,
+             cast(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit2,
+             round(sum(ln(p3)), 4) AS logprob_sum
+           FROM p3t GROUP BY 1),
+         fin AS (
+           SELECT d.doc_id,
+             coalesce(sc.n_trigrams, 0) AS n_trigrams,
+             coalesce(sc.n_hit3, 0) AS n_hit3,
+             coalesce(sc.n_hit2, 0) AS n_hit2,
+             sc.logprob_sum,
+             (CAST(round(-sc.logprob_sum * 10000) AS BIGINT) * 2
+               + sc.n_trigrams) // (sc.n_trigrams * 2) / 10000.0 AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM probes) d
+           LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_trigrams, n_hit3, n_hit2, logprob_sum, avg_nll,
+           round(exp(avg_nll), 4) AS ppl,
+           coalesce(avg_nll <= 3.5, false) AS keep
+         FROM fin""",
     "stream_line_dedup" ->
       // the drained lake must equal batch line-dedup-against-index over
       // the same probes: rebuild the corpus line index (distinct

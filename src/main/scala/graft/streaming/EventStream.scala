@@ -259,6 +259,37 @@ object EventStream {
       }
       .start()
 
+  /** Kneser-Ney trigram scoring on a stream — the serving form of D31c,
+    * the same contract as [[lmScoreStream]] one model rung up: the KN
+    * frames ([[graft.operators.NgramLm.knFrames]], persisted by the
+    * caller) are deployment artifacts trained once, every arriving
+    * micro-batch runs the three-rung backoff ladder against them, and
+    * each batch commits exactly-once through the batch-stamped sink.
+    * Scores are pure per-doc functions of (doc, frames), so the drained
+    * lake equals the batch [[graft.operators.NgramLm.knScoreWithFrames]]
+    * over the same docs whatever the wave/batch split. Micro-batches pay
+    * their own trigram explode plus five skinny model joins. */
+  def knScoreStream(spark: SparkSession, landingDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    frames: graft.operators.NgramLm.KnFrames,
+                    idCol: String, textCol: String, outDir: String,
+                    checkpointDir: String, maxFilesPerTrigger: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.writeBatchStamped(
+          graft.operators.NgramLm.knScoreWithFrames(
+            batch, frames, idCol, textCol),
+          outDir, batchId)
+      }
+      .start()
+
   /** CCNet stratification at ingest time — the serving form of the D31b
     * tertile gate: the bigram model AND the head/middle/tail cutoffs are
     * trained once from the reference corpus (cutoffs are corpus

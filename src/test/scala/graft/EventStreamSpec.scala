@@ -447,6 +447,47 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     Seq(model, margins, vocab).foreach(_.unpersist())
   }
 
+  test("knScoreStream: drained scores equal the batch KN ladder; re-drain appends nothing") {
+    import graft.operators.NgramLm
+    val root = java.nio.file.Files.createTempDirectory("graft-knstream").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    val corpus = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "a b c"),                     // seen trigram
+      (102L, "a b z"),                     // OOV w3 under a seen context
+      (103L, "q q a")                      // wholly unseen context
+    ).toDF("doc_id", "text")
+    val frames = NgramLm.knFrames(corpus, "doc_id", "text")
+    val held = Seq(frames.tri, frames.ctx2, frames.contb, frames.mid,
+      frames.contu, frames.scalars)
+    held.foreach(_.persist())
+    val batch = NgramLm.knScoreWithFrames(fresh, frames, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")
+    fresh.filter($"doc_id" <= 102L).repartition(2).write.mode("append").parquet(landing)
+    EventStream.knScoreStream(spark, landing, schema, frames, "doc_id", "text",
+      out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    fresh.filter($"doc_id" > 102L).write.mode("append").parquet(landing)
+    EventStream.knScoreStream(spark, landing, schema, frames, "doc_id", "text",
+      out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    val drained = spark.read.parquet(out)
+      .select("doc_id", "n_trigrams", "n_hit3", "n_hit2", "logprob_sum",
+        "avg_nll", "ppl", "keep")
+      .orderBy("doc_id").collect()
+    assert(drained.length === 3, "each doc scored exactly once across waves")
+    assert(drained.toSeq === batch.toSeq,
+      "streamed KN scores must equal the batch three-rung ladder")
+    // checkpointed cursor: a third drain with nothing new appends nothing
+    EventStream.knScoreStream(spark, landing, schema, frames, "doc_id", "text",
+      out, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    assert(spark.read.parquet(out).count() === 3L, "re-drain is idempotent")
+    held.foreach(_.unpersist())
+    graft.operators.Dedup.unpersistIntermediates()
+  }
+
   test("lmBucketStream: drained buckets equal the batch assignment with static cuts") {
     import graft.operators.NgramLm
     val root = java.nio.file.Files.createTempDirectory("graft-bktstream").toFile.getAbsolutePath
