@@ -102,6 +102,19 @@ private[graft] object TextEntries {
       NgramLm.knScoreAgainst(docs.filter(length(col("source")) === 4),
         docs, "doc_id", "text")
     }),
+    "ngram_lm_mkn" -> ((s, d) => {
+      // D31d: MODIFIED Kneser-Ney — KenLM's actual smoothing (Chen &
+      // Goodman 1999 §3): per-count-class discounts D1/D2/D3+ estimated
+      // from the count-of-counts of each discounted table (raw trigram
+      // counts at the top rung, continuation counts at the middle), the
+      // interpolation weight carrying exactly the discounted mass so
+      // every rung stays a proper distribution. Degenerate estimates
+      // (zero count-of-count / non-positive D) fall back per rung to the
+      // fixed-0.75 ladder — the guard the oracle mirrors verbatim.
+      val docs = Tables.documents(s, d)
+      NgramLm.mknScoreAgainst(docs.filter(length(col("source")) === 4),
+        docs, "doc_id", "text")
+    }),
     "ngram_lm_kn_crosstab" -> ((s, d) => {
       // The ranking-delta census between the add-1 bigram gate and the
       // KN trigram gate: both cross-scores tertiled by the SAME
@@ -752,6 +765,147 @@ private[graft] object TextEntries {
          p3t AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
                    ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
                      + (0.75 * t2) * p2) / cctx END AS p3 FROM p2t),
+         sc AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             cast(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit3,
+             cast(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit2,
+             round(sum(ln(p3)), 4) AS logprob_sum
+           FROM p3t GROUP BY 1),
+         fin AS (
+           SELECT d.doc_id,
+             coalesce(sc.n_trigrams, 0) AS n_trigrams,
+             coalesce(sc.n_hit3, 0) AS n_hit3,
+             coalesce(sc.n_hit2, 0) AS n_hit2,
+             sc.logprob_sum,
+             (CAST(round(-sc.logprob_sum * 10000) AS BIGINT) * 2
+               + sc.n_trigrams) // (sc.n_trigrams * 2) / 10000.0 AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_trigrams, n_hit3, n_hit2, logprob_sum, avg_nll,
+           round(exp(avg_nll), 4) AS ppl,
+           coalesce(avg_nll <= 3.5, false) AS keep
+         FROM fin""",
+    "ngram_lm_mkn" ->
+      // the ngram_lm_kn replay with per-class estimated discounts: two
+      // count-of-count scalar rows (raw trigram counts, continuation
+      // counts), the Y/D1/D2/D3+ arithmetic with the degenerate-estimate
+      // fallback CASE, class-picked discounts per count, and the
+      // discounted-mass lambda — all integer inputs, frozen grouping
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ttr AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM tws) p),
+         tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttr GROUP BY 1, 2, 3),
+         ctx2 AS (SELECT w1, w2, sum(c3) AS cctx,
+                    sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS tn1,
+                    sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS tn2,
+                    sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS tn3
+                  FROM tri GROUP BY 1, 2),
+         contb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+         mid AS (SELECT w2, sum(cb) AS nmid,
+                   sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS bn1,
+                   sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS bn2,
+                   sum(CASE WHEN cb >= 3 THEN 1 ELSE 0 END) AS bn3
+                 FROM contb GROUP BY 1),
+         tbt AS (
+           SELECT DISTINCT w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         contu AS (SELECT w2, count(*) AS cu FROM tbt GROUP BY 1),
+         tcoc AS (SELECT
+             sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS t_n1,
+             sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS t_n2,
+             sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS t_n3,
+             sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS t_n4
+           FROM tri),
+         bcoc AS (SELECT
+             sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS b_n1,
+             sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS b_n2,
+             sum(CASE WHEN cb = 3 THEN 1 ELSE 0 END) AS b_n3,
+             sum(CASE WHEN cb = 4 THEN 1 ELSE 0 END) AS b_n4
+           FROM contb),
+         rawd AS (
+           SELECT t_n1, t_n2, t_n3, t_n4, b_n1, b_n2, b_n3, b_n4,
+             1.0 - (2.0 * (t_n1 / (t_n1 + 2.0 * t_n2))) * (t_n2 / t_n1)
+               AS rtd1,
+             2.0 - (3.0 * (t_n1 / (t_n1 + 2.0 * t_n2))) * (t_n3 / t_n2)
+               AS rtd2,
+             3.0 - (4.0 * (t_n1 / (t_n1 + 2.0 * t_n2))) * (t_n4 / t_n3)
+               AS rtd3,
+             1.0 - (2.0 * (b_n1 / (b_n1 + 2.0 * b_n2))) * (b_n2 / b_n1)
+               AS rbd1,
+             2.0 - (3.0 * (b_n1 / (b_n1 + 2.0 * b_n2))) * (b_n3 / b_n2)
+               AS rbd2,
+             3.0 - (4.0 * (b_n1 / (b_n1 + 2.0 * b_n2))) * (b_n4 / b_n3)
+               AS rbd3
+           FROM tcoc CROSS JOIN bcoc),
+         disc AS (
+           SELECT
+             CASE WHEN t_n1 > 0 AND t_n2 > 0 AND t_n3 > 0 AND t_n4 > 0
+                   AND rtd1 > 0.0 AND rtd2 > 0.0 AND rtd3 > 0.0
+                  THEN rtd1 ELSE 0.75 END AS td1,
+             CASE WHEN t_n1 > 0 AND t_n2 > 0 AND t_n3 > 0 AND t_n4 > 0
+                   AND rtd1 > 0.0 AND rtd2 > 0.0 AND rtd3 > 0.0
+                  THEN rtd2 ELSE 0.75 END AS td2,
+             CASE WHEN t_n1 > 0 AND t_n2 > 0 AND t_n3 > 0 AND t_n4 > 0
+                   AND rtd1 > 0.0 AND rtd2 > 0.0 AND rtd3 > 0.0
+                  THEN rtd3 ELSE 0.75 END AS td3,
+             CASE WHEN b_n1 > 0 AND b_n2 > 0 AND b_n3 > 0 AND b_n4 > 0
+                   AND rbd1 > 0.0 AND rbd2 > 0.0 AND rbd3 > 0.0
+                  THEN rbd1 ELSE 0.75 END AS bd1,
+             CASE WHEN b_n1 > 0 AND b_n2 > 0 AND b_n3 > 0 AND b_n4 > 0
+                   AND rbd1 > 0.0 AND rbd2 > 0.0 AND rbd3 > 0.0
+                  THEN rbd2 ELSE 0.75 END AS bd2,
+             CASE WHEN b_n1 > 0 AND b_n2 > 0 AND b_n3 > 0 AND b_n4 > 0
+                   AND rbd1 > 0.0 AND rbd2 > 0.0 AND rbd3 > 0.0
+                  THEN rbd3 ELSE 0.75 END AS bd3
+           FROM rawd),
+         sca AS (SELECT (SELECT sum(cu) FROM contu) AS b,
+                        (SELECT count(*) FROM contu) AS wtypes,
+                        (SELECT count(DISTINCT tk) FROM
+                          (SELECT unnest(w) AS tk FROM tws) u) AS v),
+         str AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM ws) p),
+         joined AS (
+           SELECT s.doc_id, tri.c3, ctx2.cctx, ctx2.tn1, ctx2.tn2,
+             ctx2.tn3, contb.cb, mid.nmid, mid.bn1, mid.bn2, mid.bn3,
+             contu.cu, sca.b, sca.wtypes, sca.v,
+             disc.td1, disc.td2, disc.td3, disc.bd1, disc.bd2, disc.bd3
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN ctx2 ON s.w1 = ctx2.w1 AND s.w2 = ctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN mid ON s.w2 = mid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca CROSS JOIN disc),
+         p1t AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM joined),
+         p2t AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (CASE WHEN cb IS NULL THEN 0.0
+                           ELSE greatest(cb - (CASE WHEN cb = 1 THEN bd1
+                             WHEN cb = 2 THEN bd2 ELSE bd3 END), 0.0) END
+                     + (bd1 * bn1 + bd2 * bn2 + bd3 * bn3) * p1) / nmid
+                   END AS p2 FROM p1t),
+         p3t AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (CASE WHEN c3 IS NULL THEN 0.0
+                           ELSE greatest(c3 - (CASE WHEN c3 = 1 THEN td1
+                             WHEN c3 = 2 THEN td2 ELSE td3 END), 0.0) END
+                     + (td1 * tn1 + td2 * tn2 + td3 * tn3) * p2) / cctx
+                   END AS p3 FROM p2t),
          sc AS (
            SELECT doc_id, count(*) AS n_trigrams,
              cast(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS bigint)

@@ -368,7 +368,13 @@ object NgramLm {
       .join(f.mid, Seq("w2"), "left")
       .join(f.contu.withColumnRenamed("w2", "w3"), Seq("w3"), "left")
       .crossJoin(broadcast(f.scalars))
-      .withColumn("__lp", log(p3of(p2of(p1))))
+      // rungs as SEPARATE named columns: inlining p3of(p2of(p1)) copies
+      // the p1 tree into both branches of every enclosing CASE (4× by
+      // the top rung); CollapseProject keeps non-cheap multi-use aliases
+      // un-inlined, so each rung evaluates once per row
+      .withColumn("__p1", p1)
+      .withColumn("__p2", p2of(col("__p1")))
+      .withColumn("__lp", log(p3of(col("__p2"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("n_hit3"),
@@ -401,6 +407,166 @@ object NgramLm {
                      nllKeep: Double = 3.5): DataFrame =
     knScoreWithFrames(target, knFrames(train, idCol, textCol), idCol,
       textCol, discount, nllKeep)
+
+  // ---------------------------------------------------------------------
+  // MODIFIED Kneser-Ney (D31d) — KenLM's actual smoothing (Chen & Goodman
+  // 1999 §3): instead of one fixed discount, each count class gets its
+  // own, ESTIMATED from the count-of-counts of the very table being
+  // discounted — singletons are mostly noise and discount hardest:
+  //   Y  = n1/(n1 + 2·n2)
+  //   D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,  D3+ = 3 − 4Y·n4/n3
+  // applied as D(c) = D1/D2/D3+ for c = 1 / 2 / ≥3, with the
+  // interpolation weight carrying exactly the discounted mass:
+  //   λ(ctx) = (D1·N1(ctx) + D2·N2(ctx) + D3+·N3+(ctx)) / c(ctx)
+  // where Nk(ctx) counts the w3 types whose count is in class k — so
+  // every rung stays a PROPER distribution (Σ_w3 p = 1, the spec
+  // property). The trigram rung discounts raw counts with discounts from
+  // the raw count-of-counts; the middle rung discounts continuation
+  // counts with discounts from THEIR count-of-counts; the unigram rung
+  // keeps [[knFrames]]'s 1/V-interpolated continuation form (fixed 0.75
+  // — the rung carries ~no mass and KenLM's unigram handling is likewise
+  // simplified). Estimated discounts can be degenerate on small or
+  // unusual corpora (a zero count-of-count, or a negative D2/D3+ when
+  // n3/n2 or n4/n3 is large — then λ could go negative and ln(p) NaN):
+  // the standard guard falls back to the fixed-0.75 ladder for that
+  // rung, mirrored verbatim in the oracle's CASE. Count-of-counts are
+  // two 4-scalar aggregates over the already-built type tables — the
+  // model costs ONE extra pass over each (bounded) table, nothing over
+  // the corpus.
+  // ---------------------------------------------------------------------
+
+  /** `tDisc`/`bDisc` are the (D1, D2, D3+) discount triples for the
+    * trigram and continuation rungs — MODEL CONSTANTS, computed once at
+    * frame-build time from the count-of-counts (a bounded 1-row collect,
+    * the KenLM shape: discounts ship inside the model file). Embedding
+    * them as literals keeps the scoring expression the same size as the
+    * fixed-D ladder's — the per-row CASE-tree form measured a ~5×
+    * heavier data term at sf1. */
+  final case class MknFrames(tri: DataFrame, ctx2: DataFrame,
+                             contb: DataFrame, mid: DataFrame,
+                             contu: DataFrame, scalars: DataFrame,
+                             tDisc: (Double, Double, Double),
+                             bDisc: (Double, Double, Double))
+
+  def mknFrames(train: DataFrame, idCol: String, textCol: String): MknFrames = {
+    val tri = Dedup.persistTracked(
+      trigrams(train, idCol, textCol)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    // context margins + per-class type counts N1/N2/N3+(w1w2·)
+    val ctx2 = tri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("cctx"),
+        sum(when(col("c3") === 1L, 1L).otherwise(0L)).as("tn1"),
+        sum(when(col("c3") === 2L, 1L).otherwise(0L)).as("tn2"),
+        sum(when(col("c3") >= 3L, 1L).otherwise(0L)).as("tn3"))
+    val contb = Dedup.persistTracked(
+      tri.groupBy("w2", "w3").agg(count(lit(1)).as("cb")))
+    val mid = contb.groupBy("w2")
+      .agg(sum(col("cb")).as("nmid"),
+        sum(when(col("cb") === 1L, 1L).otherwise(0L)).as("bn1"),
+        sum(when(col("cb") === 2L, 1L).otherwise(0L)).as("bn2"),
+        sum(when(col("cb") >= 3L, 1L).otherwise(0L)).as("bn3"))
+    val bt = Dedup.persistTracked(
+      bigrams(train, idCol, textCol).select("w1", "w2").distinct())
+    val contu = bt.groupBy("w2").agg(count(lit(1)).as("cu"))
+    // count-of-counts → discounts, ONCE, driver-side (two bounded 1-row
+    // collects over the persisted type tables — materializing them here
+    // also means every later consumer reads the cache)
+    val tDisc = discountsOf(tri.groupBy("c3").agg(count(lit(1)).as("n"))
+      .filter(col("c3").between(1L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val bDisc = discountsOf(contb.groupBy("cb").agg(count(lit(1)).as("n"))
+      .filter(col("cb").between(1L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val scalars = contu.agg(sum(col("cu")).as("b"), count(lit(1)).as("wtypes"))
+      .crossJoin(broadcast(
+        train.select(explode(toks(col(textCol))).as("w"))
+          .agg(countDistinct(col("w")).as("v"))))
+    MknFrames(tri, ctx2, contb, mid, contu, scalars, tDisc, bDisc)
+  }
+
+  /** The three per-class discounts from a {count → count-of-count} map,
+    * with the degenerate-estimate guard (any empty class or non-positive
+    * estimate → the fixed-0.75 ladder for the whole rung). Plain-double
+    * arithmetic with the SAME grouping the oracle replays in SQL —
+    * identical IEEE results. */
+  private def discountsOf(coc: Map[Long, Long]): (Double, Double, Double) = {
+    val n1 = coc.getOrElse(1L, 0L); val n2 = coc.getOrElse(2L, 0L)
+    val n3 = coc.getOrElse(3L, 0L); val n4 = coc.getOrElse(4L, 0L)
+    if (n1 == 0L || n2 == 0L || n3 == 0L || n4 == 0L) (0.75, 0.75, 0.75)
+    else {
+      val y = n1 / (n1 + 2.0 * n2)
+      val d1 = 1.0 - (2.0 * y) * (n2.toDouble / n1)
+      val d2 = 2.0 - (3.0 * y) * (n3.toDouble / n2)
+      val d3 = 3.0 - (4.0 * y) * (n4.toDouble / n3)
+      if (d1 > 0.0 && d2 > 0.0 && d3 > 0.0) (d1, d2, d3)
+      else (0.75, 0.75, 0.75)
+    }
+  }
+
+  /** Per-doc MODIFIED-KN trigram score against prebuilt frames — the
+    * [[knScoreWithFrames]] ladder with per-class estimated discounts at
+    * the trigram and continuation-bigram rungs. Same output schema and
+    * engine-exactness discipline. */
+  def mknScoreWithFrames(target: DataFrame, f: MknFrames, idCol: String,
+                         textCol: String,
+                         nllKeep: Double = 3.5): DataFrame = {
+    val (td1, td2, td3) = (lit(f.tDisc._1), lit(f.tDisc._2), lit(f.tDisc._3))
+    val (bd1, bd2, bd3) = (lit(f.bDisc._1), lit(f.bDisc._2), lit(f.bDisc._3))
+    val p1 = (greatest(coalesce(col("cu"), lit(0L)) - lit(0.75), lit(0.0))
+      + (lit(0.75) * col("wtypes")) / col("v")) / col("b")
+    val dOf = (c: Column, d1: Column, d2: Column, d3: Column) =>
+      when(c === 1L, d1).when(c === 2L, d2).otherwise(d3)
+    val p2of = (p1c: Column) => when(col("nmid").isNull, p1c)
+      .otherwise((
+        when(col("cb").isNull, lit(0.0))
+          .otherwise(greatest(col("cb") - dOf(col("cb"), bd1, bd2, bd3),
+            lit(0.0)))
+          + (bd1 * col("bn1") + bd2 * col("bn2") + bd3 * col("bn3")) * p1c)
+        / col("nmid"))
+    val p3of = (p2c: Column) => when(col("cctx").isNull, p2c)
+      .otherwise((
+        when(col("c3").isNull, lit(0.0))
+          .otherwise(greatest(col("c3") - dOf(col("c3"), td1, td2, td3),
+            lit(0.0)))
+          + (td1 * col("tn1") + td2 * col("tn2") + td3 * col("tn3")) * p2c)
+        / col("cctx"))
+    val scored = trigrams(target, idCol, textCol)
+      .join(f.tri, Seq("w1", "w2", "w3"), "left")
+      .join(f.ctx2, Seq("w1", "w2"), "left")
+      .join(f.contb, Seq("w2", "w3"), "left")
+      .join(f.mid, Seq("w2"), "left")
+      .join(f.contu.withColumnRenamed("w2", "w3"), Seq("w3"), "left")
+      .crossJoin(broadcast(f.scalars))
+      // separate named rungs — the knScoreWithFrames expression-growth
+      // note; doubly important here where each rung carries the
+      // discount CASE trees
+      .withColumn("__p1", p1)
+      .withColumn("__p2", p2of(col("__p1")))
+      .withColumn("__lp", log(p3of(col("__p2"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("cb").isNotNull, 1L).otherwise(0L)).as("n_hit2"),
+        round(sum(col("__lp")), 4).as("logprob_sum"))
+      .withColumn("__p4", round(-col("logprob_sum") * 10000).cast("long"))
+      .withColumn("avg_nll",
+        expr("(__p4 * 2 + n_trigrams) div (n_trigrams * 2)")
+          .cast("double") / 10000.0)
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+    target.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_hit3"), lit(0L)).as("n_hit3"),
+        coalesce(col("n_hit2"), lit(0L)).as("n_hit2"),
+        col("logprob_sum"), col("avg_nll"), col("ppl"),
+        coalesce(col("avg_nll") <= lit(nllKeep), lit(false)).as("keep"))
+  }
+
+  def mknScoreAgainst(train: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, nllKeep: Double = 3.5): DataFrame =
+    mknScoreWithFrames(target, mknFrames(train, idCol, textCol), idCol,
+      textCol, nllKeep)
 
   /** The model's head — top-N bigrams by count (ties broken (w1, w2)):
     * the inspection query a pipeline dashboards to sanity-check what the

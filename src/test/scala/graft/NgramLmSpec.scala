@@ -145,6 +145,51 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(got(12L)._1 === 1L)
   }
 
+  test("mknScoreAgainst: degenerate count-of-counts fall back to the fixed-0.75 ladder") {
+    // tiny corpus → zero n3/n4 classes at both rungs → every estimated
+    // discount is invalid → modified KN must equal plain KN row-for-row
+    // (with all classes at 0.75 the class-picked discount and the
+    // discounted-mass lambda collapse to the fixed-D formulas)
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b c"), (11L, "a b z"), (12L, "z z a"))
+      .toDF("doc_id", "text")
+    val kn = NgramLm.knScoreAgainst(train, target, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val mkn = NgramLm.mknScoreAgainst(train, target, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(mkn.toSeq === kn.toSeq)
+  }
+
+  test("mkn distribution sums to 1 with ACTIVE estimated discounts") {
+    // trigram counts spanning classes 1..4 (each phrase-doc repeated k
+    // times) → n1=n2=n3=n4=1, Y=1/3, D1=1/3, D2=1, D3+=5/3 — all valid,
+    // so the trigram rung runs the ESTIMATED ladder (the middle rung's
+    // continuation counts are all 1 → it falls back, which is fine) —
+    // and the per-class discounted mass must still leave a proper
+    // distribution: Σ_w3∈V p(w3 | s,t) = 1.
+    val phrases = Seq(
+      ("p q r", 1), ("s t u", 2), ("v w x", 3), ("y z a", 4))
+    val train = phrases.zipWithIndex.flatMap { case ((t, k), i) =>
+      (0 until k).map(j => (i * 10L + j, t))
+    }.toDF("doc_id", "text")
+    val vocab = phrases.flatMap(_._1.split(" ")).distinct
+    val target = vocab.zipWithIndex
+      .map { case (w, i) => (100L + i, s"s t $w") }.toDF("doc_id", "text")
+    val scored = NgramLm.mknScoreAgainst(train, target, "doc_id", "text")
+      .select("logprob_sum").as[Double].collect().map(math.exp)
+    assert(scored.length === vocab.length)
+    assert(math.abs(scored.sum - 1.0) < 2e-3, s"sum=${scored.sum}")
+    // and the estimation is ACTIVE: the seen trigram's probability
+    // differs from the fixed-0.75 ladder's
+    val mkn1 = NgramLm.mknScoreAgainst(train,
+        Seq((200L, "s t u")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("logprob_sum").as[Double].collect().head
+    val kn1 = NgramLm.knScoreAgainst(train,
+        Seq((200L, "s t u")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("logprob_sum").as[Double].collect().head
+    assert(mkn1 !== kn1, "estimated discounts should move the score")
+  }
+
   test("knScoreAgainst is partitioning-invariant") {
     val train = docs.filter(col("doc_id") <= 3)
     val base = NgramLm.knScoreAgainst(train, docs, "doc_id", "text")
