@@ -52,6 +52,7 @@ private[graft] object EntryOps {
     * one-time build and the rest score against the memo. */
   def clearSessionMemos(s: SparkSession): Unit = {
     modelCache.clear(s); bpeMergeCache.clear(s); unigramCache.clear(s)
+    wordpieceCache.clear(s)
     dsirRatioCache.clear(s); qualityWeightsCache.clear(s)
   }
 
@@ -86,6 +87,16 @@ private[graft] object EntryOps {
                                     vocabSize: Int): Seq[graft.functions.Unigram.Piece] =
     unigramCache.getOrElseUpdate(s, (d, vocabSize))(
       graft.functions.Unigram.train(Tables.documents(s, d), "text", vocabSize))
+
+  /** One WordPiece vocabulary training per (session, dir, numMerges) —
+    * the same skinny-artifact memo as the other two tokenizer families;
+    * the cached value is the (piece, id) list, one plan literal. */
+  private[graft] val wordpieceCache =
+    new SessionMemo[(String, Int), Seq[graft.functions.WordPiece.Piece]]
+  private[graft] def trainedWordPiece(s: SparkSession, d: String,
+                                      numMerges: Int): Seq[graft.functions.WordPiece.Piece] =
+    wordpieceCache.getOrElseUpdate(s, (d, numMerges))(
+      graft.functions.WordPiece.train(Tables.documents(s, d), "text", numMerges))
 
   /** One DSIR ratio-table estimation per (session, dir): the model is a
     * dense 1024-row (bucket, logratio) list — skinny driver data, the

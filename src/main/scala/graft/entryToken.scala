@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Bpe, Unigram}
+import graft.functions.{Bpe, Unigram, WordPiece}
 import graft.ml.FatalityModel
 import graft.operators._
 import graft.sources.{Jsonl, Sink, Tables}
@@ -19,6 +19,95 @@ import EntryOps._
   * contract file stops being the single merge bottleneck. Entry text is
   * unchanged from the monolithic registration. */
 private[graft] object TokenEntries {
+
+  /** [GOLDEN @ gate corpus: sf0.01 — re-derive on SF change by dumping
+    * the Spark side] the trained WordPiece vocabulary as (id, piece)
+    * VALUES rows: the 39 alphabet forms observed in the capped dict
+    * (word-initial chars bare, continuation chars ##-marked) plus the 16
+    * likelihood-ratio merges (##bl ##ch ##in ##sh ag agg bi big fi li
+    * lin qu th wi win wind), ids = code-point lexicographic rank from 1
+    * (0 is the implicit [UNK]). Shared by the four wordpiece oracles —
+    * trainer drift anywhere (alphabet collection, ratio comparison,
+    * tie-break, id ranking) flips every one of them red. */
+  private val wpVocabValues: String =
+    """(1,'##a'),(2,'##b'),(3,'##bl'),(4,'##c'),(5,'##ch'),(6,'##d'),
+           (7,'##e'),(8,'##g'),(9,'##h'),(10,'##i'),(11,'##in'),(12,'##k'),
+           (13,'##l'),(14,'##m'),(15,'##n'),(16,'##o'),(17,'##p'),(18,'##r'),
+           (19,'##s'),(20,'##sh'),(21,'##t'),(22,'##u'),(23,'##w'),(24,'##y'),
+           (25,'a'),(26,'ag'),(27,'agg'),(28,'b'),(29,'bi'),(30,'big'),
+           (31,'c'),(32,'d'),(33,'f'),(34,'fi'),(35,'g'),(36,'h'),(37,'j'),
+           (38,'k'),(39,'l'),(40,'li'),(41,'lin'),(42,'m'),(43,'o'),(44,'p'),
+           (45,'q'),(46,'qu'),(47,'r'),(48,'s'),(49,'t'),(50,'th'),(51,'v'),
+           (52,'w'),(53,'wi'),(54,'win'),(55,'wind')"""
+
+  /** The WordPiece greedy longest-match-first walk replayed in DuckDB —
+    * shared prefix of the encode/decode/fertility oracles. Per DISTINCT
+    * word, a recursive CTE advances one matched piece per step: six
+    * per-length vocab LEFT JOINs (lengths 6..1, the kernel's MaxPieceLen
+    * cap) probe the remaining text — continuation positions (pos > 0)
+    * probe with the '##' marker prepended, exactly the kernel's key — and
+    * the CASE ladder takes the LONGEST hit (greedy, deliberately not the
+    * unigram Viterbi). A step with NO hit marks the word failed and its
+    * ids become [0]: the whole-word [UNK] rule (never a partial prefix).
+    * `corpusCte` supplies the corpus rows (planted docs vary per query);
+    * exposes wordpos(doc_id, widx, w) and wtok(w, ids, failed). */
+  private def wpGreedyCtes(corpusCte: String): String =
+    s"""WITH RECURSIVE
+         vocab AS (SELECT * FROM (VALUES
+           $wpVocabValues
+         ) v(id, piece)),
+         corpus AS ($corpusCte),
+         wordpos AS (
+           SELECT doc_id, widx, w FROM (
+             SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                    unnest(ws) AS w
+             FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                   FROM corpus) u0) u
+           WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM wordpos),
+         greedy AS (
+           SELECT w, length(w) AS len, CAST(0 AS BIGINT) AS pos,
+             CAST([] AS BIGINT[]) AS ids, FALSE AS failed
+           FROM dw
+           UNION ALL
+           SELECT r.w, r.len,
+             CASE WHEN v6.id IS NOT NULL THEN r.pos + 6
+                  WHEN v5.id IS NOT NULL THEN r.pos + 5
+                  WHEN v4.id IS NOT NULL THEN r.pos + 4
+                  WHEN v3.id IS NOT NULL THEN r.pos + 3
+                  WHEN v2.id IS NOT NULL THEN r.pos + 2
+                  WHEN v1.id IS NOT NULL THEN r.pos + 1
+                  ELSE r.len END,
+             CASE WHEN v6.id IS NOT NULL THEN list_append(r.ids, CAST(v6.id AS BIGINT))
+                  WHEN v5.id IS NOT NULL THEN list_append(r.ids, CAST(v5.id AS BIGINT))
+                  WHEN v4.id IS NOT NULL THEN list_append(r.ids, CAST(v4.id AS BIGINT))
+                  WHEN v3.id IS NOT NULL THEN list_append(r.ids, CAST(v3.id AS BIGINT))
+                  WHEN v2.id IS NOT NULL THEN list_append(r.ids, CAST(v2.id AS BIGINT))
+                  WHEN v1.id IS NOT NULL THEN list_append(r.ids, CAST(v1.id AS BIGINT))
+                  ELSE CAST([0] AS BIGINT[]) END,
+             v6.id IS NULL AND v5.id IS NULL AND v4.id IS NULL
+               AND v3.id IS NULL AND v2.id IS NULL AND v1.id IS NULL
+           FROM greedy r
+           LEFT JOIN vocab v6 ON r.len - r.pos >= 6 AND v6.piece =
+             CASE WHEN r.pos = 0 THEN substr(r.w, 1, 6)
+                  ELSE '##' || substr(r.w, r.pos + 1, 6) END
+           LEFT JOIN vocab v5 ON r.len - r.pos >= 5 AND v5.piece =
+             CASE WHEN r.pos = 0 THEN substr(r.w, 1, 5)
+                  ELSE '##' || substr(r.w, r.pos + 1, 5) END
+           LEFT JOIN vocab v4 ON r.len - r.pos >= 4 AND v4.piece =
+             CASE WHEN r.pos = 0 THEN substr(r.w, 1, 4)
+                  ELSE '##' || substr(r.w, r.pos + 1, 4) END
+           LEFT JOIN vocab v3 ON r.len - r.pos >= 3 AND v3.piece =
+             CASE WHEN r.pos = 0 THEN substr(r.w, 1, 3)
+                  ELSE '##' || substr(r.w, r.pos + 1, 3) END
+           LEFT JOIN vocab v2 ON r.len - r.pos >= 2 AND v2.piece =
+             CASE WHEN r.pos = 0 THEN substr(r.w, 1, 2)
+                  ELSE '##' || substr(r.w, r.pos + 1, 2) END
+           LEFT JOIN vocab v1 ON v1.piece =
+             CASE WHEN r.pos = 0 THEN substr(r.w, 1, 1)
+                  ELSE '##' || substr(r.w, r.pos + 1, 1) END
+           WHERE r.pos < r.len AND NOT r.failed),
+         wtok AS (SELECT w, ids, failed FROM greedy WHERE pos = len)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> ((s, d) => {
@@ -224,6 +313,100 @@ private[graft] object TokenEntries {
           Unigram.decodeCol(Unigram.encodeCol(col("text"), model), model)
             .as("decoded"))
     }),
+    "wordpiece_vocab" -> ((s, d) => {
+      // The THIRD tokenizer family's trained artifact (Schuster &
+      // Nakajima 2012; BERT's tokenizer): the observed alphabet
+      // (word-initial chars bare, continuation chars ##-marked) plus 16
+      // likelihood-ratio merges — score n_ab/(n_a·n_b), compared by
+      // exact integer cross-multiplication, ties to the code-point-
+      // smallest pair — with code-point-rank ids from 1 (0 = [UNK]).
+      // Trained rows pinned as golden VALUES (the bpe_merges/
+      // unigram_vocab convention): trainer drift anywhere flips it red.
+      import s.implicits._
+      ((0L, WordPiece.UnkPiece) +:
+        trainedWordPiece(s, d, 16).map(p => (p.id, p.piece)))
+        .toDF("piece_id", "piece")
+    }),
+    "wordpiece_encode" -> ((s, d) => {
+      // WordPiece SEGMENTATION as id sequences: greedy longest-match-
+      // first per word (continuation positions probe with '##'), whole
+      // word → [UNK] when any position has no match — the production
+      // BERT inference rule, deliberately NOT Viterbi. Exploded to
+      // (doc_id, pos, piece_id); the oracle replays the greedy walk
+      // itself (per-length vocab joins + a longest-hit CASE ladder in a
+      // recursive CTE). Planted docs force the paths the covered corpus
+      // can't: novel words over seen chars (real multi-piece greedy,
+      // not memorized whole words), an unseen-script word (whole-word
+      // [UNK]), and a word that matches a prefix then fails midway —
+      // the partial match must be DISCARDED, not emitted.
+      import s.implicits._
+      val model = trainedWordPiece(s, d, 16)
+      val planted = Seq(
+        (9200001L, "bigwindow joinkey"),
+        (9200002L, "αβγ big"),
+        (9200003L, "bigπ scan"))
+        .toDF("doc_id", "text")
+      Tables.documents(s, d).select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          posexplode(WordPiece.encodeCol(col("text"), model)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("piece_id"))
+    }),
+    "wordpiece_decode" -> ((s, d) => {
+      // the WordPiece roundtrip — and the family's documented LOSSINESS:
+      // pieces are substrings (markers stripped on decode), so a fully
+      // covered word roundtrips exactly, but an UNK'd word comes back as
+      // the literal '[UNK]' — the production detokenizer behavior, the
+      // deliberate contrast with unigram's byte fallback (D26d) and
+      // byte-level BPE's total coverage (D26b). Planted unseen-script
+      // docs make the [UNK] arm non-vacuous; the oracle recomputes both
+      // arms from the greedy walk, independent of the decode kernel.
+      import s.implicits._
+      val model = trainedWordPiece(s, d, 16)
+      val planted = Seq(
+        (9200002L, "αβγ big"),
+        (9200003L, "bigπ scan"))
+        .toDF("doc_id", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          WordPiece.decodeCol(
+            WordPiece.encodeCol(col("text"), model), model)
+            .as("decoded"))
+    }),
+    "wordpiece_fertility" -> ((s, d) => {
+      // the fertility census for the THIRD family — the bake-off table
+      // beside bpe_fertility and unigram_fertility, plus the column the
+      // other two can't have: n_unk_words, the count of words the
+      // tokenizer DESTROYED (WordPiece's lossy OOV discipline made
+      // measurable). Planted Greek docs under a fresh lang make the UNK
+      // column non-vacuous on the fully-covered gate corpus. Ratios off
+      // exact integer sums; one map-side-combined agg to O(|langs|).
+      import s.implicits._
+      val model = trainedWordPiece(s, d, 16)
+      val planted = Seq(
+        (9200011L, "el", "αβγ δεζ big"),
+        (9200012L, "el", "πλ table"))
+        .toDF("doc_id", "lang", "text")
+      Tables.documents(s, d).select("doc_id", "lang", "text")
+        .unionByName(planted)
+        .select(col("lang"),
+          WordPiece.encodeCol(col("text"), model).as("ids"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_w"))
+        .select(col("lang"), size(col("ids")).cast("long").as("n_tok"),
+          size(filter(col("ids"), x => x === 0L)).cast("long").as("n_unk"),
+          col("n_w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_w")).as("n_words"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_unk")).as("n_unk_words"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_unk_words"),
+          round(col("n_tokens") / when(col("n_words") =!= 0, col("n_words")), 4)
+            .as("pieces_per_word"))
+    }),
     "bpe_decode" -> ((s, d) => {
       // The DECODE half closing the tokenizer roundtrip: ids → UTF-8
       // bytes → text. encode keeps no end-of-word marker (documented
@@ -358,6 +541,57 @@ private[graft] object TokenEntries {
         .groupBy("shard", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
     }),
+    "seq_packing_bfd" -> ((s, d) => {
+      // Best-fit-decreasing packing (D16b, Johnson 1973's BFD —
+      // "sorted packing" in the training-data literature): largest-first
+      // within each shard, each doc into the FULLEST open sequence it
+      // fits (ties to the smallest seq_id). Unlike greedy seq_packing
+      // (xxhash shards → rows-only), this one runs on the REPLAYABLE
+      // md5-prefix shard routing so the full per-doc assignment is
+      // second-engine-checked: the oracle re-runs the best-fit scan as a
+      // recursive CTE carrying the open-bin load list, with
+      // list_max∘list_filter picking the same fullest-that-fits bin and
+      // list_position the same smallest-seq tie-break.
+      val toks = TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      val shardCol = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 4
+      Packing.packBestFit(toks, "doc_id", "ws_tokens",
+          budget = 128, shards = 4, shardOn = Some(shardCol))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"), col("seq_id"))
+    }),
+    "packing_efficiency" -> ((s, d) => {
+      // The padding-waste census every pretraining loader publishes —
+      // the decision table for the packer choice: both packers run on
+      // the SAME token counts, budget, and (replayable) shard routing,
+      // and the census reports bins, padding slots (Σ per-bin
+      // budget − used accounting slots), and utilization per strategy.
+      // At the gate corpus BFD buys its textbook win over the id-order
+      // greedy scan; the oracle replays BOTH packers end to end plus
+      // the rollup, so a drift in either state machine flips the gate.
+      // Utilization derives from the exact integer sums (both engines
+      // divide identical numbers).
+      val budget = 128L
+      val toks = TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      val shardCol = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 4
+      def census(assigned: DataFrame, strategy: String): DataFrame =
+        assigned
+          .groupBy("shard", "seq_id")
+          .agg(sum(least(col("n_tokens"), lit(budget))).as("used"),
+            count(lit(1)).as("nd"), sum("n_tokens").as("nt"))
+          .agg(count(lit(1)).as("n_seqs"), sum("nd").as("n_docs"),
+            sum("nt").as("total_tokens"),
+            (count(lit(1)) * lit(budget) - sum("used")).as("padding_tokens"))
+          .select(lit(strategy).as("strategy"), col("n_seqs"), col("n_docs"),
+            col("total_tokens"), col("padding_tokens"),
+            round((col("n_seqs") * lit(budget) - col("padding_tokens")) /
+              (col("n_seqs") * lit(budget) * lit(1.0)), 4).as("utilization"))
+      census(Packing.packSequences(toks, "doc_id", "ws_tokens",
+          budget, shards = 4, shardOn = Some(shardCol)), "greedy")
+        .unionByName(census(Packing.packBestFit(toks, "doc_id", "ws_tokens",
+          budget, shards = 4, shardOn = Some(shardCol)), "bfd"))
+    }),
     "seq_packing_check" -> ((s, d) => {
       // Invariant oracle for the packer, second-engine-pinned where a
       // second engine CAN pin it: DuckDB independently recomputes the
@@ -412,6 +646,130 @@ private[graft] object TokenEntries {
            AS total_tokens,
            TRUE AS budget_ok, TRUE AS bins_ok
          FROM documents""",
+    "seq_packing_bfd" ->
+      // the best-fit-decreasing scan replayed END TO END: same ws token
+      // counts, same md5-prefix shard routing, docs ordered (n DESC,
+      // doc_id) per shard, and a recursive CTE carrying the open-bin
+      // LOAD LIST — list_max∘list_filter picks the fullest bin with
+      // room (the TreeMap floorEntry), list_position its smallest
+      // seq_id (first occurrence = creation order), a miss appends a
+      // new bin whose seq is the current bin count. Every per-doc
+      // assignment crosses the engine hash.
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM documents),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
+               AS rn
+           FROM toks),
+         bfd AS (
+           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+             [LEAST(n, 128)] AS loads
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.rn, o.doc_id, o.n,
+             CASE WHEN list_max(list_filter(p.loads,
+                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
+                  THEN CAST(len(p.loads) AS BIGINT)
+                  ELSE CAST(list_position(p.loads,
+                    list_max(list_filter(p.loads,
+                      x -> x <= 128 - LEAST(o.n, 128)))) - 1 AS BIGINT) END,
+             CASE WHEN list_max(list_filter(p.loads,
+                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
+                  THEN list_append(p.loads, LEAST(o.n, 128))
+                  ELSE p.loads[1:list_position(p.loads,
+                         list_max(list_filter(p.loads,
+                           x -> x <= 128 - LEAST(o.n, 128)))) - 1]
+                    || [list_max(list_filter(p.loads,
+                         x -> x <= 128 - LEAST(o.n, 128))) + LEAST(o.n, 128)]
+                    || p.loads[list_position(p.loads,
+                         list_max(list_filter(p.loads,
+                           x -> x <= 128 - LEAST(o.n, 128)))) + 1:] END
+           FROM bfd p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         SELECT doc_id, n AS n_tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(seq AS BIGINT) AS seq_id
+         FROM bfd""",
+    "packing_efficiency" ->
+      // BOTH packers replayed (the greedy id-order state machine copied
+      // from the packed_token_stream oracle — raw-n overflow test,
+      // LEAST increment — and the best-fit load-list recursion above),
+      // then the same integer census: bins, padding slots, utilization
+      // from the identical division
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard
+           FROM documents),
+         gordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM toks),
+         gpack AS (
+           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+             LEAST(n, 128) AS used
+           FROM gordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.rn, o.doc_id, o.n,
+             CASE WHEN p.used + o.n > 128 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n > 128 THEN LEAST(o.n, 128)
+                  ELSE p.used + LEAST(o.n, 128) END
+           FROM gpack p JOIN gordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         bordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
+               AS rn
+           FROM toks),
+         bfd AS (
+           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+             [LEAST(n, 128)] AS loads
+           FROM bordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.rn, o.doc_id, o.n,
+             CASE WHEN list_max(list_filter(p.loads,
+                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
+                  THEN CAST(len(p.loads) AS BIGINT)
+                  ELSE CAST(list_position(p.loads,
+                    list_max(list_filter(p.loads,
+                      x -> x <= 128 - LEAST(o.n, 128)))) - 1 AS BIGINT) END,
+             CASE WHEN list_max(list_filter(p.loads,
+                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
+                  THEN list_append(p.loads, LEAST(o.n, 128))
+                  ELSE p.loads[1:list_position(p.loads,
+                         list_max(list_filter(p.loads,
+                           x -> x <= 128 - LEAST(o.n, 128)))) - 1]
+                    || [list_max(list_filter(p.loads,
+                         x -> x <= 128 - LEAST(o.n, 128))) + LEAST(o.n, 128)]
+                    || p.loads[list_position(p.loads,
+                         list_max(list_filter(p.loads,
+                           x -> x <= 128 - LEAST(o.n, 128)))) + 1:] END
+           FROM bfd p JOIN bordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+         bins AS (
+           SELECT 'greedy' AS strategy, shard, seq,
+             sum(LEAST(n, 128)) AS used, count(*) AS nd, sum(n) AS nt
+           FROM gpack GROUP BY 1, 2, 3
+           UNION ALL
+           SELECT 'bfd' AS strategy, shard, seq,
+             sum(LEAST(n, 128)) AS used, count(*) AS nd, sum(n) AS nt
+           FROM bfd GROUP BY 1, 2, 3),
+         census AS (
+           SELECT strategy, CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(nd) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS total_tokens,
+             CAST(count(*) * 128 - sum(used) AS BIGINT) AS padding_tokens
+           FROM bins GROUP BY 1)
+         SELECT strategy, n_seqs, n_docs, total_tokens, padding_tokens,
+           round((n_seqs * 128 - padding_tokens) / (1.0 * n_seqs * 128), 4)
+             AS utilization
+         FROM census""",
     "chunk_docs" ->
       // same tokenization, same start sequence 1, 1+24, … capped at
       // n-overlap, same 32-token slices
@@ -897,6 +1255,93 @@ private[graft] object TokenEntries {
              ORDER BY widx, i) - 1 AS BIGINT) AS pos,
            CAST(ids[i] AS BIGINT) AS piece_id
          FROM tok""",
+    "wordpiece_vocab" ->
+      // [GOLDEN @ gate corpus — see wpVocabValues] the pinned trained
+      // vocabulary plus the derived [UNK] row 0 (derived in both
+      // engines, pinned in neither)
+      s"""SELECT CAST(0 AS BIGINT) AS piece_id, '[UNK]' AS piece
+         UNION ALL
+         SELECT CAST(id AS BIGINT), piece FROM (VALUES
+           $wpVocabValues
+         ) v(id, piece)""",
+    "wordpiece_encode" ->
+      // the greedy longest-match walk replayed in DuckDB (wpGreedyCtes:
+      // per distinct word, one matched piece per recursion step via six
+      // per-length vocab joins + a longest-hit CASE ladder; no hit →
+      // whole word [UNK]), then per-doc positions reassembled from word
+      // order — the bpe_encode assembly. Planted docs: novel words over
+      // seen chars, a whole-word-[UNK] Greek word, and a
+      // prefix-match-then-fail word whose partial ids must be discarded.
+      (wpGreedyCtes(
+        """SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9200001, 'bigwindow joinkey'),
+             (9200002, chr(945) || chr(946) || chr(947) || ' big'),
+             (9200003, 'big' || chr(960) || ' scan')
+           ) t(doc_id, text)""") +
+      """, witem AS (
+           SELECT w, generate_subscripts(ids, 1) AS sidx, unnest(ids) AS piece_id
+           FROM wtok)
+         SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+             AS pos,
+           CAST(piece_id AS BIGINT) AS piece_id
+         FROM wordpos JOIN witem USING (w)"""),
+    "wordpiece_decode" ->
+      // both roundtrip arms recomputed from the greedy walk with NO
+      // decode machinery: a word that segments comes back as ITSELF
+      // (pieces are substrings, markers stripped), a failed word as the
+      // literal '[UNK]' — concatenated in word order per doc (empty/
+      // no-word docs LEFT-JOIN to '')
+      (wpGreedyCtes(
+        """SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9200002, chr(945) || chr(946) || chr(947) || ' big'),
+             (9200003, 'big' || chr(960) || ' scan')
+           ) t(doc_id, text)""") +
+      """, wdec AS (
+           SELECT w, CASE WHEN failed THEN '[UNK]' ELSE w END AS dec
+           FROM wtok),
+         perdoc AS (
+           SELECT wp.doc_id, string_agg(x.dec, '' ORDER BY wp.widx) AS decoded
+           FROM wordpos wp JOIN wdec x USING (w) GROUP BY 1)
+         SELECT c.doc_id, coalesce(p.decoded, '') AS decoded
+         FROM corpus c LEFT JOIN perdoc p USING (doc_id)"""),
+    "wordpiece_fertility" ->
+      // the greedy walk again, only the per-word piece count and failed
+      // flag consumed, rolled up per lang exactly like the other two
+      // families' fertility censuses — plus n_unk_words, the words the
+      // tokenizer destroyed. Ratios divide the same exact integer sums.
+      (wpGreedyCtes(
+        """SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9200011, 'el', chr(945) || chr(946) || chr(947) || ' ' ||
+                       chr(948) || chr(949) || chr(950) || ' big'),
+             (9200012, 'el', chr(960) || chr(955) || ' table')
+           ) t(doc_id, lang, text)""") +
+      """, wstat AS (
+           SELECT w, CAST(len(ids) AS BIGINT) AS n_tok,
+             CASE WHEN failed THEN 1 ELSE 0 END AS n_unk
+           FROM wtok),
+         perdoc AS (
+           SELECT wp.doc_id, CAST(sum(t.n_tok) AS BIGINT) AS n_tok,
+             CAST(sum(t.n_unk) AS BIGINT) AS n_unk,
+             CAST(count(*) AS BIGINT) AS n_w
+           FROM wordpos wp JOIN wstat t USING (w) GROUP BY 1),
+         perlang AS (
+           SELECT c.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(p.n_w, 0)) AS BIGINT) AS n_words,
+             CAST(sum(coalesce(p.n_tok, 0)) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(p.n_unk, 0)) AS BIGINT) AS n_unk_words
+           FROM corpus c LEFT JOIN perdoc p USING (doc_id)
+           GROUP BY 1)
+         SELECT lang, n_docs, n_words, n_tokens, n_unk_words,
+           round(n_tokens / (1.0 * nullif(n_words, 0)), 4) AS pieces_per_word
+         FROM perlang"""),
     "bpe_vocab" ->
       // rebuilt from the same pinned merge table bpe_merges gates: 256
       // base-byte rows plus one row per FIRST-occurrence concatenation

@@ -82,7 +82,7 @@ object Unigram {
     * supplementary-plane pieces BELOW U+E000..U+FFFF ones — every
     * vocabulary sort/tie-break here uses this ordering instead so the
     * trained artifact is engine-unambiguous. */
-  private object CodePointOrder extends Ordering[String] {
+  private[functions] object CodePointOrder extends Ordering[String] {
     def compare(a: String, b: String): Int = {
       var i = 0
       var j = 0

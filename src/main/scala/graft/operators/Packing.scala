@@ -77,4 +77,78 @@ object Packing {
       }
     }.toDF("id", "n_tokens", "shard", "seq_id")
   }
+
+  /** Best-fit-decreasing packing (Johnson 1973's BFD — the classic
+    * ≤ 11/9·OPT + 1 offline bin-packing rule; "sorted packing" in the
+    * training-data literature): same contract as [[packSequences]], but
+    * within each shard documents are taken LARGEST-FIRST (ties by id)
+    * and each is placed into the FULLEST already-open sequence it fits
+    * (ties to the smallest seq_id), opening a new sequence only when
+    * none fits. Trades [[packSequences]]' stream-order scan (which
+    * preserves id locality and needs O(1) state) for materially less
+    * padding — the padding-waste census (`packing_efficiency`) measures
+    * the gap on the real corpus; a training loader picks per epoch.
+    *
+    * Fit test: `used + min(n, budget) + perDocOverhead <= budget` — an
+    * oversized doc (n ≥ budget) never fits an open sequence and gets the
+    * same own-sequence overflow contract as the greedy packer (content
+    * is never truncated; hard caps belong upstream in chunk_docs).
+    *
+    * Scale shape: identical to the greedy packer — one skinny row per
+    * doc, shards pack independently in one `mapPartitions` pass. The
+    * open-bin state is a TreeMap keyed by load (best fit = floorEntry),
+    * O(log bins) per doc; bins per shard is bounded by the shard's doc
+    * count, and shard count is the operator's parallelism knob, so at
+    * 100 TB the state per task stays the shard's open-bin set, not the
+    * corpus'. Deterministic for a given (input, shards, budget): the
+    * order and both tie-breaks are total. */
+  def packBestFit(df: DataFrame, idCol: String, tokenCol: String,
+                  budget: Long, shards: Int,
+                  shardOn: Option[org.apache.spark.sql.Column] = None,
+                  perDocOverhead: Long = 0L): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    require(perDocOverhead >= 0, "perDocOverhead must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shardExpr = shardOn
+      .getOrElse(pmod(xxhash64(col(idCol)), lit(shards.toLong)))
+    val prepped = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("n_tokens"),
+        shardExpr.cast("int").as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("id"))
+      .as[(Long, Long, Int)]
+    prepped.mapPartitions { it =>
+      // per-shard best-fit state: load -> ordered open-seq ids at that
+      // load; floorEntry(budget - need) is the fullest sequence with room
+      var loadToSeqs: java.util.TreeMap[Long, java.util.TreeSet[Long]] = null
+      var nextSeq = 0L
+      var cur = Int.MinValue
+      it.map { case (id, n, shard) =>
+        if (shard != cur) {
+          cur = shard
+          loadToSeqs = new java.util.TreeMap[Long, java.util.TreeSet[Long]]
+          nextSeq = 0L
+        }
+        val need = math.min(n, budget) + perDocOverhead
+        val fit = loadToSeqs.floorEntry(budget - need)
+        val seq =
+          if (fit == null) { val s = nextSeq; nextSeq += 1; s }
+          else {
+            val seqs = fit.getValue
+            val s = seqs.first()
+            seqs.remove(s)
+            if (seqs.isEmpty) loadToSeqs.remove(fit.getKey): Unit
+            s
+          }
+        val newLoad = (if (fit == null) 0L else fit.getKey) + need
+        val atLoad = loadToSeqs.computeIfAbsent(newLoad,
+          _ => new java.util.TreeSet[Long])
+        atLoad.add(seq): Unit
+        (id, n, shard, seq)
+      }
+    }.toDF("id", "n_tokens", "shard", "seq_id")
+  }
 }

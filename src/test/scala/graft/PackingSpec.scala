@@ -51,6 +51,81 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(bySeq.values.forall(n => n == 3 || n == 1))
   }
 
+
+  test("packBestFit: textbook win over greedy — perfect packing where greedy wastes a bin") {
+    // sizes 6,5,4,3,2 in id order, budget 10: greedy scans in id order
+    // (6 | 5,4 | 3,2 = 3 bins); BFD takes them largest-first and places
+    // each in the fullest bin with room (6+4, 5+3+2 = 2 FULL bins)
+    val docs = Seq((1L, 6L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 2L)).toDF("doc_id", "tok")
+    import org.apache.spark.sql.functions.lit
+    val greedy = Packing.packSequences(docs, "doc_id", "tok", budget = 10,
+      shards = 1, shardOn = Some(lit(0)))
+      .as[(Long, Long, Int, Long)].collect()
+    val bfd = Packing.packBestFit(docs, "doc_id", "tok", budget = 10,
+      shards = 1, shardOn = Some(lit(0)))
+      .as[(Long, Long, Int, Long)].collect()
+    assert(greedy.map(_._4).distinct.length === 3)
+    assert(bfd.map(_._4).distinct.length === 2)
+    // and the BFD bins are exactly full
+    val loads = bfd.groupBy(_._4).map { case (_, g) => g.map(_._2).sum }
+    assert(loads.forall(_ === 10L))
+    // the assignment itself: largest-first creation order → 6 opens seq 0,
+    // 5 opens seq 1, 4 best-fits seq 0, 3 then 2 best-fit seq 1
+    val bySeq = bfd.map(p => p._1 -> p._4).toMap
+    assert(bySeq === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("packBestFit: fullest-bin rule and smallest-seq tie-break") {
+    // budget 8, sizes 5,5,3: the 3 fits BOTH open bins (load 5 each) —
+    // the tie goes to the smaller seq_id
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 3L)).toDF("doc_id", "tok")
+    import org.apache.spark.sql.functions.lit
+    val bySeq = Packing.packBestFit(docs, "doc_id", "tok", budget = 8,
+      shards = 1, shardOn = Some(lit(0)))
+      .as[(Long, Long, Int, Long)].collect().map(p => p._1 -> p._4).toMap
+    assert(bySeq(3L) === bySeq(1L))
+    assert(bySeq(1L) !== bySeq(2L))
+    // fullest-first fill: the first 2 tops up the open 6 exactly, the
+    // second 2 must open a new bin (not squeeze into the full one)
+    val docs2 = Seq((1L, 6L), (2L, 2L), (3L, 2L)).toDF("doc_id", "tok")
+    val bySeq2 = Packing.packBestFit(docs2, "doc_id", "tok", budget = 8,
+      shards = 1, shardOn = Some(lit(0)))
+      .as[(Long, Long, Int, Long)].collect().map(p => p._1 -> p._4).toMap
+    // largest-first order: 6 (seq 0), then 2 best-fits the 6 (seq 0 full),
+    // then 2 opens seq 1
+    assert(bySeq2 === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("packBestFit: conservation, budget bound, determinism under repartitioning") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 2000).map(i => (i.toLong, 1L + rnd.nextInt(500))).toDF("doc_id", "tok")
+    def run(parts: Int) = Packing.packBestFit(docs.repartition(parts), "doc_id", "tok",
+      budget = 2048, shards = 8).as[(Long, Long, Int, Long)].collect()
+    val packed = run(3)
+    assert(packed.length === 2000)
+    assert(packed.map(_._1).distinct.length === 2000)
+    val bySeq = packed.groupBy(p => (p._3, p._4)).map { case (_, g) => g.map(_._2).sum }
+    assert(bySeq.forall(_ <= 2048), s"over-budget sequence: ${bySeq.max}")
+    assert(packed.sortBy(_._1) === run(9).sortBy(_._1), "layout-independent")
+    // BFD never uses more bins than greedy on the same input
+    val gBins = Packing.packSequences(docs, "doc_id", "tok", budget = 2048, shards = 8)
+      .as[(Long, Long, Int, Long)].collect()
+      .groupBy(p => (p._3, p._4)).size
+    assert(bySeq.size <= gBins, s"bfd ${bySeq.size} bins vs greedy $gBins")
+  }
+
+  test("packBestFit: oversized doc opens its own sequence (overflow contract)") {
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq((1L, 10L), (2L, 99999L), (3L, 10L)).toDF("doc_id", "tok")
+    val packed = Packing.packBestFit(docs, "doc_id", "tok", budget = 100,
+      shards = 1, shardOn = Some(lit(0)))
+      .as[(Long, Long, Int, Long)].collect().map(p => p._1 -> p._4).toMap
+    val seqOf2 = packed(2L)
+    assert(packed.count { case (_, s) => s == seqOf2 } === 1)
+    // the two small docs share the other sequence
+    assert(packed(1L) === packed(3L))
+  }
+
   test("packed token stream composition: conservation, contiguity, budget") {
     import org.apache.spark.sql.functions._
     // mirrors the packed_token_stream query on a small synthetic corpus:
