@@ -115,6 +115,59 @@ private[graft] object TextEntries {
       NgramLm.mknScoreAgainst(docs.filter(length(col("source")) === 4),
         docs, "doc_id", "text")
     }),
+    "ngram_lm_kn_pruned" -> ((s, d) => {
+      // D31e: the KN gate under count-cutoff PRUNING (the KenLM --prune
+      // recipe): singleton trigrams — most of a zipfian table — are
+      // dropped BEFORE estimation, every higher rung re-derives from the
+      // kept table (each surviving context stays a proper distribution;
+      // a fully-pruned context backs off wholesale), the unigram rung is
+      // never pruned. Same ledger schema as ngram_lm_kn, so the two
+      // gates diff row-for-row; the oracle is the full-ladder replay
+      // with the single HAVING that defines pruning.
+      val docs = Tables.documents(s, d)
+      NgramLm.knScoreAgainst(docs.filter(length(col("source")) === 4),
+        docs, "doc_id", "text", minCount = 2L)
+    }),
+    "ngram_lm_kn_prune_stats" -> ((s, d) => {
+      // the pruning DECISION artifact: model rows saved vs score shift,
+      // in one integer-exact row. Both models ride ONE trigram
+      // aggregation (knPruned derives the pruned frames from the built
+      // ones); per-doc scores compare as exact 1e4-scaled integers (the
+      // ladder's avg_nll is integer-derived by construction, so the
+      // sums are engine-exact), keep-flip count shows how many gate
+      // verdicts the cutoff actually changes.
+      val docs = Tables.documents(s, d)
+      val base = NgramLm.knFrames(
+        docs.filter(length(col("source")) === 4), "doc_id", "text")
+      val pruned = NgramLm.knPruned(base, minCount = 2L)
+      val tstats = base.tri.agg(
+        count(lit(1)).as("trigram_types"),
+        sum(when(col("c3") >= 2, 1L).otherwise(0L)).as("kept_types"),
+        sum(when(col("c3") < 2, col("c3")).otherwise(0L)).as("dropped_mass"))
+      val sb = NgramLm.knScoreWithFrames(docs, base, "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_nll") * 10000).cast("long").as("e4b"),
+          col("keep").as("kb"))
+      val sp = NgramLm.knScoreWithFrames(docs, pruned, "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("avg_nll") * 10000).cast("long").as("e4p"),
+          col("keep").as("kp"))
+      val sc = sb.join(sp, Seq("doc_id"))
+        .filter(col("n_trigrams") > 0)
+        .agg(count(lit(1)).as("n_scored"),
+          sum(col("e4b")).as("sum_nll_e4_base"),
+          sum(col("e4p")).as("sum_nll_e4_pruned"),
+          sum(when(col("kb"), 1L).otherwise(0L)).as("keep_base"),
+          sum(when(col("kp"), 1L).otherwise(0L)).as("keep_pruned"),
+          sum(when(col("kb") =!= col("kp"), 1L).otherwise(0L))
+            .as("keep_flips"))
+      tstats.crossJoin(broadcast(sc))
+        .select(col("trigram_types"), col("kept_types"),
+          (col("trigram_types") - col("kept_types")).as("dropped_types"),
+          col("dropped_mass"), col("n_scored"),
+          col("sum_nll_e4_base"), col("sum_nll_e4_pruned"),
+          col("keep_base"), col("keep_pruned"), col("keep_flips"))
+    }),
     "ngram_lm_kn_crosstab" -> ((s, d) => {
       // The ranking-delta census between the add-1 bigram gate and the
       // KN trigram gate: both cross-scores tertiled by the SAME
@@ -787,6 +840,210 @@ private[graft] object TextEntries {
            round(exp(avg_nll), 4) AS ppl,
            coalesce(avg_nll <= 3.5, false) AS keep
          FROM fin""",
+    "ngram_lm_kn_pruned" ->
+      // the ngram_lm_kn replay with the ONE clause that defines count-
+      // cutoff pruning: HAVING count(*) >= 2 on the trigram table. Every
+      // downstream frame (context margins, type counts, continuation
+      // counts) already derives from tri, so the kept-table estimation —
+      // and the wholesale backoff of fully-pruned contexts through the
+      // null-denominator arm — falls out of the same frozen ladder.
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ttr AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM tws) p),
+         tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttr GROUP BY 1, 2, 3
+                 HAVING count(*) >= 2),
+         ctx2 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS t2
+                  FROM tri GROUP BY 1, 2),
+         contb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+         mid AS (SELECT w2, sum(cb) AS nmid, count(*) AS ndw3
+                 FROM contb GROUP BY 1),
+         tbt AS (
+           SELECT DISTINCT w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         contu AS (SELECT w2, count(*) AS cu FROM tbt GROUP BY 1),
+         sca AS (SELECT (SELECT sum(cu) FROM contu) AS b,
+                        (SELECT count(*) FROM contu) AS wtypes,
+                        (SELECT count(DISTINCT tk) FROM
+                          (SELECT unnest(w) AS tk FROM tws) u) AS v),
+         str AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM ws) p),
+         joined AS (
+           SELECT s.doc_id, tri.c3, ctx2.cctx, ctx2.t2, contb.cb,
+             mid.nmid, mid.ndw3, contu.cu, sca.b, sca.wtypes, sca.v
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN ctx2 ON s.w1 = ctx2.w1 AND s.w2 = ctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN mid ON s.w2 = mid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca),
+         p1t AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM joined),
+         p2t AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                     + (0.75 * ndw3) * p1) / nmid END AS p2 FROM p1t),
+         p3t AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                     + (0.75 * t2) * p2) / cctx END AS p3 FROM p2t),
+         sc AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             cast(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit3,
+             cast(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_hit2,
+             round(sum(ln(p3)), 4) AS logprob_sum
+           FROM p3t GROUP BY 1),
+         fin AS (
+           SELECT d.doc_id,
+             coalesce(sc.n_trigrams, 0) AS n_trigrams,
+             coalesce(sc.n_hit3, 0) AS n_hit3,
+             coalesce(sc.n_hit2, 0) AS n_hit2,
+             sc.logprob_sum,
+             (CAST(round(-sc.logprob_sum * 10000) AS BIGINT) * 2
+               + sc.n_trigrams) // (sc.n_trigrams * 2) / 10000.0 AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_trigrams, n_hit3, n_hit2, logprob_sum, avg_nll,
+           round(exp(avg_nll), 4) AS ppl,
+           coalesce(avg_nll <= 3.5, false) AS keep
+         FROM fin""",
+    "ngram_lm_kn_prune_stats" ->
+      // BOTH ladders replayed off the shared trigram aggregation (the
+      // pruned one differs only in its frame CTEs re-derived from the
+      // kept table), scores compared as the ladder's exact 1e4-scaled
+      // integers — the sums cross the engines bit-for-bit — plus the
+      // kept/dropped type and mass arithmetic from the same tri table
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ttr AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM tws) p),
+         tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttr GROUP BY 1, 2, 3),
+         ptri AS (SELECT * FROM tri WHERE c3 >= 2),
+         ctx2 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS t2
+                  FROM tri GROUP BY 1, 2),
+         contb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+         mid AS (SELECT w2, sum(cb) AS nmid, count(*) AS ndw3
+                 FROM contb GROUP BY 1),
+         pctx2 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS t2
+                   FROM ptri GROUP BY 1, 2),
+         pcontb AS (SELECT w2, w3, count(*) AS cb FROM ptri GROUP BY 1, 2),
+         pmid AS (SELECT w2, sum(cb) AS nmid, count(*) AS ndw3
+                  FROM pcontb GROUP BY 1),
+         tbt AS (
+           SELECT DISTINCT w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         contu AS (SELECT w2, count(*) AS cu FROM tbt GROUP BY 1),
+         sca AS (SELECT (SELECT sum(cu) FROM contu) AS b,
+                        (SELECT count(*) FROM contu) AS wtypes,
+                        (SELECT count(DISTINCT tk) FROM
+                          (SELECT unnest(w) AS tk FROM tws) u) AS v),
+         str AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM ws) p),
+         jb AS (
+           SELECT s.doc_id, tri.c3, ctx2.cctx, ctx2.t2, contb.cb,
+             mid.nmid, mid.ndw3, contu.cu, sca.b, sca.wtypes, sca.v
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN ctx2 ON s.w1 = ctx2.w1 AND s.w2 = ctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN mid ON s.w2 = mid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca),
+         bp1 AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM jb),
+         bp2 AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                     + (0.75 * ndw3) * p1) / nmid END AS p2 FROM bp1),
+         bp3 AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                     + (0.75 * t2) * p2) / cctx END AS p3 FROM bp2),
+         scb AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             round(sum(ln(p3)), 4) AS lps
+           FROM bp3 GROUP BY 1),
+         eb AS (
+           SELECT doc_id, n_trigrams,
+             (CAST(round(-lps * 10000) AS BIGINT) * 2 + n_trigrams)
+               // (n_trigrams * 2) AS e4
+           FROM scb WHERE n_trigrams > 0),
+         jp AS (
+           SELECT s.doc_id, ptri.c3, pctx2.cctx, pctx2.t2, pcontb.cb,
+             pmid.nmid, pmid.ndw3, contu.cu, sca.b, sca.wtypes, sca.v
+           FROM str s
+           LEFT JOIN ptri ON s.w1 = ptri.w1 AND s.w2 = ptri.w2
+             AND s.w3 = ptri.w3
+           LEFT JOIN pctx2 ON s.w1 = pctx2.w1 AND s.w2 = pctx2.w2
+           LEFT JOIN pcontb ON s.w2 = pcontb.w2 AND s.w3 = pcontb.w3
+           LEFT JOIN pmid ON s.w2 = pmid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca),
+         pp1 AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM jp),
+         pp2 AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                     + (0.75 * ndw3) * p1) / nmid END AS p2 FROM pp1),
+         pp3 AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                     + (0.75 * t2) * p2) / cctx END AS p3 FROM pp2),
+         scp AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             round(sum(ln(p3)), 4) AS lps
+           FROM pp3 GROUP BY 1),
+         ep AS (
+           SELECT doc_id,
+             (CAST(round(-lps * 10000) AS BIGINT) * 2 + n_trigrams)
+               // (n_trigrams * 2) AS e4
+           FROM scp WHERE n_trigrams > 0),
+         tstats AS (
+           SELECT CAST(count(*) AS BIGINT) AS trigram_types,
+             CAST(sum(CASE WHEN c3 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_types,
+             CAST(sum(CASE WHEN c3 < 2 THEN c3 ELSE 0 END) AS BIGINT)
+               AS dropped_mass
+           FROM tri),
+         census AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(eb.e4) AS BIGINT) AS sum_nll_e4_base,
+             CAST(sum(ep.e4) AS BIGINT) AS sum_nll_e4_pruned,
+             CAST(sum(CASE WHEN eb.e4 <= 35000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS keep_base,
+             CAST(sum(CASE WHEN ep.e4 <= 35000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS keep_pruned,
+             CAST(sum(CASE WHEN (eb.e4 <= 35000) <> (ep.e4 <= 35000)
+               THEN 1 ELSE 0 END) AS BIGINT) AS keep_flips
+           FROM eb JOIN ep USING (doc_id))
+         SELECT trigram_types, kept_types,
+           trigram_types - kept_types AS dropped_types, dropped_mass,
+           n_scored, sum_nll_e4_base, sum_nll_e4_pruned,
+           keep_base, keep_pruned, keep_flips
+         FROM tstats CROSS JOIN census""",
     "ngram_lm_mkn" ->
       // the ngram_lm_kn replay with per-class estimated discounts: two
       // count-of-count scalar rows (raw trigram counts, continuation

@@ -314,7 +314,20 @@ object NgramLm {
   final case class KnFrames(tri: DataFrame, ctx2: DataFrame, contb: DataFrame,
                             mid: DataFrame, contu: DataFrame, scalars: DataFrame)
 
-  def knFrames(train: DataFrame, idCol: String, textCol: String): KnFrames = {
+  /** `minCount` > 1 enables count-cutoff PRUNING (the KenLM `--prune`
+    * recipe — public knowledge; singletons dominate a zipfian trigram
+    * table and carry the least signal, so dropping them shrinks the
+    * model far faster than it moves scores): trigrams below the cutoff
+    * are removed BEFORE estimation and every downstream frame (context
+    * margins, type counts, continuation counts) derives from the KEPT
+    * table, so each surviving context's rung stays a PROPER distribution
+    * — Σ_kept(c3 − D) + D·T = cctx exactly because cctx is the kept sum
+    * — and a fully-pruned context backs off wholesale through the
+    * ladder's existing null-denominator arm. The unigram rung (raw
+    * bigram types) is never pruned, the KenLM convention. */
+  def knFrames(train: DataFrame, idCol: String, textCol: String,
+               minCount: Long = 1L): KnFrames = {
+    require(minCount >= 1, "minCount must be >= 1")
     val tri = Dedup.persistTracked(
       trigrams(train, idCol, textCol)
         .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
@@ -336,7 +349,27 @@ object NgramLm {
       .crossJoin(broadcast(
         train.select(explode(toks(col(textCol))).as("w"))
           .agg(countDistinct(col("w")).as("v"))))
-    KnFrames(tri, ctx2, contb, mid, contu, scalars)
+    val base = KnFrames(tri, ctx2, contb, mid, contu, scalars)
+    if (minCount == 1L) base else knPruned(base, minCount)
+  }
+
+  /** The count-cutoff-pruned frames DERIVED from already-built ones (no
+    * second corpus pass — the prune-stats census scores both models off
+    * one trigram aggregation): the kept trigram table re-aggregates into
+    * its own context margins, type counts, and continuation counts, so
+    * every rung above the (never-pruned) unigram one is estimated on the
+    * pruned table and stays proper; the unigram rung and the scalar frame
+    * are shared with the base model by construction. */
+  def knPruned(f: KnFrames, minCount: Long): KnFrames = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val tri = Dedup.persistTracked(f.tri.filter(col("c3") >= minCount))
+    val ctx2 = tri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("cctx"), count(lit(1)).as("t2"))
+    val contb = Dedup.persistTracked(
+      tri.groupBy("w2", "w3").agg(count(lit(1)).as("cb")))
+    val mid = contb.groupBy("w2")
+      .agg(sum(col("cb")).as("nmid"), count(lit(1)).as("ndw3"))
+    KnFrames(tri, ctx2, contb, mid, f.contu, f.scalars)
   }
 
   /** Per-doc interpolated-KN trigram score against prebuilt frames.
@@ -404,9 +437,9 @@ object NgramLm {
     * CCNet cross-scoring setup, one call. */
   def knScoreAgainst(train: DataFrame, target: DataFrame, idCol: String,
                      textCol: String, discount: Double = 0.75,
-                     nllKeep: Double = 3.5): DataFrame =
-    knScoreWithFrames(target, knFrames(train, idCol, textCol), idCol,
-      textCol, discount, nllKeep)
+                     nllKeep: Double = 3.5, minCount: Long = 1L): DataFrame =
+    knScoreWithFrames(target, knFrames(train, idCol, textCol, minCount),
+      idCol, textCol, discount, nllKeep)
 
   // ---------------------------------------------------------------------
   // MODIFIED Kneser-Ney (D31d) — KenLM's actual smoothing (Chen & Goodman

@@ -145,6 +145,57 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(got(12L)._1 === 1L)
   }
 
+
+  test("knPruned: count-cutoff drops singletons, kept context stays proper") {
+    // train trigrams: abc=2 (kept at minCount 2), bca/cab/bcd/cda/dab=1
+    // (all pruned); bigram types {ab,bc,ca,cd,da} -> B=5, W=4, V=4
+    val train = Seq((1L, "a b c a b c d a b")).toDF("doc_id", "text")
+    def score1(t: String): (Long, Long, Long, Option[Double]) =
+      NgramLm.knScoreAgainst(train,
+          Seq((10L, t)).toDF("doc_id", "text"), "doc_id", "text",
+          minCount = 2L)
+        .select("n_trigrams", "n_hit3", "n_hit2", "logprob_sum")
+        .as[(Long, Long, Long, Option[Double])].collect().head
+    // the kept trigram: p1(c) = (0.25+0.75)/5 = 0.2, p2(c|b) =
+    // (0.25 + 0.75*0.2)/1 = 0.4, p3(c|ab) = (1.25 + 0.75*0.4)/2 = 0.775
+    val kept = score1("a b c")
+    assert(kept._2 === 1L && kept._3 === 1L)
+    assert(math.abs(kept._4.get - BigDecimal(math.log(0.775)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // a PRUNED trigram (bca): its context and continuation rows vanished
+    // with it, so the ladder backs off wholesale to p1(a) = 0.4 — no
+    // model hit at any pruned rung
+    val pruned = score1("b c a")
+    assert(pruned._2 === 0L && pruned._3 === 0L)
+    assert(math.abs(pruned._4.get - BigDecimal(math.log(0.4)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("knPruned: the surviving context's distribution still sums to 1") {
+    // pruning re-derives cctx from the KEPT counts, so
+    // sum_kept(c3 - D) + D*T = cctx exactly and the rung stays proper —
+    // the property a naive prune (drop rows, keep old denominators) loses
+    val train = Seq((1L, "a b c a b c d a b")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b a"), (11L, "a b b"), (12L, "a b c"),
+      (13L, "a b d")).toDF("doc_id", "text")
+    val ps = NgramLm.knScoreAgainst(train, target, "doc_id", "text",
+        minCount = 2L)
+      .select("logprob_sum").as[Double].collect().map(math.exp)
+    assert(math.abs(ps.sum - 1.0) < 1e-3, s"sum=${ps.sum}")
+  }
+
+  test("knPruned at minCount 1 scores identically to the base frames") {
+    val train = docs
+    val target = docs.select(col("doc_id"), col("text"))
+    val base = NgramLm.knFrames(train, "doc_id", "text")
+    val b = NgramLm.knScoreWithFrames(target, base, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val p = NgramLm.knScoreWithFrames(target,
+        NgramLm.knPruned(base, minCount = 1L), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(b === p)
+  }
+
   test("mknScoreAgainst: degenerate count-of-counts fall back to the fixed-0.75 ladder") {
     // tiny corpus → zero n3/n4 classes at both rungs → every estimated
     // discount is invalid → modified KN must equal plain KN row-for-row
