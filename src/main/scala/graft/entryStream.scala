@@ -362,6 +362,36 @@ private[graft] object StreamEntries {
       s.read.parquet(out)
         .select("doc_id", "n_bigrams", "n_oov", "avg_nll", "bucket")
     }),
+    "stream_seq_packing" -> ((s, d) => {
+      // E15: token-budget packing AT CRAWL-INGEST (the streaming form of
+      // D16) — the first gate whose keyed state is a cross-batch
+      // ACCUMULATOR: each md5 shard's open sequence (seq, used) lives in
+      // the state store, so a bin left part-full by delivery wave 1
+      // keeps filling from wave 2 (the spec pins a bin spanning the
+      // waves). Greedy next-fit is deliberately the streaming shape —
+      // O(1) state per shard vs BFD's full open-bin ledger (D16b) — and
+      // the doc_id-ordered single-file waves make the drained assignment
+      // EQUAL the batch packer's, which is what the oracle replays
+      // (the packing recursion in doc_id order). Parquet file-sink
+      // transaction log = exactly-once lake.
+      val base = sinkPath(d, "stream_seq_packing")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string")
+      docs.filter(col("doc_id") < 250).coalesce(1)
+        .write.mode("append").parquet(landing)
+      EventStream.packingStream(s, landing, schema, out, ckpt,
+        budget = 128, shards = 2).awaitTermination()
+      docs.filter(col("doc_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(landing)
+      EventStream.packingStream(s, landing, schema, out, ckpt,
+        budget = 128, shards = 2).awaitTermination()
+      s.read.parquet(out)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"), col("seq_id"))
+    }),
     "stream_line_dedup" -> ((s, d) => {
       // The LINE tier at crawl-ingest time (the serving form of D25d):
       // the corpus line index is built and persisted ONCE, then fresh
@@ -538,6 +568,37 @@ private[graft] object StreamEntries {
            round(exp(avg_nll), 4) AS ppl,
            coalesce(avg_nll <= 3.5, false) AS keep
          FROM fin""",
+    "stream_seq_packing" ->
+      // the drained lake must equal the BATCH greedy packer on the same
+      // md5 routing in doc_id order — the wave/batch split must be
+      // invisible because the open-bin state carries across batches:
+      // the same row-by-row recursive-CTE state machine as the
+      // packed_token_stream replay, over ws token counts at budget 128
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2
+               AS shard
+           FROM documents),
+         ordered AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM toks),
+         gpack AS (
+           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+             LEAST(n, 128) AS used
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.rn, o.doc_id, o.n,
+             CASE WHEN p.used + o.n > 128 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n > 128 THEN LEAST(o.n, 128)
+                  ELSE p.used + LEAST(o.n, 128) END
+           FROM gpack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         SELECT doc_id, n AS n_tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(seq AS BIGINT) AS seq_id
+         FROM gpack""",
     "stream_line_dedup" ->
       // the drained lake must equal batch line-dedup-against-index over
       // the same probes: rebuild the corpus line index (distinct

@@ -341,6 +341,70 @@ object EventStream {
     * batch-stamped sink as [[lmScoreStream]]; the crash-injection replay
     * spec (EventStreamSpec) pins THIS stream and the other two share the
     * sink helper verbatim. */
+  // public: the state encoder's generated code must see the constructor
+  case class PackState(seq: Long, used: Long)
+
+  /** Token-budget sequence packing AT CRAWL-INGEST TIME (E15) — the
+    * streaming form of D16: arriving docs are routed to md5 shards and
+    * appended to each shard's CURRENT open sequence, with the open bin
+    * carried ACROSS micro-batches as keyed state (flatMapGroupsWithState,
+    * no timeout — an open bin never expires; a bin left part-full by one
+    * delivery wave keeps filling from the next). Greedy next-fit is
+    * deliberately the STREAMING shape: its whole state is one (seq, used)
+    * pair per shard — O(1) per key, RocksDB-trivial at any corpus size —
+    * where best-fit-decreasing (D16b) needs the full open-bin ledger and
+    * a global largest-first order no stream can see; the batch/stream
+    * pair is the standard packing trade. The state transition is
+    * Packing.packSequences' verbatim (raw-n overflow test, min(n, budget)
+    * increment, own-sequence overflow for oversized docs), applied in
+    * doc_id order within each batch, so a doc_id-ordered delivery drains
+    * to EXACTLY the batch packer's assignment — the gate's oracle. The
+    * parquet FILE sink (its _spark_metadata transaction log) makes the
+    * lake exactly-once on at-least-once execution. */
+  def packingStream(spark: SparkSession, landingDir: String,
+                    schema: StructType, outDir: String, checkpointDir: String,
+                    budget: Long, shards: Int, maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val shardCol = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % shards).cast("int")
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        shardCol.as("shard"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[PackState, (Long, Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          // the iterator's order is not defined — sort the batch's docs
+          // (bounded: one micro-batch's share of one shard)
+          val out = rows.toArray.sortBy(_._1).map { case (id, n, _) =>
+            var seq = st.seq
+            var used = st.used
+            if (used > 0 && used + n > budget) { seq += 1; used = 0L }
+            used += math.min(n, budget)
+            st = PackState(seq, used)
+            (id, n, shard, seq)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("doc_id", "n_tokens", "shard", "seq_id")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   def lineDedupStream(spark: SparkSession, landingDir: String,
                       schema: org.apache.spark.sql.types.StructType,
                       index: org.apache.spark.sql.DataFrame,

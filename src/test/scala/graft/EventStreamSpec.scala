@@ -408,6 +408,48 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     Dedup.unpersistIntermediates()
   }
 
+
+  test("packingStream: open bin carries across waves; drain equals the batch packer") {
+    import graft.operators.Packing
+    val root = java.nio.file.Files.createTempDirectory("graft-packstream").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    // 12 docs of 5 tokens, budget 12 -> exactly 2 docs per bin; with ONE
+    // shard the assignment is a pure function of doc order, and the wave
+    // boundary lands MID-BIN on purpose: wave 1 is docs 0-4, so seq 2
+    // holds doc 4 alone when the first drain ends and MUST receive doc 5
+    // from wave 2 through the state store
+    val docs = (0L until 12L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")
+    docs.filter($"doc_id" < 5L).coalesce(1).write.mode("append").parquet(landing)
+    EventStream.packingStream(spark, landing, schema, out, ckpt,
+      budget = 12L, shards = 1).awaitTermination()
+    docs.filter($"doc_id" >= 5L).coalesce(1).write.mode("append").parquet(landing)
+    EventStream.packingStream(spark, landing, schema, out, ckpt,
+      budget = 12L, shards = 1).awaitTermination()
+    val drained = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "shard", "seq_id")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(drained.length === 12, "each doc assigned exactly once across waves")
+    // batch reference: the same md5 routing collapses to shard 0 at
+    // shards=1, so packSequences in doc_id order is the exact expectation
+    val batch = Packing.packSequences(docs.select($"doc_id",
+        org.apache.spark.sql.functions.lit(5L).as("n")), "doc_id", "n", budget = 12L, shards = 1,
+        shardOn = Some(org.apache.spark.sql.functions.lit(0)))
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(drained.map(r => (r._1, r._4)) === batch.map(r => (r._1, r._4)),
+      "streamed assignment must equal the batch packer row-for-row")
+    // the cross-batch accumulator: doc 4 (last of wave 1) and doc 5
+    // (first of wave 2) share seq 2 -- the bin was open in the state
+    // store between the two AvailableNow runs
+    val bySeq = drained.map(r => r._1 -> r._4).toMap
+    assert(bySeq(4L) === bySeq(5L),
+      s"wave-spanning bin expected: ${bySeq(4L)} vs ${bySeq(5L)}")
+    // third drain with no new files appends nothing (checkpoint cursor)
+    EventStream.packingStream(spark, landing, schema, out, ckpt,
+      budget = 12L, shards = 1).awaitTermination()
+    assert(spark.read.parquet(out).count() === 12)
+  }
+
   test("lmScoreStream: drained scores equal batch scoreAgainst; re-drain appends nothing") {
     import graft.operators.NgramLm
     val root = java.nio.file.Files.createTempDirectory("graft-lmstream").toFile.getAbsolutePath
