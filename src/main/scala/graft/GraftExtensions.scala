@@ -90,6 +90,41 @@ object GraftExtensions {
           Cast(args(1), ArrayType(StringType))),
         Seq(ArrayType(LongType), ArrayType(StringType)),
         propagateNull = true, returnNullable = false)
+    },
+    // the other two tokenizer families get the same SQL surface as BPE —
+    // the model ships as the argument (an array literal of the trained
+    // rows; the per-thread parse memo makes repeated calls cheap)
+    fn("unigram_encode",
+       "unigram_encode(text, model) — unigram-LM (SentencePiece-family) piece-ID sequence; model rows as 'piece\\tid\\tlogp_scaled' strings (byte-fallback ids 1..256, trained ids from 257)") {
+      args => StaticInvoke(graft.functions.Unigram.getClass,
+        ArrayType(LongType, containsNull = false), "encode",
+        Seq(args.head, Cast(args(1), ArrayType(StringType))),
+        Seq(StringType, ArrayType(StringType)),
+        propagateNull = true, returnNullable = false)
+    },
+    fn("unigram_decode",
+       "unigram_decode(ids, model) — text of a unigram piece-ID sequence (total inverse: byte-fallback ids reassemble unseen scripts)") {
+      args => StaticInvoke(graft.functions.Unigram.getClass, StringType, "decode",
+        Seq(Cast(args.head, ArrayType(LongType)),
+          Cast(args(1), ArrayType(StringType))),
+        Seq(ArrayType(LongType), ArrayType(StringType)),
+        propagateNull = true, returnNullable = false)
+    },
+    fn("wordpiece_encode",
+       "wordpiece_encode(text, model) — WordPiece (BERT-family) piece-ID sequence via greedy longest-match; model rows as 'piece\\tid' strings (0 = [UNK], ## marks continuations); an unsegmentable word emits the single id 0") {
+      args => StaticInvoke(graft.functions.WordPiece.getClass,
+        ArrayType(LongType, containsNull = false), "encode",
+        Seq(args.head, Cast(args(1), ArrayType(StringType))),
+        Seq(StringType, ArrayType(StringType)),
+        propagateNull = true, returnNullable = false)
+    },
+    fn("wordpiece_decode",
+       "wordpiece_decode(ids, model) — text of a WordPiece piece-ID sequence (## markers stripped; id 0 renders as the literal [UNK] — the family's lossy OOV discipline)") {
+      args => StaticInvoke(graft.functions.WordPiece.getClass, StringType, "decode",
+        Seq(Cast(args.head, ArrayType(LongType)),
+          Cast(args(1), ArrayType(StringType))),
+        Seq(ArrayType(LongType), ArrayType(StringType)),
+        propagateNull = true, returnNullable = false)
     })
 
   /** Imperative registration on an existing session (tests, notebooks). */

@@ -281,9 +281,27 @@ object Unigram {
     val hit = cache.get(lit)
     if (hit != null) hit
     else {
+      // named errors at the SQL boundary (the Bpe.parsePairs discipline —
+      // the Column form validates at plan build, but unigram_encode/
+      // unigram_decode in SQL reach the kernel directly): malformed rows
+      // must not surface as raw codegen exceptions, and a bogus huge id
+      // must not size the decode array
       val m = (0 until lit.numElements()).iterator.map { i =>
-        val parts = lit.getUTF8String(i).toString.split('\t')
-        parts(0) -> (parts(1).toLong, parts(2).toLong)
+        if (lit.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"unigram model: null row at index $i")
+        val s = lit.getUTF8String(i).toString
+        val parts = s.split('\t')
+        val parsed =
+          if (parts.length != 3) None
+          else (parts(1).toLongOption, parts(2).toLongOption) match {
+            case (Some(id), Some(lp)) if id >= 0 && id <= (1 << 24) =>
+              Some(parts(0) -> (id, lp))
+            case _ => None
+          }
+        parsed.getOrElse(throw new IllegalArgumentException(
+          s"unigram model: row '$s' is not 'piece\\tid\\tlogp' with id in " +
+            s"[0, ${1 << 24}]"))
       }.toMap
       val maxId = if (m.isEmpty) 0 else m.valuesIterator.map(_._1).max.toInt
       val byId = Array.fill(maxId + 1)("")

@@ -219,9 +219,26 @@ object WordPiece {
     val hit = cache.get(lit)
     if (hit != null) hit
     else {
+      // named errors at the SQL boundary (the Bpe.parsePairs discipline):
+      // wordpiece_encode/wordpiece_decode in SQL reach the kernel with a
+      // caller-supplied model array — malformed rows fail by name, and a
+      // bogus huge id must not size the decode array
       val m = (0 until lit.numElements()).iterator.map { i =>
-        val parts = lit.getUTF8String(i).toString.split('\t')
-        parts(0) -> parts(1).toLong
+        if (lit.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"wordpiece model: null row at index $i")
+        val s = lit.getUTF8String(i).toString
+        val parts = s.split('\t')
+        val parsed =
+          if (parts.length != 2 || parts(0).isEmpty) None
+          else parts(1).toLongOption match {
+            case Some(id) if id >= 1 && id <= (1 << 24) =>
+              Some(parts(0) -> id)
+            case _ => None
+          }
+        parsed.getOrElse(throw new IllegalArgumentException(
+          s"wordpiece model: row '$s' is not 'piece\\tid' with a nonempty " +
+            s"piece and id in [1, ${1 << 24}]"))
       }.toMap
       val maxId = if (m.isEmpty) 0 else m.valuesIterator.max.toInt
       val byId = Array.fill(maxId + 1)("")

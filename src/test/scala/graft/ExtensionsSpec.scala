@@ -128,6 +128,61 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(messages(nullEntry).exists(_.contains("null merge entry")), s"got: ${messages(nullEntry)}")
   }
 
+
+  test("unigram_encode/decode SQL functions agree with the Column API") {
+    GraftExtensions.register(spark)
+    import graft.functions.Unigram
+    import graft.functions.Unigram.Piece
+    val model = Seq(Piece(257L, "ab", -3000000L), Piece(258L, "c", -5000000L))
+    val rows = "array('ab\t257\t-3000000', 'c\t258\t-5000000')"
+    // 'z' is uncovered: byte fallback id 1 + 0x7a = 123
+    val viaSql = spark.sql(
+      s"SELECT unigram_decode(unigram_encode('ab c zab', $rows), $rows) AS t, " +
+      s"unigram_encode('ab c zab', $rows) AS ids").collect().head
+    assert(viaSql.getString(0) === "abczab")
+    assert(viaSql.getSeq[Long](1) === Seq(257L, 258L, 123L, 257L))
+    val viaCol = Seq(("ab c zab"))
+      .toDF("t")
+      .select(Unigram.encodeCol(col("t"), model).as("ids"))
+      .as[Seq[Long]].collect().head
+    assert(viaSql.getSeq[Long](1) === viaCol)
+  }
+
+  test("wordpiece_encode/decode SQL functions agree with the Column API") {
+    GraftExtensions.register(spark)
+    import graft.functions.WordPiece
+    import graft.functions.WordPiece.Piece
+    val model = Seq(Piece(1L, "##b"), Piece(2L, "a"))
+    val rows = "array('##b\t1', 'a\t2')"
+    val viaSql = spark.sql(
+      s"SELECT wordpiece_encode('ab zz ab', $rows) AS ids, " +
+      s"wordpiece_decode(wordpiece_encode('ab zz ab', $rows), $rows) AS t")
+      .collect().head
+    // ab -> a + ##b; zz has no match -> whole-word [UNK] (id 0)
+    assert(viaSql.getSeq[Long](0) === Seq(2L, 1L, 0L, 2L, 1L))
+    assert(viaSql.getString(1) === "ab[UNK]ab")
+    val viaCol = Seq(("ab zz ab")).toDF("t")
+      .select(WordPiece.encodeCol(col("t"), model).as("ids"))
+      .as[Seq[Long]].collect().head
+    assert(viaSql.getSeq[Long](0) === viaCol)
+  }
+
+  test("malformed tokenizer model rows fail loudly by name at the SQL surface") {
+    GraftExtensions.register(spark)
+    def msgOf(sql: String): String = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    // wrong arity, non-numeric id, and an id that would size a huge array
+    assert(msgOf("SELECT wordpiece_encode('a', array('justapiece'))")
+      .contains("wordpiece model"))
+    assert(msgOf("SELECT unigram_encode('a', array('p\tNaN\t0'))")
+      .contains("unigram model"))
+    assert(msgOf("SELECT wordpiece_encode('a', array('p\t99999999999'))")
+      .contains("wordpiece model"))
+  }
+
   test("withExtensions wires the functions into a fresh session") {
     // getOrCreate() would return the shared session (and skip the
     // extensions), so the default session is cleared around creation
