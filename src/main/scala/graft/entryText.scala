@@ -188,6 +188,26 @@ private[graft] object TextEntries {
       bg.join(kn, "doc_id").groupBy("bigram_bucket", "kn_bucket")
         .agg(count(lit(1)).as("n_docs"))
     }),
+    "ngram_lm_mkn_crosstab" -> ((s, d) => {
+      // The second gate-swap decision artifact: fixed-0.75 KN vs
+      // modified-KN (estimated per-class discounts), both tertiled by
+      // the same bounded-histogram threshold machinery and crosstabbed —
+      // does discount ESTIMATION actually move rankings, or only the
+      // absolute scores? (At the gate corpus the trigram rung runs live
+      // estimates, so the answer is non-vacuous.) Same scale shape as
+      // ngram_lm_kn_crosstab: two bounded cutoff picks, one doc-keyed
+      // join, no global rank sort.
+      val docs = Tables.documents(s, d)
+      val trusted = docs.filter(length(col("source")) === 4)
+      val kn = NgramLm.bucketize(
+          NgramLm.knScoreAgainst(trusted, docs, "doc_id", "text"))
+        .select(col("doc_id"), col("bucket").as("kn_bucket"))
+      val mkn = NgramLm.bucketize(
+          NgramLm.mknScoreAgainst(trusted, docs, "doc_id", "text"))
+        .select(col("doc_id"), col("bucket").as("mkn_bucket"))
+      kn.join(mkn, "doc_id").groupBy("kn_bucket", "mkn_bucket")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "ngram_lm_top_bigrams" -> ((s, d) =>
       // the trained model's head — dashboard query; TakeOrdered, never a
       // global sort of the model table
@@ -1185,6 +1205,206 @@ private[graft] object TextEntries {
            round(exp(avg_nll), 4) AS ppl,
            coalesce(avg_nll <= 3.5, false) AS keep
          FROM fin""",
+    "ngram_lm_mkn_crosstab" ->
+      // both KN-family ladders replayed off ONE shared trigram/type
+      // aggregation (the fixed-0.75 frames and the estimated-discount
+      // frames differ only in their per-context class columns and the
+      // rung expression trees, each verbatim from its parent oracle),
+      // both cutoff picks, then the doc-keyed crosstab
+      """WITH tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents WHERE length(source) = 4),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ttr AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM tws) p),
+         tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttr GROUP BY 1, 2, 3),
+         contb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+         kctx2 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS t2
+                   FROM tri GROUP BY 1, 2),
+         kmid AS (SELECT w2, sum(cb) AS nmid, count(*) AS ndw3
+                  FROM contb GROUP BY 1),
+         mctx2 AS (SELECT w1, w2, sum(c3) AS cctx,
+                     sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS tn1,
+                     sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS tn2,
+                     sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS tn3
+                   FROM tri GROUP BY 1, 2),
+         mmid AS (SELECT w2, sum(cb) AS nmid,
+                    sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS bn1,
+                    sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS bn2,
+                    sum(CASE WHEN cb >= 3 THEN 1 ELSE 0 END) AS bn3
+                  FROM contb GROUP BY 1),
+         tbt AS (
+           SELECT DISTINCT w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         contu AS (SELECT w2, count(*) AS cu FROM tbt GROUP BY 1),
+         tcoc AS (SELECT
+             sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS t_n1,
+             sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS t_n2,
+             sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS t_n3,
+             sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS t_n4
+           FROM tri),
+         bcoc AS (SELECT
+             sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS b_n1,
+             sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS b_n2,
+             sum(CASE WHEN cb = 3 THEN 1 ELSE 0 END) AS b_n3,
+             sum(CASE WHEN cb = 4 THEN 1 ELSE 0 END) AS b_n4
+           FROM contb),
+         rawd AS (
+           SELECT t_n1, t_n2, t_n3, t_n4, b_n1, b_n2, b_n3, b_n4,
+             1.0 - (2.0 * (t_n1 / (t_n1 + 2.0 * t_n2))) * (t_n2 / t_n1)
+               AS rtd1,
+             2.0 - (3.0 * (t_n1 / (t_n1 + 2.0 * t_n2))) * (t_n3 / t_n2)
+               AS rtd2,
+             3.0 - (4.0 * (t_n1 / (t_n1 + 2.0 * t_n2))) * (t_n4 / t_n3)
+               AS rtd3,
+             1.0 - (2.0 * (b_n1 / (b_n1 + 2.0 * b_n2))) * (b_n2 / b_n1)
+               AS rbd1,
+             2.0 - (3.0 * (b_n1 / (b_n1 + 2.0 * b_n2))) * (b_n3 / b_n2)
+               AS rbd2,
+             3.0 - (4.0 * (b_n1 / (b_n1 + 2.0 * b_n2))) * (b_n4 / b_n3)
+               AS rbd3
+           FROM tcoc CROSS JOIN bcoc),
+         disc AS (
+           SELECT
+             CASE WHEN t_n1 > 0 AND t_n2 > 0 AND t_n3 > 0 AND t_n4 > 0
+                   AND rtd1 > 0.0 AND rtd2 > 0.0 AND rtd3 > 0.0
+                  THEN rtd1 ELSE 0.75 END AS td1,
+             CASE WHEN t_n1 > 0 AND t_n2 > 0 AND t_n3 > 0 AND t_n4 > 0
+                   AND rtd1 > 0.0 AND rtd2 > 0.0 AND rtd3 > 0.0
+                  THEN rtd2 ELSE 0.75 END AS td2,
+             CASE WHEN t_n1 > 0 AND t_n2 > 0 AND t_n3 > 0 AND t_n4 > 0
+                   AND rtd1 > 0.0 AND rtd2 > 0.0 AND rtd3 > 0.0
+                  THEN rtd3 ELSE 0.75 END AS td3,
+             CASE WHEN b_n1 > 0 AND b_n2 > 0 AND b_n3 > 0 AND b_n4 > 0
+                   AND rbd1 > 0.0 AND rbd2 > 0.0 AND rbd3 > 0.0
+                  THEN rbd1 ELSE 0.75 END AS bd1,
+             CASE WHEN b_n1 > 0 AND b_n2 > 0 AND b_n3 > 0 AND b_n4 > 0
+                   AND rbd1 > 0.0 AND rbd2 > 0.0 AND rbd3 > 0.0
+                  THEN rbd2 ELSE 0.75 END AS bd2,
+             CASE WHEN b_n1 > 0 AND b_n2 > 0 AND b_n3 > 0 AND b_n4 > 0
+                   AND rbd1 > 0.0 AND rbd2 > 0.0 AND rbd3 > 0.0
+                  THEN rbd3 ELSE 0.75 END AS bd3
+           FROM rawd),
+         sca AS (SELECT (SELECT sum(cu) FROM contu) AS b,
+                        (SELECT count(*) FROM contu) AS wtypes,
+                        (SELECT count(DISTINCT tk) FROM
+                          (SELECT unnest(w) AS tk FROM tws) u) AS v),
+         str AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM (
+             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM ws) p),
+         kj AS (
+           SELECT s.doc_id, tri.c3, kctx2.cctx, kctx2.t2, contb.cb,
+             kmid.nmid, kmid.ndw3, contu.cu, sca.b, sca.wtypes, sca.v
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN kctx2 ON s.w1 = kctx2.w1 AND s.w2 = kctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN kmid ON s.w2 = kmid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca),
+         kp1 AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM kj),
+         kp2 AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (greatest(coalesce(cb, 0) - 0.75, 0.0)
+                     + (0.75 * ndw3) * p1) / nmid END AS p2 FROM kp1),
+         kp3 AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0)
+                     + (0.75 * t2) * p2) / cctx END AS p3 FROM kp2),
+         ksc AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             round(sum(ln(p3)), 4) AS logprob_sum
+           FROM kp3 GROUP BY 1),
+         kdoc AS (
+           SELECT d.doc_id,
+             (CAST(round(-ksc.logprob_sum * 10000) AS BIGINT) * 2
+               + ksc.n_trigrams) // (ksc.n_trigrams * 2) / 10000.0 AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN ksc USING (doc_id)),
+         khist AS (SELECT avg_nll, count(*) AS cnt FROM kdoc
+                   WHERE avg_nll IS NOT NULL GROUP BY 1),
+         kcum AS (SELECT avg_nll, sum(cnt) OVER (ORDER BY avg_nll
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM khist),
+         ktot AS (SELECT count(*) AS n_total FROM kdoc
+                  WHERE avg_nll IS NOT NULL),
+         kcuts AS (SELECT
+             min(CASE WHEN cum * 3 >= n_total THEN avg_nll END) AS cut_head,
+             min(CASE WHEN cum * 3 >= n_total * 2 THEN avg_nll END) AS cut_middle
+           FROM kcum CROSS JOIN ktot),
+         kbuck AS (
+           SELECT doc_id,
+             CASE WHEN avg_nll IS NULL THEN 'unscored'
+                  WHEN avg_nll <= cut_head THEN 'head'
+                  WHEN avg_nll <= cut_middle THEN 'middle'
+                  ELSE 'tail' END AS kn_bucket
+           FROM kdoc CROSS JOIN kcuts),
+         mj AS (
+           SELECT s.doc_id, tri.c3, mctx2.cctx, mctx2.tn1, mctx2.tn2,
+             mctx2.tn3, contb.cb, mmid.nmid, mmid.bn1, mmid.bn2, mmid.bn3,
+             contu.cu, sca.b, sca.wtypes, sca.v,
+             disc.td1, disc.td2, disc.td3, disc.bd1, disc.bd2, disc.bd3
+           FROM str s
+           LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+           LEFT JOIN mctx2 ON s.w1 = mctx2.w1 AND s.w2 = mctx2.w2
+           LEFT JOIN contb ON s.w2 = contb.w2 AND s.w3 = contb.w3
+           LEFT JOIN mmid ON s.w2 = mmid.w2
+           LEFT JOIN contu ON s.w3 = contu.w2
+           CROSS JOIN sca CROSS JOIN disc),
+         mp1 AS (SELECT *, (greatest(coalesce(cu, 0) - 0.75, 0.0)
+                   + (0.75 * wtypes) / v) / b AS p1 FROM mj),
+         mp2 AS (SELECT *, CASE WHEN nmid IS NULL THEN p1
+                   ELSE (CASE WHEN cb IS NULL THEN 0.0
+                           ELSE greatest(cb - (CASE WHEN cb = 1 THEN bd1
+                             WHEN cb = 2 THEN bd2 ELSE bd3 END), 0.0) END
+                     + (bd1 * bn1 + bd2 * bn2 + bd3 * bn3) * p1) / nmid
+                   END AS p2 FROM mp1),
+         mp3 AS (SELECT *, CASE WHEN cctx IS NULL THEN p2
+                   ELSE (CASE WHEN c3 IS NULL THEN 0.0
+                           ELSE greatest(c3 - (CASE WHEN c3 = 1 THEN td1
+                             WHEN c3 = 2 THEN td2 ELSE td3 END), 0.0) END
+                     + (td1 * tn1 + td2 * tn2 + td3 * tn3) * p2) / cctx
+                   END AS p3 FROM mp2),
+         msc AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+             round(sum(ln(p3)), 4) AS logprob_sum
+           FROM mp3 GROUP BY 1),
+         mdoc AS (
+           SELECT d.doc_id,
+             (CAST(round(-msc.logprob_sum * 10000) AS BIGINT) * 2
+               + msc.n_trigrams) // (msc.n_trigrams * 2) / 10000.0 AS avg_nll
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN msc USING (doc_id)),
+         mhist AS (SELECT avg_nll, count(*) AS cnt FROM mdoc
+                   WHERE avg_nll IS NOT NULL GROUP BY 1),
+         mcum AS (SELECT avg_nll, sum(cnt) OVER (ORDER BY avg_nll
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM mhist),
+         mtot AS (SELECT count(*) AS n_total FROM mdoc
+                  WHERE avg_nll IS NOT NULL),
+         mcuts AS (SELECT
+             min(CASE WHEN cum * 3 >= n_total THEN avg_nll END) AS cut_head,
+             min(CASE WHEN cum * 3 >= n_total * 2 THEN avg_nll END) AS cut_middle
+           FROM mcum CROSS JOIN mtot),
+         mbuck AS (
+           SELECT doc_id,
+             CASE WHEN avg_nll IS NULL THEN 'unscored'
+                  WHEN avg_nll <= cut_head THEN 'head'
+                  WHEN avg_nll <= cut_middle THEN 'middle'
+                  ELSE 'tail' END AS mkn_bucket
+           FROM mdoc CROSS JOIN mcuts)
+         SELECT kn_bucket, mkn_bucket, count(*) AS n_docs
+         FROM kbuck JOIN mbuck USING (doc_id)
+         GROUP BY 1, 2""",
     "ngram_lm_kn_crosstab" ->
       // both gates replayed end to end (the bigram backoff scoring +
       // cutoff pick verbatim from perplexity_bucket_assign's oracle, the
