@@ -301,6 +301,37 @@ private[graft] object TextEntries {
       Sample.splitLeakage(docs.unionByName(recrawl), "doc_id", "text",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
     }),
+    "curation_provenance" -> ((s, d) => {
+      // the PER-DOCUMENT "why was my doc dropped" ledger beside the
+      // funnel census (D34b): each gate's three-state verdict
+      // (pass/fail/not_reached) + the first failing stage per doc, with
+      // STAGED semantics — a later gate reads 'not_reached' below the
+      // first failure, because canonicity and the cap rank are
+      // SET-dependent (min-id within stage-2 survivors; rank within
+      // stage-3) and an "independent" flag would be a different,
+      // misleading number. The raw gate corpus dies wholesale at the
+      // stopword rule (one stopword type corpus-wide — the funnel shows
+      // 500→0), so planted docs make every later stage's arm
+      // non-vacuous: a 1502-word unique-bigram LM outlier (passes
+      // gopher, NLL ≈ 6.7 > 6), a 5-copy exact-dup group (one
+      // canonical), and a 12-doc over-cap domain (two rank-dropped) —
+      // every plant built from repeat/sequence expressions both engines
+      // compute identically.
+      import s.implicits._
+      val fox = "the quick brown fox and lazy dog jumped over fences "
+      val vault = "the quick brown fox and lazy dog vaulted over fences "
+      val gib = "the and " + (0 until 1500).map(i => s"zz$i").mkString(" ")
+      val plants = (
+        Seq((9300001L, gib, "plantlm")) ++
+        (0 until 5).map(i => (9300011L + i, (vault * 6).trim, "plantdup")) ++
+        (0 until 12).map(i =>
+          (9300100L + i, (fox * 6).trim + s" pad$i", "plantcap")))
+        .toDF("doc_id", "text", "source")
+      Curation.provenance(
+        Tables.documents(s, d).select("doc_id", "text", "source")
+          .unionByName(plants),
+        "doc_id", "text", "source")
+    }),
     "curation_funnel" -> ((s, d) =>
       // the composed stage census: raw → gopher → LM keep → exact dedup
       // → domain cap, one count row per stage — the "where did my corpus
@@ -2021,6 +2052,116 @@ private[graft] object TextEntries {
            spl.n_splits >= 2 AS leaked
          FROM agg JOIN spl USING (content_hash)
          WHERE agg.n_docs >= 2""",
+    "curation_provenance" ->
+      // the funnel oracle's four gate bodies over the PLANTED corpus
+      // (repeat/sequence-built texts both engines compute identically),
+      // reassembled per doc: left joins of the staged survivor sets with
+      // the same three-state not_reached-below-first-failure CASEs
+      """WITH corpus AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT 9300001,
+             'the and ' || (SELECT string_agg('zz' || i, ' ' ORDER BY i)
+                            FROM range(0, 1500) t(i)),
+             'plantlm'
+           UNION ALL
+           SELECT 9300011 + i,
+             trim(repeat('the quick brown fox and lazy dog vaulted over fences ', 6)),
+             'plantdup'
+           FROM range(0, 5) t(i)
+           UNION ALL
+           SELECT 9300100 + i,
+             trim(repeat('the quick brown fox and lazy dog jumped over fences ', 6))
+               || ' pad' || i,
+             'plantcap'
+           FROM range(0, 12) t(i)),
+         gm AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*\u2022]'))) AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+             len(list_intersect(list_distinct(ws),
+               ['the','be','to','of','and','that','have','with'])) AS stop_hits
+           FROM (
+             SELECT doc_id, coalesce(text, '') AS text,
+               list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+                           x -> x <> '') AS ws,
+               string_split(coalesce(text, ''), chr(10)) AS lines
+             FROM corpus) t),
+         g AS (
+           SELECT doc_id FROM gm
+           WHERE (n_words >= 50 AND n_words <= 100000)
+             AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+             AND ((hashes + ellipses) * 10 <= n_words)
+             AND (bullets * 10 <= n_lines * 9)
+             AND (ell_lines * 10 <= n_lines * 3)
+             AND (alpha_w * 5 >= n_words * 4)
+             AND (stop_hits >= 2)),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM corpus),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM ws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         lmk AS (
+           SELECT bi.doc_id FROM bi JOIN model USING (w1, w2)
+           GROUP BY 1
+           HAVING round(-round(sum(logp), 4) / count(*), 4) <= 6.0),
+         s1 AS (SELECT d.* FROM corpus d JOIN g USING (doc_id)),
+         s2 AS (SELECT s1.* FROM s1 JOIN lmk USING (doc_id)),
+         s3 AS (
+           SELECT doc_id, text, source FROM (
+             SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY md5(text)
+                 ORDER BY doc_id) AS rn
+             FROM s2) r WHERE rn = 1),
+         s4 AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(source || ':' || cast(doc_id AS varchar)),
+                          doc_id) AS rk
+             FROM s3) c WHERE rk <= 10)
+         SELECT d.doc_id,
+           CASE WHEN g.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS pass_gopher,
+           CASE WHEN g.doc_id IS NULL THEN 'not_reached'
+                WHEN l.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS pass_lm,
+           CASE WHEN l.doc_id IS NULL THEN 'not_reached'
+                WHEN c.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS is_canonical,
+           CASE WHEN c.doc_id IS NULL THEN 'not_reached'
+                WHEN k.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS within_cap,
+           CASE WHEN g.doc_id IS NULL THEN 'gopher_rules'
+                WHEN l.doc_id IS NULL THEN 'lm_keep'
+                WHEN c.doc_id IS NULL THEN 'exact_dedup'
+                WHEN k.doc_id IS NULL THEN 'domain_cap'
+                ELSE 'kept' END AS drop_stage,
+           k.doc_id IS NOT NULL AS keep
+         FROM corpus d
+         LEFT JOIN g ON d.doc_id = g.doc_id
+         LEFT JOIN (SELECT s1.doc_id FROM s1 JOIN lmk USING (doc_id)) l
+           ON d.doc_id = l.doc_id
+         LEFT JOIN s3 c ON d.doc_id = c.doc_id
+         LEFT JOIN s4 k ON d.doc_id = k.doc_id""",
     "curation_funnel" ->
       // the D31/D33/D1/D32 oracle bodies chained stage to stage; lag
       // window over the 5-row census for n_dropped

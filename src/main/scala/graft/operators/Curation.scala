@@ -89,4 +89,78 @@ object Curation {
       Dedup.unpersistIntermediates()
     }
   }
+
+  /** The PER-DOCUMENT companion to [[funnel]] — the "why was my doc
+    * dropped" ledger a curation run publishes beside the census: one row
+    * per input doc with each gate's verdict and the first failing stage.
+    * Stage semantics are the funnel's STAGED ones, not independent
+    * gates: a later gate's flag is NULL for docs that never reached it —
+    * deliberately, because two of the verdicts are SET-dependent
+    * (canonicity is min-id within the stage-2 survivor set; the cap rank
+    * is within stage-3 survivors), so an "independent" flag would be a
+    * different, misleading number. `count(drop_stage = s)` therefore
+    * reconciles exactly with the funnel's n_dropped at s — spec-pinned.
+    *
+    * Scale shape: identical to the funnel (each stage is the gated
+    * operator on the previous survivor frame, skinny id frames persisted
+    * once) plus four left joins of id-only frames to assemble the flags
+    * — no stage is recomputed per flag column. */
+  def provenance(docs: DataFrame, idCol: String, textCol: String,
+                 domainCol: String, nllKeep: Double = 6.0,
+                 cap: Int = 10): DataFrame = {
+    val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
+    // persistTracked, not a local persist/finally: the RESULT is lazy
+    // (unlike the funnel, which counts eagerly), and each stage's id
+    // frame appears in the plan both as a flag join AND inside every
+    // later stage's lineage — uncached, the final plan would recompute
+    // gopher 4x and the LM scoring 3x (the 48-scan shape the funnel's
+    // census already retired). The harness releases tracked frames
+    // between queries (Dedup.unpersistIntermediates).
+    val ids1 = Dedup.persistTracked(
+      TextOps.gopherQualityRules(s0, idCol, textCol)
+        .filter(col("pass_all")).select(col(idCol).as("doc_id")))
+    val surv1 = s0.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
+    val ids2 = Dedup.persistTracked(
+      NgramLm.scoreAgainst(s0, surv1, idCol, textCol, nllKeep = nllKeep)
+        .filter(col("keep")).select(col("doc_id")))
+    val ids3 = Dedup.persistTracked(
+      Dedup.exactByHash(
+          s0.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
+          textCol, idCol)
+        .select(col(idCol).as("doc_id"), col(domainCol)))
+    val ids4 = Sample.domainCap(ids3, "doc_id", domainCol, cap)
+      .select(col("doc_id"))
+    // flag columns derive from the staged memberships with NULL below
+    // the first failure, never re-evaluating a gate
+    s0.select(col(idCol).as("doc_id"))
+      .join(ids1.withColumn("__g", lit(true)), Seq("doc_id"), "left")
+      .join(ids2.withColumn("__l", lit(true)), Seq("doc_id"), "left")
+      .join(ids3.select(col("doc_id"), lit(true).as("__c")),
+        Seq("doc_id"), "left")
+      .join(ids4.withColumn("__k", lit(true)), Seq("doc_id"), "left")
+      // three-state STRING verdicts, not nullable booleans: 'not_reached'
+      // is a first-class value in this ledger (the staged semantics make
+      // it the honest answer below the first failure), and an explicit
+      // state string survives every downstream surface a NULL boolean
+      // trips over (CSV exports, cross-engine hash compares)
+      .select(
+        col("doc_id"),
+        when(col("__g").isNotNull, "pass").otherwise("fail")
+          .as("pass_gopher"),
+        when(col("__g").isNull, "not_reached")
+          .when(col("__l").isNotNull, "pass").otherwise("fail")
+          .as("pass_lm"),
+        when(col("__l").isNull, "not_reached")
+          .when(col("__c").isNotNull, "pass").otherwise("fail")
+          .as("is_canonical"),
+        when(col("__c").isNull, "not_reached")
+          .when(col("__k").isNotNull, "pass").otherwise("fail")
+          .as("within_cap"),
+        when(col("__g").isNull, "gopher_rules")
+          .when(col("__l").isNull, "lm_keep")
+          .when(col("__c").isNull, "exact_dedup")
+          .when(col("__k").isNull, "domain_cap")
+          .otherwise("kept").as("drop_stage"),
+        col("__k").isNotNull.as("keep"))
+  }
 }
