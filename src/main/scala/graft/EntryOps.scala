@@ -457,6 +457,82 @@ private[graft] object EntryOps {
   private[graft] def sinkPath(d: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_sink_${tag}_${math.abs(d.hashCode)}"
 
+  // ---- shared packing-oracle fragments (the wpGreedyCtes discipline:
+  // one copy of each state machine, so a tie-break or overflow-test fix
+  // cannot silently miss a sibling oracle's pasted copy) ----------------
+
+  /** `toks` CTE: ws token counts + md5-prefix shard routing over the
+    * documents table — the replayable front of every packing oracle. */
+  private[graft] def packToksCte(shards: Int): String =
+    s"""toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % $shards AS shard
+           FROM documents)"""
+
+  /** The greedy next-fit scan as CTEs `<p>ord`/`<p>` over `toks` —
+    * Packing.packSequences' state transition verbatim (raw-n overflow
+    * test, LEAST(n, budget) increment), docs in doc_id order. */
+  private[graft] def packGreedyCtes(p: String, budget: Int): String =
+    s"""${p}ord AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM toks),
+         $p AS (
+           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+             LEAST(n, $budget) AS used
+           FROM ${p}ord WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.rn, o.doc_id, o.n,
+             CASE WHEN p.used + o.n > $budget THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.used + o.n > $budget THEN LEAST(o.n, $budget)
+                  ELSE p.used + LEAST(o.n, $budget) END
+           FROM $p p JOIN ${p}ord o
+             ON o.shard = p.shard AND o.rn = p.rn + 1)"""
+
+  /** The best-fit-decreasing scan as CTEs `<p>ord`/`<p>` over `toks` —
+    * Packing.packBestFit's state machine: largest-first order, the
+    * open-bin LOAD LIST carried through the recursion,
+    * list_max∘list_filter picking the fullest bin with room (the
+    * TreeMap floorEntry), list_position its smallest seq (first
+    * occurrence = creation order), a miss appending a new bin. */
+  private[graft] def packBfdCtes(p: String, budget: Int): String =
+    s"""${p}ord AS (
+           SELECT shard, doc_id, n,
+             row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
+               AS rn
+           FROM toks),
+         $p AS (
+           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+             [LEAST(n, $budget)] AS loads
+           FROM ${p}ord WHERE rn = 1
+           UNION ALL
+           SELECT o.shard, o.rn, o.doc_id, o.n,
+             CASE WHEN list_max(list_filter(p.loads,
+                    x -> x <= $budget - LEAST(o.n, $budget))) IS NULL
+                  THEN CAST(len(p.loads) AS BIGINT)
+                  ELSE CAST(list_position(p.loads,
+                    list_max(list_filter(p.loads,
+                      x -> x <= $budget - LEAST(o.n, $budget)))) - 1
+                    AS BIGINT) END,
+             CASE WHEN list_max(list_filter(p.loads,
+                    x -> x <= $budget - LEAST(o.n, $budget))) IS NULL
+                  THEN list_append(p.loads, LEAST(o.n, $budget))
+                  ELSE p.loads[1:list_position(p.loads,
+                         list_max(list_filter(p.loads,
+                           x -> x <= $budget - LEAST(o.n, $budget)))) - 1]
+                    || [list_max(list_filter(p.loads,
+                         x -> x <= $budget - LEAST(o.n, $budget)))
+                        + LEAST(o.n, $budget)]
+                    || p.loads[list_position(p.loads,
+                         list_max(list_filter(p.loads,
+                           x -> x <= $budget - LEAST(o.n, $budget)))) + 1:]
+                  END
+           FROM $p p JOIN ${p}ord o
+             ON o.shard = p.shard AND o.rn = p.rn + 1)"""
+
   /** One SQL text, two engines (Spark via registerTables, DuckDB oracle). */
   private[graft] val SqlApiQuery =
     """WITH g AS (

@@ -571,34 +571,15 @@ private[graft] object StreamEntries {
     "stream_seq_packing" ->
       // the drained lake must equal the BATCH greedy packer on the same
       // md5 routing in doc_id order — the wave/batch split must be
-      // invisible because the open-bin state carries across batches:
-      // the same row-by-row recursive-CTE state machine as the
-      // packed_token_stream replay, over ws token counts at budget 128
-      """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2
-               AS shard
-           FROM documents),
-         ordered AS (
-           SELECT shard, doc_id, n,
-             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-           FROM toks),
-         gpack AS (
-           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
-             LEAST(n, 128) AS used
-           FROM ordered WHERE rn = 1
-           UNION ALL
-           SELECT o.shard, o.rn, o.doc_id, o.n,
-             CASE WHEN p.used + o.n > 128 THEN p.seq + 1 ELSE p.seq END,
-             CASE WHEN p.used + o.n > 128 THEN LEAST(o.n, 128)
-                  ELSE p.used + LEAST(o.n, 128) END
-           FROM gpack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      // invisible because the open-bin state carries across batches: the
+      // shared packGreedyCtes state machine (EntryOps) over ws token
+      // counts at budget 128
+      (s"""WITH RECURSIVE
+         ${packToksCte(2)},
+         ${packGreedyCtes("gpack", 128)}
          SELECT doc_id, n AS n_tokens, CAST(shard AS BIGINT) AS shard,
            CAST(seq AS BIGINT) AS seq_id
-         FROM gpack""",
+         FROM gpack"""),
     "stream_line_dedup" ->
       // the drained lake must equal batch line-dedup-against-index over
       // the same probes: rebuild the corpus line index (distinct

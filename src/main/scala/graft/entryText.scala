@@ -199,11 +199,17 @@ private[graft] object TextEntries {
       // join, no global rank sort.
       val docs = Tables.documents(s, d)
       val trusted = docs.filter(length(col("source")) === 4)
+      // ONE trigram/type aggregation feeds both gates (mknFrom derives
+      // the estimated-discount frames from the fixed-D ones) — the shape
+      // the oracle replays; independent builds would pay the corpus
+      // trigram shuffle and its persist footprint twice
+      val base = NgramLm.knFrames(trusted, "doc_id", "text")
       val kn = NgramLm.bucketize(
-          NgramLm.knScoreAgainst(trusted, docs, "doc_id", "text"))
+          NgramLm.knScoreWithFrames(docs, base, "doc_id", "text"))
         .select(col("doc_id"), col("bucket").as("kn_bucket"))
       val mkn = NgramLm.bucketize(
-          NgramLm.mknScoreAgainst(trusted, docs, "doc_id", "text"))
+          NgramLm.mknScoreWithFrames(docs, NgramLm.mknFrom(base),
+            "doc_id", "text"))
         .select(col("doc_id"), col("bucket").as("mkn_bucket"))
       kn.join(mkn, "doc_id").groupBy("kn_bucket", "mkn_bucket")
         .agg(count(lit(1)).as("n_docs"))

@@ -647,111 +647,27 @@ private[graft] object TokenEntries {
            TRUE AS budget_ok, TRUE AS bins_ok
          FROM documents""",
     "seq_packing_bfd" ->
-      // the best-fit-decreasing scan replayed END TO END: same ws token
-      // counts, same md5-prefix shard routing, docs ordered (n DESC,
-      // doc_id) per shard, and a recursive CTE carrying the open-bin
-      // LOAD LIST — list_max∘list_filter picks the fullest bin with
-      // room (the TreeMap floorEntry), list_position its smallest
-      // seq_id (first occurrence = creation order), a miss appends a
-      // new bin whose seq is the current bin count. Every per-doc
-      // assignment crosses the engine hash.
-      """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
-               AS shard
-           FROM documents),
-         ordered AS (
-           SELECT shard, doc_id, n,
-             row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
-               AS rn
-           FROM toks),
-         bfd AS (
-           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
-             [LEAST(n, 128)] AS loads
-           FROM ordered WHERE rn = 1
-           UNION ALL
-           SELECT o.shard, o.rn, o.doc_id, o.n,
-             CASE WHEN list_max(list_filter(p.loads,
-                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
-                  THEN CAST(len(p.loads) AS BIGINT)
-                  ELSE CAST(list_position(p.loads,
-                    list_max(list_filter(p.loads,
-                      x -> x <= 128 - LEAST(o.n, 128)))) - 1 AS BIGINT) END,
-             CASE WHEN list_max(list_filter(p.loads,
-                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
-                  THEN list_append(p.loads, LEAST(o.n, 128))
-                  ELSE p.loads[1:list_position(p.loads,
-                         list_max(list_filter(p.loads,
-                           x -> x <= 128 - LEAST(o.n, 128)))) - 1]
-                    || [list_max(list_filter(p.loads,
-                         x -> x <= 128 - LEAST(o.n, 128))) + LEAST(o.n, 128)]
-                    || p.loads[list_position(p.loads,
-                         list_max(list_filter(p.loads,
-                           x -> x <= 128 - LEAST(o.n, 128)))) + 1:] END
-           FROM bfd p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      // the best-fit-decreasing scan replayed END TO END via the shared
+      // packBfdCtes fragment (EntryOps — ONE copy of the state machine
+      // across every packing oracle, the wpGreedyCtes discipline): same
+      // ws token counts, same md5-prefix routing, every per-doc
+      // assignment crossing the engine hash.
+      (s"""WITH RECURSIVE
+         ${packToksCte(4)},
+         ${packBfdCtes("bfd", 128)}
          SELECT doc_id, n AS n_tokens, CAST(shard AS BIGINT) AS shard,
            CAST(seq AS BIGINT) AS seq_id
-         FROM bfd""",
+         FROM bfd"""),
     "packing_efficiency" ->
-      // BOTH packers replayed (the greedy id-order state machine copied
-      // from the packed_token_stream oracle — raw-n overflow test,
-      // LEAST increment — and the best-fit load-list recursion above),
-      // then the same integer census: bins, padding slots, utilization
-      // from the identical division
-      """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
-               AS shard
-           FROM documents),
-         gordered AS (
-           SELECT shard, doc_id, n,
-             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-           FROM toks),
-         gpack AS (
-           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
-             LEAST(n, 128) AS used
-           FROM gordered WHERE rn = 1
-           UNION ALL
-           SELECT o.shard, o.rn, o.doc_id, o.n,
-             CASE WHEN p.used + o.n > 128 THEN p.seq + 1 ELSE p.seq END,
-             CASE WHEN p.used + o.n > 128 THEN LEAST(o.n, 128)
-                  ELSE p.used + LEAST(o.n, 128) END
-           FROM gpack p JOIN gordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
-         bordered AS (
-           SELECT shard, doc_id, n,
-             row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
-               AS rn
-           FROM toks),
-         bfd AS (
-           SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
-             [LEAST(n, 128)] AS loads
-           FROM bordered WHERE rn = 1
-           UNION ALL
-           SELECT o.shard, o.rn, o.doc_id, o.n,
-             CASE WHEN list_max(list_filter(p.loads,
-                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
-                  THEN CAST(len(p.loads) AS BIGINT)
-                  ELSE CAST(list_position(p.loads,
-                    list_max(list_filter(p.loads,
-                      x -> x <= 128 - LEAST(o.n, 128)))) - 1 AS BIGINT) END,
-             CASE WHEN list_max(list_filter(p.loads,
-                    x -> x <= 128 - LEAST(o.n, 128))) IS NULL
-                  THEN list_append(p.loads, LEAST(o.n, 128))
-                  ELSE p.loads[1:list_position(p.loads,
-                         list_max(list_filter(p.loads,
-                           x -> x <= 128 - LEAST(o.n, 128)))) - 1]
-                    || [list_max(list_filter(p.loads,
-                         x -> x <= 128 - LEAST(o.n, 128))) + LEAST(o.n, 128)]
-                    || p.loads[list_position(p.loads,
-                         list_max(list_filter(p.loads,
-                           x -> x <= 128 - LEAST(o.n, 128)))) + 1:] END
-           FROM bfd p JOIN bordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+      // BOTH packers replayed from the shared fragments (packGreedyCtes:
+      // the id-order state machine with the raw-n overflow test;
+      // packBfdCtes: the best-fit load-list recursion), then the same
+      // integer census: bins, padding slots, utilization from the
+      // identical division
+      (s"""WITH RECURSIVE
+         ${packToksCte(4)},
+         ${packGreedyCtes("gpack", 128)},
+         ${packBfdCtes("bfd", 128)},
          bins AS (
            SELECT 'greedy' AS strategy, shard, seq,
              sum(LEAST(n, 128)) AS used, count(*) AS nd, sum(n) AS nt
@@ -769,7 +685,7 @@ private[graft] object TokenEntries {
          SELECT strategy, n_seqs, n_docs, total_tokens, padding_tokens,
            round((n_seqs * 128 - padding_tokens) / (1.0 * n_seqs * 128), 4)
              AS utilization
-         FROM census""",
+         FROM census"""),
     "chunk_docs" ->
       // same tokenization, same start sequence 1, 1+24, … capped at
       // n-overlap, same 32-token slices

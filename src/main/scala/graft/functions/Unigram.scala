@@ -251,23 +251,28 @@ object Unigram {
       new java.util.IdentityHashMap
   }
   private val parsedCap = 8
-  // word→ids memo KEYED to the model literal it was computed under: a
-  // clear-on-new-parse scheme would serve model A's ids to model B if
-  // two different models ever shared a plan (both stay parse-cached, so
-  // neither re-parse would fire again to clear)
-  private val wordMemo =
-    new ThreadLocal[(AnyRef, java.util.HashMap[String, Array[Long]])] {
-      override def initialValue(): (AnyRef, java.util.HashMap[String, Array[Long]]) =
-        (null, new java.util.HashMap[String, Array[Long]](1 << 14))
-    }
+  // word→ids memos KEYED to the model literal they were computed under
+  // (a clear-on-new-parse scheme would serve model A's ids to model B if
+  // two models shared a plan), held as a small identity MAP like the
+  // parse cache: the earlier one-slot form thrashed when two models
+  // alternated row-by-row in one plan — every switch missed the `eq`
+  // check and reallocated a fresh HashMap, zero hits, pure GC churn
+  private val wordMemo = new ThreadLocal[
+      java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]]] {
+    override def initialValue()
+        : java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]] =
+      new java.util.IdentityHashMap
+  }
   private val wordMemoCap = 1 << 17
 
   private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] = {
-    val cur = wordMemo.get()
-    if (cur._1 eq model) cur._2
+    val cache = wordMemo.get()
+    val hit = cache.get(model)
+    if (hit != null) hit
     else {
       val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
-      wordMemo.set((model, fresh))
+      if (cache.size >= parsedCap) cache.clear()
+      cache.put(model, fresh)
       fresh
     }
   }
@@ -293,17 +298,25 @@ object Unigram {
         val s = lit.getUTF8String(i).toString
         val parts = s.split('\t')
         val parsed =
-          if (parts.length != 3) None
+          if (parts.length != 3 || parts(0).isEmpty) None
           else (parts(1).toLongOption, parts(2).toLongOption) match {
             case (Some(id), Some(lp)) if id >= 0 && id <= (1 << 24) =>
               Some(parts(0) -> (id, lp))
             case _ => None
           }
         parsed.getOrElse(throw new IllegalArgumentException(
-          s"unigram model: row '$s' is not 'piece\\tid\\tlogp' with id in " +
-            s"[0, ${1 << 24}]"))
+          s"unigram model: row '$s' is not 'piece\\tid\\tlogp' with a " +
+            s"nonempty piece and id in [0, ${1 << 24}]"))
       }.toMap
       val maxId = if (m.isEmpty) 0 else m.valuesIterator.map(_._1).max.toInt
+      // bound the decode-array allocation by the model size (+ the 257
+      // reserved UNK/byte-fallback ids and rank slack), not just the
+      // absolute id cap — see the WordPiece.parseFor rationale
+      if (maxId > math.max(1024, 4 * m.size + FirstTrainedId.toInt))
+        throw new IllegalArgumentException(
+          s"unigram model: max id $maxId is out of proportion to the " +
+            s"${m.size}-row vocabulary (lexicographic-rank ids from " +
+            s"$FirstTrainedId expected)")
       val byId = Array.fill(maxId + 1)("")
       m.foreach { case (p, (id, _)) => byId(id.toInt) = p }
       val entry = (m, byId)

@@ -195,21 +195,27 @@ object WordPiece {
       new java.util.IdentityHashMap
   }
   private val parsedCap = 8
-  // word→ids memo keyed to the model literal it was computed under (two
-  // models sharing a plan must not serve each other's ids)
-  private val wordMemo =
-    new ThreadLocal[(AnyRef, java.util.HashMap[String, Array[Long]])] {
-      override def initialValue(): (AnyRef, java.util.HashMap[String, Array[Long]]) =
-        (null, new java.util.HashMap[String, Array[Long]](1 << 14))
-    }
+  // word→ids memos keyed to the model literal they were computed under,
+  // as a small identity map like the parse cache — a one-slot memo
+  // thrashes when two models share one plan (the decode(encode(x))
+  // shape): every model switch would miss the `eq` check and reallocate,
+  // turning the memo into per-row GC churn with zero hits
+  private val wordMemo = new ThreadLocal[
+      java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]]] {
+    override def initialValue()
+        : java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]] =
+      new java.util.IdentityHashMap
+  }
   private val wordMemoCap = 1 << 17
 
   private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] = {
-    val cur = wordMemo.get()
-    if (cur._1 eq model) cur._2
+    val cache = wordMemo.get()
+    val hit = cache.get(model)
+    if (hit != null) hit
     else {
       val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
-      wordMemo.set((model, fresh))
+      if (cache.size >= parsedCap) cache.clear()
+      cache.put(model, fresh)
       fresh
     }
   }
@@ -241,6 +247,15 @@ object WordPiece {
             s"piece and id in [1, ${1 << 24}]"))
       }.toMap
       val maxId = if (m.isEmpty) 0 else m.valuesIterator.max.toInt
+      // the decode array is sized by maxId — bound the allocation by the
+      // MODEL SIZE, not just an absolute cap: ids 4x sparser than the row
+      // count (+ slack for the reserved range) mean a malformed model,
+      // and accepting them would let one adversarial row pin a ~134 MB
+      // array per cached literal despite the per-id cap above
+      if (maxId > math.max(1024, 4 * m.size))
+        throw new IllegalArgumentException(
+          s"wordpiece model: max id $maxId is out of proportion to the " +
+            s"${m.size}-row vocabulary (dense code-point-rank ids expected)")
       val byId = Array.fill(maxId + 1)("")
       byId(UnkId.toInt) = UnkPiece
       m.foreach { case (p, id) => byId(id.toInt) = p }

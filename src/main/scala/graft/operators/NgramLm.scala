@@ -517,6 +517,34 @@ object NgramLm {
     MknFrames(tri, ctx2, contb, mid, contu, scalars, tDisc, bDisc)
   }
 
+  /** The modified-KN frames DERIVED from already-built fixed-D frames —
+    * no second corpus pass: tri/contb/contu/scalars are shared outright,
+    * only the per-context CLASS columns (tn/bn) re-aggregate from the
+    * persisted type tables and the two count-of-count collects run over
+    * the cache. The kn-vs-mkn crosstab scores both gates off ONE trigram
+    * aggregation this way (the shape its SQL oracle replays — the
+    * independent-builds first cut paid the corpus trigram shuffle and
+    * its persist footprint twice per run). */
+  def mknFrom(f: KnFrames): MknFrames = {
+    val ctx2 = f.tri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("cctx"),
+        sum(when(col("c3") === 1L, 1L).otherwise(0L)).as("tn1"),
+        sum(when(col("c3") === 2L, 1L).otherwise(0L)).as("tn2"),
+        sum(when(col("c3") >= 3L, 1L).otherwise(0L)).as("tn3"))
+    val mid = f.contb.groupBy("w2")
+      .agg(sum(col("cb")).as("nmid"),
+        sum(when(col("cb") === 1L, 1L).otherwise(0L)).as("bn1"),
+        sum(when(col("cb") === 2L, 1L).otherwise(0L)).as("bn2"),
+        sum(when(col("cb") >= 3L, 1L).otherwise(0L)).as("bn3"))
+    val tDisc = discountsOf(f.tri.groupBy("c3").agg(count(lit(1)).as("n"))
+      .filter(col("c3").between(1L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val bDisc = discountsOf(f.contb.groupBy("cb").agg(count(lit(1)).as("n"))
+      .filter(col("cb").between(1L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    MknFrames(f.tri, ctx2, f.contb, mid, f.contu, f.scalars, tDisc, bDisc)
+  }
+
   /** The three per-class discounts from a {count → count-of-count} map,
     * with the degenerate-estimate guard (any empty class or non-positive
     * estimate → the fixed-0.75 ladder for the whole rung). Plain-double

@@ -107,11 +107,20 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     val bySeq = packed.groupBy(p => (p._3, p._4)).map { case (_, g) => g.map(_._2).sum }
     assert(bySeq.forall(_ <= 2048), s"over-budget sequence: ${bySeq.max}")
     assert(packed.sortBy(_._1) === run(9).sortBy(_._1), "layout-independent")
-    // BFD never uses more bins than greedy on the same input
-    val gBins = Packing.packSequences(docs, "doc_id", "tok", budget = 2048, shards = 8)
-      .as[(Long, Long, Int, Long)].collect()
-      .groupBy(p => (p._3, p._4)).size
-    assert(bySeq.size <= gBins, s"bfd ${bySeq.size} bins vs greedy $gBins")
+    // bin count within the pigeonhole lower bound per shard — NOT a
+    // BFD-beats-greedy assertion: best-fit-DECREASING is not pointwise
+    // better than the id-order scan on every input (sizes 6,5,4,6,5,4,
+    // 5,4,4 at budget 15: greedy 15|15|13 = 3 bins, BFD [6,6][5,5,5]
+    // [4,4,4][4] = 4), so a cross-packer inequality here would fail
+    // spuriously on an unlucky seed; the crafted textbook-win case
+    // above pins the superiority claim on a chosen input instead
+    val byShard = packed.groupBy(_._3)
+    byShard.foreach { case (shard, g) =>
+      val bins = g.map(_._4).distinct.length
+      val lower = (g.map(_._2).sum + 2047) / 2048
+      assert(bins >= lower && bins <= g.length,
+        s"shard $shard: $bins bins outside [$lower, ${g.length}]")
+    }
   }
 
   test("packBestFit: oversized doc opens its own sequence (overflow contract)") {
