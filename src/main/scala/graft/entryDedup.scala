@@ -171,6 +171,16 @@ private[graft] object DedupEntries {
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
+    "ann_matryoshka" -> ((s, d) => {
+      // D7i: Matryoshka two-stage top-k (r18) — prefix-dim (16/64)
+      // cosine shortlist of 20, exact full-dim rerank to top-5; the
+      // shortlist-then-rerank ANN shape with dimension truncation as
+      // the cheap stage. Fully replayable: bit-identical dot folds on
+      // the sliced arrays, vec_id tie-breaks at both ranks.
+      val emb = Tables.embeddings(s, d)
+      Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", prefixDim = 16, shortlist = 20, k = 5)
+    }),
     "doc_embed" -> ((s, d) =>
       // The text→vector BRIDGE (r16, TextOps.hashedTfidfSparse): hashed
       // TF-IDF vectors over real documents text — closes the seam where
@@ -1002,6 +1012,38 @@ private[graft] object DedupEntries {
                  / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
                c.vec_id) AS rank
            FROM c JOIN q ON c.vec_id <> q.vec_id) t
+         WHERE rank <= 5""",
+    "ann_matryoshka" ->
+      // the two-stage replay: prefix-slice cosine shortlist (DuckDB
+      // slices the DOUBLE-cast array — elementwise cast commutes with
+      // slicing, so folds match Spark's slice-then-cast), vec_id
+      // tie-breaks at both ranks, exact full-dim rerank of the 20
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+           q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+                 FROM embeddings WHERE vec_id < 8),
+           pre AS (
+             SELECT q.vec_id AS query_id, c.vec_id, c.e, q.e AS qe,
+               list_dot_product(c.e[1:16], q.e[1:16])
+                 / (sqrt(list_dot_product(c.e[1:16], c.e[1:16]))
+                    * sqrt(list_dot_product(q.e[1:16], q.e[1:16]))) AS pcos
+             FROM c JOIN q ON c.vec_id <> q.vec_id),
+           short AS (
+             SELECT query_id, vec_id, e, qe FROM (
+               SELECT query_id, vec_id, e, qe,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY pcos DESC, vec_id) AS prank
+               FROM pre) t WHERE prank <= 20)
+         SELECT query_id, vec_id, cos, rank FROM (
+           SELECT query_id, vec_id,
+             list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(qe, qe))) AS cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e))
+                    * sqrt(list_dot_product(qe, qe))) DESC,
+               vec_id) AS rank
+           FROM short) r
          WHERE rank <= 5""",
     "doc_semantic_dedup" ->
       // golden recovered pairs [GOLDEN @ gate corpus: sf0.01, seed=42 —

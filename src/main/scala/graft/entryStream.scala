@@ -392,6 +392,35 @@ private[graft] object StreamEntries {
         .select(col("doc_id"), col("n_tokens"),
           col("shard").cast("long").as("shard"), col("seq_id"))
     }),
+    "stream_domain_cap" -> ((s, d) => {
+      // E16: per-domain ingest QUOTA (the serving form of D32's domain
+      // cap) — keyed state is a cross-batch COUNTER: each domain's
+      // arrival count carries across delivery waves, so a domain whose
+      // quota part-fills in wave 1 crosses the cap MID-WAVE-2 (the gate
+      // corpus has 20 sources x 25 docs, ids interleaved mod 20 — at
+      // cap 15 every domain fills ~12 slots in wave 1 and crosses in
+      // wave 2). First-arrival semantics, deliberately not the batch
+      // cap's md5 rank (a stream can't know future arrivals; batch
+      // re-cap when unbiased sampling matters); the doc_id-ordered
+      // single-file waves make arrival rank == doc_id rank, which is
+      // what the oracle replays. Every doc gets a ledger row, over-quota
+      // included. Parquet file-sink transaction log = exactly-once lake.
+      val base = sinkPath(d, "stream_domain_cap")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, source string")
+      docs.filter(col("doc_id") < 250).sort("doc_id").coalesce(1)
+        .write.mode("append").parquet(landing)
+      EventStream.domainCapStream(s, landing, schema, out, ckpt, cap = 15L)
+        .awaitTermination()
+      docs.filter(col("doc_id") >= 250).sort("doc_id").coalesce(1)
+        .write.mode("append").parquet(landing)
+      EventStream.domainCapStream(s, landing, schema, out, ckpt, cap = 15L)
+        .awaitTermination()
+      s.read.parquet(out).select("doc_id", "domain", "seen_rank", "kept")
+    }),
     "stream_line_dedup" -> ((s, d) => {
       // The LINE tier at crawl-ingest time (the serving form of D25d):
       // the corpus line index is built and persisted ONCE, then fresh
@@ -580,6 +609,16 @@ private[graft] object StreamEntries {
          SELECT doc_id, n AS n_tokens, CAST(shard AS BIGINT) AS shard,
            CAST(seq AS BIGINT) AS seq_id
          FROM gpack"""),
+    "stream_domain_cap" ->
+      // the drained ledger must equal the first-arrival quota over the
+      // whole corpus in doc_id order — the wave/batch split must be
+      // invisible because the per-domain counter carries across batches
+      """SELECT doc_id, source AS domain,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             AS seen_rank,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+             AS kept
+         FROM documents""",
     "stream_line_dedup" ->
       // the drained lake must equal batch line-dedup-against-index over
       // the same probes: rebuild the corpus line index (distinct

@@ -21,6 +21,246 @@ import EntryOps._
   * unchanged from the monolithic registration. */
 private[graft] object TextEntries {
 
+  /** Planted docs for the full-chain curation gates (curation_funnel /
+    * curation_provenance): the raw gate corpus dies wholesale at the
+    * Gopher stopword rule, so each stage's arm needs docs designed to
+    * fail exactly THERE and nowhere earlier — every text built from
+    * deterministic repeat/concat shapes both engines compute identically.
+    *   - plantlm: 1502-word unique-bigram outlier — passes gopher,
+    *     NLL ≈ 6.65 > 6 fails the LM gate;
+    *   - plantdup ×5: identical one-line docs (vault sentence ×6) — four
+    *     die at exact-dedup; the CANONICAL then dies at span-scrub (its
+    *     text is fully self-repeating: every 8-window recurs at +10, so
+    *     all positions are covered — the all-boilerplate arm needs no
+    *     second doc);
+    *   - plantcap ×12: fox sentence ×6 with per-(doc, rep) LETTER pads
+    *     interleaved ("cp"+chr(i)+chr(j) — letters because lineNorm
+    *     collapses digit runs to 0, which would alias all pads into one
+    *     repeated normalized line and kill the group at line_cut) —
+    *     pads every 10 words keep pairwise shingle-Jaccard ≈ 0.2 (< 0.6,
+    *     near-dup-safe) while the shared sentence keeps NLL ≈ 3.3;
+    *     12 > cap 10, so exactly two die at domain_cap;
+    *   - plantline ×6 + 1: the same shape with "lp" pads plus a shared
+    *     banner second line (6 carriers + 1 pure-banner doc = 7 ≥
+    *     minCount 6 — above the dup group's 5 copies, which must NOT
+    *     line-cut); the cut strips the banner from carriers and empties
+    *     the pure-banner doc — the line_cut drop;
+    *   - plantnd ×2: an "nd"-padded base + a jittered copy (+4 tail
+    *     tokens, Jaccard ≈ 0.86 ≥ 0.6) — the near-dup drop (higher id),
+    *     same first-2-token block as every fox plant. */
+  private def curationPlants(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val fox = "the quick brown fox and lazy dog jumped over fences"
+    val vault = "the quick brown fox and lazy dog vaulted over fences "
+    val banner =
+      "subscribe for unlimited premium access and member content today"
+    val gib = "the and " + (0 until 1500).map(i => s"zz$i").mkString(" ")
+    def padded(tag: String, i: Int): String =
+      (0 until 6).map(j =>
+        s"$fox $tag${('a' + i).toChar}${('a' + j).toChar}").mkString(" ")
+    (Seq((9300001L, gib, "plantlm")) ++
+      (0 until 5).map(i => (9300011L + i, (vault * 6).trim, "plantdup")) ++
+      (0 until 12).map(i => (9300100L + i, padded("cp", i), "plantcap")) ++
+      (0 until 6).map(i =>
+        (9300200L + i, padded("lp", i) + "\n" + banner, "plantline")) ++
+      Seq((9300299L, banner, "plantline"),
+        (9300301L, padded("nd", 0), "plantnd"),
+        (9300302L, padded("nd", 0) + " ndjitter extrapad marker tail",
+          "plantnd")))
+      .toDF("doc_id", "text", "source")
+  }
+
+  /** The shared DuckDB replay of the full curation chain — every stage
+    * CTE from the planted corpus down to the capped survivor set, reused
+    * by BOTH curation oracles (census tail vs per-doc ledger tail; one
+    * source of truth for the stage bodies, the shared-fragment
+    * discipline the r17 review established for the packing oracles).
+    * Stage bodies are the standalone operators' oracle bodies: line_dedup
+    * (minCount 6), gopher rules, add-1 bigram LM (trained on the
+    * line-cut corpus), md5 min-id dedup, prefix-blocked 3-shingle
+    * Jaccard keep-first near-dup, stride-1 8-window ≥2-occurrence scrub
+    * (a doc with no uncovered position is the drop), md5-ordered
+    * domain cap 10. */
+  private val curationChainSql: String =
+    """WITH corpus AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT 9300001,
+             'the and ' || (SELECT string_agg('zz' || i, ' ' ORDER BY i)
+                            FROM range(0, 1500) t(i)), 'plantlm'
+           UNION ALL
+           SELECT 9300011 + i,
+             trim(repeat('the quick brown fox and lazy dog vaulted over fences ', 6)),
+             'plantdup'
+           FROM range(0, 5) t(i)
+           UNION ALL
+           SELECT 9300100 + i,
+             string_agg('the quick brown fox and lazy dog jumped over fences cp'
+               || chr(CAST(97 + i AS INT)) || chr(CAST(97 + j AS INT)),
+               ' ' ORDER BY j), 'plantcap'
+           FROM range(0, 12) a(i) CROSS JOIN range(0, 6) b(j) GROUP BY i
+           UNION ALL
+           SELECT 9300200 + i,
+             string_agg('the quick brown fox and lazy dog jumped over fences lp'
+               || chr(CAST(97 + i AS INT)) || chr(CAST(97 + j AS INT)),
+               ' ' ORDER BY j) || chr(10) ||
+             'subscribe for unlimited premium access and member content today',
+             'plantline'
+           FROM range(0, 6) a(i) CROSS JOIN range(0, 6) b(j) GROUP BY i
+           UNION ALL
+           SELECT 9300299,
+             'subscribe for unlimited premium access and member content today',
+             'plantline'
+           UNION ALL
+           SELECT 9300301 + k,
+             string_agg('the quick brown fox and lazy dog jumped over fences nda'
+               || chr(CAST(97 + j AS INT)), ' ' ORDER BY j)
+             || CASE WHEN k = 1 THEN ' ndjitter extrapad marker tail'
+                     ELSE '' END,
+             'plantnd'
+           FROM range(0, 2) a(k) CROSS JOIN range(0, 6) b(j) GROUP BY k),
+         lns AS (
+           SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS line
+           FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+                 FROM corpus) u),
+         normed AS (
+           SELECT doc_id, idx, line,
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(line),
+               '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'), ' +', ' ', 'g'))
+               AS nrm
+           FROM lns),
+         lrep AS (
+           SELECT nrm FROM normed WHERE nrm <> ''
+           GROUP BY nrm HAVING count(*) >= 6),
+         cutdoc AS (
+           SELECT n.doc_id,
+             coalesce(string_agg(CASE WHEN r.nrm IS NULL THEN n.line END,
+               chr(10) ORDER BY n.idx), '') AS text
+           FROM normed n LEFT JOIN lrep r ON n.nrm = r.nrm
+           GROUP BY n.doc_id),
+         s1 AS (
+           SELECT c.doc_id, c.text, k.source
+           FROM cutdoc c JOIN corpus k USING (doc_id)
+           WHERE trim(c.text) <> ''),
+         gm AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+             len(list_intersect(list_distinct(ws),
+               ['the','be','to','of','and','that','have','with'])) AS stop_hits
+           FROM (
+             SELECT doc_id, coalesce(text, '') AS text,
+               list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+                           x -> x <> '') AS ws,
+               string_split(coalesce(text, ''), chr(10)) AS lines
+             FROM s1) t),
+         g AS (
+           SELECT doc_id FROM gm
+           WHERE (n_words >= 50 AND n_words <= 100000)
+             AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+             AND ((hashes + ellipses) * 10 <= n_words)
+             AND (bullets * 10 <= n_lines * 9)
+             AND (ell_lines * 10 <= n_lines * 3)
+             AND (alpha_w * 5 >= n_words * 4)
+             AND (stop_hits >= 2)),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM s1),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM ws) u),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         lmk AS (
+           SELECT bi.doc_id FROM bi JOIN model USING (w1, w2)
+           GROUP BY 1
+           HAVING round(-round(sum(logp), 4) / count(*), 4) <= 6.0),
+         sg AS (SELECT s1.* FROM s1 JOIN g USING (doc_id)),
+         sl AS (SELECT sg.* FROM sg JOIN lmk USING (doc_id)),
+         sd AS (
+           SELECT doc_id, text, source FROM (
+             SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY md5(text)
+                 ORDER BY doc_id) AS rn
+             FROM sl) r WHERE rn = 1),
+         ksh AS (
+           SELECT doc_id, array_to_string(toks[1:2], ' ') AS blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM sd)),
+         nd_losers AS (
+           SELECT DISTINCT b.doc_id FROM ksh a JOIN ksh b
+             ON a.blk = b.blk AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+         snd AS (
+           SELECT * FROM sd
+           WHERE doc_id NOT IN (SELECT doc_id FROM nd_losers)),
+         sndt AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM snd),
+         winstr AS (
+           SELECT doc_id, n, st, array_to_string(toks[st:st+7], ' ') AS wstr
+           FROM (SELECT doc_id, toks, len(toks) AS n,
+                   CAST(unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                     AS INT) AS st
+                 FROM sndt)),
+         wrep AS (SELECT wstr FROM winstr GROUP BY wstr HAVING count(*) >= 2),
+         repst AS (
+           SELECT doc_id, st, least(st + 7, n) AS en
+           FROM winstr WHERE wstr IN (SELECT wstr FROM wrep)),
+         post AS (
+           SELECT doc_id, CAST(unnest(generate_series(1, len(toks))) AS INT) AS p
+           FROM sndt),
+         cov AS (
+           SELECT DISTINCT x.doc_id, x.p FROM post x JOIN repst r
+             ON r.doc_id = x.doc_id AND x.p BETWEEN r.st AND r.en),
+         unc AS (
+           SELECT x.doc_id FROM post x LEFT JOIN cov c
+             ON c.doc_id = x.doc_id AND c.p = x.p
+           WHERE c.p IS NULL GROUP BY x.doc_id),
+         ssc AS (SELECT snd.doc_id, snd.source FROM snd JOIN unc USING (doc_id)),
+         scap AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(source || ':' || cast(doc_id AS varchar)),
+                          doc_id) AS rk
+             FROM ssc) c WHERE rk <= 10)"""
+
+  /** Census tail shared by the exact and banded funnel oracles. */
+  private val curationCensusSql: String = """
+         , census AS (
+           SELECT 0 AS stage, 'raw' AS stage_name,
+             count(*) AS n_docs FROM corpus
+           UNION ALL SELECT 1, 'line_cut', count(*) FROM s1
+           UNION ALL SELECT 2, 'gopher_rules', count(*) FROM sg
+           UNION ALL SELECT 3, 'lm_keep', count(*) FROM sl
+           UNION ALL SELECT 4, 'exact_dedup', count(*) FROM sd
+           UNION ALL SELECT 5, 'near_dup', count(*) FROM snd
+           UNION ALL SELECT 6, 'span_scrub', count(*) FROM ssc
+           UNION ALL SELECT 7, 'domain_cap', count(*) FROM scap)
+         SELECT stage, stage_name, n_docs,
+           coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
+         FROM census"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d), "doc_id", "text")),
     "lang_id_trained" -> ((s, d) =>
@@ -307,42 +547,69 @@ private[graft] object TextEntries {
       Sample.splitLeakage(docs.unionByName(recrawl), "doc_id", "text",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
     }),
-    "curation_provenance" -> ((s, d) => {
+    "curation_provenance" -> ((s, d) =>
       // the PER-DOCUMENT "why was my doc dropped" ledger beside the
-      // funnel census (D34b): each gate's three-state verdict
-      // (pass/fail/not_reached) + the first failing stage per doc, with
-      // STAGED semantics — a later gate reads 'not_reached' below the
-      // first failure, because canonicity and the cap rank are
-      // SET-dependent (min-id within stage-2 survivors; rank within
-      // stage-3) and an "independent" flag would be a different,
-      // misleading number. The raw gate corpus dies wholesale at the
-      // stopword rule (one stopword type corpus-wide — the funnel shows
-      // 500→0), so planted docs make every later stage's arm
-      // non-vacuous: a 1502-word unique-bigram LM outlier (passes
-      // gopher, NLL ≈ 6.7 > 6), a 5-copy exact-dup group (one
-      // canonical), and a 12-doc over-cap domain (two rank-dropped) —
-      // every plant built from repeat/sequence expressions both engines
-      // compute identically.
-      import s.implicits._
-      val fox = "the quick brown fox and lazy dog jumped over fences "
-      val vault = "the quick brown fox and lazy dog vaulted over fences "
-      val gib = "the and " + (0 until 1500).map(i => s"zz$i").mkString(" ")
-      val plants = (
-        Seq((9300001L, gib, "plantlm")) ++
-        (0 until 5).map(i => (9300011L + i, (vault * 6).trim, "plantdup")) ++
-        (0 until 12).map(i =>
-          (9300100L + i, (fox * 6).trim + s" pad$i", "plantcap")))
-        .toDF("doc_id", "text", "source")
+      // funnel census (D34b), extended in r18 to the FULL production
+      // chain (every stage D24 executes): line_cut → gopher → LM →
+      // exact_dedup → near_dup → span_scrub → domain_cap. Each gate's
+      // three-state verdict (pass/fail/not_reached) + the first failing
+      // stage per doc, with STAGED semantics — a later gate reads
+      // 'not_reached' below the first failure, because most verdicts are
+      // SET-dependent (canonicity is min-id within the LM survivors; a
+      // near-dup/repeated-window verdict depends on which docs survived
+      // beside it; the cap rank is within scrub survivors) and an
+      // "independent" flag would be a different, misleading number.
+      // The raw gate corpus dies wholesale at the stopword rule (one
+      // stopword type corpus-wide — the funnel shows 500→0), so planted
+      // docs (curationPlants) make every stage's arm non-vacuous; see
+      // the plant-design notes there.
       Curation.provenance(
         Tables.documents(s, d).select("doc_id", "text", "source")
-          .unionByName(plants),
-        "doc_id", "text", "source")
-    }),
+          .unionByName(curationPlants(s)),
+        "doc_id", "text", "source",
+        lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
+        nearDup = Some(CorpusPipeline.NearDup(
+          t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
+          n = 3, threshold = 0.6)),
+        scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))),
     "curation_funnel" -> ((s, d) =>
-      // the composed stage census: raw → gopher → LM keep → exact dedup
-      // → domain cap, one count row per stage — the "where did my corpus
-      // go" report; every stage is an already-gated operator
-      Curation.funnel(Tables.documents(s, d), "doc_id", "text", "source")),
+      // the composed stage census over the FULL production chain (r18):
+      // raw → line_cut → gopher → LM keep → exact dedup → near-dup →
+      // span-scrub → domain cap, one count row per stage — the "where
+      // did my corpus go" report; every stage is an already-gated
+      // operator, and the same planted corpus as curation_provenance
+      // makes every stage's count non-vacuous (the ledger's
+      // count(drop_stage = s) reconciles with n_dropped at s exactly —
+      // spec-pinned). Near-dup candidates use the replayable
+      // first-2-token prefix block here (the corpus_pipeline gate
+      // choice); production at scale passes NearDup(banded = true).
+      Curation.funnel(
+        Tables.documents(s, d).select("doc_id", "text", "source")
+          .unionByName(curationPlants(s)),
+        "doc_id", "text", "source",
+        lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
+        nearDup = Some(CorpusPipeline.NearDup(
+          t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
+          n = 3, threshold = 0.6)),
+        scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))),
+    "curation_funnel_banded" -> ((s, d) =>
+      // the SCALE form of the full-chain census (the corpus_pipeline /
+      // corpus_pipeline_banded pairing): near-dup candidates from
+      // MinHash LSH banding (bucket cardinality grows with the corpus,
+      // hot buckets guarded — the 100 TB strategy) instead of the
+      // replayable-but-|block|² prefix-block join. Candidates are
+      // VERIFIED with the exact Jaccard either way, so on this corpus —
+      // where the only ≥0.6 pair sits at ~0.86, deep in the 8x4
+      // S-curve's ~1 region — both forms must reach the SAME census,
+      // and the exact-form chained replay is this row's oracle too.
+      Curation.funnel(
+        Tables.documents(s, d).select("doc_id", "text", "source")
+          .unionByName(curationPlants(s)),
+        "doc_id", "text", "source",
+        lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
+        nearDup = Some(CorpusPipeline.NearDup(
+          _ => lit("unused"), n = 3, threshold = 0.6, banded = true)),
+        scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))),
     "text_normalize" -> ((s, d) =>
       // Normalization before hashing/shingling: cosmetic variants (case,
       // CRLF, tab runs) collapse to one canonical form. Gate compares the
@@ -2059,191 +2326,58 @@ private[graft] object TextEntries {
          FROM agg JOIN spl USING (content_hash)
          WHERE agg.n_docs >= 2""",
     "curation_provenance" ->
-      // the funnel oracle's four gate bodies over the PLANTED corpus
-      // (repeat/sequence-built texts both engines compute identically),
-      // reassembled per doc: left joins of the staged survivor sets with
-      // the same three-state not_reached-below-first-failure CASEs
-      """WITH corpus AS (
-           SELECT doc_id, text, source FROM documents
-           UNION ALL
-           SELECT 9300001,
-             'the and ' || (SELECT string_agg('zz' || i, ' ' ORDER BY i)
-                            FROM range(0, 1500) t(i)),
-             'plantlm'
-           UNION ALL
-           SELECT 9300011 + i,
-             trim(repeat('the quick brown fox and lazy dog vaulted over fences ', 6)),
-             'plantdup'
-           FROM range(0, 5) t(i)
-           UNION ALL
-           SELECT 9300100 + i,
-             trim(repeat('the quick brown fox and lazy dog jumped over fences ', 6))
-               || ' pad' || i,
-             'plantcap'
-           FROM range(0, 12) t(i)),
-         gm AS (
-           SELECT doc_id,
-             len(ws) AS n_words,
-             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
-             length(text) - length(replace(text, '#', '')) AS hashes,
-             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
-             len(lines) AS n_lines,
-             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*\u2022]'))) AS bullets,
-             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
-             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
-             len(list_intersect(list_distinct(ws),
-               ['the','be','to','of','and','that','have','with'])) AS stop_hits
-           FROM (
-             SELECT doc_id, coalesce(text, '') AS text,
-               list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
-                           x -> x <> '') AS ws,
-               string_split(coalesce(text, ''), chr(10)) AS lines
-             FROM corpus) t),
-         g AS (
-           SELECT doc_id FROM gm
-           WHERE (n_words >= 50 AND n_words <= 100000)
-             AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
-             AND ((hashes + ellipses) * 10 <= n_words)
-             AND (bullets * 10 <= n_lines * 9)
-             AND (ell_lines * 10 <= n_lines * 3)
-             AND (alpha_w * 5 >= n_words * 4)
-             AND (stop_hits >= 2)),
-         ws AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                         x -> x <> '') AS w
-           FROM corpus),
-         bi AS (
-           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
-             SELECT doc_id, w,
-               unnest(generate_series(1, len(w) - 1)) AS i
-             FROM ws) p),
-         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
-         v AS (SELECT count(DISTINCT tk) AS v
-               FROM (SELECT unnest(w) AS tk FROM ws) u),
-         model AS (
-           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
-           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
-         lmk AS (
-           SELECT bi.doc_id FROM bi JOIN model USING (w1, w2)
-           GROUP BY 1
-           HAVING round(-round(sum(logp), 4) / count(*), 4) <= 6.0),
-         s1 AS (SELECT d.* FROM corpus d JOIN g USING (doc_id)),
-         s2 AS (SELECT s1.* FROM s1 JOIN lmk USING (doc_id)),
-         s3 AS (
-           SELECT doc_id, text, source FROM (
-             SELECT doc_id, text, source,
-               row_number() OVER (PARTITION BY md5(text)
-                 ORDER BY doc_id) AS rn
-             FROM s2) r WHERE rn = 1),
-         s4 AS (
-           SELECT doc_id FROM (
-             SELECT doc_id,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY md5(source || ':' || cast(doc_id AS varchar)),
-                          doc_id) AS rk
-             FROM s3) c WHERE rk <= 10)
+      // the full-chain stage bodies (shared CTE prefix curationChainSql
+      // — ONE source of truth with the funnel oracle), reassembled per
+      // doc: left joins of the staged survivor sets with the
+      // three-state not_reached-below-first-failure CASEs
+      (curationChainSql + """
          SELECT d.doc_id,
-           CASE WHEN g.doc_id IS NOT NULL THEN 'pass'
+           CASE WHEN s1.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS pass_linecut,
+           CASE WHEN s1.doc_id IS NULL THEN 'not_reached'
+                WHEN g2.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS pass_gopher,
-           CASE WHEN g.doc_id IS NULL THEN 'not_reached'
-                WHEN l.doc_id IS NOT NULL THEN 'pass'
+           CASE WHEN g2.doc_id IS NULL THEN 'not_reached'
+                WHEN l2.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS pass_lm,
-           CASE WHEN l.doc_id IS NULL THEN 'not_reached'
-                WHEN c.doc_id IS NOT NULL THEN 'pass'
+           CASE WHEN l2.doc_id IS NULL THEN 'not_reached'
+                WHEN c2.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS is_canonical,
-           CASE WHEN c.doc_id IS NULL THEN 'not_reached'
-                WHEN k.doc_id IS NOT NULL THEN 'pass'
+           CASE WHEN c2.doc_id IS NULL THEN 'not_reached'
+                WHEN n2.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS pass_neardup,
+           CASE WHEN n2.doc_id IS NULL THEN 'not_reached'
+                WHEN sc2.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS pass_scrub,
+           CASE WHEN sc2.doc_id IS NULL THEN 'not_reached'
+                WHEN k2.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS within_cap,
-           CASE WHEN g.doc_id IS NULL THEN 'gopher_rules'
-                WHEN l.doc_id IS NULL THEN 'lm_keep'
-                WHEN c.doc_id IS NULL THEN 'exact_dedup'
-                WHEN k.doc_id IS NULL THEN 'domain_cap'
+           CASE WHEN s1.doc_id IS NULL THEN 'line_cut'
+                WHEN g2.doc_id IS NULL THEN 'gopher_rules'
+                WHEN l2.doc_id IS NULL THEN 'lm_keep'
+                WHEN c2.doc_id IS NULL THEN 'exact_dedup'
+                WHEN n2.doc_id IS NULL THEN 'near_dup'
+                WHEN sc2.doc_id IS NULL THEN 'span_scrub'
+                WHEN k2.doc_id IS NULL THEN 'domain_cap'
                 ELSE 'kept' END AS drop_stage,
-           k.doc_id IS NOT NULL AS keep
+           k2.doc_id IS NOT NULL AS keep
          FROM corpus d
-         LEFT JOIN g ON d.doc_id = g.doc_id
-         LEFT JOIN (SELECT s1.doc_id FROM s1 JOIN lmk USING (doc_id)) l
-           ON d.doc_id = l.doc_id
-         LEFT JOIN s3 c ON d.doc_id = c.doc_id
-         LEFT JOIN s4 k ON d.doc_id = k.doc_id""",
+         LEFT JOIN s1 ON d.doc_id = s1.doc_id
+         LEFT JOIN sg g2 ON d.doc_id = g2.doc_id
+         LEFT JOIN sl l2 ON d.doc_id = l2.doc_id
+         LEFT JOIN sd c2 ON d.doc_id = c2.doc_id
+         LEFT JOIN snd n2 ON d.doc_id = n2.doc_id
+         LEFT JOIN ssc sc2 ON d.doc_id = sc2.doc_id
+         LEFT JOIN scap k2 ON d.doc_id = k2.doc_id"""),
     "curation_funnel" ->
-      // the D31/D33/D1/D32 oracle bodies chained stage to stage; lag
-      // window over the 5-row census for n_dropped
-      """WITH gm AS (
-           SELECT doc_id,
-             len(ws) AS n_words,
-             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
-             length(text) - length(replace(text, '#', '')) AS hashes,
-             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
-             len(lines) AS n_lines,
-             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS bullets,
-             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
-             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
-             len(list_intersect(list_distinct(ws),
-               ['the','be','to','of','and','that','have','with'])) AS stop_hits
-           FROM (
-             SELECT doc_id, coalesce(text, '') AS text,
-               list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
-                           x -> x <> '') AS ws,
-               string_split(coalesce(text, ''), chr(10)) AS lines
-             FROM documents) t),
-         g AS (
-           SELECT doc_id FROM gm
-           WHERE (n_words >= 50 AND n_words <= 100000)
-             AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
-             AND ((hashes + ellipses) * 10 <= n_words)
-             AND (bullets * 10 <= n_lines * 9)
-             AND (ell_lines * 10 <= n_lines * 3)
-             AND (alpha_w * 5 >= n_words * 4)
-             AND (stop_hits >= 2)),
-         ws AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                         x -> x <> '') AS w
-           FROM documents),
-         bi AS (
-           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
-             SELECT doc_id, w,
-               unnest(generate_series(1, len(w) - 1)) AS i
-             FROM ws) p),
-         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
-         v AS (SELECT count(DISTINCT tk) AS v
-               FROM (SELECT unnest(w) AS tk FROM ws) u),
-         model AS (
-           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
-           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
-         lmk AS (
-           SELECT bi.doc_id FROM bi JOIN model USING (w1, w2)
-           GROUP BY 1
-           HAVING round(-round(sum(logp), 4) / count(*), 4) <= 6.0),
-         s1 AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),
-         s2 AS (SELECT s1.* FROM s1 JOIN lmk USING (doc_id)),
-         s3 AS (
-           SELECT doc_id, text, source FROM (
-             SELECT doc_id, text, source,
-               row_number() OVER (PARTITION BY md5(text)
-                 ORDER BY doc_id) AS rn
-             FROM s2) r WHERE rn = 1),
-         s4 AS (
-           SELECT doc_id FROM (
-             SELECT doc_id,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY md5(source || ':' || cast(doc_id AS varchar)),
-                          doc_id) AS rk
-             FROM s3) c WHERE rk <= 10),
-         census AS (
-           SELECT 0 AS stage, 'raw' AS stage_name,
-             count(*) AS n_docs FROM documents
-           UNION ALL SELECT 1, 'gopher_rules', count(*) FROM s1
-           UNION ALL SELECT 2, 'lm_keep', count(*) FROM s2
-           UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
-           UNION ALL SELECT 4, 'domain_cap', count(*) FROM s4)
-         SELECT stage, stage_name, n_docs,
-           coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
-         FROM census""",
+      // the same shared stage-CTE prefix, aggregated to the census: one
+      // count per stage frame + a lag window for n_dropped
+      (curationChainSql + curationCensusSql),
+    "curation_funnel_banded" ->
+      // same chained replay as curation_funnel: the banded form's
+      // exact-Jaccard verify makes the two candidate strategies agree on
+      // this corpus (the one qualifying pair is at ~0.86, S-curve ~1)
+      (curationChainSql + curationCensusSql),
     "lang_id" ->
       // same stopword-profile scores + lexicographic (score, lang) argmax
       // as TextOps.langId: struct comparison via list_max mirrors Spark's

@@ -264,6 +264,10 @@ object Unigram {
       new java.util.IdentityHashMap
   }
   private val wordMemoCap = 1 << 17
+  // own named model-count cap + single-entry eviction — see the
+  // WordPiece.wordMemoModelCap rationale (evicting ALL memos on overflow
+  // re-created the per-switch allocation thrash the map was built to fix)
+  private val wordMemoModelCap = 8
 
   private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] = {
     val cache = wordMemo.get()
@@ -271,7 +275,10 @@ object Unigram {
     if (hit != null) hit
     else {
       val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
-      if (cache.size >= parsedCap) cache.clear()
+      if (cache.size >= wordMemoModelCap) {
+        val it = cache.keySet().iterator()
+        it.next(); it.remove()
+      }
       cache.put(model, fresh)
       fresh
     }
@@ -385,10 +392,23 @@ object Unigram {
     UTF8String.fromBytes(bos.toByteArray)
   }
 
-  private def checkLayout(model: Seq[Piece]): Unit =
+  private def checkLayout(model: Seq[Piece]): Unit = {
     require(model.forall(_.id >= FirstTrainedId),
       s"trained piece ids must be >= $FirstTrainedId: ids 1..256 are the " +
         "reserved byte-fallback pieces, 0 is UNK")
+    // mirror parseFor's id-proportion bound at PLAN BUILD (tightened
+    // contract, r18): ids must be near-dense above FirstTrainedId — the
+    // decode table is sized by max id, so a hand-built sparse-id model
+    // (one piece with id 10000) is rejected when the Column is
+    // constructed instead of failing per-task at runtime
+    if (model.nonEmpty) {
+      val maxId = model.map(_.id).max
+      require(maxId <= math.max(1024, 4L * model.size + FirstTrainedId),
+        s"unigram model: max id $maxId is out of proportion to the " +
+          s"${model.size}-row vocabulary (lexicographic-rank ids from " +
+          s"$FirstTrainedId expected; the decode table is sized by max id)")
+    }
+  }
 
   /** Column form of [[decode]] (the Bpe.decodeCol shape). */
   def decodeCol(ids: Column, model: Seq[Piece]): Column = {

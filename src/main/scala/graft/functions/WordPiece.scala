@@ -207,6 +207,14 @@ object WordPiece {
       new java.util.IdentityHashMap
   }
   private val wordMemoCap = 1 << 17
+  // the word-memo map's own model-count cap (deliberately equal to
+  // parsedCap, but named: the two caches bound different memory — parse
+  // entries are O(vocab), word memos O(2^17 words) — and must be tunable
+  // apart). Overflow evicts ONE stale model's memo, not the whole map: a
+  // plan alternating more than this many model literals row-by-row keeps
+  // every still-hot memo instead of re-allocating 2^14-slot HashMaps per
+  // switch (the thrash the identity-map refactor was written to fix).
+  private val wordMemoModelCap = 8
 
   private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] = {
     val cache = wordMemo.get()
@@ -214,7 +222,10 @@ object WordPiece {
     if (hit != null) hit
     else {
       val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
-      if (cache.size >= parsedCap) cache.clear()
+      if (cache.size >= wordMemoModelCap) {
+        val it = cache.keySet().iterator()
+        it.next(); it.remove()
+      }
       cache.put(model, fresh)
       fresh
     }
@@ -242,9 +253,19 @@ object WordPiece {
               Some(parts(0) -> id)
             case _ => None
           }
-        parsed.getOrElse(throw new IllegalArgumentException(
+        val entry = parsed.getOrElse(throw new IllegalArgumentException(
           s"wordpiece model: row '$s' is not 'piece\\tid' with a nonempty " +
             s"piece and id in [1, ${1 << 24}]"))
+        // the encode kernel probes lengths min(MaxPieceLen, remaining)..1
+        // and the SQL oracle's match ladder stops at MaxPieceLen, so a
+        // longer piece would be a silently unmatchable dead entry — a
+        // malformed model, rejected by name (fail-loudly discipline)
+        if (contentLen(entry._1) > MaxPieceLen)
+          throw new IllegalArgumentException(
+            s"wordpiece model: piece '${entry._1}' exceeds $MaxPieceLen " +
+              "content code points — the greedy matcher never probes " +
+              "longer pieces, so it could never match")
+        entry
       }.toMap
       val maxId = if (m.isEmpty) 0 else m.valuesIterator.max.toInt
       // the decode array is sized by maxId — bound the allocation by the
@@ -340,6 +361,20 @@ object WordPiece {
       s"trained piece ids must be >= $FirstTrainedId: 0 is the reserved [UNK]")
     require(model.forall(p => p.piece.nonEmpty && p.piece != UnkPiece),
       "pieces must be nonempty and must not shadow the reserved [UNK]")
+    // mirror parseFor's kernel-side bounds at PLAN BUILD, so a hand-built
+    // model fails when the Column is constructed, not per-task at runtime
+    model.find(p => contentLen(p.piece) > MaxPieceLen).foreach(p =>
+      throw new IllegalArgumentException(
+        s"wordpiece model: piece '${p.piece}' exceeds $MaxPieceLen " +
+          "content code points — the greedy matcher never probes " +
+          "longer pieces, so it could never match"))
+    if (model.nonEmpty) {
+      val maxId = model.map(_.id).max
+      require(maxId <= math.max(1024, 4L * model.size),
+        s"wordpiece model: max id $maxId is out of proportion to the " +
+          s"${model.size}-row vocabulary (dense code-point-rank ids " +
+          "expected; the decode table is sized by max id)")
+    }
   }
 
   private def modelLit(model: Seq[Piece])

@@ -13,76 +13,182 @@ import org.apache.spark.sql.functions._
   * census is the pipeline's primary dashboard.
   *
   * Stage order mirrors production curation economics — cheap map-only
-  * gates first so expensive stages see fewer docs:
-  *   raw → gopher_rules (map-only bitmap) → lm_keep (bigram-LM NLL gate)
-  *   → exact_dedup (min-id per content hash) → domain_cap (diversity).
+  * gates first so expensive stages see fewer docs — and, with the opt-in
+  * stages on, covers EVERY stage the composed production pipeline (D24,
+  * [[CorpusPipeline]]) executes:
+  *   raw → line_cut (CCNet line tier, opt-in) → gopher_rules (map-only
+  *   bitmap) → lm_keep (bigram-LM NLL gate) → exact_dedup (min-id per
+  *   content hash) → near_dup (shingle-Jaccard drop, opt-in) →
+  *   span_scrub (repeated-window cut, opt-in — docs scrubbed to zero
+  *   are the drops) → domain_cap (diversity).
+  * Line-cut runs FIRST and on the RAW text (newlines define lines — the
+  * [[CorpusPipeline]] ordering rationale), so every later gate reads the
+  * post-cut text; near-dup runs BEFORE span-scrub for the same reason as
+  * D24 (a near-dup pair shares most windows — scrubbing first would gut
+  * both docs).
   *
-  * Scale shape: each stage is the already-gated operator (D33, D31, D1,
-  * D32) applied to the previous stage's survivor frame; the census
-  * aggregates each frame to ONE row (map-side-combinable count), so the
-  * funnel's own cost is the stages themselves plus four 1-row aggs. The
-  * LM trains on the RAW corpus (self-scoring outlier setup), not the
-  * survivor slice, so the gate order doesn't perturb the model.
+  * Scale shape: each stage is the already-gated operator (D25d, D33,
+  * D31, D1, D4/D2, D25b, D32) applied to the previous stage's survivor
+  * frame; the census aggregates each frame to ONE row
+  * (map-side-combinable count), so the funnel's own cost is the stages
+  * themselves plus one 1-row agg per stage. The LM trains on the
+  * line-cut corpus (self-scoring outlier setup), not the survivor slice,
+  * so the gate order doesn't perturb the model. Near-dup candidates come
+  * from the caller's block key (replayable — right when a second engine
+  * must replay the stage) or MinHash LSH banding
+  * ([[CorpusPipeline.NearDup]]`.banded` — bucket cardinality grows with
+  * the corpus, hot buckets guarded: the 100 TB form).
   */
 object Curation {
 
+  /** The staged survivor frames shared by [[funnel]] and [[provenance]]:
+    * an ordered list of (stage_name, id-frame) where each id-frame also
+    * carries the columns the NEXT stage needs (domain throughout; the
+    * line-cut TEXT lives in the returned base frame, joined back per
+    * stage so only skinny frames are persisted). `track` is the caller's
+    * persist policy (eager persist+release for the funnel, tracked cache
+    * for the lazy provenance).
+    *
+    * Returns (base, stages): `base` is the (id, text, domain) frame every
+    * text-needing stage joins against — the raw projection, or the
+    * PERSISTED line-cut projection when the line tier is on (one cleaned
+    * corpus-sized cache instead of re-running the line explode+agg per
+    * downstream consumer — the [[CorpusPipeline.stages]] precedent);
+    * `stages` holds one (name, ids) entry per ENABLED stage after raw,
+    * ids being a (doc_id[, domain]) frame of that stage's survivors. */
+  private def stagedIds(docs: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, nllKeep: Double, cap: Int,
+                        lineCut: Option[CorpusPipeline.LineCut],
+                        nearDup: Option[CorpusPipeline.NearDup],
+                        scrub: Option[CorpusPipeline.SpanScrub],
+                        track: DataFrame => DataFrame)
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+
+    // stage 1 (opt-in): CCNet line-cut on the RAW text; a doc whose kept
+    // lines are empty (pure boilerplate) is the stage's drop. The cleaned
+    // (id, text, domain) frame is what EVERY later stage reads — persisted
+    // once, because gopher, the LM train AND probe, the dedup hash, the
+    // near-dup shingles and the scrub tokenize would each re-run the
+    // line explode+count otherwise.
+    val base = lineCut match {
+      case None => s0
+      case Some(cfg) =>
+        val cleaned = Dedup.lineDedup(s0, idCol, textCol, cfg.minCount)
+          .select(col("id").as(idCol), col("cleaned_text").as(textCol))
+        val b = track(s0.drop(textCol).join(cleaned, Seq(idCol))
+          .filter(trim(col(textCol)) =!= "")
+          .select(col(idCol), col(textCol), col(domainCol)))
+        out += "line_cut" -> b.select(col(idCol).as("doc_id"))
+        b
+    }
+
+    // stage 2: Gopher rule bitmap, keep pass_all — skinny id frame
+    val ids1 = track(TextOps.gopherQualityRules(base, idCol, textCol)
+      .filter(col("pass_all")).select(col(idCol).as("doc_id")))
+    out += "gopher_rules" -> ids1
+
+    // stage 3: LM keep — model trained on the full (line-cut) corpus, but
+    // only the gopher SURVIVORS pay the scoring join (the stage-ordering
+    // economics the header promises). scoreAgainst on a corpus subset
+    // equals self-scoring for it: every survivor bigram is in the full
+    // model, so the backoff never fires and verdicts are identical.
+    val surv1 = base.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
+    val ids2 = track(NgramLm.scoreAgainst(base, surv1, idCol, textCol,
+        nllKeep = nllKeep)
+      .filter(col("keep")).select(col("doc_id")))
+    out += "lm_keep" -> ids2
+
+    // stage 4: exact dedup (min id per content hash) among survivors —
+    // one join back to the corpus for text, id+domain carried forward
+    val ids3 = track(Dedup.exactByHash(
+        base.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
+        textCol, idCol)
+      .select(col(idCol).as("doc_id"), col(domainCol)))
+    out += "exact_dedup" -> ids3
+
+    // stage 5 (opt-in): near-dup drop — candidate pairs from the caller's
+    // block key (or LSH banding), exact-Jaccard verify, drop the HIGHER
+    // id of each verified pair (keep-first; the distinct-loser anti-join
+    // is the CorpusPipeline rule verbatim)
+    val ids4 = nearDup match {
+      case None => ids3
+      case Some(cfg) =>
+        val sv = base.join(ids3.select(col("doc_id").as(idCol)), Seq(idCol))
+          .select(col(idCol), col(textCol))
+        val pairs =
+          if (cfg.banded)
+            Dedup.minhashNearDups(sv, idCol, textCol,
+              shingleWidth = cfg.n, threshold = cfg.threshold)
+          else
+            Dedup.ngramJaccardPairs(
+              sv.withColumn("__block", cfg.block(col(textCol))),
+              idCol, textCol, "__block", cfg.n, cfg.threshold)
+        val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+        val kept = track(ids3.join(losers, Seq("doc_id"), "left_anti"))
+        out += "near_dup" -> kept
+        kept
+    }
+
+    // stage 6 (opt-in): span scrub — repeated stride-1 windows cut; the
+    // stage's drops are the docs scrubbed to ZERO tokens (all-boilerplate)
+    val ids5 = scrub match {
+      case None => ids4
+      case Some(cfg) =>
+        val sv = base.join(ids4.select(col("doc_id").as(idCol)), Seq(idCol))
+          .select(col(idCol), col(textCol))
+        val kept = track(
+          Dedup.spanScrub(sv, idCol, textCol, cfg.window, cfg.minDf)
+            .filter(col("n_tokens") - col("n_removed") > 0)
+            .select(col(idCol).as("doc_id"))
+            .join(ids4, Seq("doc_id"))) // re-attach domain
+        out += "span_scrub" -> kept
+        kept
+    }
+
+    // stage 7: per-domain cap over the (id, domain) survivor frame
+    out += "domain_cap" ->
+      Sample.domainCap(ids5, "doc_id", domainCol, cap).select(col("doc_id"))
+    (base, out.toSeq)
+  }
+
   /** One row per stage: (stage, stage_name, n_docs, n_dropped) with
-    * n_dropped relative to the previous stage.
+    * n_dropped relative to the previous stage. Row count = 5 with the
+    * opt-in stages off (prior shape), 8 with the full production chain.
     *
     * Execution shape: each stage's SURVIVOR-ID frame (ids only — bytes
     * per row, never text) is persisted and counted ONCE; the census is
-    * then assembled from the five counted longs on the driver (O(stages)
-    * rows — the bounded-collect pattern). The lazy alternative — five
-    * chained frames each union'd into one census plan — recomputes every
-    * shared stage per branch: the first cut audited at 48 parquet scans
-    * and 24 token explodes for one query, ~15 corpus passes at scale. */
+    * then assembled from the counted longs on the driver (O(stages)
+    * rows — the bounded-collect pattern). The lazy alternative — chained
+    * frames union'd into one census plan — recomputes every shared stage
+    * per branch: the first cut audited at 48 parquet scans and 24 token
+    * explodes for one query, ~15 corpus passes at scale. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              domainCol: String, nllKeep: Double = 6.0,
-             cap: Int = 10): DataFrame = {
+             cap: Int = 10,
+             lineCut: Option[CorpusPipeline.LineCut] = None,
+             nearDup: Option[CorpusPipeline.NearDup] = None,
+             scrub: Option[CorpusPipeline.SpanScrub] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
     val n0 = s0.count()
 
-    // the cached id frames release in a finally: a failing stage (a lost
-    // executor, a bad input tripping a require) must not leak up to
-    // three corpus-sized-id cache entries for the session's lifetime
+    // the cached frames release in a finally: a failing stage (a lost
+    // executor, a bad input tripping a require) must not leak
+    // corpus-sized cache entries for the session's lifetime
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def track(df: DataFrame): DataFrame = { cached += df.persist(); df }
     try {
-      // stage 1: Gopher rule bitmap, keep pass_all — skinny id frame
-      val ids1 = track(TextOps.gopherQualityRules(s0, idCol, textCol)
-        .filter(col("pass_all")).select(col(idCol).as("doc_id")))
-      val n1 = ids1.count()
-
-      // stage 2: LM keep — model trained on the RAW corpus, but only the
-      // stage-1 SURVIVORS pay the scoring join (the stage-ordering
-      // economics the header promises). scoreAgainst on a corpus subset
-      // equals self-scoring for it: every survivor bigram is in the raw
-      // model, so the backoff never fires and verdicts are identical.
-      val surv1 = s0.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
-      val ids2 = track(NgramLm.scoreAgainst(s0, surv1, idCol, textCol,
-          nllKeep = nllKeep)
-        .filter(col("keep")).select(col("doc_id")))
-      val n2 = ids2.count()
-
-      // stage 3: exact dedup (min id per content hash) among survivors —
-      // one join back to the corpus for text, id+domain carried forward
-      val ids3 = track(Dedup.exactByHash(
-          s0.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
-          textCol, idCol)
-        .select(col(idCol).as("doc_id"), col(domainCol)))
-      val n3 = ids3.count()
-
-      // stage 4: per-domain cap over the (id, domain) survivor frame
-      val n4 = Sample.domainCap(ids3, "doc_id", domainCol, cap).count()
-
-      val ns = Seq(0L -> ("raw", n0), 1L -> ("gopher_rules", n1),
-        2L -> ("lm_keep", n2), 3L -> ("exact_dedup", n3),
-        4L -> ("domain_cap", n4))
-      ns.zip(n0 +: ns.map(_._2._2)).map { case ((i, (name, n)), prev) =>
-        (i.toInt, name, n, prev - n)
+      val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
+        nllKeep, cap, lineCut, nearDup, scrub, track)
+      val ns = ("raw", n0) +: stages.map { case (name, ids) =>
+        (name, ids.count())
+      }
+      ns.zipWithIndex.zip(n0 +: ns.map(_._2)).map {
+        case (((name, n), i), prev) => (i, name, n, prev - n)
       }.toDF("stage", "stage_name", "n_docs", "n_dropped")
     } finally {
       cached.foreach(_.unpersist())
@@ -95,72 +201,70 @@ object Curation {
     * per input doc with each gate's verdict and the first failing stage.
     * Stage semantics are the funnel's STAGED ones, not independent
     * gates: a later gate's flag is NULL for docs that never reached it —
-    * deliberately, because two of the verdicts are SET-dependent
-    * (canonicity is min-id within the stage-2 survivor set; the cap rank
-    * is within stage-3 survivors), so an "independent" flag would be a
-    * different, misleading number. `count(drop_stage = s)` therefore
-    * reconciles exactly with the funnel's n_dropped at s — spec-pinned.
+    * deliberately, because most of the verdicts are SET-dependent
+    * (canonicity is min-id within the LM survivor set; a near-dup or
+    * repeated-window verdict depends on which other docs survived beside
+    * it; the cap rank is within the scrub survivors), so an
+    * "independent" flag would be a different, misleading number.
+    * `count(drop_stage = s)` therefore reconciles exactly with the
+    * funnel's n_dropped at s — spec-pinned.
+    *
+    * Column shape follows the enabled stages: doc_id, [pass_linecut,]
+    * pass_gopher, pass_lm, is_canonical, [pass_neardup,] [pass_scrub,]
+    * within_cap, drop_stage, keep — the prior 7-column ledger when the
+    * opt-in stages are off.
     *
     * Scale shape: identical to the funnel (each stage is the gated
     * operator on the previous survivor frame, skinny id frames persisted
-    * once) plus four left joins of id-only frames to assemble the flags
-    * — no stage is recomputed per flag column. */
+    * once) plus one left join of an id-only frame per flag column — no
+    * stage is recomputed per flag. */
   def provenance(docs: DataFrame, idCol: String, textCol: String,
                  domainCol: String, nllKeep: Double = 6.0,
-                 cap: Int = 10): DataFrame = {
+                 cap: Int = 10,
+                 lineCut: Option[CorpusPipeline.LineCut] = None,
+                 nearDup: Option[CorpusPipeline.NearDup] = None,
+                 scrub: Option[CorpusPipeline.SpanScrub] = None): DataFrame = {
     val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
     // persistTracked, not a local persist/finally: the RESULT is lazy
     // (unlike the funnel, which counts eagerly), and each stage's id
     // frame appears in the plan both as a flag join AND inside every
     // later stage's lineage — uncached, the final plan would recompute
-    // gopher 4x and the LM scoring 3x (the 48-scan shape the funnel's
-    // census already retired). The harness releases tracked frames
-    // between queries (Dedup.unpersistIntermediates).
-    val ids1 = Dedup.persistTracked(
-      TextOps.gopherQualityRules(s0, idCol, textCol)
-        .filter(col("pass_all")).select(col(idCol).as("doc_id")))
-    val surv1 = s0.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
-    val ids2 = Dedup.persistTracked(
-      NgramLm.scoreAgainst(s0, surv1, idCol, textCol, nllKeep = nllKeep)
-        .filter(col("keep")).select(col("doc_id")))
-    val ids3 = Dedup.persistTracked(
-      Dedup.exactByHash(
-          s0.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
-          textCol, idCol)
-        .select(col(idCol).as("doc_id"), col(domainCol)))
-    val ids4 = Sample.domainCap(ids3, "doc_id", domainCol, cap)
-      .select(col("doc_id"))
-    // flag columns derive from the staged memberships with NULL below
-    // the first failure, never re-evaluating a gate
-    s0.select(col(idCol).as("doc_id"))
-      .join(ids1.withColumn("__g", lit(true)), Seq("doc_id"), "left")
-      .join(ids2.withColumn("__l", lit(true)), Seq("doc_id"), "left")
-      .join(ids3.select(col("doc_id"), lit(true).as("__c")),
-        Seq("doc_id"), "left")
-      .join(ids4.withColumn("__k", lit(true)), Seq("doc_id"), "left")
-      // three-state STRING verdicts, not nullable booleans: 'not_reached'
-      // is a first-class value in this ledger (the staged semantics make
-      // it the honest answer below the first failure), and an explicit
-      // state string survives every downstream surface a NULL boolean
-      // trips over (CSV exports, cross-engine hash compares)
-      .select(
-        col("doc_id"),
-        when(col("__g").isNotNull, "pass").otherwise("fail")
-          .as("pass_gopher"),
-        when(col("__g").isNull, "not_reached")
-          .when(col("__l").isNotNull, "pass").otherwise("fail")
-          .as("pass_lm"),
-        when(col("__l").isNull, "not_reached")
-          .when(col("__c").isNotNull, "pass").otherwise("fail")
-          .as("is_canonical"),
-        when(col("__c").isNull, "not_reached")
-          .when(col("__k").isNotNull, "pass").otherwise("fail")
-          .as("within_cap"),
-        when(col("__g").isNull, "gopher_rules")
-          .when(col("__l").isNull, "lm_keep")
-          .when(col("__c").isNull, "exact_dedup")
-          .when(col("__k").isNull, "domain_cap")
-          .otherwise("kept").as("drop_stage"),
-        col("__k").isNotNull.as("keep"))
+    // gopher per branch and the LM scoring per later stage (the 48-scan
+    // shape the funnel's census already retired). The harness releases
+    // tracked frames between queries (Dedup.unpersistIntermediates).
+    val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
+      nllKeep, cap, lineCut, nearDup, scrub, Dedup.persistTracked)
+
+    // flag columns derive from the staged memberships with 'not_reached'
+    // below the first failure, never re-evaluating a gate. Three-state
+    // STRING verdicts, not nullable booleans: 'not_reached' is a
+    // first-class value in this ledger (the staged semantics make it the
+    // honest answer below the first failure), and an explicit state
+    // string survives every downstream surface a NULL boolean trips over
+    // (CSV exports, cross-engine hash compares).
+    val flagName = Map(
+      "line_cut" -> "pass_linecut", "gopher_rules" -> "pass_gopher",
+      "lm_keep" -> "pass_lm", "exact_dedup" -> "is_canonical",
+      "near_dup" -> "pass_neardup", "span_scrub" -> "pass_scrub",
+      "domain_cap" -> "within_cap")
+    val marks = stages.zipWithIndex.map { case ((name, _), i) => (name, s"__m$i") }
+    val joined = stages.zip(marks).foldLeft(
+      s0.select(col(idCol).as("doc_id"))) {
+      case (acc, ((_, ids), (_, mark))) =>
+        acc.join(ids.select(col("doc_id"), lit(true).as(mark)),
+          Seq("doc_id"), "left")
+    }
+    val verdicts = marks.zipWithIndex.map { case ((name, mark), i) =>
+      val reached =
+        if (i == 0) lit(true) else col(marks(i - 1)._2).isNotNull
+      when(!reached, "not_reached")
+        .when(col(mark).isNotNull, "pass").otherwise("fail")
+        .as(flagName(name))
+    }
+    val dropStage = marks.foldRight(lit("kept")) { case ((name, mark), rest) =>
+      when(col(mark).isNull, name).otherwise(rest)
+    }.as("drop_stage")
+    val keep = col(marks.last._2).isNotNull.as("keep")
+    joined.select(col("doc_id") +: verdicts :+ dropStage :+ keep: _*)
   }
 }

@@ -59,6 +59,51 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Matryoshka (MRL) two-stage top-k (Kusupati et al. 2022, public
+    * knowledge: embeddings trained so every PREFIX of the vector is
+    * itself a valid lower-dim embedding): stage 1 shortlists by cosine
+    * over the first `prefixDim` dims (truncate + renormalize — the MRL
+    * serving pattern), stage 2 re-ranks the shortlist with the exact
+    * full-dim cosine. The [[ivfPqRerank]] shortlist-then-rerank shape
+    * with dimension truncation as the cheap stage instead of quantized
+    * codes — at scale the prefix slice is what a serving tier keeps hot
+    * (prefixDim/dim of the bandwidth and FLOPs per scanned candidate;
+    * here 4× at 16/64), with the full vectors touched only for the
+    * `shortlist` survivors per query. Same determinism discipline as
+    * [[cosineTopK]]: the VecOps dot's IEEE fold on the SLICED array is
+    * bit-identical to DuckDB's list_dot_product over the same slice, and
+    * both rank ties break on vec_id — so the whole two-stage result is
+    * exactly replayable, including which candidates make the shortlist. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, prefixDim: Int, shortlist: Int,
+                     k: Int): DataFrame = {
+    require(prefixDim > 0, "prefixDim must be positive")
+    require(shortlist >= k && k > 0, "need shortlist >= k > 0")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("pvec", slice(col("vec"), 1, prefixDim))
+      .withColumn("norm", l2norm(col("vec")))
+      .withColumn("pnorm", l2norm(col("pvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("pqvec", slice(col("qvec"), 1, prefixDim))
+      .withColumn("qnorm", l2norm(col("qvec")))
+      .withColumn("pqnorm", l2norm(col("pqvec")))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("vec_id").asc)
+    val short = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos",
+        cosine(col("pvec"), col("pqvec"), col("pnorm"), col("pqnorm")))
+      .withColumn("prank", row_number().over(wPre))
+      .filter(col("prank") <= shortlist)
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .withColumn("cos",
+        cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Deterministic random hyperplanes (seeded LCG), as a literal matrix. */
   private def planes(seed: Long, nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var x = seed

@@ -360,7 +360,24 @@ object EventStream {
     * doc_id order within each batch, so a doc_id-ordered delivery drains
     * to EXACTLY the batch packer's assignment — the gate's oracle. The
     * parquet FILE sink (its _spark_metadata transaction log) makes the
-    * lake exactly-once on at-least-once execution. */
+    * lake exactly-once on at-least-once execution; the crash window
+    * between a state-store commit and the sink commit is replay-pinned
+    * by EventStreamSpec's packingStream replay test.
+    *
+    * CONTRACT CAVEATS (both are the caller's to hold):
+    *   - memory: each (shard, micro-batch) group is materialized and
+    *     sorted in ONE task (`rows.toArray.sortBy`), so a task holds
+    *     O(batch docs / shards) skinny (id, n, shard) rows — bound the
+    *     wave size × shard count so that quotient stays in task memory
+    *     (at the default maxFilesPerTrigger=1, a wave = one landed file);
+    *   - ordering: "equals the batch packer" requires each delivery
+    *     wave to arrive as a SINGLE landed file (or doc_id-ordered
+    *     files): with maxFilesPerTrigger=1 each micro-batch is one file
+    *     and the in-batch sort restores doc_id order, but a wave split
+    *     across files that the file source lists out of doc_id order
+    *     packs in file order — a DIFFERENT (still valid, still
+    *     exactly-once) assignment. Callers relying on batch-equality
+    *     (the gate, the specs) land one file per wave. */
   def packingStream(spark: SparkSession, landingDir: String,
                     schema: StructType, outDir: String, checkpointDir: String,
                     budget: Long, shards: Int, maxFilesPerTrigger: Int = 1)
@@ -396,6 +413,68 @@ object EventStream {
           out.iterator
       }
       .toDF("doc_id", "n_tokens", "shard", "seq_id")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  // public: the state encoder's generated code must see the constructor
+  case class CapState(seen: Long)
+
+  /** Per-domain ingest QUOTA (E16) — the serving form of the D32 domain
+    * cap: each arriving doc gets its domain's running arrival rank from
+    * keyed state (one (domain → seen-count) long per domain,
+    * flatMapGroupsWithState, NoTimeout — a quota never expires) and a
+    * kept verdict (rank <= cap); the ledger row is emitted for EVERY doc
+    * (kept and over-quota alike — the quarantine-ledger discipline:
+    * dropped docs must be visible, not vanished). The semantics are
+    * deliberately FIRST-ARRIVAL quota, not the batch cap's md5 rank: a
+    * stream cannot know future arrivals, so arrival order is the only
+    * honest rank at ingest — the standard trade against D32's
+    * diversity-preserving random rank (batch re-cap on the landed corpus
+    * when unbiased sampling matters). With doc_id-ordered single-file
+    * waves, arrival rank == doc_id rank, which is what the oracle
+    * replays (row_number per domain ordered by doc_id).
+    *
+    * Scale shape: state is ONE long per domain (smaller than packing's
+    * per-shard pair), each micro-batch shuffles once on the domain key;
+    * the per-(domain, batch) group materializes in one task like
+    * [[packingStream]] — the same wave-size caveat, documented there.
+    * Exactly-once lake via the parquet file sink's _spark_metadata log
+    * (the packingStream replay spec pins the shared mechanism). */
+  def domainCapStream(spark: SparkSession, landingDir: String,
+                      schema: StructType, outDir: String,
+                      checkpointDir: String, cap: Long,
+                      idCol: String = "doc_id", domainCol: String = "source",
+                      maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).cast("string").as("domain"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[CapState, (Long, String, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (domain, rows, state: GroupState[CapState]) =>
+          var seen = state.getOption.getOrElse(CapState(0L)).seen
+          // the iterator's order is not defined — sort the batch's docs
+          // (bounded: one micro-batch's share of one domain)
+          val out = rows.toArray.sortBy(_._1).map { case (id, _) =>
+            seen += 1
+            (id, domain, seen, seen <= cap)
+          }
+          state.update(CapState(seen))
+          out.iterator
+      }
+      .toDF("doc_id", "domain", "seen_rank", "kept")
       .writeStream
       .format("parquet")
       .option("path", outDir)

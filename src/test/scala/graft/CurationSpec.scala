@@ -72,4 +72,92 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(byStage("kept") === 1L)
     graft.operators.Dedup.unpersistIntermediates()
   }
+
+  // ---- full production chain (r18: line_cut / near_dup / span_scrub) ----
+
+  // one planted casualty per stage, every later arm insulated from every
+  // earlier one (fox pads break near-dup shingle overlap; letter pads
+  // survive lineNorm; the dup text is self-repeating so its canonical is
+  // the scrub casualty — the same design as the entry-gate plants)
+  private val foxSent = "the cat sat of mat and dogs that have ran with joy here"
+  private def foxPadded(tag: String): String =
+    (0 until 5).map(j => s"$foxSent $tag$j").mkString(" ")
+  private val banner = "subscribe for unlimited premium access and member content today"
+  private def fullChainDocs = {
+    val t1 = (foxSent + " ") * 5
+    ((1 to 3).map(i => (i.toLong, t1.trim, "bulk")) ++ Seq(
+      (7L, t1.trim.replace("joy", "glee"), "bulk"), // near-dup of doc 1 (same first-2-token block, J = 10/16)
+      (8L, "the of short", "bulk"),                 // gopher: word_count < 50
+      (9L, "the of " + (1 to 48).map(i => f"qx$i%02d").mkString(" "), "bulk"), // LM outlier
+      (10L, foxPadded("pa"), "capd"),               // cap pair: same source,
+      (11L, foxPadded("pb"), "capd"),               //   one loses the single slot
+      (12L, foxPadded("lc") + "\n" + banner, "l1"), // banner carriers: the cut
+      (13L, foxPadded("ld") + "\n" + banner, "l2"), //   strips line 2, they
+      (14L, foxPadded("le") + "\n" + banner, "l3"), //   flow on intact
+      (15L, banner, "l0")))                         // pure banner: line_cut drop
+      .toDF("doc_id", "text", "source")
+  }
+  private val fullChainArgs = (
+    Some(graft.operators.CorpusPipeline.LineCut(minCount = 4L)), // 3 carriers + 1 pure = 4
+    Some(graft.operators.CorpusPipeline.NearDup(
+      t => org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.slice(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(t), "\\s+"), 1, 2)),
+      n = 3, threshold = 0.6)),
+    Some(graft.operators.CorpusPipeline.SpanScrub(window = 8, minDf = 2)))
+
+  test("funnel full chain: every production stage drops exactly its planted casualty") {
+    val (lc, nd, sc) = fullChainArgs
+    val got = Curation.funnel(fullChainDocs, "doc_id", "text", "source",
+      nllKeep = 2.5, cap = 1, lineCut = lc, nearDup = nd, scrub = sc)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0, "raw", 12L, 0L),
+      (1, "line_cut", 11L, 1L),     // doc 15 (pure banner) emptied
+      (2, "gopher_rules", 10L, 1L), // doc 8 out
+      (3, "lm_keep", 9L, 1L),       // doc 9 out
+      (4, "exact_dedup", 7L, 2L),   // docs 2-3 are copies of doc 1
+      (5, "near_dup", 6L, 1L),      // doc 7 (higher id of the 0.625 pair)
+      (6, "span_scrub", 5L, 1L),    // doc 1: fully self-repeating text
+      (7, "domain_cap", 4L, 1L)))   // one "capd" slot
+    graft.operators.Dedup.unpersistIntermediates()
+  }
+
+  test("provenance full chain: staged verdicts + exact funnel reconciliation") {
+    val (lc, nd, sc) = fullChainArgs
+    val docs = fullChainDocs
+    val rows = Curation.provenance(docs, "doc_id", "text", "source",
+        nllKeep = 2.5, cap = 1, lineCut = lc, nearDup = nd, scrub = sc)
+      .as[(Long, String, String, String, String, String, String, String,
+           String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows.size === 12)
+    // pure banner: cut to empty, nothing later was evaluated
+    assert(rows(15L) === ((15L, "fail", "not_reached", "not_reached",
+      "not_reached", "not_reached", "not_reached", "not_reached",
+      "line_cut", false)))
+    // the near-dup loser: canonical, then dropped beside doc 1
+    assert(rows(7L) === ((7L, "pass", "pass", "pass", "pass", "fail",
+      "not_reached", "not_reached", "near_dup", false)))
+    // the scrub casualty: survived near-dup, scrubbed to zero tokens
+    assert(rows(1L) === ((1L, "pass", "pass", "pass", "pass", "pass",
+      "fail", "not_reached", "span_scrub", false)))
+    // banner carriers: the cut stripped their banner, they keep
+    Seq(12L, 13L, 14L).foreach(i => assert(rows(i)._10, s"doc $i kept"))
+    // exactly one of the cap pair survives the single slot
+    assert(Seq(10L, 11L).count(rows(_)._10) === 1)
+    // reconciliation: count(drop_stage = s) == the funnel's n_dropped
+    val funnel = Curation.funnel(docs, "doc_id", "text", "source",
+        nllKeep = 2.5, cap = 1, lineCut = lc, nearDup = nd, scrub = sc)
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    val byStage = rows.values.groupBy(_._9).view.mapValues(_.size.toLong).toMap
+    Seq("line_cut", "gopher_rules", "lm_keep", "exact_dedup", "near_dup",
+        "span_scrub", "domain_cap").foreach { s =>
+      assert(byStage.getOrElse(s, 0L) === funnel(s), s"stage $s")
+    }
+    assert(byStage("kept") === 4L)
+    graft.operators.Dedup.unpersistIntermediates()
+  }
 }

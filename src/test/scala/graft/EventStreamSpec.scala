@@ -450,6 +450,128 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(out).count() === 12)
   }
 
+  test("packingStream replay: crash between state-store and sink commit, lake still equals the batch packer") {
+    // The E15-specific crash window the other replay specs (E13/E3) can't
+    // cover: packingStream's keyed state is a cross-batch ACCUMULATOR
+    // (each shard's open bin), and its exactly-once story is the parquet
+    // FILE sink's _spark_metadata log, not writeBatchStamped. The state
+    // store commits at task level DURING a batch; the sink's metadata
+    // entry and the checkpoint's commits/<id> marker land driver-side at
+    // batch end — so a driver death in between leaves: state deltas for
+    // the batch PRESENT, orphaned data files on disk, sink log entry and
+    // commit marker ABSENT. Injected here by deleting both trailing
+    // markers after a clean drain. The contract under replay: the engine
+    // re-runs the batch against the state VERSION IT ORIGINALLY READ
+    // (the store is versioned per batch; the advanced version is not
+    // consulted), so the open-bin walk re-emits byte-identical rows, the
+    // sink commits fresh files to the log, and the log-aware reader never
+    // sees the first attempt's orphans — the lake equals the batch packer
+    // exactly, duplicate delivery but never duplicate rows.
+    import graft.operators.Packing
+    val root = java.nio.file.Files.createTempDirectory("graft-packreplay").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    // same geometry as the carry-across-waves spec: the wave boundary
+    // lands MID-BIN, so the replayed batch 1 depends on batch 0's state —
+    // a replay that consulted the POST-batch-1 state version would shift
+    // doc 5 into a fresh bin and break row-equality with the batch packer
+    val docs = (0L until 12L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, text string")
+    def drain(): Unit = {
+      val q = EventStream.packingStream(spark, landing, schema, out, ckpt,
+        budget = 12L, shards = 1)
+      try q.awaitTermination() finally q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    docs.filter($"doc_id" < 5L).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    docs.filter($"doc_id" >= 5L).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    val expected = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "shard", "seq_id")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(expected.length === 12)
+    def dropTrailing(dir: String): Unit = {
+      val entries = new java.io.File(dir).listFiles
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(entries.nonEmpty, s"no batch entries under $dir")
+      assert(entries.last.delete())
+      // RawLocalFileSystem CRC sidecar (absent on HDFS/S3) would block
+      // the replayed entry's atomic rename
+      val crc = new java.io.File(entries.last.getParent, s".${entries.last.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+    }
+    // the injection: offsets say batch 1 ran, state deltas for it exist,
+    // but neither the sink log nor the commit marker made it to disk
+    dropTrailing(s"$ckpt/commits")
+    dropTrailing(s"$out/_spark_metadata")
+    val orphans = new java.io.File(out).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    drain()
+    val after = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "shard", "seq_id")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(after === expected,
+      "replayed accumulator batch must re-emit byte-identical assignments")
+    // the replay wrote NEW files alongside the first attempt's orphans;
+    // only the log keeps the read exactly-once
+    val filesAfter = new java.io.File(out).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter > orphans,
+      "replay should land fresh files beside the orphaned first attempt")
+    val batch = Packing.packSequences(docs.select($"doc_id",
+        org.apache.spark.sql.functions.lit(5L).as("n")), "doc_id", "n",
+        budget = 12L, shards = 1,
+        shardOn = Some(org.apache.spark.sql.functions.lit(0)))
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(after.map(r => (r._1, r._4)) === batch.map(r => (r._1, r._4)),
+      "post-replay lake must equal the batch packer row-for-row")
+  }
+
+  test("domainCapStream: quota counter carries across waves; ledger equals doc_id-order rank") {
+    val root = java.nio.file.Files.createTempDirectory("graft-capstream").toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    // two domains, ids interleaved; cap 3: domain a fills 2 slots in
+    // wave 1 and crosses the cap mid-wave-2 THROUGH the state store —
+    // a fresh counter per drain would re-admit wave-2 docs
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"),           // wave 1
+      (5L, "a"), (6L, "a"), (7L, "b"), (8L, "b"), (9L, "b") // wave 2
+    ).toDF("doc_id", "source")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id long, source string")
+    docs.filter($"doc_id" <= 4L).sort("doc_id").coalesce(1)
+      .write.mode("append").parquet(landing)
+    EventStream.domainCapStream(spark, landing, schema, out, ckpt, cap = 3L)
+      .awaitTermination()
+    docs.filter($"doc_id" > 4L).sort("doc_id").coalesce(1)
+      .write.mode("append").parquet(landing)
+    EventStream.domainCapStream(spark, landing, schema, out, ckpt, cap = 3L)
+      .awaitTermination()
+    val drained = spark.read.parquet(out)
+      .select("doc_id", "domain", "seen_rank", "kept")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(drained.length === 9, "every doc ledgered exactly once, over-quota included")
+    // batch reference: first-arrival == doc_id rank per domain
+    val expected = docs.as[(Long, String)].collect().sortBy(_._1)
+      .groupBy(_._2).toSeq.flatMap { case (dom, rows) =>
+        rows.zipWithIndex.map { case ((id, _), i) =>
+          (id, dom, i + 1L, i + 1L <= 3L)
+        }
+      }.sortBy(_._1)
+    assert(drained.toSeq === expected,
+      "streamed quota ledger must equal the doc_id-order rank")
+    // the cross-batch counter: doc 5 is domain a's 3rd arrival (kept),
+    // doc 6 its 4th (over quota) — both verdicts depend on wave-1 state
+    val byId = drained.map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(byId(5L) === ((3L, true)))
+    assert(byId(6L) === ((4L, false)))
+    // third drain with no new files appends nothing (checkpoint cursor)
+    EventStream.domainCapStream(spark, landing, schema, out, ckpt, cap = 3L)
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() === 9)
+  }
+
   test("lmScoreStream: drained scores equal batch scoreAgainst; re-drain appends nothing") {
     import graft.operators.NgramLm
     val root = java.nio.file.Files.createTempDirectory("graft-lmstream").toFile.getAbsolutePath

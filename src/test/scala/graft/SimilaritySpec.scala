@@ -471,4 +471,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .as[Int].collect().max
     assert(maxAbs <= 127)
   }
+
+  test("matryoshkaTopK: full shortlist equals exact top-k; tail-blind prefix is reranked") {
+    // 6 corpus vectors, 1 query; dims 1-2 are the "prefix", 3-4 the tail
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // the query
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),   // prefix-identical, tail drifts
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // exact duplicate of the query
+      (3L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),   // near in prefix and in full
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (5L, Seq(1.0f, 0.0f, 3.0f, 0.0f))    // prefix-IDENTICAL, full-far
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    // shortlist = whole corpus -> the prefix stage cannot lose anyone,
+    // so the result must equal the exact brute-force top-k row-for-row
+    val exact = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val mrlFull = Similarity.matryoshkaTopK(vecs, q, "vec_id", "embedding",
+        prefixDim = 2, shortlist = 5, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(mrlFull.toSeq === exact.toSeq)
+    // full ranking puts the true duplicate (2) first; vec 5's prefix is
+    // IDENTICAL to the query's (pcos = 1) but its tail drags the full
+    // cosine to ~0.32 — with the full shortlist the rerank demotes it
+    assert(mrlFull.map(_._2).toSeq === Seq(2L, 3L, 1L))
+    // the documented trade: a tiny shortlist is prefix-BLIND — vecs 1,
+    // 2, 5 all tie at pcos = 1 (prefix identical to the query), so the
+    // vec_id tie-break fills shortlist 3 with exactly {1, 2, 5} and the
+    // genuinely-2nd-best vec 3 (pcos 0.995) never reaches the rerank —
+    // which then orders the shortlist by TRUE cosine
+    val mrlTiny = Similarity.matryoshkaTopK(vecs, q, "vec_id", "embedding",
+        prefixDim = 2, shortlist = 3, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(mrlTiny.map(_._2).toSeq === Seq(2L, 1L, 5L))
+  }
 }

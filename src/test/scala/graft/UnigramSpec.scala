@@ -141,4 +141,15 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(plan.contains("*("), s"codegen lost (no *(n) stage):\n$plan")
   }
+
+  test("encodeCol rejects a sparse-id hand model at plan build (r18 tightened contract)") {
+    // the decode table is sized by max id; parseFor already bounded it at
+    // task runtime — the Column path now fails when the plan is BUILT, so
+    // a hand-built Piece(10000, ...) model can't pass plan construction
+    // and then die per-task with the out-of-proportion error
+    val e = intercept[IllegalArgumentException] {
+      Unigram.encodeCol(lit("x"), Seq(Piece(10000L, "a", -5000000L)))
+    }
+    assert(e.getMessage.contains("out of proportion"))
+  }
 }

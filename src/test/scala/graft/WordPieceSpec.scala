@@ -145,4 +145,32 @@ class WordPieceSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(plan.contains("*("), s"codegen lost (no *(n) stage):\n$plan")
   }
+
+  test("model validation (r18): over-long pieces and sparse ids fail at plan build") {
+    // the encode kernel probes lengths MaxPieceLen..1 only — a longer
+    // piece could never match, so it is a malformed model, rejected by
+    // name when the Column is constructed (and by parseFor on the SQL
+    // path below), not silently carried as a dead entry
+    val e1 = intercept[IllegalArgumentException] {
+      WordPiece.encodeCol(lit("x"), Seq(Piece(1L, "abcdefg")))
+    }
+    assert(e1.getMessage.contains("content code points"))
+    // marker content length, not raw length: ##-prefixed 6-content piece ok
+    WordPiece.encodeCol(lit("x"), Seq(Piece(1L, "##abcdef")))
+    // the id-proportion bound now also holds at plan build (mirrors
+    // parseFor's decode-table allocation guard)
+    val e2 = intercept[IllegalArgumentException] {
+      WordPiece.decodeCol(lit(Array(1L)), Seq(Piece(100000L, "a")))
+    }
+    assert(e2.getMessage.contains("out of proportion"))
+    // SQL path: same rejection from the kernel's parseFor
+    GraftExtensions.register(spark)
+    val e3 = intercept[Throwable] {
+      spark.sql("SELECT wordpiece_encode('x', array('abcdefg\t1')) AS ids")
+        .collect()
+    }
+    val msgs = Iterator.iterate(e3)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("content code points"), msgs)
+  }
 }
