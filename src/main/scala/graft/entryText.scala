@@ -48,7 +48,7 @@ private[graft] object TextEntries {
     *   - plantnd ×2: an "nd"-padded base + a jittered copy (+4 tail
     *     tokens, Jaccard ≈ 0.86 ≥ 0.6) — the near-dup drop (higher id),
     *     same first-2-token block as every fox plant. */
-  private def curationPlants(s: SparkSession): DataFrame = {
+  private[graft] def curationPlants(s: SparkSession): DataFrame = {
     import s.implicits._
     val fox = "the quick brown fox and lazy dog jumped over fences"
     val vault = "the quick brown fox and lazy dog vaulted over fences "

@@ -45,9 +45,14 @@ object Curation {
     * an ordered list of (stage_name, id-frame) where each id-frame also
     * carries the columns the NEXT stage needs (domain throughout; the
     * line-cut TEXT lives in the returned base frame, joined back per
-    * stage so only skinny frames are persisted). `track` is the caller's
-    * persist policy (eager persist+release for the funnel, tracked cache
-    * for the lazy provenance).
+    * stage so only skinny frames are materialized). `track` is the
+    * caller's persist policy for the BASE text frame (eager
+    * persist+release for the funnel, tracked cache for the lazy
+    * provenance); the skinny per-stage id frames are lineage-CUT via
+    * eager localCheckpoint — see the block comment below. Their blocks
+    * release with the harness's per-query persistent-RDD sweep (or the
+    * ContextCleaner once the frames are unreachable); consume results
+    * before releasing.
     *
     * Returns (base, stages): `base` is the (id, text, domain) frame every
     * text-needing stage joins against — the raw projection, or the
@@ -65,6 +70,22 @@ object Curation {
       : (DataFrame, Seq[(String, DataFrame)]) = {
     val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    // LINEAGE CUT, not just a cache: every stage references the previous
+    // frame 2-5 times (the near-dup self-join legs, the loser anti-join,
+    // the LM train+probe pair), and persist() leaves the LOGICAL tree
+    // intact — so the composed chain's analyzed plan multiplies ~12x per
+    // stage (measured: 83 -> 957,300 plan lines across the 7 stages at
+    // sf0.1, 59k FileScan nodes in the final count's executed plan, and
+    // the analyzer — not the data — billed 18-25 s per late stage; the
+    // cache substitution that saved the 4-stage r17 chain happens AFTER
+    // the exponential tree is already built). localCheckpoint truncates
+    // the plan to a LogicalRDD leaf at each stage boundary, keeping
+    // planning linear in stages. The frames cut here are the SKINNY
+    // per-stage id frames (bytes per row); the caveat — a lost executor
+    // invalidates a local checkpoint (no lineage to recompute) — is the
+    // standard trade every multi-stage production pipeline makes at
+    // stage boundaries, and a census/ledger job simply reruns.
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
     // stage 1 (opt-in): CCNet line-cut on the RAW text; a doc whose kept
     // lines are empty (pure boilerplate) is the stage's drop. The cleaned
@@ -85,7 +106,7 @@ object Curation {
     }
 
     // stage 2: Gopher rule bitmap, keep pass_all — skinny id frame
-    val ids1 = track(TextOps.gopherQualityRules(base, idCol, textCol)
+    val ids1 = cut(TextOps.gopherQualityRules(base, idCol, textCol)
       .filter(col("pass_all")).select(col(idCol).as("doc_id")))
     out += "gopher_rules" -> ids1
 
@@ -95,14 +116,14 @@ object Curation {
     // equals self-scoring for it: every survivor bigram is in the full
     // model, so the backoff never fires and verdicts are identical.
     val surv1 = base.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
-    val ids2 = track(NgramLm.scoreAgainst(base, surv1, idCol, textCol,
+    val ids2 = cut(NgramLm.scoreAgainst(base, surv1, idCol, textCol,
         nllKeep = nllKeep)
       .filter(col("keep")).select(col("doc_id")))
     out += "lm_keep" -> ids2
 
     // stage 4: exact dedup (min id per content hash) among survivors —
     // one join back to the corpus for text, id+domain carried forward
-    val ids3 = track(Dedup.exactByHash(
+    val ids3 = cut(Dedup.exactByHash(
         base.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
         textCol, idCol)
       .select(col(idCol).as("doc_id"), col(domainCol)))
@@ -126,7 +147,7 @@ object Curation {
               sv.withColumn("__block", cfg.block(col(textCol))),
               idCol, textCol, "__block", cfg.n, cfg.threshold)
         val losers = pairs.select(col("id_b").as("doc_id")).distinct()
-        val kept = track(ids3.join(losers, Seq("doc_id"), "left_anti"))
+        val kept = cut(ids3.join(losers, Seq("doc_id"), "left_anti"))
         out += "near_dup" -> kept
         kept
     }
@@ -138,7 +159,7 @@ object Curation {
       case Some(cfg) =>
         val sv = base.join(ids4.select(col("doc_id").as(idCol)), Seq(idCol))
           .select(col(idCol), col(textCol))
-        val kept = track(
+        val kept = cut(
           Dedup.spanScrub(sv, idCol, textCol, cfg.window, cfg.minDf)
             .filter(col("n_tokens") - col("n_removed") > 0)
             .select(col(idCol).as("doc_id"))
@@ -185,7 +206,16 @@ object Curation {
       val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
         nllKeep, cap, lineCut, nearDup, scrub, track)
       val ns = ("raw", n0) +: stages.map { case (name, ids) =>
-        (name, ids.count())
+        val t0 = System.nanoTime()
+        val n = ids.count()
+        if (sys.env.contains("GRAFT_FUNNEL_TIMING")) {
+          // temporary r18 attribution probe output
+          val plan = ids.queryExecution.executedPlan.toString
+          val scans = "InMemoryTableScan".r.findAllIn(plan).size
+          val files = "FileScan".r.findAllIn(plan).size
+          println(f"[funnel-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s  imr=$scans files=$files planLines=${plan.linesIterator.size}")
+        }
+        (name, n)
       }
       ns.zipWithIndex.zip(n0 +: ns.map(_._2)).map {
         case (((name, n), i), prev) => (i, name, n, prev - n)
@@ -225,13 +255,14 @@ object Curation {
                  nearDup: Option[CorpusPipeline.NearDup] = None,
                  scrub: Option[CorpusPipeline.SpanScrub] = None): DataFrame = {
     val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
-    // persistTracked, not a local persist/finally: the RESULT is lazy
-    // (unlike the funnel, which counts eagerly), and each stage's id
-    // frame appears in the plan both as a flag join AND inside every
-    // later stage's lineage — uncached, the final plan would recompute
-    // gopher per branch and the LM scoring per later stage (the 48-scan
-    // shape the funnel's census already retired). The harness releases
-    // tracked frames between queries (Dedup.unpersistIntermediates).
+    // the base text frame rides persistTracked (harness-released between
+    // queries); the per-stage id frames come back lineage-CUT
+    // (localCheckpoint — see stagedIds), so the composed ledger plan is
+    // eight flat joins of LogicalRDD leaves, and each stage's flag join
+    // can never recompute a gate. Consequence of the cut: the stage
+    // frames materialize EAGERLY inside this call (same results; each
+    // stage exactly once), and the returned frame must be consumed
+    // before the harness's persistent-RDD sweep.
     val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
       nllKeep, cap, lineCut, nearDup, scrub, Dedup.persistTracked)
 
