@@ -38,7 +38,9 @@ object CurationScale {
       ("plants+lc", planted, lc, None, None),
       ("plants+nd", planted, lc, nd, None),
       ("plants+sc", planted, lc, nd, sc),
-      ("plants2x", planted, lc, nd, sc))
+      // same config repeated — the warm-JVM stability row, NOT a bigger
+      // corpus (scale rows come from passing a larger sfDir)
+      ("plants-rep", planted, lc, nd, sc))
     configs.foreach { case (name, input, l, n, s) =>
       graft.operators.Dedup.unpersistIntermediates()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

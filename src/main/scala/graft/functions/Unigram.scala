@@ -264,25 +264,11 @@ object Unigram {
       new java.util.IdentityHashMap
   }
   private val wordMemoCap = 1 << 17
-  // own named model-count cap + single-entry eviction — see the
-  // WordPiece.wordMemoModelCap rationale (evicting ALL memos on overflow
-  // re-created the per-switch allocation thrash the map was built to fix)
-  private val wordMemoModelCap = 8
 
-  private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] = {
-    val cache = wordMemo.get()
-    val hit = cache.get(model)
-    if (hit != null) hit
-    else {
-      val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
-      if (cache.size >= wordMemoModelCap) {
-        val it = cache.keySet().iterator()
-        it.next(); it.remove()
-      }
-      cache.put(model, fresh)
-      fresh
-    }
-  }
+  // model-count cap + single-entry eviction live in TokenizerMemo (one
+  // definition for both tokenizer families)
+  private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] =
+    TokenizerMemo.forModel(wordMemo.get(), model)
 
   private def modelFor(lit: ArrayData): Map[String, (Long, Long)] =
     parseFor(lit)._1
@@ -401,6 +387,13 @@ object Unigram {
     // decode table is sized by max id, so a hand-built sparse-id model
     // (one piece with id 10000) is rejected when the Column is
     // constructed instead of failing per-task at runtime
+    // duplicate pieces make the model ambiguous (the kernel's toMap
+    // silently keeps the last) AND would let the proportion bound below
+    // pass on the raw row count while parseFor re-checks it against the
+    // DEDUPED size at task runtime — reject them here so plan build and
+    // kernel agree on what "model size" means
+    require(model.map(_.piece).distinct.size == model.size,
+      "unigram model: duplicate pieces (each piece must appear once)")
     if (model.nonEmpty) {
       val maxId = model.map(_.id).max
       require(maxId <= math.max(1024, 4L * model.size + FirstTrainedId),

@@ -207,29 +207,11 @@ object WordPiece {
       new java.util.IdentityHashMap
   }
   private val wordMemoCap = 1 << 17
-  // the word-memo map's own model-count cap (deliberately equal to
-  // parsedCap, but named: the two caches bound different memory — parse
-  // entries are O(vocab), word memos O(2^17 words) — and must be tunable
-  // apart). Overflow evicts ONE stale model's memo, not the whole map: a
-  // plan alternating more than this many model literals row-by-row keeps
-  // every still-hot memo instead of re-allocating 2^14-slot HashMaps per
-  // switch (the thrash the identity-map refactor was written to fix).
-  private val wordMemoModelCap = 8
 
-  private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] = {
-    val cache = wordMemo.get()
-    val hit = cache.get(model)
-    if (hit != null) hit
-    else {
-      val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
-      if (cache.size >= wordMemoModelCap) {
-        val it = cache.keySet().iterator()
-        it.next(); it.remove()
-      }
-      cache.put(model, fresh)
-      fresh
-    }
-  }
+  // model-count cap + single-entry eviction live in TokenizerMemo (one
+  // definition for both tokenizer families)
+  private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] =
+    TokenizerMemo.forModel(wordMemo.get(), model)
 
   private def parseFor(lit: ArrayData): (Map[String, Long], Array[String]) = {
     val cache = parsed.get()
@@ -368,6 +350,13 @@ object WordPiece {
         s"wordpiece model: piece '${p.piece}' exceeds $MaxPieceLen " +
           "content code points — the greedy matcher never probes " +
           "longer pieces, so it could never match"))
+    // duplicate pieces make the model ambiguous (the kernel's toMap
+    // silently keeps the last) AND would let the proportion bound below
+    // pass on the raw row count while parseFor re-checks it against the
+    // DEDUPED size at task runtime — reject them here so plan build and
+    // kernel agree on what "model size" means
+    require(model.map(_.piece).distinct.size == model.size,
+      "wordpiece model: duplicate pieces (each piece must appear once)")
     if (model.nonEmpty) {
       val maxId = model.map(_.id).max
       require(maxId <= math.max(1024, 4L * model.size),

@@ -88,8 +88,9 @@ object CorpusPipeline {
   /** Apply the opt-in line-cut stage: docs with `textCol` replaced by
     * [[Dedup.lineDedup]]'s cleaned text (ledger columns dropped — the
     * standalone `line_dedup` gate pins those). */
-  private def lineCutDocs(docs: DataFrame, idCol: String, textCol: String,
-                          cfg: LineCut): DataFrame =
+  private[operators] def lineCutDocs(docs: DataFrame, idCol: String,
+                                     textCol: String,
+                                     cfg: LineCut): DataFrame =
     Dedup.lineDedup(docs, idCol, textCol, cfg.minCount)
       .select(col("id").as(idCol), col("cleaned_text").as(textCol))
 

@@ -85,7 +85,16 @@ object Curation {
     // invalidates a local checkpoint (no lineage to recompute) — is the
     // standard trade every multi-stage production pipeline makes at
     // stage boundaries, and a census/ledger job simply reruns.
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // GRAFT_FUNNEL_TIMING: the attribution probe lives HERE, around the
+    // eager materialization — the stage work executes inside the cut,
+    // so timing the later census counts would attribute ~nothing.
+    def cut(name: String, df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val c = df.localCheckpoint(true)
+      if (sys.env.contains("GRAFT_FUNNEL_TIMING"))
+        println(f"[funnel-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      c
+    }
 
     // stage 1 (opt-in): CCNet line-cut on the RAW text; a doc whose kept
     // lines are empty (pure boilerplate) is the stage's drop. The cleaned
@@ -96,8 +105,7 @@ object Curation {
     val base = lineCut match {
       case None => s0
       case Some(cfg) =>
-        val cleaned = Dedup.lineDedup(s0, idCol, textCol, cfg.minCount)
-          .select(col("id").as(idCol), col("cleaned_text").as(textCol))
+        val cleaned = CorpusPipeline.lineCutDocs(s0, idCol, textCol, cfg)
         val b = track(s0.drop(textCol).join(cleaned, Seq(idCol))
           .filter(trim(col(textCol)) =!= "")
           .select(col(idCol), col(textCol), col(domainCol)))
@@ -106,7 +114,7 @@ object Curation {
     }
 
     // stage 2: Gopher rule bitmap, keep pass_all — skinny id frame
-    val ids1 = cut(TextOps.gopherQualityRules(base, idCol, textCol)
+    val ids1 = cut("gopher_rules", TextOps.gopherQualityRules(base, idCol, textCol)
       .filter(col("pass_all")).select(col(idCol).as("doc_id")))
     out += "gopher_rules" -> ids1
 
@@ -116,14 +124,14 @@ object Curation {
     // equals self-scoring for it: every survivor bigram is in the full
     // model, so the backoff never fires and verdicts are identical.
     val surv1 = base.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
-    val ids2 = cut(NgramLm.scoreAgainst(base, surv1, idCol, textCol,
+    val ids2 = cut("lm_keep", NgramLm.scoreAgainst(base, surv1, idCol, textCol,
         nllKeep = nllKeep)
       .filter(col("keep")).select(col("doc_id")))
     out += "lm_keep" -> ids2
 
     // stage 4: exact dedup (min id per content hash) among survivors —
     // one join back to the corpus for text, id+domain carried forward
-    val ids3 = cut(Dedup.exactByHash(
+    val ids3 = cut("exact_dedup", Dedup.exactByHash(
         base.join(ids2.select(col("doc_id").as(idCol)), Seq(idCol)),
         textCol, idCol)
       .select(col(idCol).as("doc_id"), col(domainCol)))
@@ -147,7 +155,7 @@ object Curation {
               sv.withColumn("__block", cfg.block(col(textCol))),
               idCol, textCol, "__block", cfg.n, cfg.threshold)
         val losers = pairs.select(col("id_b").as("doc_id")).distinct()
-        val kept = cut(ids3.join(losers, Seq("doc_id"), "left_anti"))
+        val kept = cut("near_dup", ids3.join(losers, Seq("doc_id"), "left_anti"))
         out += "near_dup" -> kept
         kept
     }
@@ -159,7 +167,7 @@ object Curation {
       case Some(cfg) =>
         val sv = base.join(ids4.select(col("doc_id").as(idCol)), Seq(idCol))
           .select(col(idCol), col(textCol))
-        val kept = cut(
+        val kept = cut("span_scrub",
           Dedup.spanScrub(sv, idCol, textCol, cfg.window, cfg.minDf)
             .filter(col("n_tokens") - col("n_removed") > 0)
             .select(col(idCol).as("doc_id"))
@@ -206,16 +214,7 @@ object Curation {
       val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
         nllKeep, cap, lineCut, nearDup, scrub, track)
       val ns = ("raw", n0) +: stages.map { case (name, ids) =>
-        val t0 = System.nanoTime()
-        val n = ids.count()
-        if (sys.env.contains("GRAFT_FUNNEL_TIMING")) {
-          // temporary r18 attribution probe output
-          val plan = ids.queryExecution.executedPlan.toString
-          val scans = "InMemoryTableScan".r.findAllIn(plan).size
-          val files = "FileScan".r.findAllIn(plan).size
-          println(f"[funnel-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s  imr=$scans files=$files planLines=${plan.linesIterator.size}")
-        }
-        (name, n)
+        (name, ids.count())
       }
       ns.zipWithIndex.zip(n0 +: ns.map(_._2)).map {
         case (((name, n), i), prev) => (i, name, n, prev - n)
