@@ -35,15 +35,15 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // sample host weather around the timed window only (not warmup): the
+    // artifact must say what the TIMINGS were taken under
+    val weather0 = GraftSession.HostWeather.sample()
     val timed = ordered.map { case (name, fn) =>
       // release every cache the previous query left behind (dedup-tier
       // MEMORY_AND_DISK frames, cached model predictions) and quiesce the
       // heap, so a query is billed for its own cost — not the storage
       // pressure of the 70 queries before it. Mirrors the warmup reset.
-      graft.operators.Dedup.unpersistIntermediates()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
+      GraftSession.releaseAll(spark)
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output InternalRow — a plain
       // .count() lets Catalyst prune the projections under test.
@@ -59,6 +59,8 @@ object Bench {
     // a failed query's elapsed time is meaningless (analysis bailed early)
     // and must never masquerade as a per-query cost or shrink the total —
     // only successes carry timings; failures live in the errors map
+    val weather1 = GraftSession.HostWeather.sample()
+    val stealJson = GraftSession.HostWeather.json(weather0, weather1)
     val results = timed.filterNot { case (name, _) => errors.contains(name) }
     val total = results.map(_._2).sum
     // Full-precision record → file, COMMITTED per round (BENCH_LAST.json).
@@ -83,7 +85,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","steal_pct":$stealJson,"n_errors":${errors.size},"errors":$errJson}"""
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
@@ -101,12 +103,13 @@ object Bench {
     val line1 = ascending.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{\"queries\":{", ",", "},\"metric\":\"total\",\"value\":" +
         fmt(total) + ",\"unit\":\"sec\",\"sf\":\"" + sfDir +
-        "\",\"full\":\"BENCH_LAST.json\"}")
+        "\",\"steal_pct\":" + stealJson + ",\"full\":\"BENCH_LAST.json\"}")
     val top = results.sortBy(-_._2).take(12)
     val line2 = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{\"metric\":\"total\",\"value\":" + fmt(total) +
         ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"n_queries\":" +
-        results.size + ",\"n_errors\":" + errors.size + ",\"queries\":{", ",", "}}")
+        results.size + ",\"n_errors\":" + errors.size +
+        ",\"steal_pct\":" + stealJson + ",\"queries\":{", ",", "}}")
     println(line1)
     println(line2)
     spark.stop()

@@ -28,18 +28,19 @@ object BenchOne {
     // member bills inside the full sorted bench run. Default keeps the
     // memoized steady state (how every other family member bills).
     val fresh = sys.env.get("SPARK_GRAFT_FRESH_MEMO").contains("1")
+    // host weather over the timed iterations (see GraftSession.HostWeather):
+    // an adjudication reading carries its own steal context in the JSON line
+    val weather0 = GraftSession.HostWeather.sample()
     val times = (1 to iters).map { _ =>
       // mirror Bench's per-query isolation exactly, incl. the dedup queue
-      graft.operators.Dedup.unpersistIntermediates()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
       if (fresh) SparkEntry.clearSessionMemos(spark)
-      System.gc()
+      GraftSession.releaseAll(spark)
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"""{"query":"$name","best":${times.min}%.3f,"times":[${times.map(t => f"$t%.3f").mkString(",")}],"sf":"$sfDir"}""")
+    val stealJson = GraftSession.HostWeather.json(weather0, GraftSession.HostWeather.sample())
+    println(f"""{"query":"$name","best":${times.min}%.3f,"times":[${times.map(t => f"$t%.3f").mkString(",")}],"sf":"$sfDir","steal_pct":$stealJson}""")
     spark.stop()
   }
 }

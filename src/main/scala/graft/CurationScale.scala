@@ -42,10 +42,7 @@ object CurationScale {
       // corpus (scale rows come from passing a larger sfDir)
       ("plants-rep", planted, lc, nd, sc))
     configs.foreach { case (name, input, l, n, s) =>
-      graft.operators.Dedup.unpersistIntermediates()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
+      GraftSession.releaseAll(spark)
       val t0 = System.nanoTime()
       val rows = Curation.funnel(input, "doc_id", "text", "source",
         lineCut = l, nearDup = n, scrub = s).collect()

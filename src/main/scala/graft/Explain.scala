@@ -20,16 +20,10 @@ object Explain {
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           println(s"\n========== $name ==========")
-          // per-query isolation (the Verify/Bench sweep): the eager
-          // curation fns materialize checkpoint blocks and tracked
-          // caches at frame-construction time, and 195 queries' worth
-          // of residue in one JVM is the exact heap failure Verify's
-          // full run hit before it got this sweep
-          graft.operators.Dedup.unpersistIntermediates()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-          spark.catalog.clearCache()
-          System.gc()
+          // per-query isolation (the shared Verify/Bench sweep): the
+          // eager curation fns materialize checkpoint blocks and tracked
+          // caches at frame-CONSTRUCTION time, so Explain pays them too
+          GraftSession.releaseAll(spark)
           // deep DAG-reuse queries (the incremental tier) expand to 60k+
           // lines under the tree PRINTER (the runtime plan is shared via
           // InMemoryRelation); cap the dump so the audit stays reviewable

@@ -42,6 +42,61 @@ object GraftSession {
     spark
   }
 
+  /** The per-query isolation sweep shared by every harness main that loops
+    * queries in one JVM (Bench, BenchOne, Verify, Explain, CurationScale —
+    * previously five hand-kept copies that had already drifted): tracked
+    * dedup caches (persistTracked) belong to ONE query's lifetime, the
+    * eager curation fns materialize checkpoint blocks at frame-construction
+    * time, and ~200 queries' worth of residue in a single JVM is the exact
+    * driver-heap failure Verify's full run hit before it got this sweep.
+    * The trailing System.gc() gives the ContextCleaner's weak references a
+    * collection point so broadcasts/shuffles don't ride the heap until an
+    * allocation failure forces it. */
+  def releaseAll(spark: SparkSession): Unit = {
+    graft.operators.Dedup.unpersistIntermediates()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    System.gc()
+  }
+
+  /** Host CPU weather for bench artifacts. This host suffers steal storms
+    * (hypervisor CPU steal spiking to 25-110% of user time) that inflate
+    * bench wall-clock 35-50% uniformly with zero code change — three rounds
+    * of "regression" triage traced to weather, never code. Sampling
+    * /proc/stat around the timed window and writing `steal_pct` into the
+    * bench JSON lets any stormy run self-identify, so a reader never has to
+    * reproduce the host's morning to interpret the numbers.
+    * steal_pct convention = 100 * Δsteal / Δuser over the window, matching
+    * the BASELINE.md adjudication notes ("steal ≈ N% of user"). */
+  object HostWeather {
+    /** (stealTicks, userTicks) from the aggregate `cpu` line of /proc/stat
+      * (fields 8 and 1); None when the file is absent (non-Linux) or
+      * unparseable — the bench then records steal_pct: null. */
+    def sample(): Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).flatMap { line =>
+          val f = line.trim.split("\\s+")
+          if (f.length > 8) Some((f(8).toLong, f(1).toLong)) else None
+        } finally src.close()
+      } catch { case _: Throwable => None }
+
+    /** Percent of user CPU lost to steal between two samples, 1 decimal.
+      * None if either sample failed or the user delta is zero (nothing ran). */
+    def stealPctOfUser(before: Option[(Long, Long)],
+                       after: Option[(Long, Long)]): Option[Double] =
+      for {
+        (s0, u0) <- before
+        (s1, u1) <- after
+        du = u1 - u0 if du > 0
+      } yield math.round(1000.0 * (s1 - s0) / du) / 10.0
+
+    /** JSON fragment value: the pct or `null` — valid JSON either way. */
+    def json(before: Option[(Long, Long)], after: Option[(Long, Long)]): String =
+      stealPctOfUser(before, after).map(_.toString).getOrElse("null")
+  }
+
   /** Apply graft runtime tuning to an externally-created session (the driver
     * builds its own bare session for Verify/Bench). Session-scoped SQL confs
     * only — master/memory are fixed at creation. */

@@ -47,20 +47,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        // per-query isolation, mirroring Bench: tracked caches
-        // (persistTracked) belong to ONE query's lifetime — without the
-        // release, ~200 queries' worth of cached frames accumulate in
-        // one JVM and the heavier lazy plans (curation_provenance's
-        // seven staged joins) tip the driver heap late in the run
-        graft.operators.Dedup.unpersistIntermediates()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
-        // broadcast/shuffle state is reclaimed by the ContextCleaner via
-        // weak references — give it a collection point per query (the
-        // Bench per-iteration discipline) so 200 queries' broadcasts
-        // don't ride the heap until an allocation failure forces it
-        System.gc()
+        // per-query isolation, mirroring Bench (see releaseAll's scaladoc
+        // for why: the heavier lazy plans tip the driver heap without it)
+        GraftSession.releaseAll(spark)
         System.err.println(s"[verify] running $name")
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

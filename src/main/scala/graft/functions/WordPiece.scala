@@ -208,7 +208,7 @@ object WordPiece {
   }
   private val wordMemoCap = 1 << 17
 
-  // model-count cap + single-entry eviction live in TokenizerMemo (one
+  // model-count cap + overflow no-cache rule live in TokenizerMemo (one
   // definition for both tokenizer families)
   private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] =
     TokenizerMemo.forModel(wordMemo.get(), model)

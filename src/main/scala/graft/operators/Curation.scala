@@ -210,6 +210,16 @@ object Curation {
     // corpus-sized cache entries for the session's lifetime
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def track(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // the eager localCheckpoint stage frames also persist blocks (that is
+    // what a local checkpoint IS), and funnel consumes every stage count
+    // internally before returning — so unlike provenance (whose RETURNED
+    // frame depends on its checkpointed leaves and must leave release to
+    // the harness sweep), funnel can release them here. The frames are
+    // created inside stagedIds, so identify them by diffing the session's
+    // persistent-RDD registry around the call; graft sessions run one
+    // query at a time, so the diff is exactly this call's blocks.
+    val sc = spark.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
     try {
       val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
         nllKeep, cap, lineCut, nearDup, scrub, track)
@@ -222,6 +232,9 @@ object Curation {
     } finally {
       cached.foreach(_.unpersist())
       Dedup.unpersistIntermediates()
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+      }
     }
   }
 
@@ -261,7 +274,10 @@ object Curation {
     // can never recompute a gate. Consequence of the cut: the stage
     // frames materialize EAGERLY inside this call (same results; each
     // stage exactly once), and the returned frame must be consumed
-    // before the harness's persistent-RDD sweep.
+    // before the harness's persistent-RDD sweep. Unlike funnel (which
+    // consumes every count internally and so releases its stage blocks
+    // in its own finally), provenance CANNOT release here: the returned
+    // ledger's plan reads the checkpointed leaves directly.
     val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
       nllKeep, cap, lineCut, nearDup, scrub, Dedup.persistTracked)
 

@@ -79,6 +79,18 @@ object Similarity {
                      k: Int): DataFrame = {
     require(prefixDim > 0, "prefixDim must be positive")
     require(shortlist >= k && k > 0, "need shortlist >= k > 0")
+    // the "cheap prefix" contract needs prefixDim strictly below the
+    // embedding dim: slice() past the end silently returns the whole
+    // vector, which keeps results CORRECT but turns stage 1 into the
+    // full-dim cosine computed twice — the advertised bandwidth/FLOP
+    // saving vanishes with no visible failure. Probe one query row
+    // (queries are broadcast-small; head(1) is a bounded driver fetch).
+    queries.select(col(vecCol)).head(1).foreach { r =>
+      val dim = r.getSeq[Any](0).length
+      require(prefixDim < dim,
+        s"prefixDim=$prefixDim must be < embedding dim=$dim: slicing past " +
+          "the end degenerates the prefix stage to the full-dim cosine")
+    }
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("pvec", slice(col("vec"), 1, prefixDim))
       .withColumn("norm", l2norm(col("vec")))
