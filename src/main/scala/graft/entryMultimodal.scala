@@ -131,6 +131,32 @@ private[graft] object MultimodalEntries {
             max("decoded_height").as("decoded_height"),
             max("decoded_frame_ms").as("decoded_frame_ms")), "asset_id")
     }),
+    "image_phash_dedup" -> ((s, d) => {
+      // Perceptual-hash image dedup over DECODED pixels — the tier byte
+      // hashing cannot reach: the planted corpus carries, per doc 0-4, an
+      // EXACT byte copy (caught by the md5 tier), a lossless BMP
+      // re-encode (same raster, different container — only the dHash
+      // sees it), and a smooth synthetic image with an exact half-size
+      // box-mean resize (different pixels AND bytes — the perceptual
+      // case proper). Ledger = exact pairs + the phash pairs byte
+      // hashing missed (left_anti on the exact set). Banding is the
+      // production dial: 4 bands x 16 bits (total recall to hamming 3,
+      // 65536-value buckets — the at-scale shape), hot-bucket guard on.
+      // The oracle's bite is structural: every planted pair must appear
+      // with hamming 0 AND no accidental pair may survive anywhere in
+      // the full rendered corpus (the row-count compare fails on any
+      // false positive).
+      val corpus = Dedup.persistTracked(
+        Multimodal.plantedAssets(Tables.documents(s, d), "doc_id", "text"),
+        Multimodal.persistLevel(s))
+      val exact = Multimodal.exactAssetPairs(corpus)
+      val phashOnly = Multimodal.phashNearDups(Multimodal.imagePhash(corpus))
+        .join(exact, Seq("id_a", "id_b"), "left_anti")
+      exact.select(col("id_a"), col("id_b"),
+          lit("exact").as("method"), lit(0).as("hamming"))
+        .unionByName(phashOnly.select(col("id_a"), col("id_b"),
+          lit("phash").as("method"), col("hamming").cast("int").as("hamming")))
+    }),
     "multimodal_video_golden" -> ((s, d) => {
       // The pixel content itself (LCG stream continuing across frames)
       // has no DuckDB mirror, so the per-frame decoded statistics —
@@ -155,6 +181,29 @@ private[graft] object MultimodalEntries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "image_phash_dedup" ->
+      // structural replay, not pinned goldens: the planted families FORCE
+      // the ledger — exact copies pair under the byte tier; BMP
+      // re-encodes and grid-aligned half-resizes land at hamming 0 by the
+      // dHash construction (the spec measures 0 for every plant); and the
+      // LCG noise corpus admits no accidental pair (P(hamming<=3) ~ 2^-44
+      // per pair), so ANY extra row or wrong hamming fails the compare
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           method, CAST(hamming AS INTEGER) AS hamming
+         FROM (
+           SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b,
+                  'exact' AS method, 0 AS hamming
+             FROM documents WHERE doc_id < 5
+           UNION ALL
+           SELECT doc_id, doc_id + 2000000000, 'phash', 0
+             FROM documents WHERE doc_id < 5
+           UNION ALL
+           SELECT doc_id + 1000000000, doc_id + 2000000000, 'phash', 0
+             FROM documents WHERE doc_id < 5
+           UNION ALL
+           SELECT 3000000000 + range, 3500000000 + range, 'phash', 0
+             FROM range(0, 5)
+         ) t""",
     "multimodal_frames" ->
       // full replay: UTF-8 byte length and the evenly-spaced offset
       // arithmetic are engine-portable (encode → BLOB octet_length)

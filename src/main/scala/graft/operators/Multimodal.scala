@@ -525,6 +525,281 @@ object Multimodal {
     ((sum.toDouble / (w.toLong * h)).toFloat, minG, maxG)
   }
 
+  // ---- perceptual-hash image dedup -----------------------------------
+
+  /** 64-bit difference hash (dHash — the standard perceptual image hash:
+    * bucket the image into a coarse luma grid, emit the sign of each
+    * horizontal neighbor difference) over the DECODED pixels, in exact
+    * integer arithmetic: cell values are raw luma SUMS and each
+    * comparison is cross-multiplied by the neighbor's pixel count
+    * (`S_l * A_r > S_r * A_l` ⇔ mean_l > mean_r, no division, no float)
+    * — the gopher-rules float-free discipline, so the hash of a pixel
+    * array is a pure integer function replayable anywhere. Grid is 8 rows
+    * × 9 cols → 8 comparisons × 8 rows = 64 bits, bit (r*8+c) set when
+    * cell (r,c) outshines cell (r,c+1). Container-invariant by
+    * construction (PNG vs BMP of the same raster hash identically — the
+    * re-encoded-copy case byte hashing misses) and stable under
+    * area-mean resize of smooth images (box-downsampling commutes with
+    * the cell sums up to sub-luma rounding). Luma is the integer Rec.601
+    * form pixelStats uses. Overflow-safe (ANSI mode throws on long
+    * overflow): S*A ≤ 255·(w·h)² needs w·h < ~1.9e8 — any real image. */
+  def dHash64(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"dHash64 needs at least a 9x8 image, got ${w}x$h")
+    val sums = new Array[Long](72)  // 8 rows x 9 cols, row-major
+    val areas = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val r = ((y.toLong * 8) / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = ((x.toLong * 9) / w).toInt
+        val rgb = img.getRGB(x, y)
+        val l = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff)
+          + 29 * (rgb & 0xff)) >> 8
+        sums(r * 9 + c) += l
+        areas(r * 9 + c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val i = r * 9 + c
+        if (sums(i) * areas(i + 1) > sums(i + 1) * areas(i))
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  case class AssetHash(asset_id: Long, phash: Long)
+
+  /** Perceptual hash per asset: batched per-partition REAL decode (the
+    * [[extractFeatures]] unit-of-work shape) → [[dHash64]] over the
+    * raster. An undecodable payload fails loudly, same contract as the
+    * feature extractors. */
+  def imagePhash(mm: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new ByteArrayInputStream(payload)))
+            if (img == null)
+              throw new IllegalArgumentException(
+                s"multimodal: undecodable image payload for asset $id")
+            AssetHash(id, dHash64(img))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Banded near-dup pairs over a phash column — the simhashNearDups
+    * shape on image hashes: split the 64 bits into `64/bandBits` bands,
+    * self-join within (band, value) buckets only, verify with
+    * bit_count(xor). Pigeonhole guarantee: hamming ≤ bands-1 pairs share
+    * at least one exact band, so recall is total for
+    * `maxHamming ≤ 64/bandBits - 1`.
+    *
+    * bandBits is the scale/recall dial, and the trade is honest:
+    * bandBits=16 (4 bands, guarantee h≤3) gives 65536-value buckets —
+    * expected bucket n/65536, candidate pair space n²/32768 — the
+    * production default for large corpora; bandBits=8 (8 bands,
+    * guarantee h≤7) buys recall to 7 bits but buckets collapse to 256
+    * values, candidate space n²/512 — a moderate-n / high-recall tier
+    * only. Either way the hot-bucket guard (the minhash/simhash cap)
+    * bounds a pathological bucket (e.g. a monochrome-asset cluster,
+    * whose hash is all-zeros) to `maxBucket` members. */
+  def phashNearDups(hashed: DataFrame, idCol: String = "asset_id",
+                    hashCol: String = "phash", maxHamming: Int = 3,
+                    bandBits: Int = 16,
+                    maxBucket: Int = 100000): DataFrame = {
+    require(bandBits == 8 || bandBits == 16, "bandBits must be 8 or 16")
+    val bands = 64 / bandBits
+    require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
+    val mask = (1L << bandBits) - 1
+    val base = hashed.select(col(idCol).as("id"), col(hashCol).as("ph"))
+    val bandVals = (0 until bands).map(b =>
+      shiftrightunsigned(col("ph"), b * bandBits).bitwiseAND(lit(mask)))
+    val bandedAll = base.select(
+      col("id"), col("ph"), posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else bandedAll
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    val a = banded.select(col("band"), col("band_val"),
+      col("id").as("id_a"), col("ph").as("ph_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("id").as("id_b"), col("ph").as("ph_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact byte-level asset dedup: md5 over the PAYLOAD bytes (the
+    * exactByHash discipline on binary content), one (canonical_id,
+    * asset_id) pair per NON-canonical member of each duplicate group —
+    * canonical = min asset id, the keep-first rule every dedup tier
+    * uses. A hash groupBy, no pairwise term at any scale. */
+  def exactAssetPairs(mm: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bh").orderBy(col("asset_id").asc)
+    mm.select(col("asset_id"), md5(col("payload")).as("__bh"))
+      .withColumn("__canon", first(col("asset_id")).over(w))
+      .filter(col("asset_id") =!= col("__canon"))
+      .select(col("__canon").as("id_a"), col("asset_id").as("id_b"))
+  }
+
+  /** Plant-id bases for [[plantedAssets]] — far above any real doc_id at
+    * any SF (sf100 tops out around 6e6). */
+  val ExactCopyBase = 1000000000L
+  val ReencodeBase = 2000000000L
+  val SmoothBase = 3000000000L
+  val ResizedBase = 3500000000L
+
+  /** Deterministic smooth grayscale image for the resize-robustness
+    * plants: a 2D sinusoid (StrictMath — bit-identical across JVMs) whose
+    * frequency pair/phase vary per seed, so different seeds produce
+    * DISTANT dHashes (the horizontal-derivative sign pattern follows the
+    * frequency) while each image is smooth enough that an area-mean
+    * half-resize preserves its hash to within a couple of bits. The LCG
+    * noise the corpus renders is the pathological anti-case for
+    * perceptual hashing (no structure to preserve), so the resize plants
+    * are structured on purpose — exactly the images pHash is for. */
+  private[graft] def smoothImage(g: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val fx = 1 + g % 3          // 1..3 horizontal periods
+    val fy = 1 + (g / 3) % 3    // varies per seed
+    val phase = 0.37 * g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // the linear tilt (+~2 luma per grid cell left-to-right) breaks
+        // the near-ties at the sinusoid's horizontal extrema, where the
+        // cell-mean difference would otherwise sit inside the resize's
+        // sub-luma rounding band and flip hash bits; a linear term
+        // commutes exactly with the 2x2 box mean, so it stabilizes the
+        // comparison without costing any resize invariance
+        val v = 112 + 24 * x / w + (96 * StrictMath.sin(
+          2 * StrictMath.PI * (fx.toDouble * x / w + fy.toDouble * y / h) + phase)).toInt
+        val p = (v << 16) | (v << 8) | v
+        img.setRGB(x, y, p)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Exact 2x2 box-mean half-resize (floor division — integer-exact):
+    * the "resized copy" plant transform. Requires even dimensions so the
+    * blocks tile exactly and the downsample commutes with [[dHash64]]'s
+    * area sums up to sub-luma rounding. */
+  private[graft] def boxHalf(img: BufferedImage): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % 2 == 0 && h % 2 == 0, s"boxHalf needs even dims, got ${w}x$h")
+    val out = new BufferedImage(w / 2, h / 2, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h / 2) {
+      var x = 0
+      while (x < w / 2) {
+        var (r, g, b) = (0, 0, 0)
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val rgb = img.getRGB(2 * x + dx, 2 * y + dy)
+            r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        out.setRGB(x, y, ((r / 4) << 16) | ((g / 4) << 8) | (b / 4))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def encodeImg(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    ImageIO.write(img, format, ios)
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** The planted asset corpus for the image-dedup gate: the full corpus
+    * render, plus per doc < nPlants an EXACT byte copy (same PNG bytes —
+    * the byte-hash tier's catch) and a lossless BMP RE-ENCODE (identical
+    * pixels, different container bytes — invisible to byte hashing,
+    * hamming 0 to pHash), plus nPlants smooth synthetic images each with
+    * an exact half-size box-mean RESIZE (different pixels AND bytes —
+    * only a perceptual hash recovers these). Copies derive from the
+    * rendered payloads per-partition on executors; the smooth family is
+    * rendered through spark.range, so nothing touches the driver. */
+  def plantedAssets(docs: DataFrame, idCol: String, textCol: String,
+                    nPlants: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = asMultimodal(docs, idCol, textCol)
+    val copies = base.filter(col("asset_id") < nPlants)
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, png) =>
+          val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(png)))
+          val bmp = encodeImg(img, "bmp")
+          Iterator(
+            Asset(id + ExactCopyBase, png,
+              AssetMeta("image/png", img.getWidth, img.getHeight, png.length)),
+            Asset(id + ReencodeBase, bmp,
+              AssetMeta("image/bmp", img.getWidth, img.getHeight, bmp.length)))
+        }
+      }.toDF()
+    val smooth = spark.range(nPlants).as[Long]
+      .mapPartitions { gs =>
+        gs.flatMap { gl =>
+          val g = gl.toInt
+          // dims ≡ 0 mod (18, 16), varied per seed: the 9x8 dHash grid
+          // then tiles both the full and the halved image EXACTLY (every
+          // cell boundary c*w/9 / r*h/8 is an even integer), so halving
+          // commutes with the grid sums and the only resize perturbation
+          // left is the 2x2 box mean's sub-luma floor — measured hamming
+          // ≤2 per plant. With misaligned boundaries (the first cut used
+          // 60+4g x 44+6g) the boundary rows/columns shift by a pixel and
+          // high-frequency seeds drifted 6 bits.
+          val (w, h) = (54 + 18 * g, 48 + 16 * g)
+          val full = smoothImage(g, w, h)
+          val half = boxHalf(full)
+          val fullPng = encodeImg(full, "png")
+          val halfPng = encodeImg(half, "png")
+          Iterator(
+            Asset(SmoothBase + g, fullPng, AssetMeta("image/png", w, h, fullPng.length)),
+            Asset(ResizedBase + g, halfPng, AssetMeta("image/png", w / 2, h / 2, halfPng.length)))
+        }
+      }.toDF()
+    base.unionByName(copies).unionByName(smooth)
+  }
+
   private def audioStats(pcm: Array[Byte], channels: Int, frames: Int): Array[Float] = {
     val sumSq = new Array[Long](channels)
     val sum = new Array[Long](channels)
