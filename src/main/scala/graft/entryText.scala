@@ -75,6 +75,8 @@ private[graft] object TextEntries {
     * by BOTH curation oracles (census tail vs per-doc ledger tail; one
     * source of truth for the stage bodies, the shared-fragment
     * discipline the r17 review established for the packing oracles).
+    * r19: the url_rules first gate (residue-shortcut replay, see s0u)
+    * precedes every text stage.
     * Stage bodies are the standalone operators' oracle bodies: line_dedup
     * (minCount 6), gopher rules, add-1 bigram LM (trained on the
     * line-cut corpus), md5 min-id dedup, prefix-blocked 3-shingle
@@ -119,10 +121,26 @@ private[graft] object TextEntries {
                      ELSE '' END,
              'plantnd'
            FROM range(0, 2) a(k) CROSS JOIN range(0, 6) b(j) GROUP BY k),
+         s0u AS (
+           -- r19 url_rules first gate. The rule RESIDUES stand in for the
+           -- parse here (bad ext ⇔ id%97=3, depth ⇔ id%89=5, junk query ⇔
+           -- id%83=7, blocklist host ⇔ source+tld arithmetic) — the
+           -- construction makes them equivalent, and the url_filter oracle
+           -- replays the full string parse where that equivalence is the
+           -- claim under test. Every planted 93xxxxx id sits outside all
+           -- residue classes (spec-pinned), so the plants pass untouched.
+           SELECT doc_id, text, source FROM corpus
+           WHERE NOT (
+             (source || '.example.' ||
+               CASE WHEN doc_id % 7 = 2 THEN 'net' ELSE 'com' END)
+               IN ('src7.example.net', 'src12.example.net')
+             OR doc_id % 97 = 3
+             OR doc_id % 89 = 5
+             OR doc_id % 83 = 7)),
          lns AS (
            SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS line
            FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
-                 FROM corpus) u),
+                 FROM s0u) u),
          normed AS (
            SELECT doc_id, idx, line,
              trim(regexp_replace(regexp_replace(regexp_replace(lower(line),
@@ -250,13 +268,14 @@ private[graft] object TextEntries {
          , census AS (
            SELECT 0 AS stage, 'raw' AS stage_name,
              count(*) AS n_docs FROM corpus
-           UNION ALL SELECT 1, 'line_cut', count(*) FROM s1
-           UNION ALL SELECT 2, 'gopher_rules', count(*) FROM sg
-           UNION ALL SELECT 3, 'lm_keep', count(*) FROM sl
-           UNION ALL SELECT 4, 'exact_dedup', count(*) FROM sd
-           UNION ALL SELECT 5, 'near_dup', count(*) FROM snd
-           UNION ALL SELECT 6, 'span_scrub', count(*) FROM ssc
-           UNION ALL SELECT 7, 'domain_cap', count(*) FROM scap)
+           UNION ALL SELECT 1, 'url_rules', count(*) FROM s0u
+           UNION ALL SELECT 2, 'line_cut', count(*) FROM s1
+           UNION ALL SELECT 3, 'gopher_rules', count(*) FROM sg
+           UNION ALL SELECT 4, 'lm_keep', count(*) FROM sl
+           UNION ALL SELECT 5, 'exact_dedup', count(*) FROM sd
+           UNION ALL SELECT 6, 'near_dup', count(*) FROM snd
+           UNION ALL SELECT 7, 'span_scrub', count(*) FROM ssc
+           UNION ALL SELECT 8, 'domain_cap', count(*) FROM scap)
          SELECT stage, stage_name, n_docs,
            coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
          FROM census"""
@@ -489,6 +508,45 @@ private[graft] object TextEntries {
       // the full Gopher §A2.1 rule bitmap per doc — every ratio compared
       // in cross-multiplied integer form, so the oracle is float-free
       TextOps.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")),
+    "encoding_repair" -> ((s, d) => {
+      // Mojibake repair (r19, the ftfy-class crawl fix): planted defects
+      // over the ASCII corpus — docs %5=0 carry SINGLE CP1252-in-UTF8
+      // damage ('ä'→'Ã¤', 'é'→'Ã©' after seeding accents via
+      // 'data'→'däta'/'key'→'kéy'), docs %5=1 carry DOUBLE damage
+      // ('ä'→'ÃƒÂ¤') — and the GENERAL kernel (reverse-CP1252 bytes +
+      // strict UTF-8 re-decode, iterated) must restore the clean text
+      // BYTE FOR BYTE (md5 compare) while leaving every unplanted doc
+      // untouched. The plant transform is replace-chain arithmetic both
+      // engines compute identically; the repair itself runs only on the
+      // Spark side — that's the operator under test.
+      val clean = regexp_replace(regexp_replace(col("text"),
+        "data", "d\u00e4ta"), "key", "k\u00e9y")
+      val m1 = regexp_replace(regexp_replace(clean,
+        "\u00e4", "\u00c3\u00a4"), "\u00e9", "\u00c3\u00a9")
+      val m2 = regexp_replace(regexp_replace(clean,
+        "\u00e4", "\u00c3\u0192\u00c2\u00a4"),
+        "\u00e9", "\u00c3\u0192\u00c2\u00a9")
+      val input = when(col("doc_id") % 5 === 0, m1)
+        .when(col("doc_id") % 5 === 1, m2)
+        .otherwise(col("text"))
+      val repaired = graft.functions.EncodingRepair.repairCol(input)
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(input).as("input_hash"),
+        md5(repaired).as("repaired_hash"),
+        (repaired =!= input).as("was_repaired"),
+        (repaired === clean).as("restored"))
+    }),
+    "url_filter" -> ((s, d) =>
+      // the RefinedWeb/C4 FIRST gate (r19): URL/domain rules as one
+      // codegen'd projection — blocklist host, asset extension, path
+      // depth, session-junk query — over the synthetic url column
+      // (portable (doc_id, source) arithmetic, the asAudio claimed-
+      // parameter convention). Per-doc verdict ledger with pass_url;
+      // the oracle replays BOTH the url construction and the parse.
+      UrlRules.urlFilter(
+        UrlRules.withSyntheticUrl(
+          Tables.documents(s, d).select("doc_id", "source")),
+        "doc_id")),
     "gopher_rule_stats" -> ((s, d) =>
       TextOps.gopherRuleStats(Tables.documents(s, d), "doc_id", "text")),
     "char_entropy" -> ((s, d) =>
@@ -563,10 +621,15 @@ private[graft] object TextEntries {
       // stopword type corpus-wide — the funnel shows 500→0), so planted
       // docs (curationPlants) make every stage's arm non-vacuous; see
       // the plant-design notes there.
+      // r19: the url_rules FIRST gate joins the chain — synthetic URL
+      // derived portably from (doc_id, source), sparse failure residues,
+      // every planted doc id verified outside them (spec-pinned)
       Curation.provenance(
-        Tables.documents(s, d).select("doc_id", "text", "source")
-          .unionByName(curationPlants(s)),
+        UrlRules.withSyntheticUrl(
+          Tables.documents(s, d).select("doc_id", "text", "source")
+            .unionByName(curationPlants(s))),
         "doc_id", "text", "source",
+        urlRules = Some(UrlRules.Cfg()),
         lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
         nearDup = Some(CorpusPipeline.NearDup(
           t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
@@ -584,9 +647,11 @@ private[graft] object TextEntries {
       // first-2-token prefix block here (the corpus_pipeline gate
       // choice); production at scale passes NearDup(banded = true).
       Curation.funnel(
-        Tables.documents(s, d).select("doc_id", "text", "source")
-          .unionByName(curationPlants(s)),
+        UrlRules.withSyntheticUrl(
+          Tables.documents(s, d).select("doc_id", "text", "source")
+            .unionByName(curationPlants(s))),
         "doc_id", "text", "source",
+        urlRules = Some(UrlRules.Cfg()),
         lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
         nearDup = Some(CorpusPipeline.NearDup(
           t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
@@ -603,9 +668,11 @@ private[graft] object TextEntries {
       // S-curve's ~1 region — both forms must reach the SAME census,
       // and the exact-form chained replay is this row's oracle too.
       Curation.funnel(
-        Tables.documents(s, d).select("doc_id", "text", "source")
-          .unionByName(curationPlants(s)),
+        UrlRules.withSyntheticUrl(
+          Tables.documents(s, d).select("doc_id", "text", "source")
+            .unionByName(curationPlants(s))),
         "doc_id", "text", "source",
+        urlRules = Some(UrlRules.Cfg()),
         lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
         nearDup = Some(CorpusPipeline.NearDup(
           _ => lit("unused"), n = 3, threshold = 0.6, banded = true)),
@@ -2024,6 +2091,82 @@ private[graft] object TextEntries {
            count(*) > 10 AS capped
          FROM documents d LEFT JOIN kept ON d.source = kept.source
          GROUP BY 1""",
+    "encoding_repair" ->
+      // full replay: the plant transform is replace-chain arithmetic
+      // (chr() composition avoids any literal-encoding ambiguity:
+      // 228=ä 233=é 195=Ã 164=¤ 169=© 402=ƒ 194=Â), and the repair's
+      // EXPECTED output is the clean text for planted rows / the raw
+      // text otherwise — the kernel must land on it byte for byte
+      """WITH t AS (
+           SELECT doc_id, text,
+             replace(replace(text, 'data', 'd' || chr(228) || 'ta'),
+                     'key', 'k' || chr(233) || 'y') AS clean
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, clean,
+             replace(replace(clean, chr(228), chr(195) || chr(164)),
+                     chr(233), chr(195) || chr(169)) AS m1,
+             replace(replace(clean,
+                 chr(228), chr(195) || chr(402) || chr(194) || chr(164)),
+                 chr(233), chr(195) || chr(402) || chr(194) || chr(169)) AS m2
+           FROM t),
+         io AS (
+           SELECT doc_id, text, clean,
+             CASE WHEN doc_id % 5 = 0 THEN m1
+                  WHEN doc_id % 5 = 1 THEN m2
+                  ELSE text END AS input,
+             CASE WHEN doc_id % 5 IN (0, 1) THEN clean
+                  ELSE text END AS repaired
+           FROM m)
+         SELECT doc_id, md5(input) AS input_hash,
+           md5(repaired) AS repaired_hash,
+           input <> repaired AS was_repaired,
+           repaired = clean AS restored
+         FROM io""",
+    "url_filter" ->
+      // full replay: the synthetic url construction (|| coerces ints in
+      // DuckDB exactly like the Spark casts) AND the parse-level rules —
+      // host/path/query regexes are explicit character classes, so Java
+      // and DuckDB RE2 agree byte for byte
+      """WITH u AS (
+           SELECT doc_id,
+             'https://' || source || '.example.' ||
+               (CASE WHEN doc_id % 7 = 2 THEN 'net' ELSE 'com' END) ||
+               (CASE WHEN doc_id % 89 = 5
+                 THEN '/s' || (doc_id % 10) || '/s' || ((doc_id + 1) % 10)
+                   || '/s' || ((doc_id + 2) % 10) || '/s' || ((doc_id + 3) % 10)
+                   || '/s' || ((doc_id + 4) % 10) || '/s' || ((doc_id + 5) % 10)
+                 ELSE '/s' || (doc_id % 10) || '/s' || ((doc_id + 1) % 10) END) ||
+               '/f' || (doc_id % 100) ||
+               (CASE WHEN doc_id % 97 = 3 THEN '.jpg' ELSE '.html' END) ||
+               (CASE WHEN doc_id % 83 = 7 THEN '?sid=' || (doc_id % 1000)
+                     ELSE '' END) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/?]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/?]+([^?]*)', 1) AS path,
+             regexp_extract(url, '\?(.*)$', 1) AS query
+           FROM u),
+         v AS (
+           SELECT doc_id, url, host,
+             CAST(length(path) - length(replace(path, '/', '')) AS INTEGER)
+               AS n_segments,
+             lower(regexp_extract(path, '\.([a-zA-Z0-9]+)$', 1)) AS ext,
+             host IN ('src7.example.net', 'src12.example.net')
+               AS blocked_domain,
+             lower(regexp_extract(path, '\.([a-zA-Z0-9]+)$', 1)) IN
+               ('jpg','jpeg','png','gif','mp3','mp4','css','js','zip','exe')
+               AS bad_ext,
+             length(path) - length(replace(path, '/', '')) > 5 AS too_deep,
+             regexp_matches(query, '(^|&)(sid|sessionid|phpsessid)=')
+               AS junk_query
+           FROM p)
+         SELECT doc_id, url, host, n_segments, ext, blocked_domain,
+           bad_ext, too_deep, junk_query,
+           NOT (blocked_domain OR bad_ext OR too_deep OR junk_query)
+             AS pass_url
+         FROM v""",
     "gopher_quality_rules" ->
       // every ratio in cross-multiplied integer form — no float anywhere
       """WITH t AS (
@@ -2332,7 +2475,10 @@ private[graft] object TextEntries {
       // three-state not_reached-below-first-failure CASEs
       (curationChainSql + """
          SELECT d.doc_id,
-           CASE WHEN s1.doc_id IS NOT NULL THEN 'pass'
+           CASE WHEN u2.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS pass_url,
+           CASE WHEN u2.doc_id IS NULL THEN 'not_reached'
+                WHEN s1.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS pass_linecut,
            CASE WHEN s1.doc_id IS NULL THEN 'not_reached'
                 WHEN g2.doc_id IS NOT NULL THEN 'pass'
@@ -2352,7 +2498,8 @@ private[graft] object TextEntries {
            CASE WHEN sc2.doc_id IS NULL THEN 'not_reached'
                 WHEN k2.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS within_cap,
-           CASE WHEN s1.doc_id IS NULL THEN 'line_cut'
+           CASE WHEN u2.doc_id IS NULL THEN 'url_rules'
+                WHEN s1.doc_id IS NULL THEN 'line_cut'
                 WHEN g2.doc_id IS NULL THEN 'gopher_rules'
                 WHEN l2.doc_id IS NULL THEN 'lm_keep'
                 WHEN c2.doc_id IS NULL THEN 'exact_dedup'
@@ -2362,6 +2509,7 @@ private[graft] object TextEntries {
                 ELSE 'kept' END AS drop_stage,
            k2.doc_id IS NOT NULL AS keep
          FROM corpus d
+         LEFT JOIN s0u u2 ON d.doc_id = u2.doc_id
          LEFT JOIN s1 ON d.doc_id = s1.doc_id
          LEFT JOIN sg g2 ON d.doc_id = g2.doc_id
          LEFT JOIN sl l2 ON d.doc_id = l2.doc_id

@@ -63,12 +63,12 @@ object Curation {
     * ids being a (doc_id[, domain]) frame of that stage's survivors. */
   private def stagedIds(docs: DataFrame, idCol: String, textCol: String,
                         domainCol: String, nllKeep: Double, cap: Int,
+                        urlRules: Option[UrlRules.Cfg],
                         lineCut: Option[CorpusPipeline.LineCut],
                         nearDup: Option[CorpusPipeline.NearDup],
                         scrub: Option[CorpusPipeline.SpanScrub],
                         track: DataFrame => DataFrame)
       : (DataFrame, Seq[(String, DataFrame)]) = {
-    val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     // LINEAGE CUT, not just a cache: every stage references the previous
     // frame 2-5 times (the near-dup self-join legs, the loser anti-join,
@@ -94,6 +94,20 @@ object Curation {
       if (sys.env.contains("GRAFT_FUNNEL_TIMING"))
         println(f"[funnel-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       c
+    }
+
+    // stage 0 (opt-in): URL/domain rules on the raw frame — the
+    // RefinedWeb/C4 first gate, a pure projection filter (no text-tier
+    // work for a doc a string rule kills). `docs` must carry the url
+    // column (cfg.urlCol); the survivor id frame is cut like every stage.
+    val s0 = urlRules match {
+      case None => docs.select(col(idCol), col(textCol), col(domainCol))
+      case Some(cfg) =>
+        val ids0 = cut("url_rules", UrlRules.urlFilter(docs, idCol, cfg)
+          .filter(col("pass_url")).select(col(idCol).as("doc_id")))
+        out += "url_rules" -> ids0
+        docs.select(col(idCol), col(textCol), col(domainCol))
+          .join(ids0.select(col("doc_id").as(idCol)), Seq(idCol))
     }
 
     // stage 1 (opt-in): CCNet line-cut on the RAW text; a doc whose kept
@@ -184,7 +198,8 @@ object Curation {
 
   /** One row per stage: (stage, stage_name, n_docs, n_dropped) with
     * n_dropped relative to the previous stage. Row count = 5 with the
-    * opt-in stages off (prior shape), 8 with the full production chain.
+    * opt-in stages off (prior shape), 9 with the full production chain
+    * (r19: + the url_rules first gate ahead of line_cut).
     *
     * Execution shape: each stage's SURVIVOR-ID frame (ids only — bytes
     * per row, never text) is persisted and counted ONCE; the census is
@@ -196,6 +211,7 @@ object Curation {
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              domainCol: String, nllKeep: Double = 6.0,
              cap: Int = 10,
+             urlRules: Option[UrlRules.Cfg] = None,
              lineCut: Option[CorpusPipeline.LineCut] = None,
              nearDup: Option[CorpusPipeline.NearDup] = None,
              scrub: Option[CorpusPipeline.SpanScrub] = None): DataFrame = {
@@ -222,7 +238,7 @@ object Curation {
     val preexisting = sc.getPersistentRDDs.keySet
     try {
       val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
-        nllKeep, cap, lineCut, nearDup, scrub, track)
+        nllKeep, cap, urlRules, lineCut, nearDup, scrub, track)
       val ns = ("raw", n0) +: stages.map { case (name, ids) =>
         (name, ids.count())
       }
@@ -263,6 +279,7 @@ object Curation {
   def provenance(docs: DataFrame, idCol: String, textCol: String,
                  domainCol: String, nllKeep: Double = 6.0,
                  cap: Int = 10,
+                 urlRules: Option[UrlRules.Cfg] = None,
                  lineCut: Option[CorpusPipeline.LineCut] = None,
                  nearDup: Option[CorpusPipeline.NearDup] = None,
                  scrub: Option[CorpusPipeline.SpanScrub] = None): DataFrame = {
@@ -279,7 +296,7 @@ object Curation {
     // in its own finally), provenance CANNOT release here: the returned
     // ledger's plan reads the checkpointed leaves directly.
     val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
-      nllKeep, cap, lineCut, nearDup, scrub, Dedup.persistTracked)
+      nllKeep, cap, urlRules, lineCut, nearDup, scrub, Dedup.persistTracked)
 
     // flag columns derive from the staged memberships with 'not_reached'
     // below the first failure, never re-evaluating a gate. Three-state
@@ -289,6 +306,7 @@ object Curation {
     // string survives every downstream surface a NULL boolean trips over
     // (CSV exports, cross-engine hash compares).
     val flagName = Map(
+      "url_rules" -> "pass_url",
       "line_cut" -> "pass_linecut", "gopher_rules" -> "pass_gopher",
       "lm_keep" -> "pass_lm", "exact_dedup" -> "is_canonical",
       "near_dup" -> "pass_neardup", "span_scrub" -> "pass_scrub",
