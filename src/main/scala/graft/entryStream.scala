@@ -7,7 +7,7 @@ import graft.functions.Bpe
 import graft.ml.FatalityModel
 import graft.operators._
 import graft.sources.{Jsonl, Sink, Tables}
-import graft.streaming.{EventStream, IncrementalStream}
+import graft.streaming.{CurationStream, EventStream, IncrementalStream}
 
 import EntryOps._
 
@@ -20,6 +20,22 @@ import EntryOps._
   * contract file stops being the single merge bottleneck. Entry text is
   * unchanged from the monolithic registration. */
 private[graft] object StreamEntries {
+
+  /** Bootstrap-vs-drain attribution for the two heaviest gate queries
+    * (stream_incremental / stream_scrub — the #1/#2 bench wall since
+    * r13): wrap each phase and print wall-clock when GRAFT_STREAM_TIMING
+    * is set (the GRAFT_FUNNEL_TIMING pattern). The gate shape bootstraps
+    * full lake state in-query and then runs two checkpointed drains —
+    * this probe says which side the seconds live on, so the pin note can
+    * attribute them (gate cost vs serving cost) instead of re-litigating
+    * the absolute number every round. */
+  private def phase[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.contains("GRAFT_STREAM_TIMING"))
+      println(f"[stream-timing] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    r
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -142,9 +158,11 @@ private[graft] object StreamEntries {
         (s"$base/landing", s"$base/raw", s"$base/packed",
           s"$base/ledger", s"$base/ckpt")
       Sink.reset(base)
-      IncrementalStream.bootstrap(prev, raw, packed, ledger,
-        "doc_id", "text", incrKeep,
-        maxTokens = 32, overlap = 8, budget = 256L, shards = 64, incrShard)
+      phase("incr:bootstrap") {
+        IncrementalStream.bootstrap(prev, raw, packed, ledger,
+          "doc_id", "text", incrKeep,
+          maxTokens = 32, overlap = 8, budget = 256L, shards = 64, incrShard)
+      }
       val waves = Snapshot.diff(prev, curr, "doc_id", "text")
         .select(col("doc_id"),
           when(col("status") === "removed", lit("delete"))
@@ -158,12 +176,16 @@ private[graft] object StreamEntries {
           ledger, ckpt, "doc_id", "text", incrKeep,
           maxTokens = 32, overlap = 8, budget = 256L, shards = 64,
           incrShard).awaitTermination()
-      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
-        .coalesce(1).write.mode("append").parquet(landing)
-      drain()
-      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
-        .coalesce(1).write.mode("append").parquet(landing)
-      drain()
+      phase("incr:wave1+drain") {
+        waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+          .coalesce(1).write.mode("append").parquet(landing)
+        drain()
+      }
+      phase("incr:wave2+drain") {
+        waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
+          .coalesce(1).write.mode("append").parquet(landing)
+        drain()
+      }
       s.read.parquet(packed).select(
         col("doc_id"), col("chunk_id"), col("n_tokens"),
         col("shard").cast("int").as("shard"), col("seq_id"))
@@ -189,8 +211,10 @@ private[graft] object StreamEntries {
       Sink.reset(base)
       val shardOf: Column => Column = k =>
         conv(substring(md5(k.cast("string")), 1, 4), 16, 10).cast("long") % 64
-      graft.streaming.ScrubStream.bootstrap(prev, raw, wins, dfl, scrub,
-        "doc_id", "text", window = 8, minDf = 2, hashBuckets = 32, shardOf)
+      phase("scrub:bootstrap") {
+        graft.streaming.ScrubStream.bootstrap(prev, raw, wins, dfl, scrub,
+          "doc_id", "text", window = 8, minDf = 2, hashBuckets = 32, shardOf)
+      }
       val waves = Snapshot.diff(prev, curr, "doc_id", "text")
         .select(col("doc_id"),
           when(col("status") === "removed", lit("delete"))
@@ -203,12 +227,16 @@ private[graft] object StreamEntries {
         graft.streaming.ScrubStream.refreshStream(s, landing, schema, raw,
           wins, dfl, scrub, ckpt, "doc_id", "text", window = 8, minDf = 2,
           hashBuckets = 32, shardOf).awaitTermination()
-      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
-        .coalesce(1).write.mode("append").parquet(landing)
-      drain()
-      waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
-        .coalesce(1).write.mode("append").parquet(landing)
-      drain()
+      phase("scrub:wave1+drain") {
+        waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+          .coalesce(1).write.mode("append").parquet(landing)
+        drain()
+      }
+      phase("scrub:wave2+drain") {
+        waves.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
+          .coalesce(1).write.mode("append").parquet(landing)
+        drain()
+      }
       s.read.parquet(scrub).select(col("id").as("doc_id"),
         md5(col("scrubbed_text")).as("scrub_hash"),
         col("n_tokens"), col("n_removed"))
@@ -421,6 +449,76 @@ private[graft] object StreamEntries {
         .awaitTermination()
       s.read.parquet(out).select("doc_id", "domain", "seen_rank", "kept")
     }),
+    "stream_provenance" -> ((s, d) => {
+      // E17 (r19): D34b's provenance ledger at CRAWL-INGEST — the
+      // deployed artifacts (corpus line index, corpus-trained LM serving
+      // frames, url-rule config, per-domain quota delta lake) score two
+      // arriving waves into a batch-stamped ledger, one staged-verdict
+      // row per arriving doc. Four arrival families exercise every arm:
+      //   A (+7.0e6, 'probeA'): corpus line + novel tail line — the
+      //     known line cuts, the 4-word remainder fails gopher;
+      //   B (+7.5e6, 'probeB'): a corpus line verbatim — cut to empty,
+      //     the line_cut drop;
+      //   C (+7.1e6, corpus source): stopword prefix + corpus text —
+      //     url verdicts vary by id residue, gopher by doc length, LM
+      //     passes (in-model text), survivors hit the cap per source;
+      //   D (+7.2e6, 'probeD'): stopword prefix + 'the qqN' alternations
+      //     — gopher-passing, but every ('the', qqN) bigram is OOV under
+      //     a HIGH-frequency margin (lp = ln(1/(c1_the + v)), NLL ~7)
+      //     so the LM gate fails it; plain unique words would sit at
+      //     ln(v) ≈ the threshold, measured in r19.
+      // Verdicts are per-doc functions of (doc, artifacts) except the
+      // quota, whose first-arrival rank the waves make (id%2, id) order
+      // — exactly what the oracle replays. Quota state crosses batches
+      // through the batch-stamped delta lake (crash-replay idempotent).
+      import s.implicits._
+      val base = sinkPath(d, "stream_provenance")
+      val (landing, out, quota, ckpt) =
+        (s"$base/landing", s"$base/out", s"$base/quota", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d)
+      val index = Dedup.lineIndex(docs, "doc_id", "text").persist()
+      val (model, margins, vocab) =
+        NgramLm.servingFrames(docs, "doc_id", "text")
+      Seq(model, margins, vocab).foreach(_.persist())
+      val stop = lit("the of and that ")
+      val famA = docs.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 7000000L).as("doc_id"),
+        concat(col("text"), lit("\n"), lit("zz novel "),
+          col("doc_id").cast("string"), lit(" tail")).as("text"),
+        lit("probeA").as("source"))
+      val famB = docs.filter(col("doc_id") < 5).select(
+        (col("doc_id") + 7500000L).as("doc_id"), col("text"),
+        lit("probeB").as("source"))
+      val famC = docs.filter(col("doc_id") < 200).select(
+        (col("doc_id") + 7100000L).as("doc_id"),
+        concat(stop, col("text")).as("text"), col("source"))
+      val famD = docs.filter(col("doc_id") < 3).select(
+        (col("doc_id") + 7200000L).as("doc_id"),
+        concat(stop,
+          lit((0 until 30).map(i => s"the qq$i").mkString(" "))).as("text"),
+        lit("probeD").as("source"))
+      val arrivals = famA.unionByName(famB).unionByName(famC)
+        .unionByName(famD)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, text string, source string")
+      def drain(): Unit =
+        CurationStream.provenanceStream(s, landing, schema, out, quota,
+          ckpt, index, model, margins, vocab,
+          nllKeep = 4.0, cap = 3L).awaitTermination()
+      arrivals.filter(col("doc_id") % 2 === 0).sort("doc_id")
+        .coalesce(1).write.mode("append").parquet(landing)
+      drain()
+      arrivals.filter(col("doc_id") % 2 === 1).sort("doc_id")
+        .coalesce(1).write.mode("append").parquet(landing)
+      drain()
+      index.unpersist()
+      s.read.parquet(out).select(
+        col("doc_id"), col("domain"), col("pass_url"),
+        col("pass_linecut"), col("pass_gopher"), col("pass_lm"),
+        col("within_cap"), col("drop_stage"), col("keep"),
+        col("batch_id"))
+    }),
     "stream_line_dedup" -> ((s, d) => {
       // The LINE tier at crawl-ingest time (the serving form of D25d):
       // the corpus line index is built and persisted ONCE, then fresh
@@ -619,6 +717,172 @@ private[graft] object StreamEntries {
            row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
              AS kept
          FROM documents""",
+    "stream_provenance" ->
+      // the drained batch-stamped ledger must equal the batch staged
+      // provenance over all four arrival families: url rules (residue
+      // shortcut — url_filter carries the parse-level replay), line tier
+      // vs the corpus index, gopher on the CUT text, the add-1 backoff
+      // LM vs the corpus model, and the first-arrival quota whose rank
+      // the (id%2, id) wave order fixes; batch_id = id parity (one
+      // single-file wave per AvailableNow run)
+      """WITH arr AS (
+           SELECT doc_id + 7000000 AS doc_id,
+             text || chr(10) || 'zz novel ' || doc_id || ' tail' AS text,
+             'probeA' AS source
+           FROM documents WHERE doc_id < 40
+           UNION ALL
+           SELECT doc_id + 7500000, text, 'probeB'
+           FROM documents WHERE doc_id < 5
+           UNION ALL
+           SELECT doc_id + 7100000, 'the of and that ' || text, source
+           FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 7200000,
+             'the of and that ' ||
+               (SELECT string_agg('the qq' || i, ' ' ORDER BY i)
+                FROM range(0, 30) t(i)),
+             'probeD'
+           FROM documents WHERE doc_id < 3),
+         u AS (
+           SELECT doc_id,
+             NOT ((source || '.example.' ||
+                 CASE WHEN doc_id % 7 = 2 THEN 'net' ELSE 'com' END)
+                 IN ('src7.example.net', 'src12.example.net')
+               OR doc_id % 97 = 3 OR doc_id % 89 = 5 OR doc_id % 83 = 7)
+               AS p_url
+           FROM arr),
+         idx AS (
+           SELECT DISTINCT nrm FROM (
+             SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(line), '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'),
+               ' +', ' ', 'g')) AS nrm
+             FROM (SELECT unnest(string_split(coalesce(text, ''), chr(10)))
+                     AS line FROM documents) x) y
+           WHERE nrm <> ''),
+         anrm AS (
+           SELECT doc_id, idx_, line,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(line), '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'),
+               ' +', ' ', 'g')) AS nrm
+           FROM (
+             SELECT doc_id, generate_subscripts(ls, 1) AS idx_,
+               unnest(ls) AS line
+             FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10))
+                     AS ls FROM arr) q) z),
+         lc AS (
+           SELECT a.doc_id,
+             coalesce(string_agg(CASE WHEN i.nrm IS NULL THEN a.line END,
+               chr(10) ORDER BY a.idx_), '') AS cleaned
+           FROM anrm a LEFT JOIN idx i ON a.nrm = i.nrm
+           GROUP BY a.doc_id),
+         gm AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+             len(list_intersect(list_distinct(ws),
+               ['the','be','to','of','and','that','have','with'])) AS stop_hits
+           FROM (
+             SELECT doc_id, coalesce(cleaned, '') AS text,
+               list_filter(regexp_split_to_array(trim(lower(coalesce(cleaned, ''))), '\s+'),
+                           x -> x <> '') AS ws,
+               string_split(coalesce(cleaned, ''), chr(10)) AS lines
+             FROM lc) t),
+         g AS (
+           SELECT doc_id,
+             ((n_words >= 50 AND n_words <= 100000)
+              AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+              AND ((hashes + ellipses) * 10 <= n_words)
+              AND (bullets * 10 <= n_lines * 9)
+              AND (ell_lines * 10 <= n_lines * 3)
+              AND (alpha_w * 5 >= n_words * 4)
+              AND (stop_hits >= 2)) AS p_go
+           FROM gm),
+         tws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         tbi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM tws) p),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+               FROM (SELECT unnest(w) AS tk FROM tws) u0),
+         model AS (
+           SELECT w1, w2, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         ws AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(cleaned)), '\s+'),
+                         x -> x <> '') AS w
+           FROM lc),
+         bi AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+             SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ws) p),
+         sc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             round(sum(coalesce(m.logp,
+               ln(1.0 / (coalesce(c1.c1, 0) + v.v)))), 4) AS logprob_sum
+           FROM bi
+           LEFT JOIN model m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+           LEFT JOIN c1 ON bi.w1 = c1.w1
+           CROSS JOIN v
+           GROUP BY 1),
+         lmk AS (
+           SELECT lc.doc_id,
+             coalesce(round(-sc.logprob_sum / sc.n_bigrams, 4) <= 4.0,
+               false) AS p_lm
+           FROM lc LEFT JOIN sc USING (doc_id)),
+         flags AS (
+           SELECT arr.doc_id, arr.source AS domain,
+             u.p_url,
+             trim(lc.cleaned) <> '' AS p_lc,
+             coalesce(g.p_go, false) AS p_go,
+             coalesce(lmk.p_lm, false) AS p_lm
+           FROM arr
+           JOIN u USING (doc_id)
+           JOIN lc USING (doc_id)
+           LEFT JOIN g USING (doc_id)
+           LEFT JOIN lmk USING (doc_id)),
+         ranked AS (
+           SELECT *,
+             (p_url AND p_lc AND p_go AND p_lm) AS surv,
+             sum(CASE WHEN p_url AND p_lc AND p_go AND p_lm
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY domain ORDER BY doc_id % 2, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS seen
+           FROM flags)
+         SELECT doc_id, domain,
+           CASE WHEN p_url THEN 'pass' ELSE 'fail' END AS pass_url,
+           CASE WHEN NOT p_url THEN 'not_reached'
+                WHEN p_lc THEN 'pass' ELSE 'fail' END AS pass_linecut,
+           CASE WHEN NOT (p_url AND p_lc) THEN 'not_reached'
+                WHEN p_go THEN 'pass' ELSE 'fail' END AS pass_gopher,
+           CASE WHEN NOT (p_url AND p_lc AND p_go) THEN 'not_reached'
+                WHEN p_lm THEN 'pass' ELSE 'fail' END AS pass_lm,
+           CASE WHEN NOT surv THEN 'not_reached'
+                WHEN seen <= 3 THEN 'pass' ELSE 'fail' END AS within_cap,
+           CASE WHEN NOT p_url THEN 'url_rules'
+                WHEN NOT p_lc THEN 'line_cut'
+                WHEN NOT p_go THEN 'gopher_rules'
+                WHEN NOT p_lm THEN 'lm_keep'
+                WHEN seen > 3 THEN 'domain_cap'
+                ELSE 'kept' END AS drop_stage,
+           (surv AND seen <= 3) AS keep,
+           CAST(doc_id % 2 AS BIGINT) AS batch_id
+         FROM ranked""",
     "stream_line_dedup" ->
       // the drained lake must equal batch line-dedup-against-index over
       // the same probes: rebuild the corpus line index (distinct

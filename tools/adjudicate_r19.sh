@@ -16,7 +16,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 steal_user() { awk '/^cpu /{print $9, $2}' /proc/stat; }
-QUERIES="${ADJ_QUERIES:-dedup_clusters compact_partitions stream_domain_cap sketch_profile semantic_dedup report_bundle corpus_pipeline_linecut span_dedup doc_embed curation_provenance line_dedup}"
+# default batch = control heavy + the nine r18 weak rows + line_dedup (the
+# D25d table flag) + first pins for the r19 newcomers + shape re-pins for
+# the 9-stage curation family (the url_rules stage changed their shape)
+QUERIES="${ADJ_QUERIES:-dedup_clusters compact_partitions stream_domain_cap sketch_profile semantic_dedup report_bundle corpus_pipeline_linecut span_dedup doc_embed line_dedup image_phash_dedup url_filter encoding_repair stream_provenance curation_funnel curation_provenance curation_funnel_banded}"
 for q in $QUERIES; do
   read s0 u0 <<<"$(steal_user)"
   SPARK_GRAFT_CPUS=32 java -cp "$CP" $OPENS -Xmx8g \
