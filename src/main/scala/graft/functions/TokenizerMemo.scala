@@ -3,21 +3,24 @@ package graft.functions
 /** Shared per-thread word→ids memo plumbing for the tokenizer kernels
   * (BPE-family encode loops): memos are keyed to the MODEL LITERAL they
   * were computed under (identity — two models sharing one plan, the
-  * decode(encode(x)) shape, must not serve each other's ids), and the
-  * model-count cap DECLINES TO CACHE overflow models rather than evict
-  * a resident entry: IdentityHashMap has no access order, so eviction
-  * picked an arbitrary victim — and under `ModelCap`+1 models
-  * alternating row-by-row that victim could be the currently-executing
-  * plan's own hot memo, re-evicted EVERY ROW (each rebuild allocating
-  * the 2^14-slot map). Declining instead keeps the first ModelCap
-  * residents hot forever and bills only the overflow literal, which
-  * gets a small per-call scratch map (words still memoize within one
-  * row's encode) — a bounded slowdown on the 9th+ simultaneous model
-  * per thread, never a wrong result, never resident-memo thrash.
-  * Clearing the whole map was rejected earlier for the same reason
-  * (per-switch allocation thrash). One definition serves both
-  * [[Unigram]] and [[WordPiece]] so the cap and eviction rule cannot
-  * drift apart. */
+  * decode(encode(x)) shape, must not serve each other's ids; value
+  * hashing would cost O(vocab) per row).
+  *
+  * Eviction rule (r19, after two earlier iterations): at the cap, evict
+  * an arbitrary resident that is NOT one of the two most-recently-used
+  * models. Both failure modes this protects against are real:
+  *   - alternating literals IN ONE PLAN (decode(encode(x))): a blind
+  *     arbitrary eviction can hit the executing plan's own hot memo and
+  *     re-evict it every row, each rebuild allocating the 2^14-slot map
+  *     — the MRU-2 shield keeps both of an alternating pair resident;
+  *   - fresh identities PER TASK (tasks deserialize their binaries, so a
+  *     literal's object identity does not survive a task boundary): a
+  *     decline-to-cache rule (the r18-advice form, tried and reverted)
+  *     filled the cap with 8 DEAD identities from finished tasks and
+  *     then never cached again for the thread's life — every later task
+  *     lost cross-row memoization entirely. Eviction keeps turnover.
+  * One definition serves both [[Unigram]] and [[WordPiece]] so the cap
+  * and eviction rule cannot drift apart. */
 private[functions] object TokenizerMemo {
 
   /** Max distinct model literals memoized per thread — deliberately its
@@ -25,19 +28,34 @@ private[functions] object TokenizerMemo {
     * bound O(2^17 words) each, so the two caps must be tunable apart). */
   val ModelCap = 8
 
-  def forModel(
-      cache: java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]],
-      model: AnyRef): java.util.HashMap[String, Array[Long]] = {
-    val hit = cache.get(model)
+  /** Per-thread memo state: the identity-keyed map plus the two
+    * most-recently-used model refs (the eviction shield). */
+  final class Memo {
+    val cache = new java.util.IdentityHashMap[
+      AnyRef, java.util.HashMap[String, Array[Long]]]
+    var mru1: AnyRef = null
+    var mru2: AnyRef = null
+  }
+
+  def forModel(memo: Memo, model: AnyRef): java.util.HashMap[String, Array[Long]] = {
+    if (memo.mru1 ne model) { memo.mru2 = memo.mru1; memo.mru1 = model }
+    val hit = memo.cache.get(model)
     if (hit != null) hit
-    else if (cache.size >= ModelCap)
-      // overflow literal: un-cached scratch map (see header) — small
-      // initial capacity because it lives for one kernel call, not the
-      // 2^14 slots a resident memo pre-sizes for
-      new java.util.HashMap[String, Array[Long]](16)
     else {
+      if (memo.cache.size >= ModelCap) {
+        // evict any resident except the MRU-2 shield (cap 8 >> 2, so a
+        // victim always exists); with per-task fresh identities this is
+        // how dead entries cycle out
+        val it = memo.cache.keySet().iterator()
+        var victim: AnyRef = null
+        while (victim == null && it.hasNext) {
+          val k = it.next()
+          if ((k ne memo.mru1) && (k ne memo.mru2)) victim = k
+        }
+        if (victim != null) memo.cache.remove(victim)
+      }
       val fresh = new java.util.HashMap[String, Array[Long]](1 << 14)
-      cache.put(model, fresh)
+      memo.cache.put(model, fresh)
       fresh
     }
   }

@@ -257,15 +257,12 @@ object Unigram {
   // parse cache: the earlier one-slot form thrashed when two models
   // alternated row-by-row in one plan — every switch missed the `eq`
   // check and reallocated a fresh HashMap, zero hits, pure GC churn
-  private val wordMemo = new ThreadLocal[
-      java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]]] {
-    override def initialValue()
-        : java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]] =
-      new java.util.IdentityHashMap
+  private val wordMemo = new ThreadLocal[TokenizerMemo.Memo] {
+    override def initialValue(): TokenizerMemo.Memo = new TokenizerMemo.Memo
   }
   private val wordMemoCap = 1 << 17
 
-  // model-count cap + overflow no-cache rule live in TokenizerMemo (one
+  // model-count cap + MRU-2-shielded eviction live in TokenizerMemo (one
   // definition for both tokenizer families)
   private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] =
     TokenizerMemo.forModel(wordMemo.get(), model)

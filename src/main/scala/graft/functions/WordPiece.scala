@@ -200,15 +200,12 @@ object WordPiece {
   // thrashes when two models share one plan (the decode(encode(x))
   // shape): every model switch would miss the `eq` check and reallocate,
   // turning the memo into per-row GC churn with zero hits
-  private val wordMemo = new ThreadLocal[
-      java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]]] {
-    override def initialValue()
-        : java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Array[Long]]] =
-      new java.util.IdentityHashMap
+  private val wordMemo = new ThreadLocal[TokenizerMemo.Memo] {
+    override def initialValue(): TokenizerMemo.Memo = new TokenizerMemo.Memo
   }
   private val wordMemoCap = 1 << 17
 
-  // model-count cap + overflow no-cache rule live in TokenizerMemo (one
+  // model-count cap + MRU-2-shielded eviction live in TokenizerMemo (one
   // definition for both tokenizer families)
   private def wordMemoFor(model: AnyRef): java.util.HashMap[String, Array[Long]] =
     TokenizerMemo.forModel(wordMemo.get(), model)

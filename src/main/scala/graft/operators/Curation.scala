@@ -67,7 +67,8 @@ object Curation {
                         lineCut: Option[CorpusPipeline.LineCut],
                         nearDup: Option[CorpusPipeline.NearDup],
                         scrub: Option[CorpusPipeline.SpanScrub],
-                        track: DataFrame => DataFrame)
+                        track: DataFrame => DataFrame,
+                        onCut: DataFrame => Unit = _ => ())
       : (DataFrame, Seq[(String, DataFrame)]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     // LINEAGE CUT, not just a cache: every stage references the previous
@@ -93,6 +94,7 @@ object Curation {
       val c = df.localCheckpoint(true)
       if (sys.env.contains("GRAFT_FUNNEL_TIMING"))
         println(f"[funnel-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      onCut(c)
       c
     }
 
@@ -230,15 +232,21 @@ object Curation {
     // what a local checkpoint IS), and funnel consumes every stage count
     // internally before returning — so unlike provenance (whose RETURNED
     // frame depends on its checkpointed leaves and must leave release to
-    // the harness sweep), funnel can release them here. The frames are
-    // created inside stagedIds, so identify them by diffing the session's
-    // persistent-RDD registry around the call; graft sessions run one
-    // query at a time, so the diff is exactly this call's blocks.
-    val sc = spark.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
+    // the harness sweep), funnel can release them here. Collect EXACTLY
+    // this call's checkpoint RDDs through the onCut hook (each cut frame
+    // is a LogicalRDD leaf over its persisted RDD) — never a diff of the
+    // global persistent-RDD registry, which would evict blocks any
+    // concurrent computation persisted mid-call.
+    val cutRdds =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def onCut(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => cutRdds += l.rdd
+        case _ => ()
+      }
     try {
       val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
-        nllKeep, cap, urlRules, lineCut, nearDup, scrub, track)
+        nllKeep, cap, urlRules, lineCut, nearDup, scrub, track, onCut)
       val ns = ("raw", n0) +: stages.map { case (name, ids) =>
         (name, ids.count())
       }
@@ -248,9 +256,7 @@ object Curation {
     } finally {
       cached.foreach(_.unpersist())
       Dedup.unpersistIntermediates()
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
-      }
+      cutRdds.foreach(_.unpersist(blocking = false))
     }
   }
 

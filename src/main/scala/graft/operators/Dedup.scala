@@ -611,32 +611,59 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
-                      maxBucket: Int = 100000): DataFrame = {
-    // persisted: both legs of the band self-join reuse the fingerprints —
-    // without it the full tokenize+vote pass runs twice over the corpus
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+                      maxBucket: Int = 100000): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")),
+      "id", "sim", maxHamming, bandBits = 16, maxBucket = maxBucket)
+
+  /** The banded-hamming join shared by every 64-bit fingerprint tier
+    * (simhash text near-dup, dHash image near-dup — one body, so a guard
+    * or tie-break fix cannot silently miss a sibling): split the hash
+    * into `64/bandBits` bands, self-join within (band, value) buckets
+    * only, verify with bit_count(xor). Pigeonhole: hamming ≤ bands-1
+    * pairs share at least one exact band, so recall is total up to
+    * there. bandBits is the scale/recall dial — 16 (4 bands, h≤3,
+    * 65536-value buckets) is the production default; 8 buys recall to 7
+    * bits at 256-value buckets (candidate space n²/512), a moderate-n
+    * high-recall tier only. The hot-bucket guard (the minhash cap, a
+    * count window riding the join's own exchange) bounds a pathological
+    * bucket — a boilerplate cluster with identical fingerprints would
+    * emit B² pairs — to `maxBucket` members; dropped buckets' members
+    * still pair through their other bands. The hashed frame is persisted
+    * (tracked): both self-join legs reuse it — without that the
+    * fingerprint computation (a full tokenize+vote pass, or a corpus of
+    * real image decodes) runs once per leg. */
+  def bandedHammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int, bandBits: Int = 16,
+                         maxBucket: Int = 100000,
+                         requireTotalRecall: Boolean = false): DataFrame = {
+    require(bandBits == 8 || bandBits == 16, "bandBits must be 8 or 16")
+    val bands = 64 / bandBits
+    // two documented recall contracts share this body: the simhash text
+    // tier runs loose (maxHamming past bands-1 is legal — recall beyond
+    // the pigeonhole bound is probabilistic, "≤3 in expectation" per its
+    // doc), while the image phash gate demands the guarantee
+    if (requireTotalRecall) require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
+    val mask = (1L << bandBits) - 1
+    val base = hashed.select(col(idCol).as("id"), col(hashCol).as("h"))
       .transform(persistTracked)
-    val bandVals = (0 until 4).map(b =>
-      shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val bandedAll = withSim.select(
-      col("id"), col("sim"),
-      posexplode(array(bandVals: _*)))
+    val bandVals = (0 until bands).map(b =>
+      shiftrightunsigned(col("h"), b * bandBits).bitwiseAND(lit(mask)))
+    val bandedAll = base.select(
+      col("id"), col("h"), posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-    // same hot-bucket guard as minhashNearDups (count window riding the
-    // join's own (band, band_val) exchange): a 16-bit band shared by a
-    // boilerplate cluster (identical fingerprints) would emit B² pairs;
-    // dropped buckets' members still pair via their other three bands
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
       else bandedAll
         .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_val")))
         .filter(col("__n") <= maxBucket).drop("__n")
-    val a = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    val a = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("h").as("h_b"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }

@@ -603,54 +603,21 @@ object Multimodal {
       .toDF()
   }
 
-  /** Banded near-dup pairs over a phash column — the simhashNearDups
-    * shape on image hashes: split the 64 bits into `64/bandBits` bands,
-    * self-join within (band, value) buckets only, verify with
-    * bit_count(xor). Pigeonhole guarantee: hamming ≤ bands-1 pairs share
-    * at least one exact band, so recall is total for
-    * `maxHamming ≤ 64/bandBits - 1`.
-    *
-    * bandBits is the scale/recall dial, and the trade is honest:
-    * bandBits=16 (4 bands, guarantee h≤3) gives 65536-value buckets —
-    * expected bucket n/65536, candidate pair space n²/32768 — the
-    * production default for large corpora; bandBits=8 (8 bands,
-    * guarantee h≤7) buys recall to 7 bits but buckets collapse to 256
-    * values, candidate space n²/512 — a moderate-n / high-recall tier
-    * only. Either way the hot-bucket guard (the minhash/simhash cap)
-    * bounds a pathological bucket (e.g. a monochrome-asset cluster,
-    * whose hash is all-zeros) to `maxBucket` members. */
+  /** Banded near-dup pairs over a phash column — [[Dedup.bandedHammingPairs]]
+    * on image hashes (ONE banding body for the simhash and dHash tiers —
+    * the shared-fragment discipline). bandBits=16 (4 bands, total recall
+    * to hamming 3, 65536-value buckets) is the at-scale default; 8 buys
+    * recall to 7 bits at 256-value buckets, a moderate-n high-recall tier.
+    * The hot-bucket guard caps e.g. a monochrome-asset cluster (all-zero
+    * hashes). The shared body also persists the hashed frame across the
+    * self-join legs — for images that's a corpus of REAL decodes that must
+    * not run twice. */
   def phashNearDups(hashed: DataFrame, idCol: String = "asset_id",
                     hashCol: String = "phash", maxHamming: Int = 3,
                     bandBits: Int = 16,
-                    maxBucket: Int = 100000): DataFrame = {
-    require(bandBits == 8 || bandBits == 16, "bandBits must be 8 or 16")
-    val bands = 64 / bandBits
-    require(maxHamming <= bands - 1,
-      s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
-    val mask = (1L << bandBits) - 1
-    val base = hashed.select(col(idCol).as("id"), col(hashCol).as("ph"))
-    val bandVals = (0 until bands).map(b =>
-      shiftrightunsigned(col("ph"), b * bandBits).bitwiseAND(lit(mask)))
-    val bandedAll = base.select(
-      col("id"), col("ph"), posexplode(array(bandVals: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-    val banded =
-      if (maxBucket == Int.MaxValue) bandedAll
-      else bandedAll
-        .withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
-        .filter(col("__n") <= maxBucket).drop("__n")
-    val a = banded.select(col("band"), col("band_val"),
-      col("id").as("id_a"), col("ph").as("ph_a"))
-    val b = banded.select(col("band"), col("band_val"),
-      col("id").as("id_b"), col("ph").as("ph_b"))
-    a.join(b, Seq("band", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
-  }
+                    maxBucket: Int = 100000): DataFrame =
+    Dedup.bandedHammingPairs(hashed, idCol, hashCol, maxHamming,
+      bandBits, maxBucket, requireTotalRecall = true)
 
   /** Exact byte-level asset dedup: md5 over the PAYLOAD bytes (the
     * exactByHash discipline on binary content), one (canonical_id,
@@ -784,8 +751,9 @@ object Multimodal {
           // cell boundary c*w/9 / r*h/8 is an even integer), so halving
           // commutes with the grid sums and the only resize perturbation
           // left is the 2x2 box mean's sub-luma floor — measured hamming
-          // ≤2 per plant. With misaligned boundaries (the first cut used
-          // 60+4g x 44+6g) the boundary rows/columns shift by a pixel and
+          // 0 for every plant (spec-pinned). With misaligned boundaries
+          // (the first cut used 60+4g x 44+6g) the
+          // boundary rows/columns shift by a pixel and
           // high-frequency seeds drifted 6 bits.
           val (w, h) = (54 + 18 * g, 48 + 16 * g)
           val full = smoothImage(g, w, h)

@@ -83,13 +83,18 @@ object Similarity {
     // embedding dim: slice() past the end silently returns the whole
     // vector, which keeps results CORRECT but turns stage 1 into the
     // full-dim cosine computed twice — the advertised bandwidth/FLOP
-    // saving vanishes with no visible failure. Probe one query row
-    // (queries are broadcast-small; head(1) is a bounded driver fetch).
+    // saving vanishes with no visible failure. Probe one query row —
+    // a deliberate eager job at frame-construction time (queries are
+    // broadcast-small, so it is a bounded driver fetch); a null vector
+    // must fail with the same named message, not an NPE from .length.
     queries.select(col(vecCol)).head(1).foreach { r =>
-      val dim = r.getSeq[Any](0).length
-      require(prefixDim < dim,
-        s"prefixDim=$prefixDim must be < embedding dim=$dim: slicing past " +
-          "the end degenerates the prefix stage to the full-dim cosine")
+      val v = if (r.isNullAt(0)) null else r.getSeq[Any](0)
+      require(v != null && prefixDim < v.length,
+        s"prefixDim=$prefixDim must be < the embedding dim" +
+          (if (v == null) " (probed query vector is null)"
+           else s"=${v.length}") +
+          ": slicing past the end degenerates the prefix stage to the " +
+          "full-dim cosine")
     }
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("pvec", slice(col("vec"), 1, prefixDim))

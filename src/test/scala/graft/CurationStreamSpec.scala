@@ -106,16 +106,14 @@ class CurationStreamSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "pass_url", "pass_linecut", "pass_gopher", "pass_lm")
     assert(one.exceptAll(two).count() === 0)
     assert(two.exceptAll(one).count() === 0)
-  }
-
-  test("quota delta lake is batch-stamped and replay-idempotent by construction") {
+    // …and the quota delta lake the same drain wrote is batch-stamped
+    // (batch=0, batch=1 dirs) with its summed survivor counts equal to
+    // the ledger's gate-passer census — asserted here, in the test that
+    // produced the dirs, so the suite has no test-ordering dependency
     val base = s"${sys.props("java.io.tmpdir")}/graft_test_curation_waves"
-    // the per-batch delta dirs exist (batch=0, batch=1) and their summed
-    // survivor counts equal the ledger's gate-passer census
     val deltas = spark.read.parquet(s"$base/quota")
     val fromDeltas = deltas.groupBy("domain").agg(sum("n_pass").as("n"))
       .as[(String, Long)].collect().toMap
-    val ledger = spark.read.parquet(s"$base/out")
     val passers = ledger.filter(col("keep") || col("within_cap") === "fail")
       .groupBy("domain").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap

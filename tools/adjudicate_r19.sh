@@ -8,6 +8,17 @@
 set -u
 OUT=/tmp/adj_r19
 mkdir -p $OUT
+# self-provision the classpath snapshot when absent (fresh /tmp): the
+# snapshot exists so a concurrent `sbt compile` can't break or skew a
+# mid-batch run; refresh deliberately = rm -rf $OUT/classes first
+if [ ! -d "$OUT/classes" ]; then
+  if [ -d /root/repo/target/scala-2.13/classes ]; then
+    cp -r /root/repo/target/scala-2.13/classes "$OUT/classes"
+  else
+    echo "no compiled classes found — run sbt compile first" >&2
+    exit 1
+  fi
+fi
 CP="$OUT/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

@@ -13,7 +13,12 @@ for attempt in $(seq 1 40); do
   pct=$(sed -n 's/.* steal_pct=\([0-9.]*\).*/\1/p' <<<"$line")
   best=$(sed -n 's/.*"best":\([0-9.]*\).*/\1/p' <<<"$line")
   echo "$(date +%H:%M:%S) probe#$attempt steal=$pct control_best=$best" >> $OUT/watch.txt
-  quiet=$(awk -v p="${pct:-999}" -v b="${best:-999}" 'BEGIN{print (p<12 && b<11.5) ? 1 : 0}')
+  # the control heavy IS the weather gate: steal/user explodes whenever
+  # user time is small (idle probes read 100%+ steal on a healthy host),
+  # while a control best within ~8% of its 9.99 pin directly demonstrates
+  # the host can reproduce pin-day timings right now. steal_pct is still
+  # logged per row for the record.
+  quiet=$(awk -v b="${best:-999}" 'BEGIN{print (b<10.8) ? 1 : 0}')
   if [ "$quiet" = "1" ]; then
     echo "$(date +%H:%M:%S) QUIET WINDOW — firing full batch" >> $OUT/watch.txt
     rm -f $OUT/summary.txt
