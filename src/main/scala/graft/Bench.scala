@@ -38,7 +38,15 @@ object Bench {
     // sample host weather around the timed window only (not warmup): the
     // artifact must say what the TIMINGS were taken under
     val weather0 = GraftSession.HostWeather.sample()
+    // Per-QUERY steal (r19 verdict mandate): sample /proc/stat around each
+    // query's own timed window, so a single storm pulse landing on one row
+    // (the doc_semantic_dedup 44.7× pattern) adjudicates itself in-run
+    // instead of consuming a round-opening BenchOne batch. The per-query
+    // release/GC below sits INSIDE the sampled window deliberately — it is
+    // part of what the wall-clock number pays, so the steal denominator
+    // must cover it too.
     val timed = ordered.map { case (name, fn) =>
+      val w0 = GraftSession.HostWeather.sample()
       // release every cache the previous query left behind (dedup-tier
       // MEMORY_AND_DISK frames, cached model predictions) and quiesce the
       // heap, so a query is billed for its own cost — not the storage
@@ -54,14 +62,18 @@ object Bench {
           // small "fast" timing: record the error keyed by query name
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val steal = GraftSession.HostWeather.json(w0, GraftSession.HostWeather.sample())
+      (name, sec, steal)
     }
     // a failed query's elapsed time is meaningless (analysis bailed early)
     // and must never masquerade as a per-query cost or shrink the total —
     // only successes carry timings; failures live in the errors map
     val weather1 = GraftSession.HostWeather.sample()
     val stealJson = GraftSession.HostWeather.json(weather0, weather1)
-    val results = timed.filterNot { case (name, _) => errors.contains(name) }
+    val kept = timed.filterNot { case (name, _, _) => errors.contains(name) }
+    val results = kept.map { case (name, sec, _) => name -> sec }
+    val querySteal = kept.map { case (name, _, steal) => name -> steal }
     val total = results.map(_._2).sum
     // Full-precision record → file, COMMITTED per round (BENCH_LAST.json).
     // The capture pipeline keeps only the LAST ~2000 chars of stdout, and
@@ -82,10 +94,15 @@ object Bench {
     } + "\""
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query steal_pct (same Δsteal/Δuser convention as the run-level
+    // stamp), keyed identically to `queries` — a >2× row whose own window
+    // reads 30%+ steal names its weather without a re-run
+    val stealQs = querySteal.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","steal_pct":$stealJson,"n_errors":${errors.size},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"query_steal":$stealQs,"sf":"$sfDir","steal_pct":$stealJson,"n_errors":${errors.size},"errors":$errJson}"""
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
@@ -105,11 +122,18 @@ object Bench {
         fmt(total) + ",\"unit\":\"sec\",\"sf\":\"" + sfDir +
         "\",\"steal_pct\":" + stealJson + ",\"full\":\"BENCH_LAST.json\"}")
     val top = results.sortBy(-_._2).take(12)
+    val stealOf = querySteal.toMap
+    // the 12 most expensive rows carry their own window's steal inline —
+    // exactly the rows a regression triage would ask about first
+    val topSteal = top.map { case (k, _) =>
+      s"\"" + k + "\":" + stealOf.getOrElse(k, "null") }
+      .mkString("{", ",", "}")
     val line2 = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{\"metric\":\"total\",\"value\":" + fmt(total) +
         ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"n_queries\":" +
         results.size + ",\"n_errors\":" + errors.size +
-        ",\"steal_pct\":" + stealJson + ",\"queries\":{", ",", "}}")
+        ",\"steal_pct\":" + stealJson +
+        ",\"query_steal\":" + topSteal + ",\"queries\":{", ",", "}}")
     println(line1)
     println(line2)
     spark.stop()

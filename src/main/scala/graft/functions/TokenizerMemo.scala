@@ -20,7 +20,17 @@ package graft.functions
   *     then never cached again for the thread's life — every later task
   *     lost cross-row memoization entirely. Eviction keeps turnover.
   * One definition serves both [[Unigram]] and [[WordPiece]] so the cap
-  * and eviction rule cannot drift apart. */
+  * and eviction rule cannot drift apart.
+  *
+  * Accepted lifetime tradeoff (r19 advice, reviewed): mru1/mru2 hold
+  * strong refs to the last two model literals even after their tasks
+  * finish, so a thread can pin up to TWO dead models' memos until newer
+  * models displace them — bounded at 2 × O(2^14) entries per executor
+  * thread by construction. Clearing from a task-completion listener was
+  * considered and rejected: the listener would also kill the
+  * alternating-pair shield mid-plan, re-opening the per-row rebuild
+  * failure this design exists to stop. Revisit only if executor heap
+  * profiles ever show these maps mattering. */
 private[functions] object TokenizerMemo {
 
   /** Max distinct model literals memoized per thread — deliberately its

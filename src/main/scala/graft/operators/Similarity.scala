@@ -79,22 +79,42 @@ object Similarity {
                      k: Int): DataFrame = {
     require(prefixDim > 0, "prefixDim must be positive")
     require(shortlist >= k && k > 0, "need shortlist >= k > 0")
-    // the "cheap prefix" contract needs prefixDim strictly below the
+    // the "cheap prefix" contract needs prefixDim at or below the
     // embedding dim: slice() past the end silently returns the whole
     // vector, which keeps results CORRECT but turns stage 1 into the
     // full-dim cosine computed twice — the advertised bandwidth/FLOP
-    // saving vanishes with no visible failure. Probe one query row —
-    // a deliberate eager job at frame-construction time (queries are
-    // broadcast-small, so it is a bounded driver fetch); a null vector
-    // must fail with the same named message, not an NPE from .length.
-    queries.select(col(vecCol)).head(1).foreach { r =>
-      val v = if (r.isNullAt(0)) null else r.getSeq[Any](0)
-      require(v != null && prefixDim < v.length,
-        s"prefixDim=$prefixDim must be < the embedding dim" +
-          (if (v == null) " (probed query vector is null)"
-           else s"=${v.length}") +
-          ": slicing past the end degenerates the prefix stage to the " +
-          "full-dim cosine")
+    // saving vanishes with no visible failure. Schema check first (a
+    // non-array column must fail with the named message, not a
+    // ClassCastException), then ONE bounded aggregate over the
+    // broadcast-small queries frame — min(size) catches ragged vectors
+    // in ANY row and a null count catches null vectors anywhere, where
+    // the r19 head(1) probe validated only the first row and let an
+    // empty frame skip validation entirely (r19 advice fix). This is
+    // still a deliberate eager job at frame-construction time; the
+    // queries side is broadcast-small by the operator's contract.
+    val vecField = queries.schema.fields.find(_.name == vecCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"matryoshkaTopK: queries has no column '$vecCol'"))
+    require(vecField.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"matryoshkaTopK: '$vecCol' must be an array column, got " +
+        vecField.dataType.simpleString)
+    val probe = queries.agg(
+      min(size(col(vecCol))).as("min_dim"),
+      sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("n_null"),
+      count(lit(1)).as("n")).head()
+    if (probe.getLong(2) > 0) {
+      require(probe.getLong(1) == 0,
+        s"matryoshkaTopK: ${probe.getLong(1)} query vector(s) are null")
+      val minDim = probe.getInt(0)
+      require(prefixDim <= minDim,
+        s"prefixDim=$prefixDim must be <= the smallest embedding dim" +
+          s"=$minDim: slicing past the end degenerates the prefix stage " +
+          "to the full-dim cosine")
+      // == dim is legal (results stay correct) but defeats the point —
+      // stage 1 IS the full-dim cosine; say so instead of rejecting
+      if (prefixDim == minDim) System.err.println(
+        s"[matryoshkaTopK] prefixDim=$prefixDim equals the embedding dim — " +
+          "the prefix stage saves nothing; use cosineTopK directly")
     }
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("pvec", slice(col("vec"), 1, prefixDim))

@@ -46,7 +46,8 @@ object UrlRules {
     * query string on doc_id%83=7 (the junk arm). Pure integer/string
     * arithmetic → full DuckDB replay. */
   def withSyntheticUrl(docs: DataFrame, idCol: String = "doc_id",
-                       domainCol: String = "source"): DataFrame = {
+                       domainCol: String = "source",
+                       urlCol: String = "url"): DataFrame = {
     val id = col(idCol)
     val tld = when(id % 7 === 2, "net").otherwise("com")
     val host = concat(col(domainCol), lit(".example."), tld)
@@ -59,7 +60,7 @@ object UrlRules {
     val file = concat(lit("/f"), (id % 100).cast("string"), ext)
     val qs = when(id % 83 === 7,
         concat(lit("?sid="), (id % 1000).cast("string"))).otherwise(lit(""))
-    docs.withColumn("url", concat(lit("https://"), host, segs, file, qs))
+    docs.withColumn(urlCol, concat(lit("https://"), host, segs, file, qs))
   }
 
   /** Per-doc rule verdict frame: parsed URL parts + one boolean per rule

@@ -63,8 +63,14 @@ object CurationStream {
                                  vocab: DataFrame, urlCfg: UrlRules.Cfg,
                                  nllKeep: Double, cap: Long,
                                  prior: DataFrame): DataFrame = {
-    val url = UrlRules.urlFilter(
-        UrlRules.withSyntheticUrl(batch), "doc_id", urlCfg)
+    // score a REAL url column when the arriving docs carry one (the serving
+    // form must never overwrite crawl provenance with doc_id arithmetic);
+    // the synthetic derivation is only the fallback for url-less corpora —
+    // the test tables' shape (r19 advice fix)
+    val withUrl =
+      if (batch.columns.contains(urlCfg.urlCol)) batch
+      else UrlRules.withSyntheticUrl(batch, urlCol = urlCfg.urlCol)
+    val url = UrlRules.urlFilter(withUrl, "doc_id", urlCfg)
       .select(col("doc_id"), col("pass_url").as("__url"))
     // line tier vs the DEPLOYED index; a doc cut to empty is the drop
     val cut = Dedup.lineDedupAgainst(batch, "doc_id", "text", lineIndex)
