@@ -68,6 +68,35 @@ private[graft] object DedupEntries {
       // fixed windows straddle). Full DuckDB replay: same windows, string-
       // grouped frequencies, lag-based span starts, position-union cover.
       Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text")),
+    "substring_dedup" -> ((s, d) => {
+      // Anchored exact-substring dedup (r20, D44 — Lee et al. 2022):
+      // cross-doc EXACT repeats >= 50 tokens at arbitrary alignment, via
+      // content-defined md5 anchors + 50-token span keys (no suffix
+      // array — see Dedup.anchoredSubstringPairs). The gate corpus is
+      // unique word-soup, so planted probes carry the workload: two docs
+      // share an identical 120-token passage at DIFFERENT offsets (30-
+      // vs 17-token prefixes — the alignment the fixed window grid
+      // straddles) and must pair on every anchored in-passage offset;
+      // a second pair shares only 49 tokens and must NOT pair (precision
+      // is exact: no 50-token window can coincide). The oracle replays
+      // the whole chain — tokens, shingle-md5 anchor test, span keys,
+      // pair counts — bit-for-bit.
+      import s.implicits._
+      def run(tag: String, n: Int) =
+        (0 until n).map(j => s"$tag$j").mkString(" ")
+      val seed = run("ss", 120)
+      val seedC = run("sc", 49)
+      val planted = Seq(
+        (9400001L, run("pa", 30) + " " + seed + " " + run("qa", 10)),
+        (9400002L, run("pb", 17) + " " + seed + " " + run("qb", 25)),
+        (9400003L, run("pc", 20) + " " + seedC + " " + run("qc", 31)),
+        (9400004L, run("pd", 11) + " " + seedC + " " + run("qd", 40)))
+        .toDF("doc_id", "text")
+      Dedup.anchoredSubstringPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(planted),
+        "doc_id", "text")
+    }),
     "minhash_dedup" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)),
     "simhash_dedup" -> ((s, d) =>
@@ -582,6 +611,60 @@ private[graft] object DedupEntries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "substring_dedup" ->
+      // full chain replay: plant construction, whitespace tokens, the
+      // 5-token-shingle md5 last-hex-digit anchor test, 50-token span
+      // md5 keys, distinct-(doc, key) cross-doc pair counts — every step
+      // engine-portable string/md5 arithmetic (no engine-private hash)
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT 9400001,
+             (SELECT string_agg('pa' || j, ' ' ORDER BY j) FROM range(0, 30) t(j))
+             || ' ' ||
+             (SELECT string_agg('ss' || j, ' ' ORDER BY j) FROM range(0, 120) t(j))
+             || ' ' ||
+             (SELECT string_agg('qa' || j, ' ' ORDER BY j) FROM range(0, 10) t(j))
+           UNION ALL
+           SELECT 9400002,
+             (SELECT string_agg('pb' || j, ' ' ORDER BY j) FROM range(0, 17) t(j))
+             || ' ' ||
+             (SELECT string_agg('ss' || j, ' ' ORDER BY j) FROM range(0, 120) t(j))
+             || ' ' ||
+             (SELECT string_agg('qb' || j, ' ' ORDER BY j) FROM range(0, 25) t(j))
+           UNION ALL
+           SELECT 9400003,
+             (SELECT string_agg('pc' || j, ' ' ORDER BY j) FROM range(0, 20) t(j))
+             || ' ' ||
+             (SELECT string_agg('sc' || j, ' ' ORDER BY j) FROM range(0, 49) t(j))
+             || ' ' ||
+             (SELECT string_agg('qc' || j, ' ' ORDER BY j) FROM range(0, 31) t(j))
+           UNION ALL
+           SELECT 9400004,
+             (SELECT string_agg('pd' || j, ' ' ORDER BY j) FROM range(0, 11) t(j))
+             || ' ' ||
+             (SELECT string_agg('sc' || j, ' ' ORDER BY j) FROM range(0, 49) t(j))
+             || ' ' ||
+             (SELECT string_agg('qd' || j, ' ' ORDER BY j) FROM range(0, 40) t(j))),
+         tk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                         x -> x <> '') AS t
+           FROM corpus),
+         pos AS (
+           SELECT doc_id, t,
+             CAST(unnest(generate_series(1, len(t) - 49)) AS INT) AS i
+           FROM tk WHERE len(t) >= 50),
+         anch AS (
+           SELECT doc_id, md5(array_to_string(t[i:i+49], ' ')) AS sk
+           FROM pos
+           WHERE substr(md5(array_to_string(t[i:i+4], ' ')), 32, 1)
+                 IN ('0', '8')),
+         ds AS (SELECT DISTINCT doc_id, sk FROM anch)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_spans
+         FROM ds a JOIN ds b ON a.sk = b.sk AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
     "ivf_topk_broadcast" ->
       // golden parity: broadcast-centroid IVF returns exactly the
       // literal-matrix IVF's (query, neighbor, rank) set — 8 queries × 5

@@ -600,6 +600,70 @@ private[graft] object StreamEntries {
         out, ckpt, threshold = 0.7, maxFilesPerTrigger = 1).awaitTermination()
       s.read.parquet(out).filter(col("doc_id") >= 3000000L)
         .select("doc_id", "is_novel")
+    }),
+    "stream_phash_novelty" -> ((s, d) => {
+      // E-row (r19 verdict #4): the multimodal novelty gate ACTUALLY
+      // STREAMING — D12d's perceptual-hash tier composed with E7's
+      // novelty shape. A deployed image corpus (250 rendered docs + the
+      // 5 smooth plant images) is indexed ONCE (exact md5 tier + banded
+      // dHash tier, both persisted); arriving image payloads are judged
+      // per micro-batch: exact byte re-crawls, BMP re-encodes (same
+      // raster, new container), and half-size box-mean resizes of
+      // indexed images must be caught, wholly-new renders must pass as
+      // novel. The re-encode family is split ACROSS the two delivery
+      // waves, so a verdict depending on wave composition would diverge
+      // from the structural oracle. maxFilesPerTrigger=1 forces real
+      // micro-batches; the checkpoint carries the cursor between drains.
+      val base = sinkPath(d, "stream_phash_novelty")
+      val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+      Sink.reset(base)
+      val docs = Tables.documents(s, d)
+      // plantedAssets over docs 0-4 supplies all four probe families
+      // (base renders + exact copies at 1e9, BMP re-encodes at 2e9,
+      // smooth fulls at 3e9, their halves at 3.5e9); persisted — sliced
+      // by id range below for the corpus and both waves
+      val planted = Dedup.persistTracked(
+        Multimodal.plantedAssets(docs.filter(col("doc_id") < 5), "doc_id", "text"),
+        Multimodal.persistLevel(s))
+      val corpus = Dedup.persistTracked(
+        Multimodal.asMultimodal(docs.filter(col("doc_id") < 250), "doc_id", "text")
+          .select("asset_id", "payload")
+          .unionByName(planted
+            .filter(col("asset_id") >= Multimodal.SmoothBase &&
+              col("asset_id") < Multimodal.ResizedBase)
+            .select("asset_id", "payload")),
+        Multimodal.persistLevel(s))
+      val index = Multimodal.buildPhashIndex(corpus)
+      val exactCopies = planted
+        .filter(col("asset_id") >= Multimodal.ExactCopyBase &&
+          col("asset_id") < Multimodal.ReencodeBase)
+        .select("asset_id", "payload")
+      val reencodes = planted
+        .filter(col("asset_id") >= Multimodal.ReencodeBase &&
+          col("asset_id") < Multimodal.SmoothBase)
+        .select("asset_id", "payload")
+      val resizes = planted.filter(col("asset_id") >= Multimodal.ResizedBase)
+        .select("asset_id", "payload")
+      // novel arrivals: renders of docs the index never saw (different
+      // LCG seeds — the corpus render admits no accidental hamming<=3,
+      // the image_phash_dedup oracle's standing argument)
+      val novel = Multimodal.asMultimodal(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 255),
+          "doc_id", "text")
+        .select((col("asset_id") + 4000000000L).as("asset_id"), col("payload"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "asset_id long, payload binary")
+      exactCopies.unionByName(
+          reencodes.filter(col("asset_id") < Multimodal.ReencodeBase + 3))
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.phashNoveltyStream(s, landing, schema, index, out, ckpt,
+        maxFilesPerTrigger = 1).awaitTermination()
+      reencodes.filter(col("asset_id") >= Multimodal.ReencodeBase + 3)
+        .unionByName(resizes).unionByName(novel)
+        .repartition(2).write.mode("append").parquet(landing)
+      EventStream.phashNoveltyStream(s, landing, schema, index, out, ckpt,
+        maxFilesPerTrigger = 1).awaitTermination()
+      s.read.parquet(out).select("asset_id", "method", "is_novel")
     })
   )
 
@@ -1096,6 +1160,30 @@ private[graft] object StreamEntries {
            (3000006, FALSE), (3000007, FALSE), (3000008, FALSE),
            (3000009, FALSE), (4000000, TRUE), (4000001, TRUE))
            t(doc_id, is_novel)""",
+    "stream_phash_novelty" ->
+      // structural replay, not pinned goldens: the planted arrival
+      // families FORCE the ledger — exact byte copies hit the md5 tier;
+      // BMP re-encodes and grid-aligned half-resizes land at hamming 0
+      // by the dHash construction (spec-pinned), so the banded tier
+      // catches them; and the LCG render corpus admits no accidental
+      // hamming<=3 (P ~ 2^-44 per pair — image_phash_dedup's standing
+      // argument), so the unseen-doc renders MUST read novel. Any
+      // missed catch, false catch, or wrong tier fails the compare.
+      """SELECT CAST(asset_id AS BIGINT) AS asset_id, method, is_novel
+         FROM (
+           SELECT doc_id + 1000000000 AS asset_id, 'exact' AS method,
+                  FALSE AS is_novel
+             FROM documents WHERE doc_id < 5
+           UNION ALL
+           SELECT doc_id + 2000000000, 'phash', FALSE
+             FROM documents WHERE doc_id < 5
+           UNION ALL
+           SELECT 3500000000 + g, 'phash', FALSE
+             FROM (VALUES (0), (1), (2), (3), (4)) t(g)
+           UNION ALL
+           SELECT doc_id + 4000000000, 'novel', TRUE
+             FROM documents WHERE doc_id >= 250 AND doc_id < 255
+         ) q""",
     "stream_incremental" ->
       // same rebuild again, now through the STREAMING write path: two
       // checkpointed micro-batch waves of the same delta must land the

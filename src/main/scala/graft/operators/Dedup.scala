@@ -581,6 +581,73 @@ object Dedup {
       buildSignatureIndex(corpus, idCol, textCol, shingleWidth, bands, rows, maxBucket),
       idCol, textCol, threshold)
 
+  /** Anchored exact-substring dedup (r20, D44) — the variable-length
+    * ≥minLen-token exact-repeat tier the span/line/para tiers bracket
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", public: dedup exact substrings ≥50 tokens via a corpus
+    * suffix array). A global suffix array does not distribute; this is
+    * the Spark-shaped equivalent: CONTENT-DEFINED anchor sampling
+    * (winnowing-family, Schleimer et al. 2003) — position i is an anchor
+    * iff the last hex digit of md5(tokens[i..i+k-1]) ∈ {0, 8}, a
+    * deterministic 1-in-8 sample that is ALIGNMENT-FREE (two copies of
+    * the same substring anchor at the same relative offsets, whatever
+    * their absolute positions — the property the fixed window grid
+    * lacks) — then the minLen-token span STRING at each anchor is keyed
+    * by md5 and shared keys across docs are verified exact repeats.
+    *
+    * Contract: a cross-doc shared substring of exactly minLen tokens is
+    * caught iff an anchor lands at its start (1/8 per eligible offset);
+    * length minLen+m is missed with probability (7/8)^(m+1) — ~0.008%
+    * at m = 70 — while PRECISION is exact (a shared span key IS an
+    * identical minLen-token window; no false positives, unlike the
+    * minhash tier). Deterministic: anchors are a pure function of
+    * content, so the same corpus always yields the same pairs, and a
+    * second engine replays the chain bit-for-bit (md5 + string slicing
+    * only — no engine-private hash).
+    *
+    * Scale shape: the anchor array builds INSIDE each row (transform +
+    * filter — no position explode of the token array, the O(n²)-bytes
+    * trap), exploding only ~n/8 (pos, span-key) rows per doc; one
+    * shuffle on span md5 with the hot-bucket guard riding its exchange
+    * (a boilerplate span shared by B docs would otherwise emit B²
+    * pairs); pair aggregation on (id_a, id_b). No suffix array, no
+    * all-pairs, no cartesian.
+    *
+    * Returns (id_a, id_b, n_spans): cross-doc pairs sharing >= 1
+    * verified minLen-token span, with the count of DISTINCT shared span
+    * keys (adjacent anchors inside one long shared substring each
+    * contribute their own offset's key). */
+  def anchoredSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+                             minLen: Int = 50, shingleK: Int = 5,
+                             maxBucket: Int = 100000): DataFrame = {
+    require(minLen > shingleK && shingleK > 0, "need minLen > shingleK > 0")
+    val toks = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    val nPos = size(col("__toks")) - (minLen - 1)
+    // anchor offsets first (cheap k-token shingle test), span strings
+    // only for the 1/8 survivors — the order that keeps the per-row
+    // intermediate at O(n + anchors*minLen) instead of O(n*minLen)
+    val anchorPos = filter(
+      when(nPos >= 1, sequence(lit(1), nPos)).otherwise(array().cast("array<int>")),
+      i => substring(md5(array_join(slice(col("__toks"), i, lit(shingleK)), " ")), 32, 1)
+        .isin("0", "8"))
+    val spans = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col("__id"), explode(transform(anchorPos,
+        i => md5(array_join(slice(col("__toks"), i, lit(minLen)), " ")))).as("__sk"))
+      .dropDuplicates("__id", "__sk")
+    val guarded =
+      if (maxBucket == Int.MaxValue) spans
+      else spans
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("__sk")))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    val a = guarded.select(col("__sk"), col("__id").as("id_a"))
+    val b = guarded.select(col("__sk"), col("__id").as("id_b"))
+    a.join(b, Seq("__sk"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_spans"))
+  }
+
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise majority vote.
     * Native Catalyst expression (graft.functions.TextHash) — one tight JVM
     * loop per row inside whole-stage codegen, no per-token allocation. */
@@ -628,11 +695,32 @@ object Dedup {
     * high-recall tier only. The hot-bucket guard (the minhash cap, a
     * count window riding the join's own exchange) bounds a pathological
     * bucket — a boilerplate cluster with identical fingerprints would
-    * emit B² pairs — to `maxBucket` members; dropped buckets' members
-    * still pair through their other bands. The hashed frame is persisted
+    * emit B² pairs — to `maxBucket` members. Dropping a bucket is only
+    * recall-neutral for IDENTICAL fingerprints (which re-pair via every
+    * other band); a hamming 1..bands-1 pair whose sole matching band is
+    * over-cap is lost — so under `requireTotalRecall` an over-cap bucket
+    * FAILS the query (lazy raise_error naming the bucket) rather than
+    * silently voiding the guarantee. The hashed frame is persisted
     * (tracked): both self-join legs reuse it — without that the
     * fingerprint computation (a full tokenize+vote pass, or a corpus of
     * real image decodes) runs once per leg. */
+  /** Banded form of a 64-bit fingerprint frame: one row per (id, band)
+    * with the band's `bandBits`-wide slice as `band_val` (the original
+    * hash rides along as `h` for the verify step). THE one banding body —
+    * the self-join pair tiers and the stream-probe novelty tiers must
+    * band identically or their recall contracts silently diverge. */
+  private[graft] def banded64(base: DataFrame, idCol: String, hashCol: String,
+                              bandBits: Int): DataFrame = {
+    require(bandBits == 8 || bandBits == 16, "bandBits must be 8 or 16")
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandVals = (0 until bands).map(b =>
+      shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask)))
+    base.select(col(idCol).as("id"), col(hashCol).as("h"),
+        posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+  }
+
   def bandedHammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
                          maxHamming: Int, bandBits: Int = 16,
                          maxBucket: Int = 100000,
@@ -645,19 +733,32 @@ object Dedup {
     // doc), while the image phash gate demands the guarantee
     if (requireTotalRecall) require(maxHamming <= bands - 1,
       s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
-    val mask = (1L << bandBits) - 1
     val base = hashed.select(col(idCol).as("id"), col(hashCol).as("h"))
       .transform(persistTracked)
-    val bandVals = (0 until bands).map(b =>
-      shiftrightunsigned(col("h"), b * bandBits).bitwiseAND(lit(mask)))
-    val bandedAll = base.select(
-      col("id"), col("h"), posexplode(array(bandVals: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val bandedAll = banded64(base, "id", "h", bandBits)
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
-      else bandedAll
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_val")))
-        .filter(col("__n") <= maxBucket).drop("__n")
+      else {
+        val counted = bandedAll
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_val")))
+        if (requireTotalRecall)
+          // the total-recall contract cannot coexist with silent bucket
+          // drops: a hamming 1..bands-1 pair whose ONLY matching band lands
+          // in an over-cap bucket would vanish (the "members still pair
+          // through their other bands" argument holds only for identical
+          // fingerprints). The cap still guards the B² blowup — but by
+          // failing LOUDLY with the offending bucket named, riding the
+          // count window the guard already pays, instead of losing recall.
+          counted.withColumn("__ok",
+            when(col("__n") <= maxBucket, lit(true)).otherwise(raise_error(
+              format_string(
+                "bandedHammingPairs: bucket (band=%d, value=%d) has %d members" +
+                  " > maxBucket=%d; the total-recall contract forbids dropping" +
+                  " it — raise maxBucket or drop requireTotalRecall",
+                col("band"), col("band_val"), col("__n"), lit(maxBucket))).cast("boolean")))
+            .filter(col("__ok")).drop("__n", "__ok")
+        else counted.filter(col("__n") <= maxBucket).drop("__n")
+      }
     val a = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("h").as("h_a"))
     val b = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("h").as("h_b"))
     a.join(b, Seq("band", "band_val"))

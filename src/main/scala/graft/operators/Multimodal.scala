@@ -619,6 +619,71 @@ object Multimodal {
     Dedup.bandedHammingPairs(hashed, idCol, hashCol, maxHamming,
       bandBits, maxBucket, requireTotalRecall = true)
 
+  /** Prebuilt two-tier image novelty index — the deployed-artifact side of
+    * the crawl-ingest image gate ([[probePhashNovelty]] / E-row
+    * stream_phash_novelty): `exact` is the DISTINCT md5 set of corpus
+    * payload bytes (tier 1 — a re-crawl of the same file), `banded` the
+    * DISTINCT (band, band_val, cphash) form of the corpus dHashes (tier 2
+    * — re-encodes/resizes of indexed pixels). Distinctness is the scale
+    * contract, not a convenience: novelty is an EXISTENCE verdict, so a
+    * million-member boilerplate cluster (identical fingerprints — the
+    * bucket the pair tier must cap or fail on) collapses to ONE index row
+    * per band, bounding probe-join fan-out by distinct hashes per bucket
+    * while losing nothing. Both frames persist (tracked); build once per
+    * deployed corpus, probe per arriving wave. */
+  case class PhashIndex(exact: DataFrame, banded: DataFrame,
+                        bandBits: Int, maxHamming: Int)
+
+  /** Build a [[PhashIndex]] over a corpus of (asset_id, payload) rows.
+    * Total recall to hamming `bands-1` holds by the pigeonhole bound with
+    * NO hot-bucket cap needed — see the distinctness argument on
+    * [[PhashIndex]]. */
+  def buildPhashIndex(corpus: DataFrame, bandBits: Int = 16,
+                      maxHamming: Int = 3): PhashIndex = {
+    require(maxHamming <= 64 / bandBits - 1,
+      s"banding with ${64 / bandBits} bands only guarantees recall to " +
+        s"hamming ${64 / bandBits - 1}")
+    val exact = Dedup.persistTracked(
+      corpus.select(md5(col("payload")).as("byte_hash")).distinct())
+    val banded = Dedup.persistTracked(
+      Dedup.banded64(imagePhash(corpus).toDF(), "asset_id", "phash", bandBits)
+        .select(col("band"), col("band_val"), col("h").as("cphash"))
+        .distinct())
+    PhashIndex(exact, banded, bandBits, maxHamming)
+  }
+
+  /** Judge one arriving wave of (asset_id, payload) rows against a
+    * prebuilt [[PhashIndex]]: ONE decode pass per arrival (md5 + dHash
+    * from the same frame), exact tier first, banded-hamming probe join
+    * second (the D15b two-tier novelty pattern on image content).
+    * Verdicts are per-asset functions of (payload, index) — independent
+    * of wave/batch split, which is what makes the streaming drain equal
+    * the batch run. Returns (asset_id, method ∈ exact|phash|novel,
+    * is_novel). */
+  def probePhashNovelty(batch: DataFrame, index: PhashIndex): DataFrame = {
+    val hashed = Dedup.persistTracked(
+      imagePhash(batch).toDF().join(
+        batch.select(col("asset_id"), md5(col("payload")).as("byte_hash")),
+        "asset_id"))
+    val exactHit = hashed
+      .join(index.exact, Seq("byte_hash"), "left_semi")
+      .select(col("asset_id"), lit(true).as("__ex"))
+    val phashHit = Dedup.banded64(hashed, "asset_id", "phash", index.bandBits)
+      .join(index.banded, Seq("band", "band_val"))
+      .filter(bit_count(col("h").bitwiseXOR(col("cphash"))) <= index.maxHamming)
+      .select(col("id").as("asset_id")).distinct()
+      .withColumn("__ph", lit(true))
+    hashed.select(col("asset_id"))
+      .join(exactHit, Seq("asset_id"), "left")
+      .join(phashHit, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        when(coalesce(col("__ex"), lit(false)), "exact")
+          .when(coalesce(col("__ph"), lit(false)), "phash")
+          .otherwise("novel").as("method"),
+        (!coalesce(col("__ex"), lit(false)) &&
+          !coalesce(col("__ph"), lit(false))).as("is_novel"))
+  }
+
   /** Exact byte-level asset dedup: md5 over the PAYLOAD bytes (the
     * exactByHash discipline on binary content), one (canonical_id,
     * asset_id) pair per NON-canonical member of each duplicate group —

@@ -506,6 +506,35 @@ object EventStream {
       }
       .start()
 
+  /** Streaming multimodal novelty gate (E-row stream_phash_novelty): each
+    * arriving micro-batch of (asset_id, payload) image rows is judged
+    * against a prebuilt [[graft.operators.Multimodal.PhashIndex]] —
+    * exact-byte tier first, banded-hamming perceptual tier second (the
+    * [[noveltyStream]] shape with D12d's dHash as the content signature).
+    * The index is built and persisted ONCE before the drain; micro-batches
+    * pay only their own decodes + the skinny probe joins. Per-asset
+    * verdicts depend only on (payload, index), so the drained lake equals
+    * the batch judgment whatever the wave/batch split. */
+  def phashNoveltyStream(spark: SparkSession, landingDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         index: graft.operators.Multimodal.PhashIndex,
+                         outDir: String, checkpointDir: String,
+                         maxFilesPerTrigger: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.writeBatchStamped(
+          graft.operators.Multimodal.probePhashNovelty(batch, index),
+          outDir, batchId)
+      }
+      .start()
+
   def noveltyStream(spark: SparkSession, landingDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     index: graft.operators.Dedup.SignatureIndex,

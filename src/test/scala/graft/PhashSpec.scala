@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
+import graft.streaming.EventStream
 
 /** Perceptual-hash image dedup tier: dHash64's integer grid arithmetic,
   * container-invariance (PNG vs BMP), resize robustness on structured
@@ -86,13 +87,23 @@ class PhashSpec extends AnyFunSuite with SparkSpec {
     assert(p8.contains((1L, 3L, 7)) && p8.contains((1L, 2L, 3)) && !p8.exists(p => p._2 == 4L))
   }
 
-  test("phashNearDups: hot-bucket guard drops oversize buckets; banding require rejects bad dials") {
-    // 5 identical hashes: every (band, value) bucket holds all 5; with
-    // maxBucket=4 every bucket is dropped, so no pairs emerge (the
-    // simhash guard semantics: trade a boilerplate cluster for a bound)
+  test("phashNearDups: over-cap bucket FAILS under total recall; loose tier still drops; bad dials reject") {
+    // 5 identical hashes: every (band, value) bucket holds all 5. The
+    // image gate advertises total recall to hamming 3, so an over-cap
+    // bucket must FAIL LOUDLY (r19 advice: silently dropping it would
+    // void the pigeonhole guarantee for hamming 1..3 pairs whose only
+    // matching band is the dropped one), while the default cap keeps
+    // all pairs and the LOOSE simhash-style tier keeps the drop
+    // semantics (a boilerplate cluster traded for a bound).
     val clones = (1L to 5L).map((_, 0x1234567812345678L)).toDF("asset_id", "phash")
-    assert(Multimodal.phashNearDups(clones, maxBucket = 4).count() === 0)
+    val e = intercept[Exception] {
+      Multimodal.phashNearDups(clones, maxBucket = 4).count()
+    }
+    assert(e.getMessage.contains("total-recall contract forbids dropping"))
     assert(Multimodal.phashNearDups(clones).count() === 10) // default cap keeps them
+    // loose tier (no total-recall contract): drop semantics unchanged
+    assert(Dedup.bandedHammingPairs(clones, "asset_id", "phash",
+      maxHamming = 3, maxBucket = 4).count() === 0)
     intercept[IllegalArgumentException] {
       Multimodal.phashNearDups(clones, maxHamming = 4, bandBits = 16)
     }
@@ -122,5 +133,88 @@ class PhashSpec extends AnyFunSuite with SparkSpec {
     }
     // ...and nothing else pairs: 3 families x 3 pairs + 3 resize pairs
     assert(pairs.length === 12)
+  }
+
+  test("probePhashNovelty: exact tier precedes phash; novel passes; clone clusters collapse in the index") {
+    val mm = Multimodal.asMultimodal(
+        docs.filter(col("doc_id") < 5), "doc_id", "text")
+      .select("asset_id", "payload")
+    val index = Multimodal.buildPhashIndex(mm)
+    // arrivals: an exact byte copy (both tiers match — method must read
+    // the byte tier), a BMP re-encode (bytes differ, pixels identical —
+    // phash tier), and renders the index never saw (novel)
+    val basePayloads = mm.as[(Long, Array[Byte])].collect().toMap
+    val bmp = {
+      val img = decode(basePayloads(1L))
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      javax.imageio.ImageIO.write(img, "bmp", ios); ios.close()
+      bos.toByteArray
+    }
+    val arrivals = Seq((100L, basePayloads(0L)), (101L, bmp))
+      .toDF("asset_id", "payload")
+      .unionByName(Multimodal.asMultimodal(
+          docs.filter(col("doc_id") >= 5), "doc_id", "text")
+        .select((col("asset_id") + 200L).as("asset_id"), col("payload")))
+    val v = Multimodal.probePhashNovelty(arrivals, index)
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v(100L) === (("exact", false)))
+    assert(v(101L) === (("phash", false)))
+    assert(v(205L) === (("novel", true)))
+    assert(v(206L) === (("novel", true)))
+    // clone-cluster collapse (the scale contract): 50 byte-identical
+    // corpus images index as ONE md5 row and ONE banded row per band —
+    // existence semantics make the boilerplate bucket a non-event where
+    // the pair tier must cap or fail
+    val clones = (1 to 50).map(i => (i.toLong, basePayloads(2L)))
+      .toDF("asset_id", "payload")
+    val cloneIdx = Multimodal.buildPhashIndex(clones)
+    assert(cloneIdx.exact.count() === 1)
+    assert(cloneIdx.banded.count() === 4)
+    val cv = Multimodal.probePhashNovelty(
+        Seq((9L, basePayloads(2L))).toDF("asset_id", "payload"), cloneIdx)
+      .as[(Long, String, Boolean)].collect()
+    assert(cv.toSeq === Seq((9L, "exact", false)))
+    Dedup.unpersistIntermediates()
+  }
+
+  test("phashNoveltyStream: drain across waves equals the batch probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-phashnov")
+      .toFile.getAbsolutePath
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    val mm = Multimodal.asMultimodal(
+        docs.filter(col("doc_id") < 5), "doc_id", "text")
+      .select("asset_id", "payload")
+    val index = Multimodal.buildPhashIndex(mm)
+    val basePayloads = mm.as[(Long, Array[Byte])].collect().toMap
+    val novelPayloads = Multimodal.asMultimodal(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text")
+      .select("asset_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    val arrivals = Seq(
+      (100L, basePayloads(0L)),  // exact re-crawl
+      (101L, basePayloads(3L)),  // exact re-crawl, second wave
+      (205L, novelPayloads(5L)), // novel
+      (206L, novelPayloads(6L))  // novel, second wave
+    ).toDF("asset_id", "payload")
+    val batchVerdicts = Multimodal.probePhashNovelty(arrivals, index)
+      .as[(Long, String, Boolean)].collect().toSet
+    // stream the same arrivals in two waves with single-file micro-batches
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "asset_id long, payload binary")
+    arrivals.filter($"asset_id" <= 205L).repartition(2)
+      .write.mode("append").parquet(landing)
+    EventStream.phashNoveltyStream(spark, landing, schema, index, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    arrivals.filter($"asset_id" > 205L)
+      .write.mode("append").parquet(landing)
+    EventStream.phashNoveltyStream(spark, landing, schema, index, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val drained = spark.read.parquet(out)
+      .select("asset_id", "method", "is_novel")
+      .as[(Long, String, Boolean)].collect()
+    assert(drained.length === 4, "each arrival judged exactly once across waves")
+    assert(drained.toSet === batchVerdicts,
+      "streamed verdicts must equal the batch probe's")
+    Dedup.unpersistIntermediates()
   }
 }
