@@ -66,7 +66,15 @@ private[graft] object TextEntries {
       Seq((9300299L, banner, "plantline"),
         (9300301L, padded("nd", 0), "plantnd"),
         (9300302L, padded("nd", 0) + " ndjitter extrapad marker tail",
-          "plantnd")))
+          "plantnd"),
+        // r20 toxicity arms: tx fails the lexicon density gate (10
+        // blocked tokens / 76 = 132‰ > 100‰), ty passes with a NONZERO
+        // count (1 / 67 = 14‰ — the threshold arm, not the trivial
+        // zero); both pass gopher (the fox base carries the stopwords)
+        // and both ids sit outside every url-rule residue (spec-pinned)
+        (9300401L, padded("tx", 0) + " slow big slow big slow big slow" +
+          " big slow big", "planttox"),
+        (9300402L, padded("ty", 0) + " slow", "planttox")))
       .toDF("doc_id", "text", "source")
   }
 
@@ -120,7 +128,19 @@ private[graft] object TextEntries {
              || CASE WHEN k = 1 THEN ' ndjitter extrapad marker tail'
                      ELSE '' END,
              'plantnd'
-           FROM range(0, 2) a(k) CROSS JOIN range(0, 6) b(j) GROUP BY k),
+           FROM range(0, 2) a(k) CROSS JOIN range(0, 6) b(j) GROUP BY k
+           UNION ALL
+           SELECT 9300401,
+             (SELECT string_agg('the quick brown fox and lazy dog jumped over'
+                || ' fences txa' || chr(CAST(97 + j AS INT)), ' ' ORDER BY j)
+              FROM range(0, 6) b(j))
+             || ' slow big slow big slow big slow big slow big', 'planttox'
+           UNION ALL
+           SELECT 9300402,
+             (SELECT string_agg('the quick brown fox and lazy dog jumped over'
+                || ' fences tya' || chr(CAST(97 + j AS INT)), ' ' ORDER BY j)
+              FROM range(0, 6) b(j))
+             || ' slow', 'planttox'),
          s0u AS (
            -- r19 url_rules first gate. The rule RESIDUES stand in for the
            -- parse here (bad ext ⇔ id%97=3, depth ⇔ id%89=5, junk query ⇔
@@ -209,7 +229,22 @@ private[graft] object TextEntries {
            GROUP BY 1
            HAVING round(-round(sum(logp), 4) / count(*), 4) <= 6.0),
          sg AS (SELECT s1.* FROM s1 JOIN g USING (doc_id)),
-         sl AS (SELECT sg.* FROM sg JOIN lmk USING (doc_id)),
+         toxm AS (
+           -- r20 toxicity stage: blocklist-lexicon density over the
+           -- gopher survivors, punctuation-stripping tokenization and
+           -- the integer cross-multiplication verdict (Toxicity.scala)
+           SELECT doc_id,
+             len(tw) AS tnt,
+             len(list_filter(tw, x -> x IN ('slow', 'big'))) AS tnb
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x <> '') AS tw
+                 FROM sg) t),
+         stx AS (
+           SELECT sg.* FROM sg
+           JOIN (SELECT doc_id FROM toxm WHERE tnb * 1000 <= 100 * tnt) x
+             USING (doc_id)),
+         sl AS (SELECT stx.* FROM stx JOIN lmk USING (doc_id)),
          sd AS (
            SELECT doc_id, text, source FROM (
              SELECT doc_id, text, source,
@@ -271,11 +306,12 @@ private[graft] object TextEntries {
            UNION ALL SELECT 1, 'url_rules', count(*) FROM s0u
            UNION ALL SELECT 2, 'line_cut', count(*) FROM s1
            UNION ALL SELECT 3, 'gopher_rules', count(*) FROM sg
-           UNION ALL SELECT 4, 'lm_keep', count(*) FROM sl
-           UNION ALL SELECT 5, 'exact_dedup', count(*) FROM sd
-           UNION ALL SELECT 6, 'near_dup', count(*) FROM snd
-           UNION ALL SELECT 7, 'span_scrub', count(*) FROM ssc
-           UNION ALL SELECT 8, 'domain_cap', count(*) FROM scap)
+           UNION ALL SELECT 4, 'toxicity', count(*) FROM stx
+           UNION ALL SELECT 5, 'lm_keep', count(*) FROM sl
+           UNION ALL SELECT 6, 'exact_dedup', count(*) FROM sd
+           UNION ALL SELECT 7, 'near_dup', count(*) FROM snd
+           UNION ALL SELECT 8, 'span_scrub', count(*) FROM ssc
+           UNION ALL SELECT 9, 'domain_cap', count(*) FROM scap)
          SELECT stage, stage_name, n_docs,
            coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
          FROM census"""
@@ -547,6 +583,16 @@ private[graft] object TextEntries {
         UrlRules.withSyntheticUrl(
           Tables.documents(s, d).select("doc_id", "source")),
         "doc_id")),
+    "toxicity_filter" -> ((s, d) =>
+      // the C4 "bad words" pass as a DENSITY verdict (r20): blocked-term
+      // count per thousand tokens against a lexicon, one codegen'd
+      // projection (split + higher-order filter over an isin literal set
+      // — no shuffle, no UDF). The default Cfg's two-term lexicon is the
+      // synthetic stand-in for the public LDNOOBW list (the
+      // withSyntheticUrl convention: the corpus vocabulary plays the
+      // blocked role). Pass rule is pure integer cross-multiplication —
+      // the D33 discipline — so the oracle replays it exactly.
+      Toxicity.blocklistScore(Tables.documents(s, d), "doc_id", "text")),
     "gopher_rule_stats" -> ((s, d) =>
       TextOps.gopherRuleStats(Tables.documents(s, d), "doc_id", "text")),
     "char_entropy" -> ((s, d) =>
@@ -631,6 +677,7 @@ private[graft] object TextEntries {
         "doc_id", "text", "source",
         urlRules = Some(UrlRules.Cfg()),
         lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
+        toxicity = Some(Toxicity.Cfg()),
         nearDup = Some(CorpusPipeline.NearDup(
           t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
           n = 3, threshold = 0.6)),
@@ -653,6 +700,7 @@ private[graft] object TextEntries {
         "doc_id", "text", "source",
         urlRules = Some(UrlRules.Cfg()),
         lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
+        toxicity = Some(Toxicity.Cfg()),
         nearDup = Some(CorpusPipeline.NearDup(
           t => concat_ws(" ", slice(split(trim(t), "\\s+"), 1, 2)),
           n = 3, threshold = 0.6)),
@@ -674,6 +722,7 @@ private[graft] object TextEntries {
         "doc_id", "text", "source",
         urlRules = Some(UrlRules.Cfg()),
         lineCut = Some(CorpusPipeline.LineCut(minCount = 6L)),
+        toxicity = Some(Toxicity.Cfg()),
         nearDup = Some(CorpusPipeline.NearDup(
           _ => lit("unused"), n = 3, threshold = 0.6, banded = true)),
         scrub = Some(CorpusPipeline.SpanScrub(window = 8, minDf = 2)))),
@@ -2167,6 +2216,26 @@ private[graft] object TextEntries {
            NOT (blocked_domain OR bad_ext OR too_deep OR junk_query)
              AS pass_url
          FROM v""",
+    "toxicity_filter" ->
+      // full rule replay: same punctuation-stripping tokenization, same
+      // lexicon, same integer cross-multiplied verdict; per_mille is the
+      // floored informational ratio, never the pass predicate
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+               '[^a-z0-9]+'), x -> x <> '') AS tw
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(tw) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tw, x -> x IN ('slow', 'big'))) AS BIGINT)
+             AS n_blocked,
+           CAST(CASE WHEN len(tw) > 0
+             THEN 1000 * len(list_filter(tw, x -> x IN ('slow', 'big')))
+                  // len(tw)
+             ELSE 0 END AS BIGINT) AS per_mille,
+           len(list_filter(tw, x -> x IN ('slow', 'big'))) * 1000
+             <= 100 * len(tw) AS pass_toxicity
+         FROM t""",
     "gopher_quality_rules" ->
       // every ratio in cross-multiplied integer form — no float anywhere
       """WITH t AS (
@@ -2484,6 +2553,9 @@ private[graft] object TextEntries {
                 WHEN g2.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS pass_gopher,
            CASE WHEN g2.doc_id IS NULL THEN 'not_reached'
+                WHEN t2.doc_id IS NOT NULL THEN 'pass'
+                ELSE 'fail' END AS pass_toxicity,
+           CASE WHEN t2.doc_id IS NULL THEN 'not_reached'
                 WHEN l2.doc_id IS NOT NULL THEN 'pass'
                 ELSE 'fail' END AS pass_lm,
            CASE WHEN l2.doc_id IS NULL THEN 'not_reached'
@@ -2501,6 +2573,7 @@ private[graft] object TextEntries {
            CASE WHEN u2.doc_id IS NULL THEN 'url_rules'
                 WHEN s1.doc_id IS NULL THEN 'line_cut'
                 WHEN g2.doc_id IS NULL THEN 'gopher_rules'
+                WHEN t2.doc_id IS NULL THEN 'toxicity'
                 WHEN l2.doc_id IS NULL THEN 'lm_keep'
                 WHEN c2.doc_id IS NULL THEN 'exact_dedup'
                 WHEN n2.doc_id IS NULL THEN 'near_dup'
@@ -2512,6 +2585,7 @@ private[graft] object TextEntries {
          LEFT JOIN s0u u2 ON d.doc_id = u2.doc_id
          LEFT JOIN s1 ON d.doc_id = s1.doc_id
          LEFT JOIN sg g2 ON d.doc_id = g2.doc_id
+         LEFT JOIN stx t2 ON d.doc_id = t2.doc_id
          LEFT JOIN sl l2 ON d.doc_id = l2.doc_id
          LEFT JOIN sd c2 ON d.doc_id = c2.doc_id
          LEFT JOIN snd n2 ON d.doc_id = n2.doc_id

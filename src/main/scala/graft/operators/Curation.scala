@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * stages on, covers EVERY stage the composed production pipeline (D24,
   * [[CorpusPipeline]]) executes:
   *   raw → line_cut (CCNet line tier, opt-in) → gopher_rules (map-only
-  *   bitmap) → lm_keep (bigram-LM NLL gate) → exact_dedup (min-id per
+  *   bitmap) → toxicity (blocklist-lexicon density, opt-in, r20) →
+  *   lm_keep (bigram-LM NLL gate) → exact_dedup (min-id per
   *   content hash) → near_dup (shingle-Jaccard drop, opt-in) →
   *   span_scrub (repeated-window cut, opt-in — docs scrubbed to zero
   *   are the drops) → domain_cap (diversity).
@@ -65,6 +66,7 @@ object Curation {
                         domainCol: String, nllKeep: Double, cap: Int,
                         urlRules: Option[UrlRules.Cfg],
                         lineCut: Option[CorpusPipeline.LineCut],
+                        toxicity: Option[Toxicity.Cfg],
                         nearDup: Option[CorpusPipeline.NearDup],
                         scrub: Option[CorpusPipeline.SpanScrub],
                         track: DataFrame => DataFrame,
@@ -134,12 +136,27 @@ object Curation {
       .filter(col("pass_all")).select(col(idCol).as("doc_id")))
     out += "gopher_rules" -> ids1
 
+    // stage 2b (opt-in, r20): blocklist-lexicon toxicity gate — the C4
+    // bad-words pass as a density verdict, one codegen'd projection over
+    // the gopher survivors (map-only like gopher; it rides here, after
+    // the cheapest bitmap and ahead of the LM join)
+    val idsT = toxicity match {
+      case None => ids1
+      case Some(cfg) =>
+        val sv = base.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
+        val t = cut("toxicity", Toxicity.blocklistScore(sv, idCol, textCol, cfg)
+          .filter(col("pass_toxicity")).select(col(idCol).as("doc_id")))
+        out += "toxicity" -> t
+        t
+    }
+
     // stage 3: LM keep — model trained on the full (line-cut) corpus, but
-    // only the gopher SURVIVORS pay the scoring join (the stage-ordering
-    // economics the header promises). scoreAgainst on a corpus subset
-    // equals self-scoring for it: every survivor bigram is in the full
-    // model, so the backoff never fires and verdicts are identical.
-    val surv1 = base.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
+    // only the prior-stage SURVIVORS pay the scoring join (the
+    // stage-ordering economics the header promises). scoreAgainst on a
+    // corpus subset equals self-scoring for it: every survivor bigram is
+    // in the full model, so the backoff never fires and verdicts are
+    // identical.
+    val surv1 = base.join(idsT.select(col("doc_id").as(idCol)), Seq(idCol))
     val ids2 = cut("lm_keep", NgramLm.scoreAgainst(base, surv1, idCol, textCol,
         nllKeep = nllKeep)
       .filter(col("keep")).select(col("doc_id")))
@@ -200,8 +217,9 @@ object Curation {
 
   /** One row per stage: (stage, stage_name, n_docs, n_dropped) with
     * n_dropped relative to the previous stage. Row count = 5 with the
-    * opt-in stages off (prior shape), 9 with the full production chain
-    * (r19: + the url_rules first gate ahead of line_cut).
+    * opt-in stages off (prior shape), 10 with the full production chain
+    * (r19: + the url_rules first gate ahead of line_cut; r20: + the
+    * toxicity lexicon gate between gopher and the LM).
     *
     * Execution shape: each stage's SURVIVOR-ID frame (ids only — bytes
     * per row, never text) is persisted and counted ONCE; the census is
@@ -215,6 +233,7 @@ object Curation {
              cap: Int = 10,
              urlRules: Option[UrlRules.Cfg] = None,
              lineCut: Option[CorpusPipeline.LineCut] = None,
+             toxicity: Option[Toxicity.Cfg] = None,
              nearDup: Option[CorpusPipeline.NearDup] = None,
              scrub: Option[CorpusPipeline.SpanScrub] = None): DataFrame = {
     val spark = docs.sparkSession
@@ -246,7 +265,7 @@ object Curation {
       }
     try {
       val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
-        nllKeep, cap, urlRules, lineCut, nearDup, scrub, track, onCut)
+        nllKeep, cap, urlRules, lineCut, toxicity, nearDup, scrub, track, onCut)
       val ns = ("raw", n0) +: stages.map { case (name, ids) =>
         (name, ids.count())
       }
@@ -287,6 +306,7 @@ object Curation {
                  cap: Int = 10,
                  urlRules: Option[UrlRules.Cfg] = None,
                  lineCut: Option[CorpusPipeline.LineCut] = None,
+                 toxicity: Option[Toxicity.Cfg] = None,
                  nearDup: Option[CorpusPipeline.NearDup] = None,
                  scrub: Option[CorpusPipeline.SpanScrub] = None): DataFrame = {
     val s0 = docs.select(col(idCol), col(textCol), col(domainCol))
@@ -302,7 +322,8 @@ object Curation {
     // in its own finally), provenance CANNOT release here: the returned
     // ledger's plan reads the checkpointed leaves directly.
     val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
-      nllKeep, cap, urlRules, lineCut, nearDup, scrub, Dedup.persistTracked)
+      nllKeep, cap, urlRules, lineCut, toxicity, nearDup, scrub,
+      Dedup.persistTracked)
 
     // flag columns derive from the staged memberships with 'not_reached'
     // below the first failure, never re-evaluating a gate. Three-state
@@ -314,6 +335,7 @@ object Curation {
     val flagName = Map(
       "url_rules" -> "pass_url",
       "line_cut" -> "pass_linecut", "gopher_rules" -> "pass_gopher",
+      "toxicity" -> "pass_toxicity",
       "lm_keep" -> "pass_lm", "exact_dedup" -> "is_canonical",
       "near_dup" -> "pass_neardup", "span_scrub" -> "pass_scrub",
       "domain_cap" -> "within_cap")
