@@ -41,17 +41,19 @@ object Bench {
     // Per-QUERY steal (r19 verdict mandate): sample /proc/stat around each
     // query's own timed window, so a single storm pulse landing on one row
     // (the doc_semantic_dedup 44.7× pattern) adjudicates itself in-run
-    // instead of consuming a round-opening BenchOne batch. The per-query
-    // release/GC below sits INSIDE the sampled window deliberately — it is
-    // part of what the wall-clock number pays, so the steal denominator
-    // must cover it too.
+    // instead of consuming a round-opening BenchOne batch.
     val timed = ordered.map { case (name, fn) =>
-      val w0 = GraftSession.HostWeather.sample()
       // release every cache the previous query left behind (dedup-tier
       // MEMORY_AND_DISK frames, cached model predictions) and quiesce the
       // heap, so a query is billed for its own cost — not the storage
       // pressure of the 70 queries before it. Mirrors the warmup reset.
       GraftSession.releaseAll(spark)
+      // the steal window must COINCIDE with the wall-clock window: the
+      // release/GC above is excluded from `sec`, so including its
+      // user-mode GC ticks in Δuser would dilute a short query's
+      // query_steal and blunt exactly the in-run adjudication this stamp
+      // exists for (review catch, r20)
+      val w0 = GraftSession.HostWeather.sample()
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output InternalRow — a plain
       // .count() lets Catalyst prune the projections under test.

@@ -59,6 +59,10 @@ object DrainFloor {
       drain(s"$w/landing", s"$w/ckpt")
     }
 
+    // the steal sample brackets the MEASURED reps (review catch, r20: the
+    // first cut sampled after the loop, stamping an empty window — the
+    // probe could not actually certify its own weather)
+    val w0 = GraftSession.HostWeather.sample()
     val rows = (1 to reps).map { r =>
       val base = s"$root/r$r"
       Seq((1L, 1L)).toDF("id", "v").coalesce(1)
@@ -75,8 +79,6 @@ object DrainFloor {
       val resumeData = time(drain(s"$base/landing", s"$base/ckpt"))
       (cold, resume, resumeData)
     }
-    val w0 = GraftSession.HostWeather.sample()
-    // one more measured trio under its own steal stamp for the record
     val best = (rows.map(_._1).min, rows.map(_._2).min, rows.map(_._3).min)
     val stealJson = GraftSession.HostWeather.json(w0, GraftSession.HostWeather.sample())
     println(f"""{"probe":"drain_floor","cold_best":${best._1}%.3f,"resume_empty_best":${best._2}%.3f,"resume_1file_best":${best._3}%.3f,"reps":$reps,"cold_all":[${rows.map(r => f"${r._1}%.3f").mkString(",")}],"resume_empty_all":[${rows.map(r => f"${r._2}%.3f").mkString(",")}],"resume_1file_all":[${rows.map(r => f"${r._3}%.3f").mkString(",")}],"steal_pct":$stealJson}""")

@@ -683,6 +683,23 @@ object Dedup {
       df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")),
       "id", "sim", maxHamming, bandBits = 16, maxBucket = maxBucket)
 
+  /** Banded form of a 64-bit fingerprint frame: one row per (id, band)
+    * with the band's `bandBits`-wide slice as `band_val` (the original
+    * hash rides along as `h` for the verify step). THE one banding body —
+    * the self-join pair tiers and the stream-probe novelty tiers must
+    * band identically or their recall contracts silently diverge. */
+  private[graft] def banded64(base: DataFrame, idCol: String, hashCol: String,
+                              bandBits: Int): DataFrame = {
+    require(bandBits == 8 || bandBits == 16, "bandBits must be 8 or 16")
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandVals = (0 until bands).map(b =>
+      shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask)))
+    base.select(col(idCol).as("id"), col(hashCol).as("h"),
+        posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+  }
+
   /** The banded-hamming join shared by every 64-bit fingerprint tier
     * (simhash text near-dup, dHash image near-dup — one body, so a guard
     * or tie-break fix cannot silently miss a sibling): split the hash
@@ -704,23 +721,6 @@ object Dedup {
     * (tracked): both self-join legs reuse it — without that the
     * fingerprint computation (a full tokenize+vote pass, or a corpus of
     * real image decodes) runs once per leg. */
-  /** Banded form of a 64-bit fingerprint frame: one row per (id, band)
-    * with the band's `bandBits`-wide slice as `band_val` (the original
-    * hash rides along as `h` for the verify step). THE one banding body —
-    * the self-join pair tiers and the stream-probe novelty tiers must
-    * band identically or their recall contracts silently diverge. */
-  private[graft] def banded64(base: DataFrame, idCol: String, hashCol: String,
-                              bandBits: Int): DataFrame = {
-    require(bandBits == 8 || bandBits == 16, "bandBits must be 8 or 16")
-    val bands = 64 / bandBits
-    val mask = (1L << bandBits) - 1
-    val bandVals = (0 until bands).map(b =>
-      shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask)))
-    base.select(col(idCol).as("id"), col(hashCol).as("h"),
-        posexplode(array(bandVals: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-  }
-
   def bandedHammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
                          maxHamming: Int, bandBits: Int = 16,
                          maxBucket: Int = 100000,

@@ -660,11 +660,24 @@ object Multimodal {
     * of wave/batch split, which is what makes the streaming drain equal
     * the batch run. Returns (asset_id, method ∈ exact|phash|novel,
     * is_novel). */
-  def probePhashNovelty(batch: DataFrame, index: PhashIndex): DataFrame = {
-    val hashed = Dedup.persistTracked(
-      imagePhash(batch).toDF().join(
-        batch.select(col("asset_id"), md5(col("payload")).as("byte_hash")),
-        "asset_id"))
+  def probePhashNovelty(batch: DataFrame, index: PhashIndex): DataFrame =
+    probeHashedNovelty(Dedup.persistTracked(hashAssets(batch)), index)
+
+  /** One decode pass over a wave of (asset_id, payload) rows → (asset_id,
+    * phash, byte_hash). The caller persists (the frame feeds three joins
+    * in [[probeHashedNovelty]] and real decodes must not run per leg) and
+    * OWNS the release: the batch form goes through persistTracked (the
+    * harness sweep); the streaming wrapper unpersists per micro-batch
+    * after its sink write materializes the verdicts — a continuous
+    * deployment must not accumulate one cached batch frame per wave
+    * (review catch, r20). */
+  private[graft] def hashAssets(batch: DataFrame): DataFrame =
+    imagePhash(batch).toDF().join(
+      batch.select(col("asset_id"), md5(col("payload")).as("byte_hash")),
+      "asset_id")
+
+  private[graft] def probeHashedNovelty(hashed: DataFrame,
+                                        index: PhashIndex): DataFrame = {
     val exactHit = hashed
       .join(index.exact, Seq("byte_hash"), "left_semi")
       .select(col("asset_id"), lit(true).as("__ex"))

@@ -88,10 +88,13 @@ object Similarity {
     // ClassCastException), then ONE bounded aggregate over the
     // broadcast-small queries frame — min(size) catches ragged vectors
     // in ANY row and a null count catches null vectors anywhere, where
-    // the r19 head(1) probe validated only the first row and let an
-    // empty frame skip validation entirely (r19 advice fix). This is
-    // still a deliberate eager job at frame-construction time; the
-    // queries side is broadcast-small by the operator's contract.
+    // the r19 head(1) probe validated only the first row (r19 advice
+    // fix). An EMPTY queries frame still passes the schema check but
+    // skips the dim check by design — with zero rows there is no
+    // embedding dim to validate against and the result is empty either
+    // way (the vacuous case, not a hole). This is still a deliberate
+    // eager job at frame-construction time; the queries side is
+    // broadcast-small by the operator's contract.
     val vecField = queries.schema.fields.find(_.name == vecCol).getOrElse(
       throw new IllegalArgumentException(
         s"matryoshkaTopK: queries has no column '$vecCol'"))

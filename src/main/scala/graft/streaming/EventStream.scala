@@ -529,9 +529,16 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.Sink.writeBatchStamped(
-          graft.operators.Multimodal.probePhashNovelty(batch, index),
+        // per-batch persist with an EXPLICIT release after the sink write
+        // materializes the verdicts: the decoded-hash frame feeds three
+        // probe joins (persist earns its keep) but must not outlive its
+        // micro-batch — a continuous stream would otherwise accumulate
+        // one cached frame per wave until the harness sweep
+        val hashed = graft.operators.Multimodal.hashAssets(batch).persist()
+        try graft.sources.Sink.writeBatchStamped(
+          graft.operators.Multimodal.probeHashedNovelty(hashed, index),
           outDir, batchId)
+        finally hashed.unpersist(false): Unit
       }
       .start()
 

@@ -12,11 +12,20 @@ mkdir -p $OUT
 if [ ! -d "$OUT/classes" ]; then
   if [ -d /root/repo/target/scala-2.13/classes ]; then
     cp -r /root/repo/target/scala-2.13/classes "$OUT/classes"
+    git -C /root/repo rev-parse HEAD > "$OUT/classes.provenance" 2>/dev/null
+    date -u +%FT%TZ >> "$OUT/classes.provenance"
   else
     echo "no compiled classes found — run sbt compile first" >&2
     exit 1
   fi
 fi
+# the snapshot deliberately persists across watcher passes (mid-batch
+# stability: a concurrent recompile must not skew a running batch) — but
+# a batch must never SILENTLY adjudicate a stale tree (review catch,
+# r20): say whose classes these are on every invocation, so a pass that
+# fired after new commits names its snapshot in the log.
+echo "classes snapshot: $(cat "$OUT/classes.provenance" 2>/dev/null | tr '\n' ' ' || echo 'pre-provenance snapshot')" \
+  | tee -a $OUT/summary.txt >&2
 CP="$OUT/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
