@@ -39,5 +39,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver AND all 32 task slots in this one JVM: 8g gave
+  // each concurrent task ~250 MB and left long multi-query runs (Bench's
+  // 200+ queries, Verify) paying heavy old-gen GC late in the run — the
+  // r20 A/B read fatality_model at 38 s in-run under 8g vs 23 s under
+  // 24g on the same tree (isolated it runs 15 s either way; the delta is
+  // pure GC context). 24g ≈ 0.75 GB/core, the conventional executor
+  // sizing floor; still parameterized for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

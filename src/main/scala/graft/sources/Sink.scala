@@ -496,18 +496,20 @@ object Sink {
       sortCols: Seq[Column] = Nil): Unit = {
     val written = staged.select(partCol).distinct()
       .collect().map(_.getInt(0)).toSet
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      staged.repartition(col(partCol))
-        // leading with the partition column makes FileFormatWriter's
-        // required ordering explicit (it would inject this sort anyway);
-        // callers add payload sort keys for in-file row order
-        .sortWithinPartitions(col(partCol) +: sortCols: _*)
-        .write.mode("overwrite").partitionBy(partCol).parquet(path)
-    } finally {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-    }
+    // per-WRITER overwrite mode, not a session-conf flip: the session conf
+    // is shared mutable state, and the stream gates now run independent
+    // lake overwrites concurrently (guide §2.6) — two threads racing a
+    // set/restore of the session value could leak "dynamic" into an
+    // unrelated full overwrite. The DataFrameWriter option scopes the mode
+    // to exactly this write.
+    staged.repartition(col(partCol))
+      // leading with the partition column makes FileFormatWriter's
+      // required ordering explicit (it would inject this sort anyway);
+      // callers add payload sort keys for in-file row order
+      .sortWithinPartitions(col(partCol) +: sortCols: _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
     val conf = spark.sessionState.newHadoopConf()
     touched.filterNot(written).foreach { v =>
       val dir = new Path(s"$path/$partCol=$v")
@@ -561,6 +563,40 @@ object Sink {
     val p = new Path(path)
     p.getFileSystem(conf).delete(p, true): Unit
   }
+
+  /** Run MUTUALLY INDEPENDENT Spark actions concurrently from a bounded
+    * daemon pool and rethrow the first failure unwrapped (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — overlapping independent jobs lets the next job's
+    * tasks back-fill the cores the previous job's straggler tail leaves
+    * idle, and at local bench scale it collapses N serial
+    * planning/listing roundtrips into max(N)). Nothing here orders
+    * effects BETWEEN tasks, so callers own the independence proof: no
+    * task may read a path another task writes. Spark's scheduler runs
+    * concurrent jobs FIFO and its session/catalog are thread-safe for
+    * action submission; job-description thread-locals are not inherited,
+    * which only affects UI labels. */
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        tasks.size,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-par"); t.setDaemon(true); t
+        })
+      try {
+        val fs = tasks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = t()
+          })
+        }
+        try fs.foreach(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally { pool.shutdown(): Unit }
+    }
 
   private def fileSystem(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

@@ -49,16 +49,19 @@ object IncrementalStream {
                 ledgerPath: String, idCol: String, textCol: String,
                 keep: Column => Column, maxTokens: Int, overlap: Int,
                 budget: Long, shards: Int, docShard: Column => Column): Unit = {
-    docs.select(col(idCol), col(textCol),
-        docShard(col(idCol)).cast("int").as("__shard"))
-      .repartition(col("__shard"))
-      .write.mode("overwrite").partitionBy("__shard").parquet(rawPath)
-    Incremental.writePacked(
-      Incremental.batch(docs, idCol, textCol, keep,
-        maxTokens, overlap, budget, shards, docShard),
-      packedPath)
-    Incremental.ledger(docs, idCol, textCol, keep)
-      .write.mode("overwrite").parquet(ledgerPath)
+    // three independent lake writes (distinct paths, none reading
+    // another's output) — overlapped per guide §2.6
+    Sink.inParallel(Seq(
+      () => docs.select(col(idCol), col(textCol),
+          docShard(col(idCol)).cast("int").as("__shard"))
+        .repartition(col("__shard"))
+        .write.mode("overwrite").partitionBy("__shard").parquet(rawPath),
+      () => Incremental.writePacked(
+        Incremental.batch(docs, idCol, textCol, keep,
+          maxTokens, overlap, budget, shards, docShard),
+        packedPath),
+      () => Incremental.ledger(docs, idCol, textCol, keep)
+        .write.mode("overwrite").parquet(ledgerPath)))
   }
 
   /** Advance the raw corpus lake by one wave: rewrite ONLY the shard

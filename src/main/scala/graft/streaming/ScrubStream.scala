@@ -47,21 +47,27 @@ object ScrubStream {
                 dfPath: String, scrubPath: String,
                 idCol: String, textCol: String, window: Int, minDf: Int,
                 hashBuckets: Int, docShard: Column => Column): Unit = {
-    docs.select(col(idCol), col(textCol),
-        docShard(col(idCol)).cast("int").as("__shard"))
-      .repartition(col("__shard"))
-      .write.mode("overwrite").partitionBy("__shard").parquet(rawPath)
     val st = IncrementalScrub.state(docs, idCol, textCol, window, minDf)
-    st.wins.withColumn("__shard", docShard(col("id")).cast("int"))
-      .repartition(col("__shard"))
-      .write.mode("overwrite").partitionBy("__shard").parquet(winsPath)
-    st.df.withColumn("__hbkt",
-        pmod(col("whash"), lit(hashBuckets.toLong)).cast("int"))
-      .repartition(col("__hbkt"))
-      .write.mode("overwrite").partitionBy("__hbkt").parquet(dfPath)
-    st.scrubbed.withColumn("__shard", docShard(col("id")).cast("int"))
-      .repartition(col("__shard"))
-      .write.mode("overwrite").partitionBy("__shard").parquet(scrubPath)
+    // the four lake writes are mutually independent (four distinct paths,
+    // none reading another's output): overlap them (guide §2.6). The
+    // shared posting-index cache inside IncrementalScrub.state is
+    // materialized safely under concurrency by Spark's block-level
+    // cache locking.
+    Sink.inParallel(Seq(
+      () => docs.select(col(idCol), col(textCol),
+          docShard(col(idCol)).cast("int").as("__shard"))
+        .repartition(col("__shard"))
+        .write.mode("overwrite").partitionBy("__shard").parquet(rawPath),
+      () => st.wins.withColumn("__shard", docShard(col("id")).cast("int"))
+        .repartition(col("__shard"))
+        .write.mode("overwrite").partitionBy("__shard").parquet(winsPath),
+      () => st.df.withColumn("__hbkt",
+          pmod(col("whash"), lit(hashBuckets.toLong)).cast("int"))
+        .repartition(col("__hbkt"))
+        .write.mode("overwrite").partitionBy("__hbkt").parquet(dfPath),
+      () => st.scrubbed.withColumn("__shard", docShard(col("id")).cast("int"))
+        .repartition(col("__shard"))
+        .write.mode("overwrite").partitionBy("__shard").parquet(scrubPath)))
     // release only THIS build's tracked caches (the posting-index persist
     // inside IncrementalScrub.state) — a catalog-wide clearCache would
     // evict the caller's unrelated cached frames as collateral
@@ -157,9 +163,13 @@ object ScrubStream {
         Sink.overwritePartitions(spark, lake, partCol, touched,
           spark.read.parquet(staging))
     }
-    applyIfStaged(ws, winsPath, "__shard", winsTouched)
-    applyIfStaged(ds, dfPath, "__hbkt", dfTouchedBkts)
-    applyIfStaged(ss, scrubPath, "__shard", scrubTouched)
+    // three lakes, three staging dirs, zero cross-reads (each staged set
+    // was materialized OFF the pre-wave lakes before the marker): the
+    // overwrites are independent — overlap them (guide §2.6)
+    Sink.inParallel(Seq(
+      () => applyIfStaged(ws, winsPath, "__shard", winsTouched),
+      () => applyIfStaged(ds, dfPath, "__hbkt", dfTouchedBkts),
+      () => applyIfStaged(ss, scrubPath, "__shard", scrubTouched)))
     val (fs, p) = hfs(spark, markerPath)
     if (fs.exists(p))
       require(fs.delete(p, false), s"marker delete failed: $markerPath")
@@ -186,15 +196,22 @@ object ScrubStream {
     val parts = IncrementalScrub.refreshParts(prev, curr,
       wave.select(col(idCol)), idCol, textCol, window, minDf)
 
-    // touched-partition sets, all delta-bound collects
+    // touched-partition sets, all delta-bound collects — three
+    // independent jobs over pinned (localCheckpoint'd) delta frames,
+    // overlapped so the wave pays one collect roundtrip, not three
+    // (guide §2.6)
     def ints(df: DataFrame): Array[Int] =
       df.distinct().collect().map(_.getInt(0))
-    val winsTouched = ints(parts.dIds
-      .select(docShard(col("id")).cast("int")))
-    val dfTouchedBkts = ints(parts.dfTouched
-      .select(pmod(col("whash"), lit(hashBuckets.toLong)).cast("int")))
-    val scrubTouched = ints(parts.gone
-      .select(docShard(col("id")).cast("int")))
+    var winsTouched: Array[Int] = null
+    var dfTouchedBkts: Array[Int] = null
+    var scrubTouched: Array[Int] = null
+    Sink.inParallel(Seq(
+      () => winsTouched = ints(parts.dIds
+        .select(docShard(col("id")).cast("int"))),
+      () => dfTouchedBkts = ints(parts.dfTouched
+        .select(pmod(col("whash"), lit(hashBuckets.toLong)).cast("int"))),
+      () => scrubTouched = ints(parts.gone
+        .select(docShard(col("id")).cast("int")))))
 
     // replacement content per touched partition (reads the PRE-wave
     // lakes; no corpus-sized frame — the untouched partitions never
@@ -222,12 +239,18 @@ object ScrubStream {
 
     // stage ALL replacement sets before overwriting ANY lake: the
     // refresh plans read the pre-wave lakes, and rescrubbed reads
-    // both the posting index and the frequency table
+    // both the posting index and the frequency table. The three staging
+    // writes read only PRE-wave lakes + pinned delta frames and write
+    // three distinct scratch dirs — independent, so they overlap
+    // (guide §2.6); the commit marker still lands strictly after ALL
+    // three complete (inParallel joins), preserving the staged-commit
+    // crash protocol.
     val (ws, ds, ss) = (s"$winsPath.wave-staging",
       s"$dfPath.wave-staging", s"$scrubPath.wave-staging")
-    winsNew.write.mode("overwrite").parquet(ws)
-    dfNew.write.mode("overwrite").parquet(ds)
-    scrubNew.write.mode("overwrite").parquet(ss)
+    Sink.inParallel(Seq(
+      () => winsNew.write.mode("overwrite").parquet(ws),
+      () => dfNew.write.mode("overwrite").parquet(ds),
+      () => scrubNew.write.mode("overwrite").parquet(ss)))
     writeMarker(spark, s"$scrubPath.wave-commit", batchId, winsTouched,
       dfTouchedBkts, scrubTouched)
     (winsTouched, dfTouchedBkts, scrubTouched)
