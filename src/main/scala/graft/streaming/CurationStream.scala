@@ -154,13 +154,18 @@ object CurationStream {
         val ledger = ledgerBatch(batch, lineIndex, model, margins, vocab,
           urlCfg, nllKeep, cap, prior).persist()
         try {
-          graft.sources.Sink.writeBatchStamped(
-            ledger.withColumn("batch_id", lit(batchId)), outDir, batchId)
-          graft.sources.Sink.writeBatchStamped(
-            ledger.filter(col("keep") ||
-                (col("within_cap") === "fail"))
-              .groupBy("domain").agg(count(lit(1)).as("n_pass")),
-            quotaDir, batchId)
+          // the ledger lake write and the quota-delta write are
+          // independent sinks off the same persisted batch ledger —
+          // overlap them (guide §2.6); each keeps its own atomic-rename
+          // batch-stamp, so the replay contract is per-write as before
+          graft.sources.Sink.inParallel(Seq(
+            () => graft.sources.Sink.writeBatchStamped(
+              ledger.withColumn("batch_id", lit(batchId)), outDir, batchId),
+            () => graft.sources.Sink.writeBatchStamped(
+              ledger.filter(col("keep") ||
+                  (col("within_cap") === "fail"))
+                .groupBy("domain").agg(count(lit(1)).as("n_pass")),
+              quotaDir, batchId)))
         } finally ledger.unpersist()
       }
       .start()
