@@ -131,35 +131,58 @@ object Curation {
         b
     }
 
-    // stage 2: Gopher rule bitmap, keep pass_all — skinny id frame
-    val ids1 = cut("gopher_rules", TextOps.gopherQualityRules(base, idCol, textCol)
-      .filter(col("pass_all")).select(col(idCol).as("doc_id")))
+    // stages 2/2b and the LM MODEL BUILD are independent work: the gopher
+    // bitmap and toxicity lexicon gates read only `base` + the prior id
+    // frame, while the stage-3 LM trains on the FULL (line-cut) corpus —
+    // not on the survivor slice — so its serving frames depend on nothing
+    // the two map-only gates produce. Build the model concurrently with
+    // them (guide §2.6: overlap independent jobs) and score the survivors
+    // against the prebuilt frames — scoreAgainst IS servingFrames +
+    // scoreWithModel by definition (NgramLm.scoreAgainst), so stage-3
+    // verdicts are bit-identical to the serial form.
+    var ids1: DataFrame = null
+    var idsT: DataFrame = null
+    var serving: (DataFrame, DataFrame, DataFrame) = null
+    graft.sources.Sink.inParallel(Seq(
+      () => {
+        val s = NgramLm.servingFrames(base, idCol, textCol)
+        // materialize the tracked model + vocab caches so the lm_keep cut
+        // below pays only the survivor scoring join
+        s._1.count(): Unit
+        s._3.count(): Unit
+        serving = s
+      },
+      () => {
+        // stage 2: Gopher rule bitmap, keep pass_all — skinny id frame
+        ids1 = cut("gopher_rules",
+          TextOps.gopherQualityRules(base, idCol, textCol)
+            .filter(col("pass_all")).select(col(idCol).as("doc_id")))
+        // stage 2b (opt-in, r20): blocklist-lexicon toxicity gate — the C4
+        // bad-words pass as a density verdict, one codegen'd projection
+        // over the gopher survivors (map-only like gopher; it rides here,
+        // after the cheapest bitmap and ahead of the LM join)
+        idsT = toxicity match {
+          case None => ids1
+          case Some(cfg) =>
+            val sv = base.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
+            cut("toxicity", Toxicity.blocklistScore(sv, idCol, textCol, cfg)
+              .filter(col("pass_toxicity")).select(col(idCol).as("doc_id")))
+        }
+      }))
     out += "gopher_rules" -> ids1
-
-    // stage 2b (opt-in, r20): blocklist-lexicon toxicity gate — the C4
-    // bad-words pass as a density verdict, one codegen'd projection over
-    // the gopher survivors (map-only like gopher; it rides here, after
-    // the cheapest bitmap and ahead of the LM join)
-    val idsT = toxicity match {
-      case None => ids1
-      case Some(cfg) =>
-        val sv = base.join(ids1.select(col("doc_id").as(idCol)), Seq(idCol))
-        val t = cut("toxicity", Toxicity.blocklistScore(sv, idCol, textCol, cfg)
-          .filter(col("pass_toxicity")).select(col(idCol).as("doc_id")))
-        out += "toxicity" -> t
-        t
-    }
+    if (toxicity.isDefined) out += "toxicity" -> idsT
 
     // stage 3: LM keep — model trained on the full (line-cut) corpus, but
     // only the prior-stage SURVIVORS pay the scoring join (the
-    // stage-ordering economics the header promises). scoreAgainst on a
-    // corpus subset equals self-scoring for it: every survivor bigram is
-    // in the full model, so the backoff never fires and verdicts are
-    // identical.
+    // stage-ordering economics the header promises). Scoring a corpus
+    // subset against the full-corpus model equals self-scoring for it:
+    // every survivor bigram is in the full model, so the backoff never
+    // fires and verdicts are identical.
     val surv1 = base.join(idsT.select(col("doc_id").as(idCol)), Seq(idCol))
-    val ids2 = cut("lm_keep", NgramLm.scoreAgainst(base, surv1, idCol, textCol,
-        nllKeep = nllKeep)
-      .filter(col("keep")).select(col("doc_id")))
+    val ids2 = cut("lm_keep",
+      NgramLm.scoreWithModel(surv1, serving._1, serving._2, serving._3,
+          idCol, textCol, nllKeep = nllKeep)
+        .filter(col("keep")).select(col("doc_id")))
     out += "lm_keep" -> ids2
 
     // stage 4: exact dedup (min id per content hash) among survivors —
@@ -266,8 +289,16 @@ object Curation {
     try {
       val (_, stages) = stagedIds(docs, idCol, textCol, domainCol,
         nllKeep, cap, urlRules, lineCut, toxicity, nearDup, scrub, track, onCut)
-      val ns = ("raw", n0) +: stages.map { case (name, ids) =>
-        (name, ids.count())
+      // the census counts run over ALREADY-MATERIALIZED stage frames
+      // (each was eagerly localCheckpoint'd or persisted in stagedIds),
+      // so they are independent cheap jobs — one overlapped roundtrip
+      // instead of one serial job per stage (guide §2.6)
+      val counts = new Array[Long](stages.size)
+      graft.sources.Sink.inParallel(stages.zipWithIndex.map {
+        case ((_, ids), i) => () => counts(i) = ids.count()
+      })
+      val ns = ("raw", n0) +: stages.zipWithIndex.map {
+        case ((name, _), i) => (name, counts(i))
       }
       ns.zipWithIndex.zip(n0 +: ns.map(_._2)).map {
         case (((name, n), i), prev) => (i, name, n, prev - n)
