@@ -53,9 +53,11 @@ object JobProfile {
     val t0 = System.nanoTime()
     fn(spark, sfDir).queryExecution.toRdd.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // give the (async) listener bus a moment to drain before reading —
+    // the public API exposes no waitUntilEmpty; job-end events for a
+    // completed action land within milliseconds
+    Thread.sleep(500)
     spark.sparkContext.removeSparkListener(listener)
-    // drain the listener bus before reading the rows
-    spark.sparkContext.listenerBus.waitUntilEmpty()
     import scala.jdk.CollectionConverters._
     val all = rows.asScala.toSeq.sortBy(_._1)
     println(f"== $name: wall $wall%.2f s, ${all.size} jobs, " +
